@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's aggregation surface (SURVEY.md §2.4 A1–A7): its only
+ * built-in analytics are Prometheus counters/gauges/histograms; here each is
+ * a declarative groupBy/agg whose partial aggregation is map-side-combined —
+ * the shape that scales (no per-key state beyond the small group count).
+ */
+object MetricQueries {
+
+  /** Prometheus-style histogram bucketing as a CASE expression — the
+    * reference's latency buckets {10,30,50,100,500} ms
+    * (server/metrics/metrics.go:59-64). Codegen'd, no UDF. */
+  def bucketize(c: Column, buckets: Seq[Double]): Column = {
+    val base: Column = lit("+Inf")
+    buckets.reverse.foldLeft(base) { (acc, b) =>
+      when(c <= lit(b), lit(if (b == b.floor) b.toLong.toString else b.toString)).otherwise(acc)
+    }
+  }
+
+  def bucketizeSql(col: String, buckets: Seq[Double]): String =
+    buckets.map(b => s"WHEN $col <= $b THEN '${if (b == b.floor) b.toLong.toString else b.toString}'")
+      .mkString("CASE ", " ", " ELSE '+Inf' END")
+
+  private val latencyBuckets = Seq(10d, 30d, 50d, 100d, 500d)
+
+  // A1/A3/A4 shape — histogram of a measure grouped by dimensions. `value`
+  // plays the latency-ms role; (topic, name) play (route/status, topic).
+  val q08 = Q(
+    "q08_latency_histogram",
+    (s, d) => IngestQueries.valid(s, d)
+      .withColumn("bucket", bucketize(col("value"), latencyBuckets))
+      .groupBy("topic", "name", "bucket")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_ms"))
+      .orderBy("topic", "name", "bucket"),
+    Some(IngestQueries.incomingSql +
+      s"""SELECT topic, name, ${bucketizeSql("value", latencyBuckets)} AS bucket,
+         |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_ms
+         |FROM valid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  // A2 shape — payload-size histogram: byte-size buckets over documents
+  // (the driver table with a real size distribution), grouped by lang.
+  private val sizeBuckets = Seq(100d, 250d, 500d, 1000d)
+  val q09 = Q(
+    "q09_payload_histogram",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("bucket", bucketize(octet_length(col("text")).cast("double"), sizeBuckets))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "bucket"),
+    Some(
+      s"""SELECT lang, ${bucketizeSql("octet_length(encode(text))", sizeBuckets)} AS bucket,
+         |       COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // A5 — event counter by (topic, status-analog): the running ok/failed/
+  // dropped counts per topic (metrics/metrics.go:59-66) restated as a
+  // grouped count over the validated stream.
+  val q10 = Q(
+    "q10_event_counters",
+    (s, d) => IngestQueries.valid(s, d)
+      .groupBy("topic", "name")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("topic", "name"),
+    Some(IngestQueries.incomingSql +
+      """SELECT topic, name, COUNT(*) AS n FROM valid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // A7 — throughput sum: the load test's `Sent N events in D`
+  // (tools/loadtest.go:194-198) as a single global aggregate.
+  val q11 = Q(
+    "q11_throughput_total",
+    (s, d) => IngestQueries.valid(s, d)
+      .agg(count(lit(1)).as("total_events"),
+        round(sum(col("value")), 2).as("total_value")),
+    Some(IngestQueries.incomingSql +
+      """SELECT COUNT(*) AS total_events, ROUND(SUM(value), 2) AS total_value
+        |FROM valid""".stripMargin))
+
+  // Exact percentiles of the latency measure per event name — the quantile
+  // view a Prometheus histogram approximates. Spark `percentile` and DuckDB
+  // `quantile_cont` both linearly interpolate.
+  val q12 = Q(
+    "q12_percentiles",
+    (s, d) => IngestQueries.valid(s, d)
+      .groupBy("name")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy("name"),
+    Some(IngestQueries.incomingSql +
+      """SELECT name,
+        |       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+        |       ROUND(quantile_cont(value, 0.95), 4) AS p95
+        |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // approx_count_distinct (HLL++) — the scale path for distinct counts:
+  // no shuffle of raw values, constant-size sketch per group. Sketch
+  // internals differ across engines, so no DuckDB oracle (driver records a
+  // rows-only check); exactness is bounded vs q14's exact count in tests.
+  val q13 = Q(
+    "q13_approx_distinct",
+    (s, d) => IngestQueries.valid(s, d)
+      .groupBy("name")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("name"),
+    None)
+
+  // Exact distinct counts — the q13 baseline.
+  val q14 = Q(
+    "q14_distinct_agg",
+    (s, d) => IngestQueries.valid(s, d)
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("name"),
+    Some(IngestQueries.incomingSql +
+      """SELECT name, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Vector[Q] = Vector(q08, q09, q10, q11, q12, q13, q14)
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational surface (SURVEY.md §2.5): the SQL capabilities the reference
+ * delegates to Presto/Hive over the landed table, provided natively. Joins
+ * declare sizes honestly (explicit `broadcast` on dimension tables) so the
+ * physical plan at 100 TB is broadcast-hash where the dim fits and
+ * shuffle-hash/sort-merge on the fact-fact edges, with AQE re-planning skew.
+ */
+object RelationalQueries {
+
+  // TPC-H Q1 shape — the canonical scan-heavy aggregate: one pass over
+  // lineitem, map-side partial agg, 4-group final. At 100 TB this is scan-
+  // bound; the filter and the 7-column projection reach the parquet reader.
+  val q15 = Q(
+    "q15_pricing_summary",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |       ROUND(AVG(l_discount), 4) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // TPC-H Q3 shape — selective dim filter, two joins, top-N by aggregate.
+  // customer is the small side (broadcast); orders⋈lineitem shuffles on
+  // orderkey. Top-10 via sort+limit (TakeOrderedAndProject physically —
+  // no global sort at scale).
+  val q16 = Q(
+    "q16_shipping_priority",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some(
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       o_orderpriority,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  // TPC-H Q5 shape — five-way snowflake join with broadcast dims
+  // (region/nation/supplier/customer) and one fact-fact shuffle edge.
+  val q17 = Q(
+    "q17_local_supplier_volume",
+    (s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin))
+
+  // Left-semi join — EXISTS. Build side is the distinct key set only;
+  // Catalyst never materializes the payload of the right side.
+  val q18 = Q(
+    "q18_semi_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey"),
+    Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin))
+
+  // Left-anti join — NOT EXISTS (customers with no high-value order; the
+  // exact complement of q18, so the pair partitions `customer`).
+  val q19 = Q(
+    "q19_anti_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey"),
+    Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin))
+
+  // Broadcast-hash dimension join, explicitly hinted: nation is tiny and
+  // ships to every executor — zero shuffle of the fact side.
+  val q20 = Q(
+    "q20_broadcast_join",
+    (s, d) => Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey"),
+    Some(
+      """SELECT s_suppkey, s_name, n_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey""".stripMargin))
+
+  // ROLLUP — hierarchical subtotals in one pass (Expand + single shuffle).
+  val q21 = Q(
+    "q21_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus"),
+    Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin))
+
+  // CUBE — all grouping-set combinations of (priority, orderstatus).
+  val q22 = Q(
+    "q22_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status"),
+    Some(
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY 1, 2""".stripMargin))
+
+  // Set operations: (high-value clickers ∩ high-value purchasers) ∖
+  // high-value errorers. Value thresholds keep each side a proper subset
+  // of the user population so the result is non-trivial.
+  val q23 = Q(
+    "q23_set_ops",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      def users(t: String, minValue: Double) =
+        e.filter(col("event_type") === t && col("value") > minValue)
+          .select(col("user_id")).distinct()
+      users("click", 90).intersect(users("purchase", 90))
+        .except(users("error", 95))
+        .orderBy("user_id")
+    },
+    Some(
+      """(SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND value > 90
+        | INTERSECT
+        | SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 90)
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        | WHERE event_type = 'error' AND value > 95
+        |ORDER BY user_id""".stripMargin))
+
+  // Global sort + limit — physically TakeOrderedAndProject: per-partition
+  // top-K then a K-row driver merge, never a full global sort.
+  val q24 = Q(
+    "q24_top_events",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"), col("event_type").as("name"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(20),
+    Some(
+      """SELECT event_id, event_type AS name, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 20""".stripMargin))
+
+  // Scalar-function surface: string/date/math built-ins in one projection.
+  val q25 = Q(
+    "q25_scalar_functions",
+    (s, d) => Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        round(col("p_retailprice") * 1.1, 2).as("price_taxed"),
+        (col("p_size") % 7).as("size_mod"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey"),
+    Some(
+      """SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+        |       SUBSTRING(p_name, 1, 8) AS name_prefix,
+        |       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |       ROUND(p_retailprice * 1.1, 2) AS price_taxed,
+        |       p_size % 7 AS size_mod,
+        |       CONCAT_WS('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}

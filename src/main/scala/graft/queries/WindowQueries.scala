@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Window-function surface (SURVEY.md §2.5): ranking, analytic and frame
+ * windows. Each window partitions by a key whose cardinality grows with the
+ * data (supplier, user), so state per partition stays bounded at 100 TB;
+ * orderings always carry a unique tie-break so results are total-order
+ * deterministic.
+ */
+object WindowQueries {
+
+  // Per-group top-K via row_number — the scalable "top orders per segment"
+  // pattern (rank state is O(1) per partition, one shuffle on the key).
+  val q26 = Q(
+    "q26_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some(
+      """SELECT o_orderpriority, rn, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin))
+
+  // Running (prefix) sum over an ordered frame.
+  val q27 = Q(
+    "q27_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"),
+          col("l_quantity"), col("running_qty"))
+        .orderBy("l_suppkey", "shipdate", "l_orderkey", "l_linenumber")
+    },
+    Some(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS shipdate, l_quantity,
+        |       ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin))
+
+  // lag/lead — inter-event gaps per user (the sessionization primitive).
+  val q28 = Q(
+    "q28_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("gap_ms",
+          unix_millis(col("ts").cast("timestamp")) -
+            lag(unix_millis(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type").as("name"),
+          col("gap_ms"), col("next_type"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      """SELECT user_id, event_id, event_type AS name,
+        |       CAST(epoch_ms(ts) AS BIGINT)
+        |         - LAG(CAST(epoch_ms(ts) AS BIGINT), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms,
+        |       LEAD(event_type, 1)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin))
+
+  // rank / dense_rank / ntile over acctbal within nation.
+  val q29 = Q(
+    "q29_rank_functions",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", rank().over(w).cast("bigint"))
+        .withColumn("drnk", dense_rank().over(w).cast("bigint"))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("c_nationkey"), col("rnk"), col("drnk"), col("quartile"),
+          col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    },
+    Some(
+      """SELECT c_nationkey, rnk, drnk, quartile, c_custkey,
+        |       ROUND(c_acctbal, 2) AS acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |        NTILE(4) OVER w AS quartile
+        |      FROM customer
+        |      WINDOW w AS (PARTITION BY c_nationkey
+        |                   ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rnk <= 5 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(q26, q27, q28, q29)
+}

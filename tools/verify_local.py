@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each oracle SQL from oracle_sql.json in DuckDB (tables registered as
+views over the sf parquet files) and compares against the parquet dumps that
+graft.Verify wrote. Compare: columns sorted by name, rows as dumped, exact
+cell equality (floats must be bit-identical — both sides round explicitly).
+
+Usage: verify_local.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    failures = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+            failures += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            failures += 1
+            continue
+        bad = None
+        for c in want.columns:
+            wv, gv = want[c].tolist(), got[c].tolist()
+            for i, (w, g) in enumerate(zip(wv, gv)):
+                wn = isinstance(w, float) and math.isnan(w)
+                gn = isinstance(g, float) and math.isnan(g)
+                if w is None and g is None or (wn and gn):
+                    continue
+                if w != g:
+                    bad = (c, i, w, g)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, w, g = bad
+            print(f"FAIL {name}: col {c} row {i}: oracle={w!r} spark={g!r}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(want)} rows, {len(want.columns)} cols)")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} oracle-checked queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
