@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/**
+ * Near-duplicate detection over `documents` (SURVEY.md §2.6) — the
+ * at-scale dedup families an LLM-data pipeline needs beyond exact
+ * `dropDuplicates` (graft.ops.Dedup):
+ *
+ *  - exact n-gram Jaccard via an inverted shingle index (ground truth);
+ *  - MinHash + LSH banding (sub-quadratic candidate generation);
+ *  - SimHash + byte banding (Hamming-ball candidates).
+ *
+ * Scale design: signatures are per-row expressions computed inside the
+ * scan stage; the ONLY shuffles are (a) the explode+groupBy on shingle /
+ * band / byte keys — each keyed on a single long with map-side combine —
+ * and (b) the candidate self-joins, whose left/right sides are the tiny
+ * banded projections, never the documents themselves. Nothing here is
+ * O(n²) in documents; brute-force pairing appears only in oracles.
+ */
+object DedupOps {
+
+  /** Exploded (doc_id, shingle-hash) inverted index — the shared substrate
+    * for Jaccard and MinHash verification. Distinct hashes per doc. */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), n)).as("h"))
+
+  /** Per-doc shingle-set sizes. */
+  private def setSizes(index: DataFrame): DataFrame =
+    index.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+  /** All pairs sharing >= 1 shingle, with intersection counts — the
+    * inverted-index join: shuffle keyed on the shingle hash, pair volume
+    * bounded by real overlap rather than n². */
+  private def intersections(index: DataFrame): DataFrame =
+    index.as("a")
+      .join(index.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+  /** Attach exact Jaccard = |A∩B| / |A∪B| to a pair table. */
+  private def withJaccard(pairs: DataFrame, index: DataFrame): DataFrame = {
+    val sizes = setSizes(index)
+    pairs
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard dedup: every pair with Jaccard >= `threshold`.
+   * This is the ground-truth variant; at extreme scale prefer
+   * [[minhashLshPairs]], which trades the inverted-index pair blowup for
+   * banded candidates.
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val index = shingleIndex(docs, n)
+    withJaccard(intersections(index), index)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      minhashSig(shingleHashes(col("text"), n), perms).as("sig"))
+
+  /**
+   * MinHash + LSH: band the signature (`bands` x `rowsPerBand`), emit one
+   * (band, key) row per doc per band, self-join the banded table for
+   * candidates, then verify candidates with EXACT Jaccard >= `threshold`.
+   * Candidate generation is sub-quadratic (only same-bucket pairs); the
+   * exact verification join touches candidate pairs only.
+   */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, perms: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    val sigs = minhashSignatures(docs, n, perms)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          bandKey(col("sig"), b * rowsPerBand, rowsPerBand).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val index = shingleIndex(docs, n)
+    cand.join(intersections(index), Seq("id_a", "id_b"))
+      .transform(withJaccard(_, index))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash over shingle features: (doc_id, simhash long). The word-level
+    * variant saturates on small vocabularies; shingles keep the feature
+    * space large enough for Hamming distance to mean something. */
+  def simhashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      simhashOver(shingles(col("text"), n)).as("simhash"))
+
+  /**
+   * SimHash near-dup pairs: band the 32-bit simhash into four bytes; by
+   * pigeonhole, any pair within Hamming distance 3 shares at least one
+   * byte, so the byte-bucket join has perfect recall for maxHamming<=3.
+   * Verification is a bit_count on the candidate pairs.
+   */
+  def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sims = simhashes(docs, n)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          (floor(col("simhash").cast("double") / math.pow(2.0, 8 * j)).cast("long") % 256L)
+            .as("byte"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.byte").as("byte"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/**
+ * Similarity search over the `embeddings` table (SURVEY.md §2.6):
+ * approximate nearest neighbors on an `array<float>` column.
+ *
+ *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+ *    The query set is broadcast (it's small by construction), so the big
+ *    side streams through one scan with NO shuffle of the corpus; top-k
+ *    per query is a bounded window.
+ *  - [[lshCandidateTopK]]: the scale path — multi-table signed-random-
+ *    hyperplane LSH restricts scoring to same-bucket candidates. Bucket
+ *    ids are per-row expressions; the join is keyed on (table, bucket).
+ *  - [[embeddingNearDupPairs]]: all-pairs near-dup via the same LSH
+ *    buckets + exact cosine verification of candidates only.
+ *
+ * At 100 TB the brute-force variant is O(corpus × queries) but
+ * shuffle-free and embarrassingly parallel; the LSH variant drops the
+ * scored volume by the bucket collision rate at a measured recall cost
+ * (recall rises steeply with the true similarity of the sought pairs —
+ * near 1.0 for genuine near-duplicates at cos >= 0.9).
+ */
+object SimilaritySearch {
+
+  /** Pairwise cosine of every (query, corpus) combination. `queries` must
+    * be small enough to broadcast — the planner gets an explicit hint. */
+  private def scored(corpus: DataFrame, queries: DataFrame): DataFrame =
+    corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+
+  /** Exact cosine top-k per query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored(corpus, queries)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /** (vec_id, table, bucket) LSH assignment: `tables` independent
+    * hyperplane tables of `nbits` bits each, hyperplane weights generated
+    * deterministically (TextFunctions.hyperplaneBucket). */
+  def lshBuckets(embeddings: DataFrame, dim: Int,
+      tables: Int = 8, nbits: Int = 6): DataFrame =
+    embeddings.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          hyperplaneBucketAt(col("embedding"), dim, nbits, t * nbits).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
+  /**
+   * ANN top-k: score only candidates sharing an LSH bucket with the query
+   * in at least one table, then exact-cosine rank them. Candidate pairs
+   * are distinct-ed on ids BEFORE the cosine is computed, so each pair is
+   * scored exactly once no matter how many tables it collides in. Same
+   * output shape as [[bruteForceTopK]] so the two are directly comparable.
+   */
+  def lshCandidateTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+      k: Int, tables: Int = 8, nbits: Int = 6): DataFrame = {
+    val cb = lshBuckets(corpus, dim, tables, nbits)
+    val qb = lshBuckets(queries, dim, tables, nbits)
+    val cand = cb.as("c")
+      .join(broadcast(qb.as("q")),
+        col("q.table") === col("c.table") && col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scoredCand = cand
+      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scoredCand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /**
+   * Embedding near-dup pairs: LSH candidates (any shared bucket, distinct
+   * on ids first), verified with exact cosine >= `threshold` — the exact
+   * scoring touches candidate pairs only, never the n² cross product.
+   */
+  def embeddingNearDupPairs(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.4, tables: Int = 8, nbits: Int = 6): DataFrame = {
+    val b = lshBuckets(embeddings, dim, tables, nbits)
+    val cand = b.as("a")
+      .join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+}

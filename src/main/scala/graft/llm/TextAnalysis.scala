@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/**
+ * Text-analysis operators for training-data curation over the `documents`
+ * table (SURVEY.md §2.6): token counting, language identification,
+ * quality scoring, and document fingerprinting.
+ *
+ * All four are pure per-row column expressions — no shuffle, no UDF, fully
+ * codegen'd — so at 100 TB they run at parquet-scan speed and compose with
+ * any downstream filter (Catalyst pushes the cheap predicates into the
+ * scan and fuses the rest into one pass).
+ */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, or single
+    * non-alphanumeric marks — the usual pre-tokenizer shape. */
+  val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /**
+   * Token counting: whitespace tokens and regex (BPE-ish) tokens plus
+   * character length — the volume accounting every data pipeline starts
+   * with (token budgets, length filters).
+   */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0)))
+        .cast("long").as("n_re_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately minimal — the operator is the scoring
+    * machinery; real deployments swap in fuller lists. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  private def stopScore(lang: String): Column = {
+    val list = array(stopwords.toMap.apply(lang).map(lit): _*)
+    size(filter(words(col("text")), w => array_contains(list, w))).cast("long")
+  }
+
+  /**
+   * Language-ID heuristic: score each candidate language by its stopword
+   * hit count over the token stream; predict the argmax, ties broken in
+   * declaration order (en first). Deterministic, so oracle-comparable.
+   */
+  def languageId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        stopwords.map { case (l, _) => stopScore(l).as(s"s_$l") }: _*)
+    val langs = stopwords.map(_._1)
+    // first language whose score is >= all later scores (CASE order = tie order)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val idx = langs.indexOf(l)
+      val beatsAll = langs.drop(idx + 1)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(beatsAll, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("pred_lang") === col("labeled_lang")).cast("int"))
+  }
+
+  /**
+   * Quality scoring: blend of length saturation, type-token ratio and
+   * non-stopword density — the standard cheap heuristics used to filter
+   * web text before training. Returns the components and the blended
+   * score so downstream thresholds stay tunable.
+   */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val allStops = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"),
+      size(filter(ws, w => array_contains(allStops, w))).cast("long").as("n_stop"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+            + (col("n_distinct").cast("double") / col("n_tokens")) * 0.3
+            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3,
+          4))
+  }
+
+  /**
+   * Document fingerprinting: the polynomial rolling hash of the full text
+   * (mod 1e9+7). Identical texts collide with probability 1; the
+   * fingerprint column is the exact-dedup key that costs one scan to
+   * build and groups duplicates with a single shuffle on a long.
+   */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), polyHash(col("text")).as("fingerprint"))
+}

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Column-level primitives for the LLM-training-data operators (SURVEY.md
+ * §2.6): deterministic integer hashing, shingling, MinHash signatures,
+ * SimHash, and in-order float folds for embedding math.
+ *
+ * Everything here is a pure Catalyst expression tree over higher-order
+ * array functions — per-row compute with NO shuffle, so at 100 TB these
+ * run embarrassingly parallel inside the parquet scan stage and Catalyst
+ * fuses them into whole-stage codegen.
+ *
+ * Determinism contract: every hash is explicit mod-prime integer
+ * arithmetic (no engine-specific hash functions), and every floating sum
+ * is an in-order left fold over doubles — so a DuckDB oracle can compute
+ * the bit-identical value with `list_reduce`/`list_transform` and the
+ * driver's hash-compare passes.
+ */
+object TextFunctions {
+
+  /** Modulus for all polynomial hashing: the common 1e9+7 prime. Keeps
+    * intermediate products < 2^62, safe in int64 on both engines. */
+  val P = 1000000007L
+
+  /** Whitespace tokens. Single-space semantics match DuckDB
+    * `string_split(text, ' ')` (both keep empty tokens on repeats). */
+  def words(text: Column): Column = split(text, " ")
+
+  /**
+   * Polynomial rolling hash of a string: fold h = (h*31 + code(c)) mod P
+   * over its characters. Spark's `split(s, "")` appends a trailing ""
+   * (Java regex split with limit -1), which DuckDB's char split does not —
+   * the filter drops it so both engines fold the same sequence.
+   */
+  def polyHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % P)
+
+  /** n-word shingles of a text column, as an array of strings; empty when
+    * the document has fewer than n words (guard: Spark `sequence(0, neg)`
+    * would count DOWN, unlike DuckDB `range`). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - lit(n)), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(ws, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct polynomial hashes of the n-word shingle set — the document's
+    * set representation for Jaccard/MinHash. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), sh => polyHash(sh)))
+
+  /**
+   * MinHash signature: for permutation p in [0, numPerms),
+   * sig[p] = min over shingle hashes h of ((1000003*p + 7919)*h +
+   * 104729*p + 12345) mod P — the standard (a_p*h + b_p) mod P family
+   * with deterministically generated coefficients. One pass per row.
+   */
+  def minhashSig(hashes: Column, numPerms: Int): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)), p =>
+      array_min(transform(hashes, h =>
+        ((lit(1000003L) * p + lit(7919L)) * h + lit(104729L) * p + lit(12345L)) % P)))
+
+  /** Band key for LSH: polynomial combination of `rows` consecutive
+    * signature values starting at index `start` (0-based). */
+  def bandKey(sig: Column, start: Int, rows: Int): Column =
+    (0 until rows).foldLeft(lit(0L): Column)((acc, k) =>
+      (acc * 1000003L + element_at(sig, lit(start + k + 1))) % P)
+
+  /** Bit b (a column) of non-negative long h, via exact double division —
+    * h < P < 2^30 so floor(h / 2^b) is exact in IEEE double on both
+    * engines (the DSL's `shiftright` only takes a literal shift). */
+  private def bitAt(h: Column, b: Column): Column =
+    floor(h.cast("double") / pow(lit(2.0), b)).cast("long") % 2L
+
+  /**
+   * 32-bit SimHash over an array of string features (with multiplicity):
+   * each feature's polynomial hash votes ±1 on each of 32 bit positions;
+   * bit b of the result is 1 iff the vote sum is > 0. Returned as a
+   * non-negative long.
+   */
+  def simhashOver(features: Column): Column = {
+    val hs = transform(features, f => polyHash(f))
+    val bits = transform(sequence(lit(0), lit(31)), b =>
+      when(
+        aggregate(hs, lit(0L),
+          (s, h) => s + when(bitAt(h, b) === 1L, 1L).otherwise(-1L)) > 0,
+        pow(lit(2.0), b).cast("long")).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (s, x) => s + x)
+  }
+
+  /** 32-bit SimHash over the whitespace-token multiset. */
+  def simhash32(text: Column): Column =
+    simhashOver(filter(words(text), w => w =!= ""))
+
+  /** Hamming distance between two small non-negative longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------ embeddings
+
+  /** In-order left fold dot product of two float-array columns, computed
+    * in double (each element cast BEFORE multiply, so DuckDB's
+    * CAST(x AS DOUBLE)*CAST(y AS DOUBLE) fold is bit-identical). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (s, x) => s + x)
+
+  /** In-order fold squared L2 norm (double). */
+  def normSq(a: Column): Column = dotProduct(a, a)
+
+  /** Cosine similarity via deterministic in-order folds. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /**
+   * Signed random-hyperplane LSH bucket over `dim`-dimensional float
+   * embeddings: `nbits` hyperplanes with deterministic integer
+   * pseudo-random weights w(j,i) = (((off+j)*131071 + i*8191 + 12345) mod
+   * 2000003) - 1000001 (centered on 0); bit j = [dot(w_j, x) > 0].
+   * `bitOffset` selects an independent hyperplane family per LSH table.
+   * Per-row compute only; the bucket id is the shuffle key for ANN.
+   */
+  def hyperplaneBucketAt(vec: Column, dim: Int, nbits: Int, bitOffset: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nbits - 1)), j => {
+      val dot = aggregate(
+        sequence(lit(0), lit(dim - 1)),
+        lit(0.0),
+        (s, i) => s +
+          ((((j + lit(bitOffset)) * lit(131071L) + i * lit(8191L) + lit(12345L)) % lit(2000003L)
+            - lit(1000001L))
+            .cast("double") * element_at(vec, i + 1).cast("double")))
+      when(dot > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (s, x) => s + x)
+  }
+
+  /** Single-table convenience overload (bit offset 0). */
+  def hyperplaneBucket(vec: Column, dim: Int, nbits: Int): Column =
+    hyperplaneBucketAt(vec, dim, nbits, 0)
+}

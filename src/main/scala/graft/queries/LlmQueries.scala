@@ -1,11 +1,308 @@
 package graft.queries
 
+import graft.llm.{DedupOps, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
 /**
  * LLM-training-data pipeline operators over `documents`/`embeddings`
- * (SURVEY.md §2.6): dedup families (exact / MinHash-LSH / SimHash / n-gram
- * Jaccard / embedding-cosine), similarity search, text analysis,
- * multimodal-column plumbing. Populated in the graft.llm build phase.
+ * (SURVEY.md §2.6): text analysis, dedup families (exact-fingerprint /
+ * n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine), similarity
+ * search, and multimodal-column plumbing.
+ *
+ * Every hash in these operators is explicit mod-prime integer arithmetic
+ * and every floating sum an in-order fold (graft.llm.TextFunctions), so
+ * each DuckDB oracle below mirrors the EXACT algorithm — including the
+ * LSH candidate generation — and the driver's hash compare is
+ * bit-deterministic. The oracle SQL is generated from the same Scala
+ * constants the operators use, so parameters cannot drift.
  */
 object LlmQueries {
-  val all: Vector[Q] = Vector()
+
+  private val P = "1000000007"
+
+  /** DuckDB polynomial rolling hash of a string expression — mirrors
+    * TextFunctions.polyHash (fold h = (h*31 + code) mod P). */
+  private def polyHashSql(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % $P)""".stripMargin
+
+  /** docs + distinct 3-shingle-hash inverted index + set sizes +
+    * pair intersections + exact Jaccard — mirrors DedupOps.shingleIndex /
+    * intersections / withJaccard. */
+  private val shingleCtes: String =
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 2), i ->
+       |    ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}))) AS h
+       |  FROM docs),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jacc AS (
+       |  SELECT id_a, id_b,
+       |         ROUND(CAST(n_inter AS DOUBLE) /
+       |               CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  // ---------------------------------------------------------------- text
+
+  val q35 = Q(
+    "q35_token_stats",
+    (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}')) AS BIGINT) AS n_re_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private def stopListSql(wordsSeq: Seq[String]): String =
+    wordsSeq.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val q36 = Q(
+    "q36_lang_id",
+    (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
+    Some {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"CAST(len(list_filter(ws, x -> list_contains(${stopListSql(ws)}, x))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (l, idx) =>
+        val conds = langs.drop(idx + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH w AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS ws FROM documents),
+         |scored AS (SELECT doc_id, labeled_lang,
+         |  $scores
+         |FROM w),
+         |pred AS (SELECT *,
+         |  CASE $cases
+         |    ELSE '${langs.last}' END AS pred_lang
+         |FROM scored)
+         |SELECT *, CAST(pred_lang = labeled_lang AS INT) AS is_match
+         |FROM pred ORDER BY doc_id""".stripMargin
+    })
+
+  val q37 = Q(
+    "q37_quality_score",
+    (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
+    Some {
+      val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop
+         |FROM w)
+         |SELECT doc_id, n_tokens, n_distinct, n_stop,
+         |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
+         |  ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |        + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3
+         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3, 4) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin
+    })
+
+  val q38 = Q(
+    "q38_fingerprint",
+    (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id, ${polyHashSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // --------------------------------------------------------------- dedup
+
+  val q39 = Q(
+    "q39_ngram_jaccard",
+    (s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH $shingleCtes
+         |SELECT id_a, id_b, jaccard FROM jacc
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin))
+
+  val q40 = Q(
+    "q40_dedup_minhash_lsh",
+    (s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d),
+      n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH $shingleCtes,
+         |perms AS (SELECT unnest(range(32)) AS p),
+         |mh AS (
+         |  SELECT doc_id, p,
+         |         min(((1000003 * p + 7919) * h + 104729 * p + 12345) % $P) AS v
+         |  FROM sh, perms GROUP BY doc_id, p),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(p / 4.0) AS BIGINT) AS band,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+         |                     (a, x) -> (a * 1000003 + x) % $P) AS bkey
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b, j.jaccard
+         |FROM cand c JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |WHERE j.jaccard >= 0.8 ORDER BY c.id_a, c.id_b""".stripMargin))
+
+  val q41 = Q(
+    "q41_dedup_simhash",
+    (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), n = 3, maxHamming = 3)
+      .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(words) - 2), i ->
+         |    ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")})) AS h
+         |  FROM docs),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |         sum(CASE WHEN CAST(floor(h / (2.0 ** b)) AS BIGINT) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM feats, (SELECT unnest(range(32)) AS b) bits GROUP BY doc_id, b),
+         |simh AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN CAST(2.0 ** b AS BIGINT) ELSE 0 END) AS sh
+         |  FROM votes GROUP BY doc_id),
+         |bytes AS (
+         |  SELECT doc_id, sh, j AS band,
+         |         CAST(floor(sh / (2.0 ** (8 * j))) AS BIGINT) % 256 AS byteval
+         |  FROM simh, (SELECT unnest(range(4)) AS j) js),
+         |spairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         bit_count(xor(a.sh, b.sh)) AS dist
+         |  FROM bytes a JOIN bytes b
+         |    ON a.band = b.band AND a.byteval = b.byteval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM spairs
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin))
+
+  // ---------------------------------------------------------- embeddings
+
+  private val dim = 64
+
+  /** DuckDB in-order-fold dot product — mirrors TextFunctions.dotProduct
+    * (cast each float to double BEFORE multiply, left fold of the adds). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range($dim), i ->
+       |    CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))),
+       |  (s, x) -> s + x)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val lshTables = 8
+  private val lshBits = 6
+
+  /** Shared bucket CTE for q42/q44: (vec_id, tbl, bucket). */
+  private def bucketsCte(src: String): String =
+    s"""SELECT vec_id, t AS tbl,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($lshBits), j ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range($dim), i ->
+       |        CAST(((j + t * $lshBits) * 131071 + i * 8191 + 12345) % 2000003 - 1000001 AS DOUBLE)
+       |        * CAST(embedding[i+1] AS DOUBLE))),
+       |      (s, x) -> s + x) > 0
+       |    THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END)), (s, x) -> s + x) AS bucket
+       |FROM $src, (SELECT unnest(range($lshTables)) AS t) tabs""".stripMargin
+
+  val q42 = Q(
+    "q42_embed_neardup",
+    (s, d) => SimilaritySearch.embeddingNearDupPairs(
+      Tables.embeddings(s, d), dim, threshold = 0.4,
+      tables = lshTables, nbits = lshBits)
+      .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH buckets AS (${bucketsCte("embeddings")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM scored
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin))
+
+  val q43 = Q(
+    "q43_cosine_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  val q44 = Q(
+    "q44_ann_lsh_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.lshCandidateTopK(e, e.filter(col("vec_id") < 8), dim,
+        k = 3, tables = lshTables, nbits = lshBits)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH buckets AS (${bucketsCte("embeddings")}),
+         |qb AS (SELECT * FROM buckets WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM buckets c JOIN qb
+         |    ON qb.tbl = c.tbl AND qb.bucket = c.bucket AND qb.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = query_id
+         |  JOIN embeddings eb ON eb.vec_id = neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  // ---------------------------------------------------------- multimodal
+
+  val q45 = Q(
+    "q45_multimodal_features",
+    (s, d) => {
+      implicit val spark = s
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .withColumn("mean_byte", round(col("mean_byte"), 4))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (s, c) -> s + c) AS DOUBLE) / length(text), 4) AS mean_byte,
+         |  unicode(substr(text, 1, 1)) AS width,
+         |  unicode(substr(text, length(text), 1)) AS height
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }
