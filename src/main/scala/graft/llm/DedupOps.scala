@@ -107,8 +107,12 @@ object DedupOps {
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */
   def simhashes(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      simhashOver(shingles(col("text"), n)).as("simhash"))
+    docs.select(col("doc_id"), shingleHashList(col("text"), n).as("feats"))
+      // Docs with no features have no meaningful SimHash (all-zero votes
+      // would spuriously pair every degenerate doc with every other);
+      // they are excluded, matching the oracle's per-feature-row shape.
+      .filter(size(col("feats")) > 0)
+      .select(col("doc_id"), simhashOfHashes(col("feats")).as("simhash"))
 
   /**
    * SimHash near-dup pairs: band the 32-bit simhash into four bytes; by

@@ -1,6 +1,8 @@
 package graft.llm
 
+import graft.functions.{HyperplaneBucketExpr, MinHashSigExpr, PolyHashExpr, ShingleHashList, SimHash32Expr, VecDotExpr}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
 import org.apache.spark.sql.functions._
 
 /**
@@ -31,11 +33,17 @@ object TextFunctions {
 
   /**
    * Polynomial rolling hash of a string: fold h = (h*31 + code(c)) mod P
-   * over its characters. Spark's `split(s, "")` appends a trailing ""
-   * (Java regex split with limit -1), which DuckDB's char split does not —
-   * the filter drops it so both engines fold the same sequence.
+   * over its characters. Native expression (graft.functions.PolyHashExpr);
+   * [[polyHashHof]] is the reference higher-order-function formulation the
+   * specs cross-check it against.
    */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = ofExpr(PolyHashExpr(exprOf(s)))
+
+  /** HOF reference implementation of [[polyHash]]. Spark's `split(s, "")`
+    * appends a trailing "" (Java regex split with limit -1), which
+    * DuckDB's char split does not — the filter drops it so both engines
+    * fold the same sequence. */
+  def polyHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),
       lit(0L),
@@ -52,18 +60,32 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** All n-word shingle hashes in document order, with multiplicity
+    * (native ShingleHashList expression) — SimHash's feature stream. */
+  def shingleHashList(text: Column, n: Int = 3): Column =
+    ofExpr(ShingleHashList(exprOf(text), n))
+
   /** Distinct polynomial hashes of the n-word shingle set — the document's
     * set representation for Jaccard/MinHash. */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), sh => polyHash(sh)))
+    array_distinct(shingleHashList(text, n))
+
+  /** HOF reference implementation of [[shingleHashes]]. */
+  def shingleHashesHof(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), sh => polyHashHof(sh)))
 
   /**
    * MinHash signature: for permutation p in [0, numPerms),
    * sig[p] = min over shingle hashes h of ((1000003*p + 7919)*h +
    * 104729*p + 12345) mod P — the standard (a_p*h + b_p) mod P family
-   * with deterministically generated coefficients. One pass per row.
+   * with deterministically generated coefficients. One pass per row,
+   * native expression.
    */
   def minhashSig(hashes: Column, numPerms: Int): Column =
+    ofExpr(MinHashSigExpr(exprOf(hashes), numPerms))
+
+  /** HOF reference implementation of [[minhashSig]]. */
+  def minhashSigHof(hashes: Column, numPerms: Int): Column =
     transform(sequence(lit(0), lit(numPerms - 1)), p =>
       array_min(transform(hashes, h =>
         ((lit(1000003L) * p + lit(7919L)) * h + lit(104729L) * p + lit(12345L)) % P)))
@@ -100,6 +122,10 @@ object TextFunctions {
   def simhash32(text: Column): Column =
     simhashOver(filter(words(text), w => w =!= ""))
 
+  /** Native SimHash over an array<long> feature-hash column. */
+  def simhashOfHashes(featureHashes: Column): Column =
+    ofExpr(SimHash32Expr(exprOf(featureHashes)))
+
   /** Hamming distance between two small non-negative longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -107,8 +133,13 @@ object TextFunctions {
 
   /** In-order left fold dot product of two float-array columns, computed
     * in double (each element cast BEFORE multiply, so DuckDB's
-    * CAST(x AS DOUBLE)*CAST(y AS DOUBLE) fold is bit-identical). */
+    * CAST(x AS DOUBLE)*CAST(y AS DOUBLE) fold is bit-identical). Native
+    * expression; [[dotProductHof]] is the reference formulation. */
   def dotProduct(a: Column, b: Column): Column =
+    ofExpr(VecDotExpr(exprOf(a), exprOf(b)))
+
+  /** HOF reference implementation of [[dotProduct]]. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -129,7 +160,11 @@ object TextFunctions {
    * `bitOffset` selects an independent hyperplane family per LSH table.
    * Per-row compute only; the bucket id is the shuffle key for ANN.
    */
-  def hyperplaneBucketAt(vec: Column, dim: Int, nbits: Int, bitOffset: Int): Column = {
+  def hyperplaneBucketAt(vec: Column, dim: Int, nbits: Int, bitOffset: Int): Column =
+    ofExpr(HyperplaneBucketExpr(exprOf(vec), nbits, bitOffset))
+
+  /** HOF reference implementation of [[hyperplaneBucketAt]]. */
+  def hyperplaneBucketAtHof(vec: Column, dim: Int, nbits: Int, bitOffset: Int): Column = {
     val bits = transform(sequence(lit(0), lit(nbits - 1)), j => {
       val dot = aggregate(
         sequence(lit(0), lit(dim - 1)),

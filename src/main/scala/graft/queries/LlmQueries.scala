@@ -111,8 +111,12 @@ object LlmQueries {
   val q38 = Q(
     "q38_fingerprint",
     (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
+    // The empty-text guard matches Spark: hash('') = 0 (DuckDB's
+    // string_split('', '') yields [''] whose unicode() is -1).
     Some(
-      s"""SELECT doc_id, ${polyHashSql("text")} AS fingerprint
+      s"""SELECT doc_id,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |       ELSE ${polyHashSql("text")} END AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin))
 
   // --------------------------------------------------------------- dedup
@@ -294,14 +298,19 @@ object LlmQueries {
         .withColumn("mean_byte", round(col("mean_byte"), 4))
         .orderBy("doc_id")
     },
+    // Empty-payload guards mirror StubDecoder's n==0 branch (DuckDB's
+    // unicode('') is -1, not 0).
     Some(
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |    (s, c) -> s + c) AS DOUBLE) / length(text), 4) AS mean_byte,
-         |  unicode(substr(text, 1, 1)) AS width,
-         |  unicode(substr(text, length(text), 1)) AS height
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |         (s, c) -> s + c) AS DOUBLE) / length(text), 4) END AS mean_byte,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |       ELSE unicode(substr(text, 1, 1)) END AS width,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |       ELSE unicode(substr(text, length(text), 1)) END AS height
          |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
