@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+/**
+ * B4/B5 restated (SURVEY.md §2.3): the reference's retry-with-backoff +
+ * partial-failure-index contract as a `foreachBatch` sink.
+ *
+ * Reference behavior reproduced:
+ *  - the producer reports WHICH rows failed (failure indexes,
+ *    `server/sender/kafka.go:50-67`, `server/app/server.go:63`);
+ *  - the client retries ONLY the failed subset after an exponential
+ *    backoff `2^retry * retryInterval` (`client/async.go:241-262`);
+ *  - after `maxRetries` the remainder is dropped and counted
+ *    (`client/async.go:243-249`, metric `dropped`);
+ *  - unlike the reference — which appends to its shared failure-index
+ *    slice from concurrent goroutines without a mutex
+ *    (`server/sender/kafka.go:61`, a data race) — each partition here
+ *    owns its local batch, so index tracking is race-free by
+ *    construction.
+ *
+ * Scale design: the retry loop runs PER PARTITION inside
+ * `foreachPartition` — no driver-side collect, no shuffle; state is
+ * O(partition batch). Metrics are Spark accumulators, the cluster-safe
+ * analog of the reference's Prometheus counters (A5).
+ */
+object RetryingSink {
+
+  /** Per-attempt producer: given the attempt number and the rows, return
+    * the indexes (into `rows`) that FAILED — the reference's
+    * `FailureIndexes` contract. Must be serializable. */
+  type Producer = (Int, Seq[Row]) => Seq[Int]
+
+  /** Sink metrics — the reference's ok/failed/dropped counters. */
+  final case class Metrics(sent: LongAccumulator, retried: LongAccumulator,
+      dropped: LongAccumulator)
+
+  def newMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.sink.sent"),
+    spark.sparkContext.longAccumulator("graft.sink.retried"),
+    spark.sparkContext.longAccumulator("graft.sink.dropped"))
+
+  /**
+   * Build the `foreachBatch` function. `sleeper` is injectable so tests
+   * don't wall-clock the exponential backoff.
+   */
+  def foreachBatchFn(
+      producer: Producer,
+      metrics: Metrics,
+      maxRetries: Int = 3,
+      retryIntervalMs: Long = 1000L,
+      sleeper: Long => Unit = Thread.sleep): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      batch.foreachPartition { it: Iterator[Row] =>
+        var pending: Seq[Row] = it.toSeq
+        var attempt = 0
+        while (pending.nonEmpty && attempt <= maxRetries) {
+          if (attempt > 0) {
+            // 2^(attempt-1) * interval — the reference's backoff curve
+            // (client/async.go:255-262, retry counter starts at 0).
+            sleeper((1L << (attempt - 1)) * retryIntervalMs)
+            metrics.retried.add(pending.size)
+          }
+          val failed = producer(attempt, pending).toSet
+          metrics.sent.add(pending.size - failed.size)
+          // Rebuild the batch from the failure indexes — the subset
+          // retry of client/async.go:264-271.
+          pending = pending.zipWithIndex.collect {
+            case (r, i) if failed.contains(i) => r
+          }
+          attempt += 1
+        }
+        if (pending.nonEmpty) metrics.dropped.add(pending.size)
+      }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.llm.{DedupOps, Multimodal, SimilaritySearch, TextFunctions}
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-operator specs: (1) the native Catalyst expressions are
+ * bit-identical to their higher-order-function reference formulations
+ * on real data; (2) each dedup family finds the planted near-duplicate
+ * pairs; (3) the multimodal stub plumbing is deterministic.
+ */
+class LlmSpec extends SparkSpec {
+  import TextFunctions._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+
+  test("native polyHash == HOF polyHash on every document") {
+    val diff = docs.select(
+      polyHash(col("text")).as("a"), polyHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native shingleHashes == HOF shingleHashes on every document") {
+    val diff = docs.select(
+      shingleHashes(col("text")).as("a"), shingleHashesHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native minhashSig == HOF minhashSig on every document") {
+    val diff = docs.select(
+      minhashSig(shingleHashes(col("text")), 32).as("a"),
+      minhashSigHof(shingleHashes(col("text")), 32).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native dotProduct == HOF dotProduct bit-for-bit on every embedding") {
+    val diff = embs.select(
+      dotProduct(col("embedding"), col("embedding")).as("a"),
+      dotProductHof(col("embedding"), col("embedding")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native hyperplaneBucket == HOF hyperplaneBucket on every embedding") {
+    val diff = embs.select(
+      hyperplaneBucketAt(col("embedding"), 64, 6, 12).as("a"),
+      hyperplaneBucketAtHof(col("embedding"), 64, 6, 12).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("all dedup families find the strongest planted near-dup pair") {
+    // ground truth: the highest-Jaccard pair from the exact operator
+    val top = DedupOps.ngramJaccardPairs(docs, threshold = 0.5)
+      .orderBy(col("jaccard").desc).select("id_a", "id_b").head()
+    def hasPair(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.filter(col("id_a") === top.getLong(0) &&
+        col("id_b") === top.getLong(1)).count() == 1
+    assert(hasPair(DedupOps.minhashLshPairs(docs, threshold = 0.8)))
+    assert(hasPair(DedupOps.simhashPairs(docs, maxHamming = 3)))
+  }
+
+  test("MinHash-LSH pairs are a subset of exact-Jaccard pairs (no false positives)") {
+    val exact = DedupOps.ngramJaccardPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b")
+    val lsh = DedupOps.minhashLshPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b")
+    assert(lsh.exceptAll(exact).count() === 0)
+  }
+
+  test("brute-force top-k is a superset in quality of LSH top-k") {
+    val q = embs.filter(col("vec_id") < 4)
+    val bf = SimilaritySearch.bruteForceTopK(embs, q, k = 3)
+    assert(bf.groupBy("query_id").count().filter(col("count") =!= 3).count() === 0)
+    // rank-1 brute-force cosine >= rank-1 LSH cosine for each query
+    val lsh = SimilaritySearch.lshCandidateTopK(embs, q, 64, k = 3)
+    val bf1 = bf.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("bf_cos"))
+    val lsh1 = lsh.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("lsh_cos"))
+    val bad = bf1.join(lsh1, "query_id")
+      .filter(col("lsh_cos") > col("bf_cos")).count()
+    assert(bad === 0)
+  }
+
+  test("StubDecoder is deterministic byte statistics") {
+    val f = Multimodal.StubDecoder.decode(7L, "abc".getBytes("UTF-8"))
+    assert(f === Multimodal.MediaFeatures(7L, 3L, (97 + 98 + 99) / 3.0, 97, 99))
+    val empty = Multimodal.StubDecoder.decode(1L, Array.emptyByteArray)
+    assert(empty === Multimodal.MediaFeatures(1L, 0L, 0.0, 0, 0))
+  }
+
+  test("multimodal extractFeatures runs partition-wise over binary payloads") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(docs)).toDF()
+    assert(feats.count() === docs.count())
+    // n_bytes must equal the document length (ASCII corpus)
+    val joined = feats.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")).cast("long"))
+    assert(joined.count() === 0)
+  }
+}

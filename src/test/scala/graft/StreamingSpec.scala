@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{EventStream, RetryingSink}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured Streaming specs (SURVEY.md §2.3 B1–B7) with MemoryStream
+ * standing in for Kafka, mirroring the reference's integration tests
+ * (send → drain → consume → assert) without a broker.
+ */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(id: String, name: String, topic: String,
+      props: Map[String, String], clientTimestamp: Long, ts: Timestamp)
+
+  private def ev(id: String, name: String = "e", topic: String = "t",
+      tsMs: Long = 1704067200000L): Ev =
+    Ev(id, name, topic, Map("k" -> "v"), tsMs, new Timestamp(tsMs))
+
+  test("B2/B6 micro-batch ingest pipeline: stream in, partitioned valid rows out") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = EventStream.ingestPipeline(source.toDF(), 1704067200123L)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      source.addData(ev("1"), ev("2"), ev("", name = "invalid"))
+      q.processAllAvailable() // B6 graceful drain
+      val out = spark.table("ingest_out")
+      assert(out.count() === 2) // T2 dropped the invalid row
+      val r = out.filter(col("id") === "1")
+        .select("year", "month", "day", "serverTimestamp").head()
+      assert(r === Row("2024", "01", "01", 1704067200123L))
+    } finally q.stop()
+  }
+
+  test("B7 watermarked streaming dedup drops at-least-once duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = EventStream.dedupped(source.toDF(), "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      source.addData(ev("a"), ev("a"), ev("b")) // duplicate in one batch
+      q.processAllAvailable()
+      source.addData(ev("a"), ev("c")) // duplicate across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("id").as[String].collect().sorted
+        === Array("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("A5 windowed event counters aggregate by (window, topic, name)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val base = 1704067200000L
+    val q = EventStream.eventCounters(source.toDF(), "ts")
+      .writeStream.format("memory").queryName("counter_out")
+      .outputMode("complete").start()
+    try {
+      source.addData(ev("1", tsMs = base), ev("2", tsMs = base + 1000),
+        ev("3", tsMs = base + 61000))
+      q.processAllAvailable()
+      val out = spark.table("counter_out")
+        .select("window_start", "n_events").as[(Timestamp, Long)]
+        .collect().sortBy(_._1.getTime)
+      assert(out.map(_._2).toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("B4/B5 retrying sink: subset retry on failure indexes, then success") {
+    val metrics = RetryingSink.newMetrics(spark)
+    // Scripted producer (mocks/sender.go shape): attempt 0 fails the
+    // rows named 'flaky'; attempt 1 succeeds for everything.
+    val producer: RetryingSink.Producer = (attempt, rows) =>
+      if (attempt == 0)
+        rows.zipWithIndex.collect {
+          case (r, i) if r.getAs[String]("name") == "flaky" => i
+        }
+      else Seq.empty
+    val fn = RetryingSink.foreachBatchFn(producer, metrics,
+      maxRetries = 3, retryIntervalMs = 1000L, sleeper = _ => ())
+    val batch = Seq(("1", "ok"), ("2", "flaky"), ("3", "flaky"), ("4", "ok"))
+      .toDF("id", "name").coalesce(1)
+    fn(batch, 0L)
+    assert(metrics.sent.value === 4)    // all delivered eventually
+    assert(metrics.retried.value === 2) // the two flaky rows retried once
+    assert(metrics.dropped.value === 0)
+  }
+
+  test("B4 retrying sink drops after maxRetries and counts the drop") {
+    val metrics = RetryingSink.newMetrics(spark)
+    // the sink body runs on executors — capture backoffs via accumulator
+    val backoffs = spark.sparkContext.collectionAccumulator[Long]("backoffs")
+    val alwaysFailFirst: RetryingSink.Producer = (_, rows) =>
+      rows.zipWithIndex.collect {
+        case (r, i) if r.getAs[String]("name") == "doomed" => i
+      }
+    val fn = RetryingSink.foreachBatchFn(alwaysFailFirst, metrics,
+      maxRetries = 3, retryIntervalMs = 100L,
+      sleeper = ms => backoffs.add(ms))
+    val batch = Seq(("1", "ok"), ("2", "doomed")).toDF("id", "name").coalesce(1)
+    fn(batch, 0L)
+    assert(metrics.sent.value === 1)
+    assert(metrics.dropped.value === 1)
+    // exponential backoff curve 2^n * interval (client/async.go:255-262)
+    import scala.jdk.CollectionConverters._
+    assert(backoffs.value.asScala.toList === List(100L, 200L, 400L))
+  }
+}
