@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The SQL surface of the native expressions (GraftExtensions) — what a
+ * pure-SQL user (the reference's Presto audience) sees.
+ */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extensions register SQL functions usable from spark.sql") {
+    // getOrCreate would reuse the shared suite session, which was built
+    // WITHOUT extensions — exercise the late-bind path instead (the
+    // extensions path itself is the same registrations list).
+    val s: SparkSession = spark.newSession()
+    GraftExtensions.register(s)
+    val h = s.sql("SELECT graft_poly_hash('ab') AS h").head().getLong(0)
+    // (0*31+97)*31+98
+    assert(h === (97L * 31 + 98))
+    val sig = s.sql(
+      "SELECT graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 4) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length === 4)
+    val dot = s.sql(
+      "SELECT graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+    val sh = s.sql("SELECT graft_simhash(array(CAST(5 AS BIGINT))) AS s")
+      .head().getLong(0)
+    assert(sh === 5L) // single feature: its own bits win every vote
+    val b = s.sql(
+      "SELECT graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4, 0) AS b")
+      .head().getLong(0)
+    assert(b >= 0L && b < 16L)
+  }
+}
