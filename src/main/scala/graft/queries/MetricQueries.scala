@@ -125,5 +125,47 @@ object MetricQueries {
       """SELECT name, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Vector[Q] = Vector(q08, q09, q10, q11, q12, q13, q14)
+  // A1 as ONE custom aggregate: the one-pass Prometheus histogram UDAF
+  // (graft.functions.HistogramAggregator) — cumulative le-bucket counts +
+  // sum in a single map-side-combinable buffer, instead of q08's
+  // CASE+groupBy restatement. Output exploded to (name, le, cum_n) rows
+  // so DuckDB can mirror it with plain conditional aggregation.
+  val q46 = Q(
+    "q46_histogram_udaf",
+    (s, d) => {
+      val hist = udaf(new graft.functions.HistogramAggregator.BucketHistogram(
+        graft.functions.HistogramAggregator.latencyBucketsMs))
+      val les = typedLit(
+        graft.functions.HistogramAggregator.latencyBucketsMs
+          .map(b => b.toLong.toString).toSeq :+ "+Inf")
+      IngestQueries.valid(s, d)
+        .groupBy("name")
+        .agg(hist(col("value")).as("h"))
+        .select(col("name"), posexplode(col("h.cumulative")).as(Seq("pos", "cum_n")),
+          round(col("h.sum"), 2).as("sum_value"))
+        .select(col("name"), element_at(les, col("pos") + 1).as("le"),
+          col("cum_n"), col("sum_value"))
+        .orderBy("name", "le")
+    },
+    Some(IngestQueries.incomingSql +
+      s""", agg AS (
+         |  SELECT name,
+         |    SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS c1,
+         |    SUM(CASE WHEN value <= 30 THEN 1 ELSE 0 END) AS c2,
+         |    SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c3,
+         |    SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c4,
+         |    SUM(CASE WHEN value <= 500 THEN 1 ELSE 0 END) AS c5,
+         |    COUNT(*) AS cinf,
+         |    ROUND(SUM(value), 2) AS sum_value
+         |  FROM valid GROUP BY 1)
+         |SELECT name, le, cum_n, sum_value FROM (
+         |  SELECT name, '10' AS le, c1 AS cum_n, sum_value FROM agg
+         |  UNION ALL SELECT name, '30', c2, sum_value FROM agg
+         |  UNION ALL SELECT name, '50', c3, sum_value FROM agg
+         |  UNION ALL SELECT name, '100', c4, sum_value FROM agg
+         |  UNION ALL SELECT name, '500', c5, sum_value FROM agg
+         |  UNION ALL SELECT name, '+Inf', cinf, sum_value FROM agg)
+         |ORDER BY name, le""".stripMargin))
+
+  val all: Vector[Q] = Vector(q08, q09, q10, q11, q12, q13, q14, q46)
 }
