@@ -29,9 +29,12 @@ object DedupOps {
     docs.select(col("doc_id"),
       explode(shingleHashes(col("text"), n)).as("h"))
 
-  /** Per-doc shingle-set sizes. */
-  private def setSizes(index: DataFrame): DataFrame =
-    index.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+  /** Per-doc shingle-set sizes — computed per row from the array length
+    * (size of the distinct-hash array), NOT by re-aggregating the
+    * exploded index: one scan-stage projection, zero shuffle. */
+  private def setSizes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      size(shingleHashes(col("text"), n)).cast("long").as("sz"))
 
   /** All pairs sharing >= 1 shingle, with intersection counts — the
     * inverted-index join: shuffle keyed on the shingle hash, pair volume
@@ -44,8 +47,8 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
 
   /** Attach exact Jaccard = |A∩B| / |A∪B| to a pair table. */
-  private def withJaccard(pairs: DataFrame, index: DataFrame): DataFrame = {
-    val sizes = setSizes(index)
+  private def withJaccard(pairs: DataFrame, docs: DataFrame, n: Int): DataFrame = {
+    val sizes = setSizes(docs, n)
     pairs
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -62,11 +65,9 @@ object DedupOps {
    * banded candidates.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val index = shingleIndex(docs, n)
-    withJaccard(intersections(index), index)
+      threshold: Double = 0.5): DataFrame =
+    withJaccard(intersections(shingleIndex(docs, n)), docs, n)
       .filter(col("jaccard") >= threshold)
-  }
 
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
@@ -97,9 +98,8 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val index = shingleIndex(docs, n)
-    cand.join(intersections(index), Seq("id_a", "id_b"))
-      .transform(withJaccard(_, index))
+    cand.join(intersections(shingleIndex(docs, n)), Seq("id_a", "id_b"))
+      .transform(withJaccard(_, docs, n))
       .filter(col("jaccard") >= threshold)
   }
 
