@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,10 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * per-element interpreted lambda trees: on the sf0.1 bench this is a
  * 10-100x speedup for the signature/cosine stages.
  *
- * CodegenFallback is deliberate: each expression does hundreds of
- * arithmetic ops per row in one compiled method, so the per-row boxing
- * overhead of the fallback path is noise; whole-stage codegen around
- * them is preserved for the rest of the plan.
+ * All six participate in whole-stage codegen via doGenCode: VecDot
+ * inlines its loop; the rest emit a static call into [[LlmExprs]]
+ * (the standard invoke-static pattern), so no row ever falls back to
+ * the interpreted path inside a codegen'd stage.
  */
 object LlmExprs {
   /** Modulus for all polynomial hashing (matches TextFunctions.P). */
@@ -33,30 +33,13 @@ object LlmExprs {
     while (i < s.length) { h = (h * 31L + s.charAt(i).toInt) % P; i += 1 }
     h
   }
-}
 
-/** Polynomial rolling hash of a string column → long. */
-case class PolyHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any =
-    LlmExprs.hashChars(input.asInstanceOf[UTF8String].toString)
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
+  /** Static entry for PolyHashExpr codegen. */
+  def polyHash(s: UTF8String): Long = hashChars(s.toString)
 
-/**
- * All n-word-shingle polynomial hashes of a text column, in document
- * order WITH multiplicity → array<long>. The shingle string is
- * "w_i w_{i+1} ... w_{i+n-1}" (single spaces); hashing streams the
- * chars without materializing the concatenation. Tokenization matches
- * Spark's split(text, ' ') with limit -1 (trailing empties kept).
- */
-case class ShingleHashList(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  /** Static entry for ShingleHashList codegen/eval. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
     val m = words.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](m)
@@ -65,10 +48,10 @@ case class ShingleHashList(child: Expression, n: Int)
       var h = 0L
       var k = 0
       while (k < n) {
-        if (k > 0) h = (h * 31L + 32L) % LlmExprs.P // the ' ' separator
+        if (k > 0) h = (h * 31L + 32L) % P // the ' ' separator
         val w = words(i + k)
         var c = 0
-        while (c < w.length) { h = (h * 31L + w.charAt(c).toInt) % LlmExprs.P; c += 1 }
+        while (c < w.length) { h = (h * 31L + w.charAt(c).toInt) % P; c += 1 }
         k += 1
       }
       out(i) = h
@@ -76,22 +59,11 @@ case class ShingleHashList(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
 
-/**
- * MinHash signature of a shingle-hash array → array<long> of length
- * `perms`: sig[p] = min over h of ((1000003p + 7919)h + 104729p +
- * 12345) mod P. Empty input yields all-null signature (matching the
- * HOF formulation, where array_min over an empty array is null) so
- * degenerate docs never produce band-key collisions.
- */
-case class MinHashSigExpr(child: Expression, perms: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+  /** Static entry for MinHashSigExpr codegen/eval. Empty input yields an
+    * all-null signature (array_min-over-empty semantics). */
+  def minhashSig(input: ArrayData, perms: Int): ArrayData = {
+    val hs = input.toLongArray()
     if (hs.isEmpty)
       return new GenericArrayData(Array.fill[Any](perms)(null))
     val out = new Array[Long](perms)
@@ -102,7 +74,7 @@ case class MinHashSigExpr(child: Expression, perms: Int)
       var min = Long.MaxValue
       var i = 0
       while (i < hs.length) {
-        val v = (a * hs(i) + b) % LlmExprs.P
+        val v = (a * hs(i) + b) % P
         if (v < min) min = v
         i += 1
       }
@@ -111,19 +83,10 @@ case class MinHashSigExpr(child: Expression, perms: Int)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
 
-/**
- * 32-bit SimHash of a feature-hash array (multiset, in order) → long:
- * each hash votes ±1 per bit position; bit b set iff its vote sum > 0.
- */
-case class SimHash32Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+  /** Static entry for SimHash32Expr codegen/eval. */
+  def simhash32(input: ArrayData): Long = {
+    val hs = input.toLongArray()
     val votes = new Array[Int](32)
     var i = 0
     while (i < hs.length) {
@@ -140,42 +103,9 @@ case class SimHash32Expr(child: Expression)
     while (b < 32) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
     sim
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
 
-/**
- * In-order dot product of two float-array columns, accumulated in
- * double with each element cast BEFORE the multiply — bit-identical to
- * the oracle's list_reduce fold and TextFunctions.dotProduct.
- */
-case class VecDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    s
-  }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
-/**
- * Signed-random-hyperplane LSH bucket of a float-array column → long.
- * Weight w(j,i) = (((bitOffset+j)*131071 + i*8191 + 12345) mod 2000003)
- * - 1000001; bit j = [in-order double dot(w_j, x) > 0]. Identical to
- * TextFunctions.hyperplaneBucketAt and the oracle's nested fold.
- */
-case class HyperplaneBucketExpr(child: Expression, nbits: Int, bitOffset: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
+  /** Static entry for HyperplaneBucketExpr codegen/eval. */
+  def hyperplaneBucket(x: ArrayData, nbits: Int, bitOffset: Int): Long = {
     val dim = x.numElements()
     var bucket = 0L
     var j = 0
@@ -193,6 +123,118 @@ case class HyperplaneBucketExpr(child: Expression, nbits: Int, bitOffset: Int)
     }
     bucket
   }
+}
+
+/** Polynomial rolling hash of a string column → long. */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * All n-word-shingle polynomial hashes of a text column, in document
+ * order WITH multiplicity → array<long>. The shingle string is
+ * "w_i w_{i+1} ... w_{i+n-1}" (single spaces); hashing streams the
+ * chars without materializing the concatenation. Tokenization matches
+ * Spark's split(text, ' ') with limit -1 (trailing empties kept).
+ */
+case class ShingleHashList(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * MinHash signature of a shingle-hash array → array<long> of length
+ * `perms`: sig[p] = min over h of ((1000003p + 7919)h + 104729p +
+ * 12345) mod P. Empty input yields all-null signature (matching the
+ * HOF formulation, where array_min over an empty array is null) so
+ * degenerate docs never produce band-key collisions.
+ */
+case class MinHashSigExpr(child: Expression, perms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.minhashSig(input.asInstanceOf[ArrayData], perms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.minhashSig($c, $perms)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 32-bit SimHash of a feature-hash array (multiset, in order) → long:
+ * each hash votes ±1 per bit position; bit b set iff its vote sum > 0.
+ */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.simhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * In-order dot product of two float-array columns, accumulated in
+ * double with each element cast BEFORE the multiply — bit-identical to
+ * the oracle's list_reduce fold and TextFunctions.dotProduct.
+ */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  // The hottest expression (3 dots per candidate pair in cosine): the
+  // loop is inlined into the whole-stage-codegen'd method body.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val nVar = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $nVar = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $nVar; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * Signed-random-hyperplane LSH bucket of a float-array column → long.
+ * Weight w(j,i) = (((bitOffset+j)*131071 + i*8191 + 12345) mod 2000003)
+ * - 1000001; bit j = [in-order double dot(w_j, x) > 0]. Identical to
+ * TextFunctions.hyperplaneBucketAt and the oracle's nested fold.
+ */
+case class HyperplaneBucketExpr(child: Expression, nbits: Int, bitOffset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.hyperplaneBucket(input.asInstanceOf[ArrayData], nbits, bitOffset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LlmExprs.hyperplaneBucket($c, $nbits, $bitOffset)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
