@@ -104,6 +104,27 @@ object LlmExprs {
     sim
   }
 
+  /**
+   * Deterministic pseudo-random hyperplane weight for (hyperplane jj,
+   * dim i): a murmur-style integer mix. A merely-affine generator (LCG
+   * over jj*K1 + i*K2) makes each hyperplane an arithmetic progression
+   * and adjacent hyperplanes near-parallel — bucket occupancy then
+   * collapses (measured: 50k random vectors landed in 24 of 4096
+   * buckets). The xor-fold breaks affinity; occupancy matches true
+   * random hyperplanes (~4050 buckets, max ~70). All intermediates are
+   * < 2^63 and non-negative, so the arithmetic is exactly mirrorable
+   * in DuckDB int64 SQL.
+   */
+  def hyperplaneWeight(jj: Long, i: Long): Long = {
+    val s = jj * 4096L + i
+    val h1 = (s * 2654435761L) % 4294967296L
+    val h2 = h1 ^ (h1 >> 16)
+    val h3 = h2 % 2147483648L
+    val h4 = (h3 * 2246822519L) % 4294967296L
+    val h5 = h4 ^ (h4 >> 13)
+    (h5 % 2000003L) - 1000001L
+  }
+
   /** Static entry for HyperplaneBucketExpr codegen/eval. */
   def hyperplaneBucket(x: ArrayData, nbits: Int, bitOffset: Int): Long = {
     val dim = x.numElements()
@@ -114,8 +135,7 @@ object LlmExprs {
       var s = 0.0
       var i = 0
       while (i < dim) {
-        val w = ((jj * 131071L + i * 8191L + 12345L) % 2000003L) - 1000001L
-        s += w.toDouble * x.getFloat(i).toDouble
+        s += hyperplaneWeight(jj, i).toDouble * x.getFloat(i).toDouble
         i += 1
       }
       if (s > 0) bucket |= 1L << j

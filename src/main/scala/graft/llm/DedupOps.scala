@@ -119,6 +119,11 @@ object DedupOps {
    * pigeonhole, any pair within Hamming distance 3 shares at least one
    * byte, so the byte-bucket join has perfect recall for maxHamming<=3.
    * Verification is a bit_count on the candidate pairs.
+   *
+   * Sizing note (measured in SCALE.md): random byte collisions admit
+   * ~n²·4/256 candidates, fine to ~10^5 docs. Beyond that, widen the
+   * fingerprint — a 64-bit SimHash with 4x16-bit bands divides the
+   * collision factor by 256 with the identical operator shape.
    */
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val sims = simhashes(docs, n)

@@ -25,6 +25,14 @@ import TextFunctions._
  * scored volume by the bucket collision rate at a measured recall cost
  * (recall rises steeply with the true similarity of the sought pairs —
  * near 1.0 for genuine near-duplicates at cos >= 0.9).
+ *
+ * SIZING RULE: candidate volume within one table is ~ n^2 / 2^nbits,
+ * so `nbits` must grow with the corpus — nbits ≈ log2(n / b) for a
+ * target mean bucket occupancy b (≈ 8–32). The defaults (6 bits) fit
+ * the 500-row validation corpus; at 50k rows use ~12 bits, at 10^9
+ * rows ~26 bits, keeping per-bucket pair work constant as n grows.
+ * Recall lost to narrower buckets is recovered by adding tables
+ * (union of candidates), which scales linearly, not quadratically.
  */
 object SimilaritySearch {
 

@@ -154,25 +154,35 @@ object TextFunctions {
 
   /**
    * Signed random-hyperplane LSH bucket over `dim`-dimensional float
-   * embeddings: `nbits` hyperplanes with deterministic integer
-   * pseudo-random weights w(j,i) = (((off+j)*131071 + i*8191 + 12345) mod
-   * 2000003) - 1000001 (centered on 0); bit j = [dot(w_j, x) > 0].
+   * embeddings: `nbits` hyperplanes whose weights come from the
+   * murmur-style integer mix LlmExprs.hyperplaneWeight (an affine
+   * generator makes hyperplanes near-parallel and collapses bucket
+   * occupancy — see that scaladoc); bit j = [dot(w_j, x) > 0].
    * `bitOffset` selects an independent hyperplane family per LSH table.
    * Per-row compute only; the bucket id is the shuffle key for ANN.
    */
   def hyperplaneBucketAt(vec: Column, dim: Int, nbits: Int, bitOffset: Int): Column =
     ofExpr(HyperplaneBucketExpr(exprOf(vec), nbits, bitOffset))
 
-  /** HOF reference implementation of [[hyperplaneBucketAt]]. */
+  /** HOF reference implementation of [[hyperplaneBucketAt]] — the same
+    * murmur-style weight mix as LlmExprs.hyperplaneWeight, as column
+    * arithmetic (shifts are literal so the DSL's shiftright applies). */
   def hyperplaneBucketAtHof(vec: Column, dim: Int, nbits: Int, bitOffset: Int): Column = {
+    def weight(j: Column, i: Column): Column = {
+      val s = (j + lit(bitOffset)) * lit(4096L) + i
+      val h1 = (s * lit(2654435761L)) % lit(4294967296L)
+      val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+      val h3 = h2 % lit(2147483648L)
+      val h4 = (h3 * lit(2246822519L)) % lit(4294967296L)
+      val h5 = h4.bitwiseXOR(shiftright(h4, 13))
+      (h5 % lit(2000003L)) - lit(1000001L)
+    }
     val bits = transform(sequence(lit(0), lit(nbits - 1)), j => {
       val dot = aggregate(
         sequence(lit(0), lit(dim - 1)),
         lit(0.0),
         (s, i) => s +
-          ((((j + lit(bitOffset)) * lit(131071L) + i * lit(8191L) + lit(12345L)) % lit(2000003L)
-            - lit(1000001L))
-            .cast("double") * element_at(vec, i + 1).cast("double")))
+          (weight(j, i).cast("double") * element_at(vec, i + 1).cast("double")))
       when(dot > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
     })
     aggregate(bits, lit(0L), (s, x) => s + x)

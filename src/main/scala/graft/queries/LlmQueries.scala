@@ -204,13 +204,25 @@ object LlmQueries {
   private val lshTables = 8
   private val lshBits = 6
 
+  /** DuckDB mirror of LlmExprs.hyperplaneWeight — the murmur-style mix,
+    * inlined (SQL lambdas have no lets, so each stage repeats its
+    * input subexpression; values are identical, just recomputed). */
+  private def weightSql(sExpr: String): String = {
+    val h1 = s"((($sExpr) * 2654435761) % 4294967296)"
+    val h2 = s"xor($h1, $h1 // 65536)"
+    val h3 = s"(($h2) % 2147483648)"
+    val h4 = s"(($h3 * 2246822519) % 4294967296)"
+    val h5 = s"xor($h4, $h4 // 8192)"
+    s"(($h5) % 2000003 - 1000001)"
+  }
+
   /** Shared bucket CTE for q42/q44: (vec_id, tbl, bucket). */
   private def bucketsCte(src: String): String =
     s"""SELECT vec_id, t AS tbl,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($lshBits), j ->
        |    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range($dim), i ->
-       |        CAST(((j + t * $lshBits) * 131071 + i * 8191 + 12345) % 2000003 - 1000001 AS DOUBLE)
+       |        CAST(${weightSql(s"(j + t * $lshBits) * 4096 + i")} AS DOUBLE)
        |        * CAST(embedding[i+1] AS DOUBLE))),
        |      (s, x) -> s + x) > 0
        |    THEN CAST(2.0 ** j AS BIGINT) ELSE 0 END)), (s, x) -> s + x) AS bucket
