@@ -6,6 +6,7 @@ import graft.streaming.{EventStream, RetryingSink}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /**
  * Structured Streaming specs (SURVEY.md §2.3 B1–B7) with MemoryStream
@@ -70,6 +71,27 @@ class StreamingSpec extends SparkSpec {
         .select("window_start", "n_events").as[(Timestamp, Long)]
         .collect().sortBy(_._1.getTime)
       assert(out.map(_._2).toSeq === Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("B7 dedup runs on the RocksDB state store (large-state scale path)") {
+    // At 100 TB the dedup/window state outgrows executor heaps; RocksDB
+    // spills it to local disk. Same operator, one conf switch.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx2 = s2.sqlContext
+    val source = MemoryStream[Ev]
+    val q = EventStream.dedupped(source.toDF(), "ts")
+      .writeStream.format("memory").queryName("rocksdb_dedup_out")
+      .outputMode("append").start()
+    try {
+      source.addData(ev("a"), ev("a"), ev("b"))
+      q.processAllAvailable()
+      assert(s2.table("rocksdb_dedup_out").count() === 2)
+      // the state store in use really is RocksDB
+      val metrics = q.lastProgress.stateOperators(0).customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")))
     } finally q.stop()
   }
 
