@@ -107,5 +107,53 @@ object WindowQueries {
         |                   ORDER BY c_acctbal DESC, c_custkey))
         |WHERE rnk <= 5 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(q26, q27, q28, q29)
+  // Batch sessionization via the gap/cumsum window pattern: a session
+  // boundary is an event arriving more than `gap` after its predecessor;
+  // the session id is the running count of boundaries. One shuffle on
+  // user_id; complements session_window (q32-34's family) with per-
+  // session custom aggregates, and mirrors graft.streaming.Sessionize's
+  // semantics in oracle-checkable batch form.
+  val q47 = Q(
+    "q47_sessionization",
+    (s, d) => {
+      val gapMs = 30 * 60 * 1000L // 30-minute inactivity gap
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(order))
+        .withColumn("boundary",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("boundary")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL
+        |                   OR epoch_ms(ts) - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS boundary
+        |  FROM ordered),
+        |sessions AS (
+        |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47)
 }
