@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.IngestQueries
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational-surface specs beyond the oracle gate: the approximation
+ * bound of HLL distinct counts (q13 has no DuckDB oracle by design) and
+ * the bucketed co-located join — the zero-shuffle join layout that a
+ * 100 TB fact-fact join relies on.
+ */
+class RelationalSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within its 1% rsd bound of exact") {
+    val valid = IngestQueries.valid(spark, sfDir)
+    val joined = valid.groupBy("name")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .withColumn("rel_err",
+        abs(col("approx") - col("exact")).cast("double") / col("exact"))
+    val maxErr = joined.agg(max(col("rel_err"))).head().getDouble(0)
+    // 0.01 rsd => observed error beyond 5% would mean the sketch is broken
+    assert(maxErr < 0.05, s"max relative error $maxErr")
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+
+    // external bucketed tables (warehouse.dir is a static conf; an
+    // explicit path keeps the test data out of the repo cwd)
+    graft.model.Tables.orders(s2, sfDir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b")
+      .mode("overwrite").saveAsTable("orders_b")
+    graft.model.Tables.lineitem(s2, sfDir)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = s2.table("lineitem_b")
+      .join(s2.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // the whole point of bucketing: join with NO shuffle on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected no shuffle exchange in:\n$plan")
+    // and it still computes the right thing
+    val expected = graft.model.Tables.lineitem(s2, sfDir)
+      .join(graft.model.Tables.orders(s2, sfDir),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === expected)
+  }
+}
