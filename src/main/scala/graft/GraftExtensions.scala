@@ -67,7 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     register("graft_simhash",
       "graft_simhash(hashes) - 32-bit SimHash of feature hashes") {
-      case Seq(h) => SimHash32Expr(h)
+      case Seq(h) => SimHashExpr(h)
     }
     register("graft_vec_dot",
       "graft_vec_dot(a, b) - in-order double dot product of float arrays") {

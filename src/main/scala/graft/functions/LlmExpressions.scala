@@ -37,8 +37,19 @@ object LlmExprs {
   /** Static entry for PolyHashExpr codegen. */
   def polyHash(s: UTF8String): Long = hashChars(s.toString)
 
+  /** 48-bit-range prime modulus for wide feature hashing (SimHash widths
+    * beyond 30 bits need feature hashes that populate those bits; with
+    * h < 2^48 the products h*31 stay < 2^53 — exact in int64 AND in the
+    * oracle's double arithmetic). NOT usable for MinHash: its permutation
+    * coefficients would overflow int64 on 48-bit inputs. */
+  val P48 = 281474976710597L
+
   /** Static entry for ShingleHashList codegen/eval. */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+  def shingleHashes(text: UTF8String, n: Int): ArrayData =
+    shingleHashesMod(text, n, P)
+
+  /** Modulus-parameterized variant (mod = P48 for wide SimHash). */
+  def shingleHashesMod(text: UTF8String, n: Int, mod: Long): ArrayData = {
     val words = text.toString.split(" ", -1)
     val m = words.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -48,10 +59,10 @@ object LlmExprs {
       var h = 0L
       var k = 0
       while (k < n) {
-        if (k > 0) h = (h * 31L + 32L) % P // the ' ' separator
+        if (k > 0) h = (h * 31L + 32L) % mod // the ' ' separator
         val w = words(i + k)
         var c = 0
-        while (c < w.length) { h = (h * 31L + w.charAt(c).toInt) % P; c += 1 }
+        while (c < w.length) { h = (h * 31L + w.charAt(c).toInt) % mod; c += 1 }
         k += 1
       }
       out(i) = h
@@ -84,15 +95,15 @@ object LlmExprs {
     new GenericArrayData(out)
   }
 
-  /** Static entry for SimHash32Expr codegen/eval. */
-  def simhash32(input: ArrayData): Long = {
+  /** Static entry for SimHash codegen/eval: `bits`-wide SimHash. */
+  def simhashW(input: ArrayData, bits: Int): Long = {
     val hs = input.toLongArray()
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](bits)
     var i = 0
     while (i < hs.length) {
       val h = hs(i)
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -100,9 +111,12 @@ object LlmExprs {
     }
     var sim = 0L
     var b = 0
-    while (b < 32) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+    while (b < bits) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
     sim
   }
+
+  /** Static entry for the 32-bit SimHash (compat). */
+  def simhash32(input: ArrayData): Long = simhashW(input, 32)
 
   /**
    * Deterministic pseudo-random hyperplane weight for (hyperplane jj,
@@ -163,12 +177,14 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
  * chars without materializing the concatenation. Tokenization matches
  * Spark's split(text, ' ') with limit -1 (trailing empties kept).
  */
-case class ShingleHashList(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashList(child: Expression, n: Int,
+    mod: Long = LlmExprs.P) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    LlmExprs.shingleHashes(input.asInstanceOf[UTF8String], n)
+    LlmExprs.shingleHashesMod(input.asInstanceOf[UTF8String], n, mod)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.shingleHashes($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LlmExprs.shingleHashesMod($c, $n, ${mod}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -194,12 +210,12 @@ case class MinHashSigExpr(child: Expression, perms: Int) extends UnaryExpression
  * 32-bit SimHash of a feature-hash array (multiset, in order) → long:
  * each hash votes ±1 per bit position; bit b set iff its vote sum > 0.
  */
-case class SimHash32Expr(child: Expression) extends UnaryExpression {
+case class SimHashExpr(child: Expression, bits: Int = 32) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
-    LlmExprs.simhash32(input.asInstanceOf[ArrayData])
+    LlmExprs.simhashW(input.asInstanceOf[ArrayData], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.simhash32($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.simhashW($c, $bits)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

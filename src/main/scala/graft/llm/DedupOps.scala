@@ -106,13 +106,15 @@ object DedupOps {
   /** SimHash over shingle features: (doc_id, simhash long). The word-level
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */
-  def simhashes(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingleHashList(col("text"), n).as("feats"))
+  def simhashes(docs: DataFrame, n: Int = 3, bits: Int = 32,
+      featureMod: Long = TextFunctions.P): DataFrame =
+    docs.select(col("doc_id"),
+      shingleHashList(col("text"), n, featureMod).as("feats"))
       // Docs with no features have no meaningful SimHash (all-zero votes
       // would spuriously pair every degenerate doc with every other);
       // they are excluded, matching the oracle's per-feature-row shape.
       .filter(size(col("feats")) > 0)
-      .select(col("doc_id"), simhashOfHashes(col("feats")).as("simhash"))
+      .select(col("doc_id"), simhashOfHashes(col("feats"), bits).as("simhash"))
 
   /**
    * SimHash near-dup pairs: band the 32-bit simhash into four bytes; by
@@ -125,13 +127,17 @@ object DedupOps {
    * fingerprint — a 64-bit SimHash with 4x16-bit bands divides the
    * collision factor by 256 with the identical operator shape.
    */
-  def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sims = simhashes(docs, n)
+  def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
+      bits: Int = 32, featureMod: Long = TextFunctions.P): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 equal bands")
+    val bandWidth = bits / 4
+    val bandSize = 1L << bandWidth
+    val sims = simhashes(docs, n, bits, featureMod)
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
-          (floor(col("simhash").cast("double") / math.pow(2.0, 8 * j)).cast("long") % 256L)
-            .as("byte"))): _*)).as("bk"))
+          (floor(col("simhash").cast("double") / math.pow(2.0, bandWidth * j))
+            .cast("long") % bandSize).as("byte"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.byte").as("byte"))
     banded.as("a")

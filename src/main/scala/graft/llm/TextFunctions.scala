@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.functions.{HyperplaneBucketExpr, MinHashSigExpr, PolyHashExpr, ShingleHashList, SimHash32Expr, VecDotExpr}
+import graft.functions.{HyperplaneBucketExpr, MinHashSigExpr, PolyHashExpr, ShingleHashList, SimHashExpr, VecDotExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
 import org.apache.spark.sql.functions._
@@ -61,9 +61,10 @@ object TextFunctions {
   }
 
   /** All n-word shingle hashes in document order, with multiplicity
-    * (native ShingleHashList expression) — SimHash's feature stream. */
-  def shingleHashList(text: Column, n: Int = 3): Column =
-    ofExpr(ShingleHashList(exprOf(text), n))
+    * (native ShingleHashList expression) — SimHash's feature stream.
+    * `mod` widens the hash range (LlmExprs.P48) for wide SimHash. */
+  def shingleHashList(text: Column, n: Int = 3, mod: Long = P): Column =
+    ofExpr(ShingleHashList(exprOf(text), n, mod))
 
   /** Distinct polynomial hashes of the n-word shingle set — the document's
     * set representation for Jaccard/MinHash. */
@@ -122,9 +123,11 @@ object TextFunctions {
   def simhash32(text: Column): Column =
     simhashOver(filter(words(text), w => w =!= ""))
 
-  /** Native SimHash over an array<long> feature-hash column. */
-  def simhashOfHashes(featureHashes: Column): Column =
-    ofExpr(SimHash32Expr(exprOf(featureHashes)))
+  /** Native SimHash over an array<long> feature-hash column; `bits`
+    * widens the fingerprint (feature hashes must populate those bits —
+    * pair with `shingleHashList(..., mod = LlmExprs.P48)`). */
+  def simhashOfHashes(featureHashes: Column, bits: Int = 32): Column =
+    ofExpr(SimHashExpr(exprOf(featureHashes), bits))
 
   /** Hamming distance between two small non-negative longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -22,11 +22,13 @@ object LlmQueries {
   private val P = "1000000007"
 
   /** DuckDB polynomial rolling hash of a string expression — mirrors
-    * TextFunctions.polyHash (fold h = (h*31 + code) mod P). */
-  private def polyHashSql(s: String): String =
+    * TextFunctions.polyHash (fold h = (h*31 + code) mod `mod`). */
+  private def polyHashSqlMod(s: String, mod: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))),
-       |  (h, c) -> (h * 31 + c) % $P)""".stripMargin
+       |  (h, c) -> (h * 31 + c) % $mod)""".stripMargin
+
+  private def polyHashSql(s: String): String = polyHashSqlMod(s, P)
 
   /** docs + distinct 3-shingle-hash inverted index + set sizes +
     * pair intersections + exact Jaccard — mirrors DedupOps.shingleIndex /
@@ -186,6 +188,44 @@ object LlmQueries {
          |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM spairs
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin))
 
+  // q48 — the wide-fingerprint SimHash (48-bit, 4x12-bit bands): the
+  // at-scale variant of q41 (SCALE.md: 4x8-bit banding admits n²/64
+  // random collisions; 12-bit bands divide that by 256). Feature hashes
+  // use the 48-bit-range modulus so the high bits carry signal.
+  val q48 = Q(
+    "q48_dedup_simhash_wide",
+    (s, d) => DedupOps.simhashPairs(Tables.documents(s, d), n = 3,
+      maxHamming = 3, bits = 48, featureMod = graft.functions.LlmExprs.P48)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(words) - 2), i ->
+         |    ${polyHashSqlMod("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]", p48)})) AS h
+         |  FROM docs),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |         sum(CASE WHEN CAST(floor(h / (2.0 ** b)) AS BIGINT) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM feats, (SELECT unnest(range(48)) AS b) bits GROUP BY doc_id, b),
+         |simh AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN CAST(2.0 ** b AS BIGINT) ELSE 0 END) AS sh
+         |  FROM votes GROUP BY doc_id),
+         |bytes AS (
+         |  SELECT doc_id, sh, j AS band,
+         |         CAST(floor(sh / (2.0 ** (12 * j))) AS BIGINT) % 4096 AS byteval
+         |  FROM simh, (SELECT unnest(range(4)) AS j) js),
+         |spairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         bit_count(xor(a.sh, b.sh)) AS dist
+         |  FROM bytes a JOIN bytes b
+         |    ON a.band = b.band AND a.byteval = b.byteval AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM spairs
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
+    })
+
   // ---------------------------------------------------------- embeddings
 
   private val dim = 64
@@ -325,5 +365,5 @@ object LlmQueries {
          |       ELSE unicode(substr(text, length(text), 1)) END AS height
          |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+  val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q48)
 }
