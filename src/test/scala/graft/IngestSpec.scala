@@ -22,6 +22,22 @@ class IngestSpec extends SparkSpec {
     Seq((id, name, topic, props, ts))
       .toDF("id", "name", "topic", "props", "clientTimestamp")
 
+  test("T1 construct stamps UUIDv4 ids and now-ish epoch-millis timestamps") {
+    val before = System.currentTimeMillis()
+    val out = Ingest.construct(
+      Seq(1, 2, 3).toDF("seed"), name = "ev", topic = "t")
+      .select("id", "name", "topic", "clientTimestamp").collect()
+    val after = System.currentTimeMillis()
+    assert(out.length === 3)
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}".r
+    for (r <- out) {
+      assert(uuidRe.matches(r.getString(0)), s"not a UUIDv4: ${r.getString(0)}")
+      assert(r.getString(1) === "ev" && r.getString(2) === "t")
+      assert(r.getLong(3) >= before - 1000 && r.getLong(3) <= after + 1000)
+    }
+    assert(out.map(_.getString(0)).distinct.length === 3) // ids unique
+  }
+
   test("T2 validation accepts a fully-populated event") {
     assert(Ingest.validate(envelope()).count() === 1)
     assert(Ingest.rejects(envelope()).count() === 0)
