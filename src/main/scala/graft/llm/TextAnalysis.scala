@@ -103,4 +103,40 @@ object TextAnalysis {
    */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), polyHash(col("text")).as("fingerprint"))
+
+  /**
+   * Deterministic train/val/test assignment by content hash: split by
+   * `fingerprint mod 100` so membership is a pure function of the text —
+   * stable across reruns, machines and data orderings, and duplicate
+   * texts always land in the same split (no train/val leakage from
+   * duplicates). The standard hash-split of training-data pipelines;
+   * per-row compute, no shuffle.
+   */
+  def withSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = polyHash(col("text")) % 100L
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /**
+   * Deterministic content-hash sampling: keep rows whose salted text
+   * hash falls under `permille`/1000 — a reproducible Bernoulli sample
+   * that needs no RNG state and composes with any pushdown (the
+   * predicate is a scan-stage expression).
+   */
+  def hashSample(docs: DataFrame, permille: Int, salt: String = "graft"): DataFrame =
+    docs.filter(polyHash(concat(col("text"), lit(salt))) % 1000L < permille)
+
+  /**
+   * Text normalization: collapse whitespace runs and strip characters
+   * outside [a-z0-9 ] — the cheap cleanup pass before tokenization.
+   * Pure regexp_replace chain (codegen'd, scan-stage).
+   */
+  def normalized(docs: DataFrame): DataFrame =
+    docs.withColumn("text_norm",
+      regexp_replace(
+        regexp_replace(col("text"), "[^a-z0-9 ]", ""),
+        " +", " "))
 }

@@ -188,6 +188,44 @@ object LlmQueries {
          |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM spairs
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin))
 
+  // q49 — deterministic train/val/test split by content hash: stable
+  // across reruns and duplicate-leak-free (same text -> same split).
+  // Output: per (split, lang) counts, the sanity view every pipeline
+  // checks before training.
+  val q49 = Q(
+    "q49_train_val_split",
+    (s, d) => TextAnalysis.withSplit(Tables.documents(s, d))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang"),
+    Some(
+      s"""WITH assigned AS (
+         |  SELECT lang,
+         |    CASE WHEN ${polyHashSql("text")} % 100 < 90 THEN 'train'
+         |         WHEN ${polyHashSql("text")} % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, COUNT(*) AS n FROM assigned
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // q50 — deterministic salted-hash sampling (~10%) over normalized
+  // text: the reproducible Bernoulli sample + cleanup pass of a
+  // training-data pipeline. DuckDB's regexp_replace needs the 'g' flag
+  // to match Spark's replace-all semantics.
+  val q50 = Q(
+    "q50_hash_sample_normalized",
+    (s, d) => TextAnalysis.normalized(
+      TextAnalysis.hashSample(Tables.documents(s, d), permille = 100))
+      .select(col("doc_id"), length(col("text_norm")).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  CAST(length(regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |       ' +', ' ', 'g')) AS BIGINT) AS n_chars_norm
+         |FROM documents
+         |WHERE ${polyHashSql("text || 'graft'")} % 1000 < 100
+         |ORDER BY doc_id""".stripMargin))
+
   // q48 — the wide-fingerprint SimHash (48-bit, 4x12-bit bands): the
   // at-scale variant of q41 (SCALE.md: 4x8-bit banding admits n²/64
   // random collisions; 12-bit bands divide that by 256). Feature hashes
@@ -365,5 +403,6 @@ object LlmQueries {
          |       ELSE unicode(substr(text, length(text), 1)) END AS height
          |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q48)
+  val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+    q48, q49, q50)
 }
