@@ -403,6 +403,57 @@ object LlmQueries {
          |       ELSE unicode(substr(text, length(text), 1)) END AS height
          |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // q51 — int8 embedding quantization: per-vector symmetric scale,
+  // explicit floor(x+0.5) rounding (no engine round-half conventions).
+  // Output view: scale + quantized checksum + saturation count per
+  // vector (the compression-QA view).
+  val q51 = Q(
+    "q51_embed_quantize",
+    (s, d) => {
+      val q = graft.llm.EmbeddingOps.quantized(Tables.embeddings(s, d))
+      q.select(
+        col("vec_id"),
+        round(col("q_scale"), 6).as("q_scale"),
+        aggregate(col("q_embedding"), lit(0L), (a, x) => a + x)
+          .as("q_sum"),
+        size(filter(col("q_embedding"), x => abs(x) === 127))
+          .cast("long").as("n_saturated"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""SELECT vec_id,
+         |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         |    (a, x) -> CASE WHEN x > a THEN x ELSE a END), 6) AS q_scale,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+         |        (a, y) -> CASE WHEN y > a THEN y ELSE a END) + 0.5) AS BIGINT))),
+         |    (a, x) -> a + x) AS q_sum,
+         |  CAST(len(list_filter(list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+         |        (a, y) -> CASE WHEN y > a THEN y ELSE a END) + 0.5) AS BIGINT)),
+         |    v -> abs(v) = 127)) AS BIGINT) AS n_saturated
+         |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // q52 — per-source quota capping ("at most K docs per domain"): the
+  // curation rule that bounds any one source's contribution.
+  val q52 = Q(
+    "q52_cap_per_source",
+    (s, d) => graft.llm.EmbeddingOps.capPerGroup(
+      Tables.documents(s, d), "source", "doc_id", cap = 10)
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        max(col("doc_id")).as("max_kept_id"))
+      .orderBy("source"),
+    Some(
+      """SELECT source, COUNT(*) AS n, MAX(doc_id) AS max_kept_id
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50)
+    q48, q49, q50, q51, q52)
 }
