@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Order-independent floating aggregates for hash-checked oracles.
+ *
+ * A plain `ROUND(SUM(double), 2)` is order-nondeterministic: Spark folds
+ * partials in partition/merge order while DuckDB folds sequentially, and
+ * double addition does not reassociate — a group landing on a round-half
+ * boundary hashes differently (this broke q46/q47 in round 2). The fix is
+ * to make the checked sum exact and order-free: scale each element to
+ * integer units first (`floor(x * 10^dp + 0.5)` — exact for inputs with
+ * ≤ dp decimals, deterministic per-row otherwise), sum as BIGINT (integer
+ * addition is associative), and render back with one exact IEEE division.
+ *
+ * Both sides compute the identical per-row scaling and the identical final
+ * division, so results are bit-equal regardless of fold order. The BIGINT
+ * sum is exact as long as total scaled units < 2^63 (at 100 TB, ~1e16
+ * cents — far inside range); the rendered double is exact below 2^53
+ * units and within 1 ULP above, identically on both engines.
+ */
+object Det {
+
+  private def scaleOf(dp: Int): Double = math.pow(10, dp).round.toDouble
+  private def scaleSql(dp: Int): String = "1" + ("0" * dp) + ".0"
+
+  /** Exact order-free sum of a double expression at `dp` decimal places.
+    * Spark `floor(double)` already yields LONG; the sum is integer. */
+  def dsum(c: Column, dp: Int = 2): Column = {
+    val sc = scaleOf(dp)
+    sum(floor(c * sc + lit(0.5))) / lit(sc)
+  }
+
+  /** DuckDB mirror of [[dsum]]. `FLOOR` returns DOUBLE there, but the value
+    * is integer-valued so `CAST AS BIGINT` is exact (no round-vs-truncate
+    * divergence). `SUM(BIGINT)` is HUGEINT; dividing by a double literal
+    * renders the same double as Spark's long/double division. */
+  def dsumSql(e: String, dp: Int = 2): String =
+    s"SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) / ${scaleSql(dp)}"
+
+  /** Order-free mean: exact scaled sum, then `/ count / scale` — two IEEE
+    * divisions performed in the same order on both engines. */
+  def davg(c: Column, dp: Int): Column = {
+    val sc = scaleOf(dp)
+    sum(floor(c * sc + lit(0.5))) / count(lit(1)) / lit(sc)
+  }
+
+  /** DuckDB mirror of [[davg]] (left-associative, same division order). */
+  def davgSql(e: String, dp: Int): String =
+    s"SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) / COUNT(*) / ${scaleSql(dp)}"
+}

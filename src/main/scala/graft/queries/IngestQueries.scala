@@ -135,12 +135,12 @@ object IngestQueries {
     (s, d) => incoming(s, d)
       .select(element_at(col("props"), "k").as("prop_k"), col("value"))
       .groupBy("prop_k")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .orderBy("prop_k"),
     Some(incomingSql +
-      """SELECT json_extract_string(props, '$.k') AS prop_k, COUNT(*) AS n,
-        |       ROUND(SUM(value), 2) AS sum_value
-        |FROM incoming GROUP BY 1 ORDER BY 1""".stripMargin))
+      s"""SELECT json_extract_string(props, '$$.k') AS prop_k, COUNT(*) AS n,
+         |       ${Det.dsumSql("value")} AS sum_value
+         |FROM incoming GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // q07 — partition-pruned scan: a one-week date-bounded aggregate. On the
   // partitioned table this prunes to 7 of N day-directories
@@ -152,12 +152,12 @@ object IngestQueries {
         Ingest.validate(incoming(s, d)), "clientTimestamp")
       df.filter(col("date").between("2024-01-08", "2024-01-14"))
         .groupBy("name")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
         .orderBy("name")
     },
     Some(incomingSql +
-      """SELECT name, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-        |FROM valid
+      s"""SELECT name, COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM valid
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1 ORDER BY 1""".stripMargin))
 

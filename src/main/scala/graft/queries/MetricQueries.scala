@@ -35,11 +35,11 @@ object MetricQueries {
     (s, d) => IngestQueries.valid(s, d)
       .withColumn("bucket", bucketize(col("value"), latencyBuckets))
       .groupBy("topic", "name", "bucket")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_ms"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_ms"))
       .orderBy("topic", "name", "bucket"),
     Some(IngestQueries.incomingSql +
       s"""SELECT topic, name, ${bucketizeSql("value", latencyBuckets)} AS bucket,
-         |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_ms
+         |       COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_ms
          |FROM valid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
   // A2 shape — payload-size histogram: byte-size buckets over documents
@@ -76,10 +76,10 @@ object MetricQueries {
     "q11_throughput_total",
     (s, d) => IngestQueries.valid(s, d)
       .agg(count(lit(1)).as("total_events"),
-        round(sum(col("value")), 2).as("total_value")),
+        Det.dsum(col("value")).as("total_value")),
     Some(IngestQueries.incomingSql +
-      """SELECT COUNT(*) AS total_events, ROUND(SUM(value), 2) AS total_value
-        |FROM valid""".stripMargin))
+      s"""SELECT COUNT(*) AS total_events, ${Det.dsumSql("value")} AS total_value
+         |FROM valid""".stripMargin))
 
   // Exact percentiles of the latency measure per event name — the quantile
   // view a Prometheus histogram approximates. Spark `percentile` and DuckDB
@@ -142,7 +142,7 @@ object MetricQueries {
         .groupBy("name")
         .agg(hist(col("value")).as("h"))
         .select(col("name"), posexplode(col("h.cumulative")).as(Seq("pos", "cum_n")),
-          round(col("h.sum"), 2).as("sum_value"))
+          col("h.sum").as("sum_value"))
         .select(col("name"), element_at(les, col("pos") + 1).as("le"),
           col("cum_n"), col("sum_value"))
         .orderBy("name", "le")
@@ -156,7 +156,7 @@ object MetricQueries {
          |    SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c4,
          |    SUM(CASE WHEN value <= 500 THEN 1 ELSE 0 END) AS c5,
          |    COUNT(*) AS cinf,
-         |    ROUND(SUM(value), 2) AS sum_value
+         |    ${Det.dsumSql("value")} AS sum_value
          |  FROM valid GROUP BY 1)
          |SELECT name, le, cum_n, sum_value FROM (
          |  SELECT name, '10' AS le, c1 AS cum_n, sum_value FROM agg

@@ -21,27 +21,27 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        Det.davg(col("l_quantity"), 2).as("avg_qty"),
+        Det.davg(col("l_extendedprice"), 2).as("avg_price"),
+        Det.davg(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some(
-      """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
-        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
-        |       ROUND(AVG(l_discount), 4) AS avg_disc,
-        |       COUNT(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |       ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |       ${Det.davgSql("l_quantity", 2)} AS avg_qty,
+         |       ${Det.davgSql("l_extendedprice", 2)} AS avg_price,
+         |       ${Det.davgSql("l_discount", 4)} AS avg_disc,
+         |       COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   // TPC-H Q3 shape — selective dim filter, two joins, top-N by aggregate.
   // customer is the small side (broadcast); orders⋈lineitem shuffles on
@@ -56,7 +56,7 @@ object RelationalQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("o_orderpriority"), col("revenue"))
@@ -64,10 +64,10 @@ object RelationalQueries {
         .limit(10)
     },
     Some(
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |       o_orderpriority,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |       o_orderpriority,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -95,13 +95,13 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some(
-      """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
+      s"""SELECT n_name,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -159,36 +159,36 @@ object RelationalQueries {
     "q21_rollup",
     (s, d) => Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("sum_qty"))
       .orderBy("returnflag", "linestatus"),
     Some(
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY 1, 2""".stripMargin))
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |       COUNT(*) AS n, ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin))
 
   // CUBE — all grouping-set combinations of (priority, orderstatus).
   val q22 = Q(
     "q22_cube",
     (s, d) => Tables.orders(s, d)
       .cube(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         col("n"), col("sum_price"))
       .orderBy("priority", "status"),
     Some(
-      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-        |       COALESCE(o_orderstatus, 'ALL') AS status,
-        |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
-        |ORDER BY 1, 2""".stripMargin))
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COUNT(*) AS n, ${Det.dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY 1, 2""".stripMargin))
 
   // Set operations: (high-value clickers ∩ high-value purchasers) ∖
   // high-value errorers. Value thresholds keep each side a proper subset

@@ -58,14 +58,14 @@ object StreamShapeQueries {
     "q32_tumbling_window",
     (s, d) => Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(date_format(col("window.start"), tsFmt).as("wstart"),
         col("event_type").as("name"), col("n"), col("sum_value"))
       .orderBy("wstart", "name"),
     Some(
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
-        |       event_type AS name, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |       event_type AS name, COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   // Sliding event-time window — 1 h window, 30 min slide: every event lands
   // in exactly two windows. Oracle enumerates the two candidate starts.
@@ -73,16 +73,16 @@ object StreamShapeQueries {
     "q33_sliding_window",
     (s, d) => Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(date_format(col("window.start"), tsFmt).as("wstart"),
         col("n"), col("sum_value"))
       .orderBy("wstart"),
     Some(
-      """SELECT strftime(make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800
-        |         - i * 1800) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
-        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-        |FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+      s"""SELECT strftime(make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800
+         |         - i * 1800) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |       COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i)
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // Session window — per-user sessions closed by a 30-minute idle gap.
   // Streaming form: `groupBy(session_window($"ts", "30 minutes"), $"user_id")`
@@ -94,27 +94,27 @@ object StreamShapeQueries {
     (s, d) => Tables.events(s, d)
       .filter(col("user_id") < 50)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(col("user_id"),
         date_format(col("session_window.start"), tsFmtMicros).as("session_start"),
         col("n"), col("sum_value"))
       .orderBy("user_id", "session_start"),
     Some(
-      """WITH marked AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN LAG(ts) OVER w IS NULL
-        |               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM events WHERE user_id < 50
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sessions AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |               ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked)
-        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-        |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin))
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN LAG(ts) OVER w IS NULL
+         |               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM events WHERE user_id < 50
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |               ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |       COUNT(*) AS n, ${Det.dsumSql("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin))
 
   val all: Vector[Q] = Vector(q30, q31, q32, q33, q34)
 }

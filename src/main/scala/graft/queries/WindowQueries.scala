@@ -131,29 +131,29 @@ object WindowQueries {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          Det.dsum(col("value")).as("total_value"))
         .orderBy("user_id", "session_id")
     },
     Some(
-      """WITH ordered AS (
-        |  SELECT user_id, ts, event_id, value,
-        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id) AS prev_ms
-        |  FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN prev_ms IS NULL
-        |                   OR epoch_ms(ts) - prev_ms > 1800000
-        |                 THEN 1 ELSE 0 END AS boundary
-        |  FROM ordered),
-        |sessions AS (
-        |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+      s"""WITH ordered AS (
+         |  SELECT user_id, ts, event_id, value,
+         |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS prev_ms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ms IS NULL
+         |                   OR epoch_ms(ts) - prev_ms > 1800000
+         |                 THEN 1 ELSE 0 END AS boundary
+         |  FROM ordered),
+         |sessions AS (
+         |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS total_value
+         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   val all: Vector[Q] = Vector(q26, q27, q28, q29, q47)
 }
