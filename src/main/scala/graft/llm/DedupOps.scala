@@ -63,11 +63,28 @@ object DedupOps {
    * This is the ground-truth variant; at extreme scale prefer
    * [[minhashLshPairs]], which trades the inverted-index pair blowup for
    * banded candidates.
+   *
+   * `maxDf` caps shingle document frequency: a stop-shingle occurring in
+   * k docs emits k(k-1)/2 pairs from that key alone, so one hot key can
+   * dominate the whole job (a doc replicated 5k times is ~12.5M pairs).
+   * With the cap, shingles with df > maxDf are dropped BEFORE pairing —
+   * standard practice (near-dups share many shingles, so recall survives;
+   * intersection counts become lower bounds for pairs that shared capped
+   * shingles). Default off for exact ground-truth/oracle parity.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame =
-    withJaccard(intersections(shingleIndex(docs, n)), docs, n)
+      threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame = {
+    val index = shingleIndex(docs, n)
+    val capped = maxDf.fold(index) { k =>
+      // df per shingle is a map-side-combined count on the already-keyed
+      // hash; the semi-join keeps index rows whose key survived the cap.
+      val keep = index.groupBy(col("h"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= k).select(col("h"))
+      index.join(keep, Seq("h"), "left_semi")
+    }
+    withJaccard(intersections(capped), docs, n)
       .filter(col("jaccard") >= threshold)
+  }
 
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
@@ -98,8 +115,20 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand.join(intersections(shingleIndex(docs, n)), Seq("id_a", "id_b"))
-      .transform(withJaccard(_, docs, n))
+    // Verify on candidate PAIRS only: attach each side's shingle rows to
+    // the pair and count matching hashes. Cost is linear — |index| +
+    // |cand|·avg_set_size shuffled rows — with no document-frequency²
+    // term anywhere, unlike the inverted-index `intersections` (which
+    // enumerates ALL co-occurring pairs: exactly the q39 cost the banding
+    // exists to avoid, quadratic on a hot shingle). The candidate subtree
+    // is also referenced exactly once, so nothing is recomputed.
+    val index = shingleIndex(docs, n)
+    val inter = cand
+      .join(index.as("ia"), col("id_a") === col("ia.doc_id"))
+      .join(index.as("ib"),
+        col("id_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    withJaccard(inter, docs, n)
       .filter(col("jaccard") >= threshold)
   }
 

@@ -65,6 +65,31 @@ class LlmSpec extends SparkSpec {
     assert(hasPair(DedupOps.simhashPairs(docs, maxHamming = 3)))
   }
 
+  test("ngramJaccardPairs maxDf bounds hot-key pair volume, preserves cold pairs") {
+    // One doc replicated 20x verbatim: its shingles reach df ~ 21, so an
+    // uncapped run emits all 21*20/2 replica pairs; maxDf=10 drops every
+    // hot shingle BEFORE pairing, so no replica pair can form, while pairs
+    // among untouched docs (df well under the cap) are byte-identical.
+    val base = docs.select(col("doc_id"), col("text"))
+    val one = base.orderBy("doc_id").limit(1)
+    val clones = one.crossJoin(spark.range(1, 21).select(col("id")))
+      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"), col("text"))
+    val corpus = base.unionAll(clones)
+    val uncapped = DedupOps.ngramJaccardPairs(corpus, threshold = 0.5)
+    val capped = DedupOps.ngramJaccardPairs(corpus, threshold = 0.5,
+      maxDf = Some(10))
+    assert(uncapped.count() >= 21L * 20 / 2)
+    val hotIds = clones.select(col("doc_id"))
+      .unionAll(one.select(col("doc_id"))).collect().map(_.getLong(0)).toSet
+    val cappedPairs = capped.collect()
+    assert(!cappedPairs.exists(r => hotIds(r.getLong(0)) && hotIds(r.getLong(1))))
+    // Capping only removes index rows, so intersections (and Jaccard, whose
+    // denominator uses the full set sizes) can only shrink: capped ⊆ uncapped.
+    val uncappedKeys = uncapped.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.forall(r => uncappedKeys((r.getLong(0), r.getLong(1)))))
+  }
+
   test("MinHash-LSH pairs are a subset of exact-Jaccard pairs (no false positives)") {
     val exact = DedupOps.ngramJaccardPairs(docs, threshold = 0.8)
       .select("id_a", "id_b")
