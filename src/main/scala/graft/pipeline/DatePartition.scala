@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -32,12 +32,20 @@ object DatePartition {
       .withColumn("day", date_format(col("date"), "dd"))
   }
 
-  /** Batch append to a date-partitioned parquet table (S6 batch analog). */
-  def appendPartitioned(df: DataFrame, path: String): Unit =
+  /**
+   * Batch append to a date-partitioned columnar table by path (S6 batch
+   * analog). `format` selects the sink format — the reference notebook
+   * lands Delta (`format("delta")`, ipynb cells 4–5); this sandbox's
+   * `/opt/spark/jars` has no delta-spark jar, so parquet is the default
+   * and Delta is one parameter away on a cluster that ships it.
+   */
+  def appendPartitioned(df: DataFrame, path: String,
+      format: String = "parquet"): Unit =
     withDateParts(df)
       .write.mode("append")
       .partitionBy("year", "month", "day")
-      .parquet(path)
+      .format(format)
+      .save(path)
 
   /**
    * Streaming append (S6): checkpointed, append-mode, partitioned — the
@@ -45,12 +53,67 @@ object DatePartition {
    * Returns the started query; callers own its lifecycle (B6 drain =
    * `processAllAvailable(); stop()`).
    */
-  def streamAppend(df: DataFrame, path: String, checkpoint: String) =
+  def streamAppend(df: DataFrame, path: String, checkpoint: String,
+      format: String = "parquet") =
     withDateParts(df)
       .writeStream.outputMode("append")
-      .format("parquet")
+      .format(format)
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("year", "month", "day")
       .start()
+
+  // ------------------------------------------------------------------
+  // Catalog-table surface (S7 depth): the reference's query tail is a
+  // Hive-metastore table over the landed files, repaired with
+  // `msck repair table` so new date partitions become queryable
+  // (reference hive/docker-compose.yml Presto section + README). The
+  // Spark-native analogs: managed tables via saveAsTable / toTable, and
+  // external tables over an existing path + catalog.recoverPartitions.
+  // ------------------------------------------------------------------
+
+  /** Batch append landing a partitioned CATALOG table (managed or
+    * path-external via `option("path", ...)` upstream). Partitions are
+    * tracked by the catalog as they land — no repair step needed. */
+  def appendPartitionedTable(df: DataFrame, table: String,
+      format: String = "parquet"): Unit =
+    withDateParts(df)
+      .write.mode("append")
+      .partitionBy("year", "month", "day")
+      .format(format)
+      .saveAsTable(table)
+
+  /** Streaming append to a catalog table — the notebook's literal
+    * `writeStream ... toTable(...)` shape. */
+  def streamAppendTable(df: DataFrame, table: String, checkpoint: String,
+      format: String = "parquet") =
+    withDateParts(df)
+      .writeStream.outputMode("append")
+      .format(format)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day")
+      .toTable(table)
+
+  /**
+   * Register an EXTERNAL partitioned table over files already landed by
+   * [[appendPartitioned]], then discover its partitions — the
+   * `msck repair table` analog (`spark.catalog.recoverPartitions`).
+   * `like` supplies the data schema (partition columns year/month/day are
+   * appended automatically); afterwards `spark.sql` queries against
+   * `table` partition-prune exactly like path reads.
+   */
+  def registerExternalTable(spark: SparkSession, table: String, path: String,
+      like: DataFrame): Unit = {
+    val partCols = Seq("year", "month", "day")
+    val dataDdl = withDateParts(like).schema.fields
+      .filterNot(f => partCols.contains(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}")
+    val allDdl = (dataDdl ++ partCols.map(c => s"`$c` STRING")).mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS `$table` ($allDdl)
+         |USING PARQUET
+         |PARTITIONED BY (year, month, day)
+         |LOCATION '$path'""".stripMargin)
+    spark.catalog.recoverPartitions(table)
+  }
 }

@@ -36,6 +36,63 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() === expected)
   }
 
+  test("S7 external catalog table: register + recoverPartitions (msck analog) + pruned SQL") {
+    val out = Files.createTempDirectory("graft_cat").toString
+    val df = Ingest.validate(IngestQueries.incoming(spark, sfDir))
+    DatePartition.appendPartitioned(df, out)
+
+    spark.sql("DROP TABLE IF EXISTS events_ext")
+    DatePartition.registerExternalTable(spark, "events_ext", out, df)
+    // partitions discovered by the msck-analog recovery
+    assert(spark.sql("SHOW PARTITIONS events_ext").count() > 0)
+
+    // q07's one-week aggregate, via spark.sql over the CATALOG table,
+    // must match the path-based computation
+    val viaTable = spark.sql(
+      """SELECT name, COUNT(*) AS n FROM events_ext
+        |WHERE year = '2024' AND month = '01' AND day BETWEEN '08' AND '14'
+        |GROUP BY name ORDER BY name""".stripMargin)
+    // pruning evidence on the catalog read
+    val plan = viaTable.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    val expected = DatePartition.withDateParts(df)
+      .filter(col("date").between("2024-01-08", "2024-01-14"))
+      .groupBy("name").count().orderBy("name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaTable.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === expected)
+    spark.sql("DROP TABLE IF EXISTS events_ext")
+  }
+
+  test("S6/S7 managed saveAsTable + streaming toTable land partitioned catalog tables") {
+    import spark.implicits._
+    val df = Ingest.validate(IngestQueries.incoming(spark, sfDir))
+
+    spark.sql("DROP TABLE IF EXISTS events_managed")
+    DatePartition.appendPartitionedTable(df, "events_managed")
+    assert(spark.table("events_managed").count() === df.count())
+    // catalog tracks partitions as they land — no repair step needed
+    assert(spark.sql("SHOW PARTITIONS events_managed").count() > 0)
+    spark.sql("DROP TABLE IF EXISTS events_managed")
+
+    // the notebook's literal `writeStream ... toTable` shape
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS events_stream_tbl")
+    val q = DatePartition.streamAppendTable(
+      ms.toDF().withColumnRenamed("value", "clientTimestamp"),
+      "events_stream_tbl", ckpt)
+    ms.addData(1704067200000L, 1706745599000L) // 2024-01-01, 2024-01-31
+    q.processAllAvailable()
+    q.stop()
+    val days = spark.table("events_stream_tbl")
+      .select("year", "month", "day").as[(String, String, String)]
+      .collect().toSet
+    assert(days === Set(("2024", "01", "01"), ("2024", "01", "31")))
+    spark.sql("DROP TABLE IF EXISTS events_stream_tbl")
+  }
+
   test("T9 date derivation matches the notebook formula") {
     import spark.implicits._
     val df = Seq(1704067200000L, 1706745599000L) // 2024-01-01, 2024-01-31 23:59:59
