@@ -46,35 +46,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * (injectFunction) and the late-bind path (registry.registerFunction). */
   private[graft] val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
     val out = Seq.newBuilder[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)]
-    def register(name: String, usage: String)(builder: PartialFunction[Seq[Expression], Expression]): Unit =
+    // ExpressionInfo's 3-arg constructor is (className, db, name) — passing
+    // usage there garbles DESCRIBE FUNCTION metadata; use the 5-arg form
+    // with the real expression class so catalogs introspect correctly.
+    def register(name: String, usage: String, clazz: Class[_])(builder: PartialFunction[Seq[Expression], Expression]): Unit =
       out += ((new FunctionIdentifier(name),
-        new ExpressionInfo("graft", name, usage),
+        new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
         args => builder.applyOrElse(args, (bad: Seq[Expression]) =>
           throw new IllegalArgumentException(
             s"$name: wrong number of arguments (${bad.length}); usage: $usage"))))
 
     register("graft_poly_hash",
-      "graft_poly_hash(str) - mod-prime polynomial rolling hash") {
+      "graft_poly_hash(str) - mod-prime polynomial rolling hash",
+      classOf[PolyHashExpr]) {
       case Seq(s) => PolyHashExpr(s)
     }
     register("graft_shingle_hashes",
-      "graft_shingle_hashes(str, n) - hashes of all n-word shingles") {
+      "graft_shingle_hashes(str, n) - hashes of all n-word shingles",
+      classOf[ShingleHashList]) {
       case Seq(s, n) => ShingleHashList(s, intLit(n, "n"))
     }
     register("graft_minhash_sig",
-      "graft_minhash_sig(hashes, perms) - MinHash signature") {
+      "graft_minhash_sig(hashes, perms) - MinHash signature",
+      classOf[MinHashSigExpr]) {
       case Seq(h, p) => MinHashSigExpr(h, intLit(p, "perms"))
     }
     register("graft_simhash",
-      "graft_simhash(hashes) - 32-bit SimHash of feature hashes") {
+      "graft_simhash(hashes) - 32-bit SimHash of feature hashes",
+      classOf[SimHashExpr]) {
       case Seq(h) => SimHashExpr(h)
     }
     register("graft_vec_dot",
-      "graft_vec_dot(a, b) - in-order double dot product of float arrays") {
+      "graft_vec_dot(a, b) - in-order double dot product of float arrays",
+      classOf[VecDotExpr]) {
       case Seq(a, b) => VecDotExpr(a, b)
     }
     register("graft_hyperplane_bucket",
-      "graft_hyperplane_bucket(vec, nbits, offset) - hyperplane LSH bucket") {
+      "graft_hyperplane_bucket(vec, nbits, offset) - hyperplane LSH bucket",
+      classOf[HyperplaneBucketExpr]) {
       case Seq(v, n, o) =>
         HyperplaneBucketExpr(v, intLit(n, "nbits"), intLit(o, "offset"))
     }

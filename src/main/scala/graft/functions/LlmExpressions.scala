@@ -24,9 +24,11 @@ object LlmExprs {
   /** Modulus for all polynomial hashing (matches TextFunctions.P). */
   val P = 1000000007L
 
-  /** Polynomial rolling hash of a string's UTF-16 code units (ASCII ==
-    * codepoints for the test corpus; identical to the fold in
-    * TextFunctions.polyHash and the oracle's unicode() fold). */
+  /** Polynomial rolling hash of a string's UTF-16 code units. On ASCII
+    * (and BMP-sans-surrogates) text this equals the oracle's unicode()
+    * codepoint fold; beyond the BMP they diverge — the corpus contract
+    * is ASCII, enforced at the boundary via TextFunctions.isAscii and
+    * asserted over the fixtures in LlmSpec. */
   def hashChars(s: String): Long = {
     var h = 0L
     var i = 0

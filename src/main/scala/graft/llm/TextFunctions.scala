@@ -32,6 +32,20 @@ object TextFunctions {
   def words(text: Column): Column = split(text, " ")
 
   /**
+   * ASCII contract predicate: true iff the string's UTF-8 byte length
+   * equals its character count (every char single-byte ⇒ pure ASCII).
+   *
+   * The hashing surface folds UTF-16 code units (LlmExprs.hashChars)
+   * while DuckDB oracles fold codepoints (`unicode()`) — identical on
+   * ASCII, divergent on non-BMP text. Pipelines hashing text that might
+   * not be ASCII should gate on this predicate in their validation step
+   * (or normalize first) so a non-ASCII corpus fails loudly at the
+   * boundary instead of silently mismatching fingerprints across
+   * engines. The fixture corpus is asserted ASCII in LlmSpec.
+   */
+  def isAscii(text: Column): Column = octet_length(text) === length(text)
+
+  /**
    * Polynomial rolling hash of a string: fold h = (h*31 + code(c)) mod P
    * over its characters. Native expression (graft.functions.PolyHashExpr);
    * [[polyHashHof]] is the reference higher-order-function formulation the

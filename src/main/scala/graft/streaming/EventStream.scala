@@ -50,11 +50,16 @@ object EventStream {
    * duplicates arriving within `delayThreshold` of the original are
    * dropped; state for ids older than the watermark is evicted, so
    * memory is O(events per watermark window), not O(stream length).
+   *
+   * Uses `dropDuplicatesWithinWatermark`: plain `dropDuplicates("id")`
+   * only evicts state when the event-time column is part of the dedup
+   * subset, so keyed-by-id-alone state would grow O(all distinct ids)
+   * over the stream's lifetime — a leak on a long-running pipeline.
    */
   def dedupped(stream: DataFrame, eventTimeCol: String,
       delayThreshold: String = "10 minutes"): DataFrame =
     stream.withWatermark(eventTimeCol, delayThreshold)
-      .dropDuplicates("id")
+      .dropDuplicatesWithinWatermark("id")
 
   /**
    * A5 — the running ok/failed/dropped event counters as a streaming

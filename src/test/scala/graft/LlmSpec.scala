@@ -54,6 +54,18 @@ class LlmSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("fixture corpus satisfies the ASCII hashing contract (isAscii gate)") {
+    // The hashing surface folds UTF-16 units; oracles fold codepoints.
+    // Equal on ASCII — so the corpus MUST be ASCII, checked loudly here
+    // rather than discovered as a silent oracle mismatch later.
+    assert(docs.filter(!TextFunctions.isAscii(col("text"))).count() === 0)
+    // and the predicate itself discriminates
+    import spark.implicits._
+    val probe = Seq("plain ascii", "café", "𝄞 clef").toDF("t")
+      .select(TextFunctions.isAscii(col("t")).as("a")).as[Boolean].collect().toSeq
+    assert(probe === Seq(true, false, false))
+  }
+
   test("all dedup families find the strongest planted near-dup pair") {
     // ground truth: the highest-Jaccard pair from the exact operator
     val top = DedupOps.ngramJaccardPairs(docs, threshold = 0.5)
