@@ -132,6 +132,60 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Largest primes below 2^32 — the 64-bit SimHash's per-half feature
+    * moduli. At 2^32 the fold's products stay < 2^37 (int64-safe with
+    * huge margin) and every hash/fingerprint stays < 2^32 < 2^53, so
+    * DuckDB's double-division bit extraction remains exact — the reason
+    * the 64-bit fingerprint is built from two 32-bit halves rather than
+    * one 62-bit modulus (whose `h*31` would still fit int64, but whose
+    * fingerprints would break the oracle's exact double arithmetic). */
+  val ModLo = 4294967291L
+  val ModHi = 4294967279L
+
+  /**
+   * 64-bit SimHash near-dup pairs, 4 x 16-bit bands — SCALE.md's
+   * recommended widening beyond ~1e5 docs (random-collision factor
+   * n²·4/2^16, 256x below the 32-bit operator's).
+   *
+   * The fingerprint is two independent 32-bit SimHashes (feature folds
+   * mod [[ModLo]] / [[ModHi]]): bands 0-1 are the 16-bit halves of the
+   * low fingerprint, bands 2-3 of the high; Hamming distance is the sum
+   * over halves. By pigeonhole any pair within Hamming distance 3
+   * shares at least one of the 4 bands — perfect recall for
+   * maxHamming <= 3, same operator shape as [[simhashPairs]].
+   */
+  def simhashPairs64(docs: DataFrame, n: Int = 3,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = docs
+      .select(col("doc_id"),
+        shingleHashList(col("text"), n, ModLo).as("flo"),
+        shingleHashList(col("text"), n, ModHi).as("fhi"))
+      .filter(size(col("flo")) > 0)
+      .select(col("doc_id"),
+        simhashOfHashes(col("flo"), 32).as("sh_lo"),
+        simhashOfHashes(col("fhi"), 32).as("sh_hi"))
+    val banded = sims.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      explode(array(
+        struct(lit(0).as("band"), (col("sh_lo") % 65536L).as("key")),
+        struct(lit(1).as("band"),
+          floor(col("sh_lo").cast("double") / 65536.0).cast("long").as("key")),
+        struct(lit(2).as("band"), (col("sh_hi") % 65536L).as("key")),
+        struct(lit(3).as("band"),
+          floor(col("sh_hi").cast("double") / 65536.0).cast("long").as("key"))
+      )).as("bk"))
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (hamming(col("a.sh_lo"), col("b.sh_lo")) +
+          hamming(col("a.sh_hi"), col("b.sh_hi"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+
   /** SimHash over shingle features: (doc_id, simhash long). The word-level
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */

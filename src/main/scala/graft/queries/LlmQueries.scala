@@ -264,6 +264,55 @@ object LlmQueries {
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
     })
 
+  // q53 — the 64-bit SimHash (two independent 32-bit halves, 4x16-bit
+  // bands): the beyond-1e5-docs variant SCALE.md recommends. Halves keep
+  // every value < 2^32, so the oracle's double-division bit extraction
+  // stays exact and no engine ever materializes a 64-bit fingerprint
+  // (which would overflow DuckDB BIGINT arithmetic at bit 63).
+  val q53 = Q(
+    "q53_dedup_simhash64",
+    (s, d) => DedupOps.simhashPairs64(Tables.documents(s, d), n = 3,
+      maxHamming = 3)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val modLo = DedupOps.ModLo.toString
+      val modHi = DedupOps.ModHi.toString
+      def half(suffix: String, mod: String): String =
+        s"""feats$suffix AS (
+           |  SELECT doc_id, unnest(list_transform(range(len(words) - 2), i ->
+           |    ${polyHashSqlMod("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]", mod)})) AS h
+           |  FROM docs),
+           |votes$suffix AS (
+           |  SELECT doc_id, b,
+           |         sum(CASE WHEN CAST(floor(h / (2.0 ** b)) AS BIGINT) % 2 = 1
+           |                  THEN 1 ELSE -1 END) AS v
+           |  FROM feats$suffix, (SELECT unnest(range(32)) AS b) bits GROUP BY doc_id, b),
+           |simh$suffix AS (
+           |  SELECT doc_id,
+           |         sum(CASE WHEN v > 0 THEN CAST(2.0 ** b AS BIGINT) ELSE 0 END) AS sh
+           |  FROM votes$suffix GROUP BY doc_id)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |${half("l", modLo)},
+         |${half("h", modHi)},
+         |sim AS (
+         |  SELECT l.doc_id, l.sh AS shl, h.sh AS shh
+         |  FROM simhl l JOIN simhh h ON l.doc_id = h.doc_id),
+         |bands AS (
+         |  SELECT doc_id, shl, shh, j AS band,
+         |         CASE j WHEN 0 THEN shl % 65536
+         |                WHEN 1 THEN CAST(floor(shl / 65536.0) AS BIGINT)
+         |                WHEN 2 THEN shh % 65536
+         |                ELSE CAST(floor(shh / 65536.0) AS BIGINT) END AS key
+         |  FROM sim, (SELECT unnest(range(4)) AS j) js),
+         |spairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         bit_count(xor(a.shl, b.shl)) + bit_count(xor(a.shh, b.shh)) AS dist
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM spairs
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
+    })
+
   // ---------------------------------------------------------- embeddings
 
   private val dim = 64
@@ -455,5 +504,5 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52)
+    q48, q49, q50, q51, q52, q53)
 }

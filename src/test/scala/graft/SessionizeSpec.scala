@@ -47,4 +47,52 @@ class SessionizeSpec extends SparkSpec {
       assert(u2.length === 1 && u2(0).n_events === 1 && u2(0).total_value === 7.0)
     } finally q.stop()
   }
+
+  test("streaming sessionization == batch gap/cumsum sessionization (q47) on real events") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    val gapMs = 30 * 60 * 1000L // q47's 30-minute inactivity gap
+    val evs = graft.model.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type").as("name"), col("value"))
+      .as[Sessionize.SessionEvent].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+
+    val source = MemoryStream[Sessionize.SessionEvent]
+    val q = Sessionize.userSessions(source.toDF(), gapMs, "1 second")
+      .writeStream.format("memory").queryName("sessions_x47")
+      .outputMode("append").start()
+    try {
+      source.addData(evs.toSeq)
+      q.processAllAvailable()
+      // sentinel user far in the future advances the watermark so every
+      // open session times out and is emitted
+      val sentinel = Sessionize.SessionEvent(999999999L,
+        new Timestamp(maxTs + 86400000L), "x", 0.0)
+      source.addData(sentinel)
+      q.processAllAvailable()
+      source.addData(sentinel.copy(ts = new Timestamp(maxTs + 2 * 86400000L)))
+      q.processAllAvailable()
+
+      val streaming = spark.table("sessions_x47")
+        .filter(col("user_id") =!= 999999999L)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+
+      val batch = graft.queries.Registry.byName("q47_sessionization")
+        .fn(spark, sfDir)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+
+      assert(streaming === batch)
+    } finally q.stop()
+  }
 }
