@@ -23,18 +23,34 @@ import TextFunctions._
  */
 object DedupOps {
 
+  /** The per-doc distinct shingle-hash array: the precomputed
+    * `shingle_hashes` column when the caller materialized one (see
+    * [[withShingleHashes]]), else computed inline from `text`. */
+  private def shingleArr(docs: DataFrame, n: Int) =
+    if (docs.columns.contains("shingle_hashes")) col("shingle_hashes")
+    else shingleHashes(col("text"), n)
+
+  /**
+   * Precompute the per-doc distinct shingle-hash arrays ONCE, so a
+   * pipeline running several dedup families over the same corpus (the
+   * common curation stack: exact Jaccard audit + MinHash dedup) shares
+   * a single tokenize+hash pass — `.persist()` the result and every
+   * DedupOps operator picks the column up instead of recomputing.
+   */
+  def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.withColumn("shingle_hashes", shingleHashes(col("text"), n))
+
   /** Exploded (doc_id, shingle-hash) inverted index — the shared substrate
     * for Jaccard and MinHash verification. Distinct hashes per doc. */
   def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      explode(shingleHashes(col("text"), n)).as("h"))
+    docs.select(col("doc_id"), explode(shingleArr(docs, n)).as("h"))
 
   /** Per-doc shingle-set sizes — computed per row from the array length
     * (size of the distinct-hash array), NOT by re-aggregating the
     * exploded index: one scan-stage projection, zero shuffle. */
   private def setSizes(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
-      size(shingleHashes(col("text"), n)).cast("long").as("sz"))
+      size(shingleArr(docs, n)).cast("long").as("sz"))
 
   /** All pairs sharing >= 1 shingle, with intersection counts — the
     * inverted-index join: shuffle keyed on the shingle hash, pair volume
@@ -89,7 +105,7 @@ object DedupOps {
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
     docs.select(col("doc_id"),
-      minhashSig(shingleHashes(col("text"), n), perms).as("sig"))
+      minhashSig(shingleArr(docs, n), perms).as("sig"))
 
   /**
    * MinHash + LSH: band the signature (`bands` x `rowsPerBand`), emit one

@@ -102,6 +102,54 @@ object SimilaritySearch {
   }
 
   /**
+   * IVF-style ANN top-k: partition the corpus into `nCells` inverted
+   * lists by nearest coarse centroid, probe the `nprobe` nearest lists
+   * per query, exact-cosine rank inside probed lists only.
+   *
+   * vs the LSH variant: cells follow the data distribution (centroid
+   * Voronoi regions) instead of fixed random hyperplanes, and each
+   * corpus vector lives in EXACTLY ONE list — so a probe touches a
+   * bounded corpus fraction (~nprobe/nCells) and candidates need no
+   * dedup. Centroids here are the deterministic `vec_id < nCells` cut,
+   * keeping the operator oracle-checkable; at scale the centroid set
+   * comes from k-means on a sample and the plan shape is identical
+   * (broadcast centroids → per-row argmax assignment → probe-list join).
+   *
+   * Assignment cost is one broadcast pass: n·nCells scored rows flow
+   * through a map-side-combined argmax (max over a (cos, -cell) struct),
+   * never shuffling the corpus before aggregation.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine(col("embedding"), col("cvec")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("ccos"), (-col("cell_id")).as("ncell"))).as("m"))
+      .select(col("vec_id"), col("embedding"), (-col("m.ncell")).as("cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell_id"), cosine(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", round(col("cos"), 4))
+  }
+
+  /**
    * Embedding near-dup pairs: LSH candidates (any shared bucket, distinct
    * on ids first), verified with exact cosine >= `threshold` — the exact
    * scoring touches candidate pairs only, never the n² cross product.

@@ -425,6 +425,51 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  // q54 — IVF-style ANN: coarse-quantizer inverted lists (deterministic
+  // centroids = vec_id < nCells), nprobe nearest lists searched per
+  // query. Complements q44's LSH: data-adaptive cells, one list per
+  // vector, bounded probe fraction.
+  private val ivfCells = 16
+  private val ivfProbe = 4
+  val q54 = Q(
+    "q54_ann_ivf_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") < 8), k = 3,
+        nCells = ivfCells, nprobe = ivfProbe)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < $ivfCells),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |         ${cosineSql("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM asg)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM asg WHERE vec_id < 8)
+         |  WHERE rn <= $ivfProbe),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${cosineSql("p.qe", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   // ---------------------------------------------------------- multimodal
 
   val q45 = Q(
@@ -504,5 +549,5 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53)
+    q48, q49, q50, q51, q52, q53, q54)
 }

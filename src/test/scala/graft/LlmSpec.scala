@@ -110,6 +110,30 @@ class LlmSpec extends SparkSpec {
     assert(lsh.exceptAll(exact).count() === 0)
   }
 
+  test("precomputed shingle_hashes column yields identical dedup results") {
+    val pre = DedupOps.withShingleHashes(docs).persist()
+    try {
+      def keys(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).toSet
+      assert(keys(DedupOps.ngramJaccardPairs(pre, threshold = 0.5))
+        === keys(DedupOps.ngramJaccardPairs(docs, threshold = 0.5)))
+      assert(keys(DedupOps.minhashLshPairs(pre, threshold = 0.8))
+        === keys(DedupOps.minhashLshPairs(docs, threshold = 0.8)))
+    } finally pre.unpersist()
+  }
+
+  test("IVF top-k: bounded k per query, rank-1 never beats brute force") {
+    val q = embs.filter(col("vec_id") < 4)
+    val ivf = SimilaritySearch.ivfTopK(embs, q, k = 3)
+    assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+    val bf1 = SimilaritySearch.bruteForceTopK(embs, q, k = 1)
+      .select(col("query_id"), col("cos").as("bf_cos"))
+    val ivf1 = ivf.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("ivf_cos"))
+    assert(bf1.join(ivf1, "query_id")
+      .filter(col("ivf_cos") > col("bf_cos")).count() === 0)
+  }
+
   test("brute-force top-k is a superset in quality of LSH top-k") {
     val q = embs.filter(col("vec_id") < 4)
     val bf = SimilaritySearch.bruteForceTopK(embs, q, k = 3)
