@@ -139,4 +139,69 @@ object TextAnalysis {
       regexp_replace(
         regexp_replace(col("text"), "[^a-z0-9 ]", ""),
         " +", " "))
+
+  /**
+   * Pattern redaction — the PII-scrub pass of a training-data pipeline
+   * (emails, URLs, phone numbers in production; the pattern is a
+   * parameter). Emits the match count per document alongside the
+   * scrubbed text, so the pipeline can audit redaction volume and drop
+   * documents above a threshold. Per-row regex, codegen'd, scan-stage.
+   */
+  def redacted(docs: DataFrame, pattern: String,
+      replacement: String = "<redacted>"): DataFrame =
+    docs
+      .withColumn("n_redacted",
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(col("text"), pattern, replacement))
+
+  /**
+   * Intra-document repetition signals (the Gopher-style boilerplate
+   * filters): modal-word fraction and duplicate n-shingle fraction.
+   * Highly repetitive documents (boilerplate, scraped navigation, SEO
+   * spam) score high on both and are dropped before training.
+   *
+   * Shingle stats are per-row array expressions (no shuffle); the modal
+   * word needs a doc-local frequency table, computed as explode →
+   * two-level hash agg keyed on (doc_id, word) — linear rows, map-side
+   * combined, the scalable shape at 100 TB (per-row O(tokens·distinct)
+   * folds would be quadratic in document length).
+   */
+  def repetitionSignals(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(col("text"), n)
+    val perRow = docs.select(col("doc_id"),
+      size(sh).cast("long").as("n_shingles"),
+      size(array_distinct(sh)).cast("long").as("n_shingles_distinct"))
+    val freq = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_word_freq"), sum(col("c")).as("n_tokens"))
+    freq.join(perRow, "doc_id")
+      .withColumn("top_word_frac",
+        round(col("top_word_freq").cast("double") / col("n_tokens"), 4))
+      .withColumn("dup_shingle_frac",
+        when(col("n_shingles") > 0,
+          round(lit(1.0) -
+            col("n_shingles_distinct").cast("double") / col("n_shingles"), 4))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("top_word_freq"),
+        col("top_word_frac"), col("n_shingles"), col("dup_shingle_frac"))
+  }
+
+  /**
+   * Benchmark decontamination: drop corpus documents whose NORMALIZED
+   * fingerprint appears in the benchmark/eval set — the leakage guard
+   * every training pipeline runs before a data release. Normalization
+   * (strip non-alnum, collapse spaces) catches trivially-reformatted
+   * copies; the benchmark side reduces to a distinct fingerprint set and
+   * broadcasts, so the corpus is scrubbed in one scan with zero shuffle
+   * of corpus rows.
+   */
+  def decontaminated(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    def normFp(c: Column): Column =
+      polyHash(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", ""), " +", " "))
+    val bench = benchmark.select(normFp(col("text")).as("bench_fp")).distinct()
+    corpus.join(org.apache.spark.sql.functions.broadcast(bench),
+      normFp(col("text")) === col("bench_fp"), "left_anti")
+  }
 }

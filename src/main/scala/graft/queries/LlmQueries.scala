@@ -264,6 +264,70 @@ object LlmQueries {
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
     })
 
+  // q55 — pattern redaction (the PII-scrub shape; emails/URLs/phones in
+  // production — here a pattern the fixture corpus actually contains).
+  private val redactPattern = "customer [a-z]+"
+  val q55 = Q(
+    "q55_redaction",
+    (s, d) => TextAnalysis.redacted(Tables.documents(s, d), redactPattern)
+      .select(col("doc_id"), col("n_redacted"),
+        length(col("text_redacted")).cast("long").as("n_chars_red"))
+      .orderBy("doc_id"),
+    Some(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$redactPattern')) AS BIGINT) AS n_redacted,
+         |  CAST(length(regexp_replace(text, '$redactPattern', '<redacted>', 'g')) AS BIGINT) AS n_chars_red
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // q56 — intra-document repetition signals (Gopher-style boilerplate
+  // filters): modal-word fraction + duplicate 3-shingle fraction.
+  val q56 = Q(
+    "q56_repetition_signals",
+    (s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d), n = 3)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |f AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         |t AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_freq,
+         |             CAST(sum(c) AS BIGINT) AS n_tokens FROM f GROUP BY 1),
+         |s AS (SELECT doc_id,
+         |        CAST(len(sh) AS BIGINT) AS n_shingles,
+         |        CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles_distinct
+         |      FROM (SELECT doc_id,
+         |              list_transform(range(len(string_split(text, ' ')) - 2),
+         |                i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]) AS sh
+         |            FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+         |                  FROM documents)))
+         |SELECT t.doc_id, n_tokens, top_word_freq,
+         |  ROUND(CAST(top_word_freq AS DOUBLE) / n_tokens, 4) AS top_word_frac,
+         |  n_shingles,
+         |  CASE WHEN n_shingles > 0
+         |       THEN ROUND(1.0 - CAST(n_shingles_distinct AS DOUBLE) / n_shingles, 4)
+         |       ELSE 0.0 END AS dup_shingle_frac
+         |FROM t JOIN s ON s.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin))
+
+  // q58 — benchmark decontamination: scrub corpus docs whose normalized
+  // fingerprint appears in the eval set (here the doc_id % 50 = 0 cut).
+  val q58 = Q(
+    "q58_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminated(docs, docs.filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) = 0 THEN 0
+         |         ELSE ${polyHashSql("norm")} END AS f
+         |  FROM (SELECT doc_id,
+         |          regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                         ' +', ' ', 'g') AS norm
+         |        FROM documents))
+         |SELECT doc_id FROM fp
+         |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 50 = 0)
+         |ORDER BY doc_id""".stripMargin))
+
   // q53 — the 64-bit SimHash (two independent 32-bit halves, 4x16-bit
   // bands): the beyond-1e5-docs variant SCALE.md recommends. Halves keep
   // every value < 2^32, so the oracle's double-division bit extraction
@@ -549,5 +613,5 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58)
 }

@@ -249,5 +249,26 @@ object RelationalQueries {
         |       CONCAT_WS('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+  // q57 — salted skew-safe equi-join (graft.ops.Salted): the hot-key
+  // lever when AQE's skew split can't apply. Result is row-identical to
+  // the plain join (the oracle IS the plain join); the salt spreads any
+  // hot orderkey over 16 reducers.
+  val q57 = Q(
+    "q57_salted_join",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "okey")
+      val o = Tables.orders(s, d).withColumnRenamed("o_orderkey", "okey")
+      graft.ops.Salted.saltedJoin(l, o, "okey", col("l_linenumber"), nSalts = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Det.dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q57)
 }

@@ -110,6 +110,21 @@ class LlmSpec extends SparkSpec {
     assert(lsh.exceptAll(exact).count() === 0)
   }
 
+  test("decontamination removes benchmark docs and only fingerprint matches") {
+    import graft.llm.TextAnalysis
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val kept = TextAnalysis.decontaminated(docs, bench)
+    // every benchmark doc is gone (it matches its own fingerprint)
+    assert(kept.filter(col("doc_id") % 50 === 0).count() === 0)
+    // nothing kept shares a text with the benchmark set
+    assert(kept.select(col("text"))
+      .join(bench.select(col("text")), "text").count() === 0)
+    // and removals are exactly the fingerprint matches: re-adding the
+    // removed set's texts to the benchmark changes nothing
+    val kept2 = TextAnalysis.decontaminated(kept, bench)
+    assert(kept2.count() === kept.count())
+  }
+
   test("precomputed shingle_hashes column yields identical dedup results") {
     val pre = DedupOps.withShingleHashes(docs).persist()
     try {

@@ -25,6 +25,24 @@ class RelationalSpec extends SparkSpec {
     assert(maxErr < 0.05, s"max relative error $maxErr")
   }
 
+  test("salted join is row-identical to the plain join and spreads the key") {
+    val l = graft.model.Tables.lineitem(spark, sfDir)
+      .withColumnRenamed("l_orderkey", "okey")
+      .select("okey", "l_linenumber", "l_extendedprice")
+    val o = graft.model.Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_orderkey", "okey")
+      .select("okey", "o_orderpriority")
+    val salted = graft.ops.Salted.saltedJoin(l, o, "okey", col("l_linenumber"), 8)
+    val plain = l.join(o, "okey")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // the physical join really runs on (okey, __salt), not okey alone
+    val joinPlan = graft.ops.Salted
+      .saltedJoin(l, o, "okey", col("l_linenumber"), 8)
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("__salt"))
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val s2 = spark.newSession()
