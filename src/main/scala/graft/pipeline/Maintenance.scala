@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Maintenance of the date-partitioned landing table (SURVEY.md §2.1 S6):
+ * the two jobs every `year=/month=/day=` layout needs run against it on
+ * a schedule — small-file compaction and retention-window deletes.
+ *
+ * A streaming append writes one file per trigger per partition, so a
+ * day's directory accumulates hundreds of tiny files; at 100 TB the
+ * scan's task count (and the namenode's file count) is driven by file
+ * count, not bytes — compaction rewrites a closed partition to
+ * `targetFiles` files sized for `maxPartitionBytes`. Retention deletes
+ * whole partition directories, the O(1)-metadata delete the layout
+ * exists to make possible (row-level deletes would rewrite the table).
+ */
+object Maintenance {
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data files under a directory (ignores _SUCCESS/metadata/hidden). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+  }
+
+  /**
+   * Compact ONE day partition to `targetFiles` files: read, coalesce,
+   * write to a sibling temp dir, then swap directories. The swap is two
+   * renames (atomic per rename on HDFS/local): readers racing the swap
+   * see the old or the new file set, never a mix; a crash between the
+   * renames leaves the `__graft_old` directory to roll back from.
+   * Run on CLOSED partitions (past the watermark / no longer appended).
+   */
+  def compactPartition(spark: SparkSession, tablePath: String,
+      year: String, month: String, day: String, targetFiles: Int = 1): Unit = {
+    val dir = s"$tablePath/year=$year/month=$month/day=$day"
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    require(f.exists(p), s"no such partition: $dir")
+    val tmp = new Path(dir + "__graft_tmp")
+    val old = new Path(dir + "__graft_old")
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(f.rename(p, old), s"rename $p -> $old failed")
+    require(f.rename(tmp, p), s"rename $tmp -> $p failed")
+    f.delete(old, true)
+  }
+
+  /**
+   * Retention-window delete: remove every day-partition directory with
+   * date < `cutoff` (yyyy-MM-dd). Pure directory metadata operations —
+   * no data is read or rewritten. Returns the number of partitions
+   * dropped. For a CATALOG table, follow with
+   * `spark.catalog.recoverPartitions` so the metastore forgets them.
+   */
+  def dropPartitionsBefore(spark: SparkSession, tablePath: String,
+      cutoff: String): Int = {
+    val root = new Path(tablePath)
+    val f = fs(spark, root)
+    var dropped = 0
+    for {
+      y <- f.listStatus(root).toSeq if y.getPath.getName.startsWith("year=")
+      m <- f.listStatus(y.getPath).toSeq if m.getPath.getName.startsWith("month=")
+      d <- f.listStatus(m.getPath).toSeq if d.getPath.getName.startsWith("day=")
+    } {
+      val date = s"${y.getPath.getName.stripPrefix("year=")}-" +
+        s"${m.getPath.getName.stripPrefix("month=")}-" +
+        s"${d.getPath.getName.stripPrefix("day=")}"
+      if (date < cutoff) { f.delete(d.getPath, true); dropped += 1 }
+    }
+    dropped
+  }
+}

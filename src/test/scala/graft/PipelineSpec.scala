@@ -93,6 +93,40 @@ class PipelineSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS events_stream_tbl")
   }
 
+  test("S6 maintenance: compaction shrinks file count, preserves rows; retention drops partitions") {
+    import graft.pipeline.Maintenance
+    val out = Files.createTempDirectory("graft_maint").toString
+    val df = Ingest.validate(IngestQueries.incoming(spark, sfDir))
+    // force several small files per partition (streaming-append shape)
+    DatePartition.appendPartitioned(df.repartition(6), out)
+
+    val days = new java.io.File(out).listFiles().filter(_.getName.startsWith("year="))
+      .flatMap(_.listFiles()).flatMap(_.listFiles()).map(_.toString).sorted
+    assert(days.nonEmpty)
+    val target = days.head
+    val Array(y, m, d) = target.split("/").takeRight(3).map(_.split("=")(1))
+    val before = Maintenance.dataFiles(spark, target).size
+    assert(before > 1, s"expected multiple files, got $before")
+    val rowsBefore = spark.read.parquet(target).count()
+
+    Maintenance.compactPartition(spark, out, y, m, d, targetFiles = 1)
+    assert(Maintenance.dataFiles(spark, target).size === 1)
+    assert(spark.read.parquet(target).count() === rowsBefore)
+    // the full table still reads consistently after the swap
+    val total = spark.read.parquet(out).count()
+    assert(total === df.count())
+
+    // retention: drop everything before the 8th of the first month
+    val cutoff = s"$y-$m-08"
+    val dropped = Maintenance.dropPartitionsBefore(spark, out, cutoff)
+    assert(dropped > 0)
+    val left = spark.read.parquet(out)
+    assert(left.filter(col("date") < cutoff).count() === 0)
+    val expectedLeft = DatePartition.withDateParts(df)
+      .filter(col("date") >= cutoff).count()
+    assert(left.count() === expectedLeft)
+  }
+
   test("T9 date derivation matches the notebook formula") {
     import spark.implicits._
     val df = Seq(1704067200000L, 1706745599000L) // 2024-01-01, 2024-01-31 23:59:59
