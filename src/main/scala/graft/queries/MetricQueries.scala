@@ -114,6 +114,22 @@ object MetricQueries {
       .orderBy("name"),
     None)
 
+  // Approximate percentiles (percentile_approx, GK sketch): the
+  // shuffle-light quantile path at 100 TB — constant-size mergeable
+  // sketch per group, map-side combined, vs q12's exact percentile
+  // which shuffles every value. Sketch internals differ across engines
+  // so there is no DuckDB oracle (rows-only check, like q13); accuracy
+  // is bounded against q12 in RelationalSpec.
+  val q59 = Q(
+    "q59_approx_percentiles",
+    (s, d) => IngestQueries.valid(s, d)
+      .groupBy("name")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 1000)"), 4).as("p50_approx"),
+        round(expr("percentile_approx(value, 0.95, 1000)"), 4).as("p95_approx"))
+      .orderBy("name"),
+    None)
+
   // Exact distinct counts — the q13 baseline.
   val q14 = Q(
     "q14_distinct_agg",
@@ -167,5 +183,5 @@ object MetricQueries {
          |  UNION ALL SELECT name, '+Inf', cinf, sum_value FROM agg)
          |ORDER BY name, le""".stripMargin))
 
-  val all: Vector[Q] = Vector(q08, q09, q10, q11, q12, q13, q14, q46)
+  val all: Vector[Q] = Vector(q08, q09, q10, q11, q12, q13, q14, q46, q59)
 }

@@ -25,6 +25,20 @@ class RelationalSpec extends SparkSpec {
     assert(maxErr < 0.05, s"max relative error $maxErr")
   }
 
+  test("percentile_approx tracks exact percentiles within its rank bound") {
+    val valid = IngestQueries.valid(spark, sfDir)
+    val both = valid.groupBy("name").agg(
+      expr("percentile(value, 0.5)").as("exact50"),
+      expr("percentile_approx(value, 0.5, 1000)").as("approx50"),
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    // accuracy=1000 bounds rank error to ~0.1%; allow 2% of the value
+    // spread so the assertion is robust to small groups
+    val bad = both.filter(
+      abs(col("approx50") - col("exact50")) > (col("hi") - col("lo")) * 0.02)
+    assert(bad.count() === 0)
+  }
+
   test("salted join is row-identical to the plain join and spreads the key") {
     val l = graft.model.Tables.lineitem(spark, sfDir)
       .withColumnRenamed("l_orderkey", "okey")
