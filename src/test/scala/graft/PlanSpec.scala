@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Registry
+
+/**
+ * Physical-plan evidence for the scale-critical properties (SURVEY.md
+ * "scale design"): filters and projections reach the parquet scan,
+ * dimensions broadcast, global sort+limit compiles to per-partition
+ * top-K, and aggregations are map-side combined. These are the
+ * properties that decide whether a query survives a 100× scale-up, so
+ * they are pinned here — a regression (a lost broadcast hint, a filter
+ * that stops pushing) fails the suite, not just the benchmark.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = Registry.byName(name).fn(spark, sfDir)
+    df.count() // let AQE settle so the final plan is inspected
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q15: shipdate filter and column projection reach the parquet scan") {
+    val p = planOf("q15_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter not pushed to scan")
+    // projection pruned: the 16-column lineitem scan reads only what q15 needs
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q16: dimension broadcast + top-N as TakeOrderedAndProject") {
+    val p = planOf("q16_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "customer dim should broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 should compile to per-partition top-K, not a global sort")
+  }
+
+  test("q24: global sort+limit compiles to TakeOrderedAndProject") {
+    assert(planOf("q24_top_events").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is map-side combined (partial + final HashAggregate)") {
+    val p = planOf("q01_daily_counts")
+    val hashAggs = p.split("HashAggregate").length - 1
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, saw $hashAggs")
+  }
+
+  test("q43: brute-force ANN broadcasts the query side, never sort-merges") {
+    val p = planOf("q43_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the scan")
+  }
+
+  test("q20: tiny dim join is broadcast-hash, no sort-merge") {
+    val p = planOf("q20_broadcast_join")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+}
