@@ -69,7 +69,7 @@ object DedupOps {
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
+        fround(col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

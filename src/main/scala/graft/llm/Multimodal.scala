@@ -45,8 +45,9 @@ object Multimodal {
       var sum = 0L
       var i = 0
       while (i < n) { sum += payload(i) & 0xff; i += 1 }
-      // Raw IEEE division — rounding is left to the query layer (Spark's
-      // round() is the one known to agree bit-for-bit with the oracle's).
+      // Raw IEEE division — rounding is left to the query layer, which
+      // uses the explicit floor form (engine round() diverges at half
+      // boundaries across engines; see TextFunctions.fround).
       val mean = if (n == 0) 0.0 else sum.toDouble / n
       MediaFeatures(
         doc_id = docId,

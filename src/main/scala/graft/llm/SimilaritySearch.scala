@@ -54,7 +54,7 @@ object SimilaritySearch {
     scored(corpus, queries)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .withColumn("cos", round(col("cos"), 4))
+      .withColumn("cos", fround(col("cos"), 4))
   }
 
   /** (vec_id, table, bucket) LSH assignment: `tables` independent
@@ -98,7 +98,7 @@ object SimilaritySearch {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scoredCand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .withColumn("cos", round(col("cos"), 4))
+      .withColumn("cos", fround(col("cos"), 4))
   }
 
   /**
@@ -146,7 +146,7 @@ object SimilaritySearch {
         cosine(col("qe"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .withColumn("cos", round(col("cos"), 4))
+      .withColumn("cos", fround(col("cos"), 4))
   }
 
   /**
@@ -168,6 +168,6 @@ object SimilaritySearch {
       .join(embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= threshold)
-      .withColumn("cos", round(col("cos"), 4))
+      .withColumn("cos", fround(col("cos"), 4))
   }
 }

@@ -86,9 +86,9 @@ object TextAnalysis {
       size(array_distinct(ws)).cast("long").as("n_distinct"),
       size(filter(ws, w => array_contains(allStops, w))).cast("long").as("n_stop"))
       .withColumn("ttr",
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4))
+        fround(col("n_distinct").cast("double") / col("n_tokens"), 4))
       .withColumn("quality",
-        round(
+        fround(
           least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
             + (col("n_distinct").cast("double") / col("n_tokens")) * 0.3
             + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3,
@@ -178,10 +178,10 @@ object TextAnalysis {
       .agg(max(col("c")).as("top_word_freq"), sum(col("c")).as("n_tokens"))
     freq.join(perRow, "doc_id")
       .withColumn("top_word_frac",
-        round(col("top_word_freq").cast("double") / col("n_tokens"), 4))
+        fround(col("top_word_freq").cast("double") / col("n_tokens"), 4))
       .withColumn("dup_shingle_frac",
         when(col("n_shingles") > 0,
-          round(lit(1.0) -
+          fround(lit(1.0) -
             col("n_shingles_distinct").cast("double") / col("n_shingles"), 4))
           .otherwise(lit(0.0)))
       .select(col("doc_id"), col("n_tokens"), col("top_word_freq"),

@@ -46,6 +46,21 @@ object TextFunctions {
   def isAscii(text: Column): Column = octet_length(text) === length(text)
 
   /**
+   * Deterministic cross-engine rounding: explicit `floor(x·10^dp + 0.5) /
+   * 10^dp`. Engine `round()` is NOT portable at half boundaries — Spark
+   * rounds the decimal expansion HALF_UP while DuckDB rounds the scaled
+   * double half-to-even, so a computed ratio whose scaled value lands
+   * exactly on a representable .5 diverges by one ulp of the last digit
+   * (bit q37's quality score at sf0.1: 0.5982 vs 0.5983). The floor form
+   * is three IEEE ops evaluated identically on both engines; negatives
+   * round half toward +inf — on both engines alike.
+   */
+  def fround(c: Column, dp: Int): Column = {
+    val s = math.pow(10, dp).round.toDouble
+    floor(c * s + lit(0.5)) / lit(s)
+  }
+
+  /**
    * Polynomial rolling hash of a string: fold h = (h*31 + code(c)) mod P
    * over its characters. Native expression (graft.functions.PolyHashExpr);
    * [[polyHashHof]] is the reference higher-order-function formulation the

@@ -50,4 +50,17 @@ object Det {
   /** DuckDB mirror of [[davg]] (left-associative, same division order). */
   def davgSql(e: String, dp: Int): String =
     s"SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) / COUNT(*) / ${scaleSql(dp)}"
+
+  /** Deterministic scalar rounding — see TextFunctions.fround: engine
+    * `round()` differs across engines exactly at half boundaries (Spark
+    * decimal HALF_UP vs DuckDB half-to-even on the scaled double); this
+    * explicit floor form is identical IEEE arithmetic on both. */
+  def fr(c: Column, dp: Int): Column = {
+    val sc = scaleOf(dp)
+    floor(c * sc + lit(0.5)) / lit(sc)
+  }
+
+  /** DuckDB mirror of [[fr]]. */
+  def frSql(e: String, dp: Int): String =
+    s"FLOOR(($e) * ${scaleSql(dp)} + 0.5) / ${scaleSql(dp)}"
 }

@@ -46,8 +46,7 @@ object LlmQueries {
        |  GROUP BY 1, 2),
        |jacc AS (
        |  SELECT id_a, id_b,
-       |         ROUND(CAST(n_inter AS DOUBLE) /
-       |               CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+       |         ${Det.frSql("CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE)", 4)} AS jaccard
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
@@ -103,10 +102,10 @@ object LlmQueries {
          |  CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop
          |FROM w)
          |SELECT doc_id, n_tokens, n_distinct, n_stop,
-         |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
-         |  ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |  ${Det.frSql("CAST(n_distinct AS DOUBLE) / n_tokens", 4)} AS ttr,
+         |  ${Det.frSql("""least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
          |        + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3
-         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3, 4) AS quality
+         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3""", 4)} AS quality
          |FROM c ORDER BY doc_id""".stripMargin
     })
 
@@ -299,10 +298,10 @@ object LlmQueries {
          |            FROM (SELECT doc_id, text, string_split(text, ' ') AS words
          |                  FROM documents)))
          |SELECT t.doc_id, n_tokens, top_word_freq,
-         |  ROUND(CAST(top_word_freq AS DOUBLE) / n_tokens, 4) AS top_word_frac,
+         |  ${Det.frSql("CAST(top_word_freq AS DOUBLE) / n_tokens", 4)} AS top_word_frac,
          |  n_shingles,
          |  CASE WHEN n_shingles > 0
-         |       THEN ROUND(1.0 - CAST(n_shingles_distinct AS DOUBLE) / n_shingles, 4)
+         |       THEN ${Det.frSql("1.0 - CAST(n_shingles_distinct AS DOUBLE) / n_shingles", 4)}
          |       ELSE 0.0 END AS dup_shingle_frac
          |FROM t JOIN s ON s.doc_id = t.doc_id ORDER BY t.doc_id""".stripMargin))
 
@@ -436,7 +435,7 @@ object LlmQueries {
          |  FROM cand
          |  JOIN embeddings ea ON ea.vec_id = id_a
          |  JOIN embeddings eb ON eb.vec_id = id_b)
-         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM scored
+         |SELECT id_a, id_b, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos FROM scored
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin))
 
   val q43 = Q(
@@ -457,7 +456,7 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   val q44 = Q(
@@ -486,7 +485,7 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
   // q54 — IVF-style ANN: coarse-quantizer inverted lists (deterministic
@@ -531,7 +530,7 @@ object LlmQueries {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rank
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
   // ---------------------------------------------------------- multimodal
@@ -543,7 +542,7 @@ object LlmQueries {
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .toDF()
-        .withColumn("mean_byte", round(col("mean_byte"), 4))
+        .withColumn("mean_byte", Det.fr(col("mean_byte"), 4))
         .orderBy("doc_id")
     },
     // Empty-payload guards mirror StubDecoder's n==0 branch (DuckDB's
@@ -552,9 +551,9 @@ object LlmQueries {
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          |  CASE WHEN length(text) = 0 THEN 0.0
-         |       ELSE ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |       ELSE ${Det.frSql("""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |         list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
-         |         (s, c) -> s + c) AS DOUBLE) / length(text), 4) END AS mean_byte,
+         |         (s, c) -> s + c) AS DOUBLE) / length(text)""", 4)} END AS mean_byte,
          |  CASE WHEN length(text) = 0 THEN 0
          |       ELSE unicode(substr(text, 1, 1)) END AS width,
          |  CASE WHEN length(text) = 0 THEN 0
@@ -571,7 +570,7 @@ object LlmQueries {
       val q = graft.llm.EmbeddingOps.quantized(Tables.embeddings(s, d))
       q.select(
         col("vec_id"),
-        round(col("q_scale"), 6).as("q_scale"),
+        Det.fr(col("q_scale"), 6).as("q_scale"),
         aggregate(col("q_embedding"), lit(0L), (a, x) => a + x)
           .as("q_sum"),
         size(filter(col("q_embedding"), x => abs(x) === 127))
@@ -580,9 +579,9 @@ object LlmQueries {
     },
     Some(
       s"""SELECT vec_id,
-         |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  ${Det.frSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-         |    (a, x) -> CASE WHEN x > a THEN x ELSE a END), 6) AS q_scale,
+         |    (a, x) -> CASE WHEN x > a THEN x ELSE a END)""", 6)} AS q_scale,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
          |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -89,18 +89,18 @@ object MetricQueries {
     (s, d) => IngestQueries.valid(s, d)
       .groupBy("name")
       .agg(
-        round(expr("percentile(value, 0.25)"), 4).as("p25"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.75)"), 4).as("p75"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        Det.fr(expr("percentile(value, 0.25)"), 4).as("p25"),
+        Det.fr(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Det.fr(expr("percentile(value, 0.75)"), 4).as("p75"),
+        Det.fr(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("name"),
     Some(IngestQueries.incomingSql +
-      """SELECT name,
-        |       ROUND(quantile_cont(value, 0.25), 4) AS p25,
-        |       ROUND(quantile_cont(value, 0.5), 4) AS p50,
-        |       ROUND(quantile_cont(value, 0.75), 4) AS p75,
-        |       ROUND(quantile_cont(value, 0.95), 4) AS p95
-        |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
+      s"""SELECT name,
+         |       ${Det.frSql("quantile_cont(value, 0.25)", 4)} AS p25,
+         |       ${Det.frSql("quantile_cont(value, 0.5)", 4)} AS p50,
+         |       ${Det.frSql("quantile_cont(value, 0.75)", 4)} AS p75,
+         |       ${Det.frSql("quantile_cont(value, 0.95)", 4)} AS p95
+         |FROM valid GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // approx_count_distinct (HLL++) — the scale path for distinct counts:
   // no shuffle of raw values, constant-size sketch per group. Sketch
@@ -125,8 +125,8 @@ object MetricQueries {
     (s, d) => IngestQueries.valid(s, d)
       .groupBy("name")
       .agg(
-        round(expr("percentile_approx(value, 0.5, 1000)"), 4).as("p50_approx"),
-        round(expr("percentile_approx(value, 0.95, 1000)"), 4).as("p95_approx"))
+        Det.fr(expr("percentile_approx(value, 0.5, 1000)"), 4).as("p50_approx"),
+        Det.fr(expr("percentile_approx(value, 0.95, 1000)"), 4).as("p95_approx"))
       .orderBy("name"),
     None)
 

@@ -236,18 +236,18 @@ object RelationalQueries {
         upper(col("p_brand")).as("brand_upper"),
         substring(col("p_name"), 1, 8).as("name_prefix"),
         length(col("p_name")).cast("bigint").as("name_len"),
-        round(col("p_retailprice") * 1.1, 2).as("price_taxed"),
+        Det.fr(col("p_retailprice") * 1.1, 2).as("price_taxed"),
         (col("p_size") % 7).as("size_mod"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey"),
     Some(
-      """SELECT p_partkey, UPPER(p_brand) AS brand_upper,
-        |       SUBSTRING(p_name, 1, 8) AS name_prefix,
-        |       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
-        |       ROUND(p_retailprice * 1.1, 2) AS price_taxed,
-        |       p_size % 7 AS size_mod,
-        |       CONCAT_WS('|', p_brand, p_type) AS brand_type
-        |FROM part ORDER BY p_partkey""".stripMargin))
+      s"""SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+         |       SUBSTRING(p_name, 1, 8) AS name_prefix,
+         |       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+         |       ${Det.frSql("p_retailprice * 1.1", 2)} AS price_taxed,
+         |       p_size % 7 AS size_mod,
+         |       CONCAT_WS('|', p_brand, p_type) AS brand_type
+         |FROM part ORDER BY p_partkey""".stripMargin))
 
   // q57 — salted skew-safe equi-join (graft.ops.Salted): the hot-key
   // lever when AQE's skew split can't apply. Result is row-identical to

@@ -24,11 +24,11 @@ object WindowQueries {
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("totalprice"))
+          Det.fr(col("o_totalprice"), 2).as("totalprice"))
         .orderBy("o_orderpriority", "rn")
     },
     Some(
-      """SELECT o_orderpriority, rn, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+      s"""SELECT o_orderpriority, rn, o_orderkey, ${Det.frSql("o_totalprice", 2)} AS totalprice
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin))
@@ -93,12 +93,12 @@ object WindowQueries {
         .withColumn("quartile", ntile(4).over(w).cast("bigint"))
         .filter(col("rnk") <= 5)
         .select(col("c_nationkey"), col("rnk"), col("drnk"), col("quartile"),
-          col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+          col("c_custkey"), Det.fr(col("c_acctbal"), 2).as("acctbal"))
         .orderBy("c_nationkey", "rnk", "c_custkey")
     },
     Some(
-      """SELECT c_nationkey, rnk, drnk, quartile, c_custkey,
-        |       ROUND(c_acctbal, 2) AS acctbal
+      s"""SELECT c_nationkey, rnk, drnk, quartile, c_custkey,
+         |       ${Det.frSql("c_acctbal", 2)} AS acctbal
         |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
         |        RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
         |        NTILE(4) OVER w AS quartile
