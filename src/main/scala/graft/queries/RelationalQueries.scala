@@ -249,6 +249,54 @@ object RelationalQueries {
          |       CONCAT_WS('|', p_brand, p_type) AS brand_type
          |FROM part ORDER BY p_partkey""".stripMargin))
 
+  // q60 — pivot: long-to-wide reshape (per-user counts by event type).
+  // The value list is EXPLICIT — with an inferred list Spark would run a
+  // distinct-collect job first and the output schema would depend on the
+  // data; fixed columns keep the plan one-pass (Expand + single agg) and
+  // the oracle mirrorable as conditional aggregation.
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  val q60 = Q(
+    "q60_pivot",
+    (s, d) => Tables.events(s, d)
+      .filter(col("user_id") < 200)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy("user_id"),
+    Some {
+      val cols = eventTypes.map(t =>
+        s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events WHERE user_id < 200
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
+  // q61 — unpivot (the inverse reshape): wide metric columns back to
+  // (metric, value) rows via stack/UNPIVOT — pure projection + generate,
+  // no shuffle beyond the final sort.
+  val q61 = Q(
+    "q61_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3, 'quantity', l_quantity,
+                         'extendedprice', l_extendedprice,
+                         'discount', l_discount) AS (metric, value)"""))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
+      // so `value` joins the sort key to make the order total
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value"),
+    Some(
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             l_quantity AS quantity,
+        |             l_extendedprice AS extendedprice,
+        |             l_discount AS discount
+        |      FROM lineitem WHERE l_orderkey <= 100)
+        |UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin))
+
   // q57 — salted skew-safe equi-join (graft.ops.Salted): the hot-key
   // lever when AQE's skew split can't apply. Result is row-identical to
   // the plain join (the oracle IS the plain join); the salt spreads any
@@ -270,5 +318,5 @@ object RelationalQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57)
+    q25, q57, q60, q61)
 }
