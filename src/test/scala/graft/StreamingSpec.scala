@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("B1 bounded source admission: maxFilesPerTrigger caps each micro-batch") {
+    // the reference's bounded-buffer admission (client/async.go) maps to
+    // source-side admission options; demonstrated on the file source —
+    // 3 files, cap 1 per trigger, so the engine MUST take >= 3 batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_b1").toString
+    val one = Seq(("1", "e")).toDF("id", "name")
+    for (i <- 1 to 3)
+      Seq((i.toString, "e")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.schema(one.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        { batchSizes += df.count(); () })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batchSizes.sum === 3)
+      assert(batchSizes.size >= 3, s"admission not bounded: $batchSizes")
+      assert(batchSizes.forall(_ <= 1))
+    } finally q.stop()
+  }
+
   test("B7 idempotent batch sink: replayed batchId replaces, new batchId appends") {
     import graft.streaming.IdempotentSink
     implicit val sqlCtx = spark.sqlContext
