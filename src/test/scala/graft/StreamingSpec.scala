@@ -150,6 +150,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A5 running counters on transformWithState accumulate across batches") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+    val source = MemoryStream[(String, Double)]
+    val q = graft.streaming.TwsCounters.runningCounters(
+      source.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      source.addData(("click", 1.5), ("click", 2.25), ("view", 10.0))
+      q.processAllAvailable()
+      source.addData(("click", 0.25))
+      q.processAllAvailable()
+      // memory sink in update mode appends each batch's emissions; the
+      // LAST row per key is the running total
+      val last = s2.table("tws_out").groupBy("name")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.max("total_cents").as("cents"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(last("click") === ((3L, 400L))) // 150 + 225 + 25 cents
+      assert(last("view") === ((1L, 1000L)))
+    } finally q.stop()
+  }
+
   test("B4/B5 retrying sink: subset retry on failure indexes, then success") {
     val metrics = RetryingSink.newMetrics(spark)
     // Scripted producer (mocks/sender.go shape): attempt 0 fails the
