@@ -141,6 +141,49 @@ object TextAnalysis {
         " +", " "))
 
   /**
+   * Stratified hash sampling — the data-MIXING primitive: each stratum
+   * (language, source, quality tier) gets its own keep rate in permille,
+   * so one pass reweights the corpus (upsample rare languages, cap
+   * boilerplate sources). Same deterministic salted-hash Bernoulli as
+   * [[hashSample]] — membership is a pure function of the text, stable
+   * across reruns — with the rate looked up per row. Strata absent from
+   * `permilleByStratum` are dropped (rate 0). Scan-stage predicate,
+   * no shuffle.
+   */
+  def stratifiedHashSample(docs: DataFrame, stratumCol: String,
+      permilleByStratum: Map[String, Int], salt: String = "graft"): DataFrame = {
+    val rate = permilleByStratum.foldLeft(lit(0): Column) {
+      case (acc, (stratum, permille)) =>
+        when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
+    }
+    docs.filter(polyHash(concat(col("text"), lit(salt))) % 1000L < rate)
+  }
+
+  /**
+   * Sequence packing (concat-and-chunk shard assignment): documents are
+   * hash-bucketed into `shards`, ordered within each shard, and cut into
+   * fixed `budgetTokens` bins by cumulative token count — the shape of a
+   * GPT-style packed-pretraining shard layout where documents are
+   * concatenated and split at the context boundary. The cumulative sum
+   * is integer (exact, order-fixed by the total per-shard ordering), so
+   * bin assignment is deterministic. One shuffle on the shard key;
+   * per-shard state in the window is O(1).
+   */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"),
+      pmod(polyHash(col("text")), lit(shards.toLong)).as("shard"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before").cast("double") / budgetTokens)
+        .cast("long"))
+  }
+
+  /**
    * Pattern redaction — the PII-scrub pass of a training-data pipeline
    * (emails, URLs, phone numbers in production; the pattern is a
    * parameter). Emits the match count per document alongside the

@@ -327,6 +327,51 @@ object LlmQueries {
          |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 50 = 0)
          |ORDER BY doc_id""".stripMargin))
 
+  // q62 — stratified hash sampling: per-language keep rates in permille,
+  // the data-mixing reweighting pass (upsample rare strata, cap others).
+  private val mixRates = Seq("en" -> 600, "de" -> 300, "es" -> 150, "fr" -> 50)
+  val q62 = Q(
+    "q62_stratified_sample",
+    (s, d) => TextAnalysis.stratifiedHashSample(
+      Tables.documents(s, d), "lang", mixRates.toMap)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang"),
+    Some {
+      val rateCase = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT lang, COUNT(*) AS n FROM documents
+         |WHERE ${polyHashSql("text || 'graft'")} % 1000 < $rateCase
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
+  // q63 — sequence packing: hash-sharded, doc_id-ordered concat-and-chunk
+  // bin assignment at a fixed token budget (the packed-pretraining shard
+  // layout). Exact integer window cumsum -> deterministic bins.
+  private val packBudget = 2048L
+  private val packShards = 8
+  val q63 = Q(
+    "q63_sequence_packing",
+    (s, d) => TextAnalysis.packSequences(
+      Tables.documents(s, d), packBudget, packShards)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("shard", "bin"),
+    Some(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(text) = 0 THEN 0
+         |          ELSE ${polyHashSql("text")} END) % $packShards AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cum_before
+         |  FROM t)
+         |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   // q53 — the 64-bit SimHash (two independent 32-bit halves, 4x16-bit
   // bands): the beyond-1e5-docs variant SCALE.md recommends. Halves keep
   // every value < 2^32, so the oracle's double-division bit extraction
@@ -612,5 +657,5 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63)
 }
