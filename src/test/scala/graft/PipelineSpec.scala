@@ -127,6 +127,24 @@ class PipelineSpec extends SparkSpec {
     assert(left.count() === expectedLeft)
   }
 
+  test("S6 schema evolution: a new envelope field lands and reads back with mergeSchema") {
+    import spark.implicits._
+    // a long-lived event table gains fields over its lifetime; Hive-style
+    // parquet layout supports additive evolution via mergeSchema on read
+    val out = Files.createTempDirectory("graft_evolve").toString
+    val v1 = Seq((1L, 1704067200000L)).toDF("id", "clientTimestamp")
+    val v2 = Seq((2L, 1704067200000L, "eu-west"))
+      .toDF("id", "clientTimestamp", "region") // the new field
+    DatePartition.appendPartitioned(v1, out)
+    DatePartition.appendPartitioned(v2, out)
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(back.columns.contains("region"))
+    val rows = back.select("id", "region").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows(1L) === None)            // old rows: null for the new field
+    assert(rows(2L) === Some("eu-west")) // new rows carry it
+  }
+
   test("T9 date derivation matches the notebook formula") {
     import spark.implicits._
     val df = Seq(1704067200000L, 1706745599000L) // 2024-01-01, 2024-01-31 23:59:59
