@@ -155,5 +155,74 @@ object WindowQueries {
          |       COUNT(*) AS n_events, ${Det.dsumSql("value")} AS total_value
          |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47)
+  // q64 — as-of join (graft.ops.AsOfJoin): each click gets the user's
+  // most recent prior-or-simultaneous purchase. Oracle is DuckDB's
+  // native ASOF LEFT JOIN — the operator composes union-tag + window
+  // last_value (one shuffle), never a nested-loop non-equi join.
+  val q64 = Q(
+    "q64_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e
+        .filter(col("event_type") === "click" && col("user_id") < 100)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = graft.ops.Dedup.latestByKey(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id")))
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("asof.value").as("purchase_value"),
+          date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH p0 AS (SELECT user_id, ts, value, event_id FROM events
+        |            WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, value FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn FROM p0)
+        |      WHERE rn = 1),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id < 100)
+        |SELECT c.event_id, c.user_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       p.value AS purchase_value,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin))
+
+  // q65 — binned range join (graft.ops.RangeJoin): clicks landing inside
+  // each signup's 30-minute attribution window, as a bin equi-join +
+  // exact filter — never a nested-loop BETWEEN join. Oracle is the plain
+  // inequality join (fine at oracle scale).
+  val q65 = Q(
+    "q65_range_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click" && col("user_id") < 30)
+        .select(col("event_id"), col("ts"))
+      val windows = e.filter(col("event_type") === "signup" && col("user_id") < 30)
+        .select(col("event_id").as("promo_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(
+        clicks, "ts", windows, "w_start", "w_end", binMs = 30 * 60 * 1000L)
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("promo_id")
+    },
+    Some(
+      """WITH c AS (SELECT event_id, ts FROM events
+        |           WHERE event_type = 'click' AND user_id < 30),
+        |w AS (SELECT event_id AS promo_id, ts AS w_start,
+        |             ts + INTERVAL 30 MINUTE AS w_end
+        |      FROM events WHERE event_type = 'signup' AND user_id < 30)
+        |SELECT promo_id, COUNT(*) AS n_clicks
+        |FROM w JOIN c ON c.ts >= w_start AND c.ts < w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47, q64, q65)
 }
