@@ -202,6 +202,42 @@ object DedupOps {
       .filter(col("dist") <= maxHamming)
   }
 
+  /**
+   * Duplicate CLUSTERS from near-dup pairs: connected components by
+   * min-label propagation, labeling every involved doc with the smallest
+   * doc_id reachable through the pair graph — the step between "pairs
+   * found" and "keep one representative per duplicate group" that every
+   * dedup pipeline ends with (keep = labels where doc_id == cluster_rep,
+   * drop the rest).
+   *
+   * Each iteration is one distributed join + min-aggregate (Pregel
+   * shape); the driver loop only checks convergence counts, never data.
+   * Iterations needed = component diameter — near-dup clusters are
+   * shallow (a dup of a dup of a dup…), so convergence is fast; `maxIter`
+   * bounds pathological chains. `localCheckpoint` cuts the growing
+   * lineage each round (standard for iterative Spark).
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** SimHash over shingle features: (doc_id, simhash long). The word-level
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */

@@ -327,6 +327,29 @@ object LlmQueries {
          |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 50 = 0)
          |ORDER BY doc_id""".stripMargin))
 
+  // q66 — duplicate clusters: connected components over the exact-Jaccard
+  // pair graph (>= 0.5), each doc labeled with its component's min doc_id
+  // — the pairs -> clusters -> keep-one-representative closing step of
+  // the dedup pipeline. Oracle: recursive-CTE reachability closure (fine
+  // at oracle scale; the operator itself is iterative min-propagation).
+  val q66 = Q(
+    "q66_dup_clusters",
+    (s, d) => DedupOps.duplicateClusters(
+      DedupOps.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH RECURSIVE $shingleCtes,
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, MIN(b) AS cluster_rep
+         |FROM reach GROUP BY a ORDER BY a""".stripMargin))
+
   // q62 — stratified hash sampling: per-language keep rates in permille,
   // the data-mixing reweighting pass (upsample rare strata, cap others).
   private val mixRates = Seq("en" -> 600, "de" -> 300, "es" -> 150, "fr" -> 50)
@@ -657,5 +680,5 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66)
 }

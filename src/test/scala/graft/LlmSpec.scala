@@ -125,6 +125,26 @@ class LlmSpec extends SparkSpec {
     assert(kept2.count() === kept.count())
   }
 
+  test("duplicate clusters: chain A~B~C collapses transitively, singletons excluded") {
+    import spark.implicits._
+    // d1~d2 and d2~d3 overlap via shared halves; d1 and d3 share nothing —
+    // only transitive closure puts all three in one cluster
+    def block(p: String) = (1 to 30).map(i => s"$p$i")
+    val texts = Seq(
+      1L -> (block("x") ++ block("y")).mkString(" "),
+      2L -> (block("y") ++ block("z")).mkString(" "),
+      3L -> (block("z") ++ block("w")).mkString(" "),
+      4L -> block("q").mkString(" "))
+    val corpus = texts.toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(corpus, threshold = 0.3)
+    val keys = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys === Set((1L, 2L), (2L, 3L))) // no direct 1-3 edge
+    val clusters = DedupOps.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // one component
+  }
+
   test("precomputed shingle_hashes column yields identical dedup results") {
     val pre = DedupOps.withShingleHashes(docs).persist()
     try {
