@@ -34,4 +34,17 @@ class ExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(b >= 0L && b < 16L)
   }
+
+  test("DESCRIBE FUNCTION reports usable metadata (ExpressionInfo wiring)") {
+    val s: SparkSession = spark.newSession()
+    GraftExtensions.register(s)
+    val desc = s.sql("DESCRIBE FUNCTION EXTENDED graft_poly_hash")
+      .collect().map(_.getString(0)).mkString("\n")
+    // function resolves under its own name and the usage text is in the
+    // usage field (the 3-arg ExpressionInfo ctor garbled this: usage
+    // landed in the name slot)
+    assert(desc.contains("Function: graft_poly_hash"))
+    assert(desc.contains("mod-prime polynomial rolling hash"))
+    assert(desc.contains("Class: graft.functions.PolyHashExpr"))
+  }
 }

@@ -150,6 +150,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("B7 checkpoint restart: a new query resumes exactly-once from the same checkpoint") {
+    import graft.streaming.IdempotentSink
+    val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    def addFile(id: String): Unit =
+      Seq((id, "e")).toDF("id", "name").coalesce(1)
+        .write.mode("append").parquet(src)
+    def stream = spark.readStream
+      .schema(Seq(("x", "e")).toDF("id", "name").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    addFile("a"); addFile("b")
+    val q1 = IdempotentSink.start(stream, out, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    addFile("c")
+    // a brand-new query object, same checkpoint: must pick up where q1
+    // stopped — no reprocessing of a/b, no loss of c
+    val q2 = IdempotentSink.start(stream, out, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    assert(spark.read.parquet(out).select("id").as[String].collect().sorted
+      === Array("a", "b", "c"))
+  }
+
   test("A5 running counters on transformWithState accumulate across batches") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
