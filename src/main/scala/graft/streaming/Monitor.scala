@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/**
+ * Streaming observability (the reference's Prometheus tier, SURVEY.md
+ * §2.4, applied to the pipeline itself): a `StreamingQueryListener`
+ * accumulating per-query counters — batches seen, rows ingested, rows
+ * of state, last processing rate — the numbers the reference exports as
+ * `events_ingested` / `events_failed` style gauges.
+ *
+ * Listener callbacks run on the driver's listener bus (no executor
+ * cost); counters are lock-free atomics in a concurrent map, readable
+ * at any time by a metrics scraper. Register once per session.
+ */
+object Monitor {
+
+  /** Running totals for one streaming query (by query name or id). */
+  final case class QueryStats(
+      batches: Long, inputRows: Long, stateRows: Long,
+      lastRowsPerSec: Double, terminated: Boolean)
+
+  final class Listener extends StreamingQueryListener {
+    private val stats = new ConcurrentHashMap[String, QueryStats]()
+
+    private def keyOf(id: java.util.UUID, name: String): String =
+      if (name != null && name.nonEmpty) name else id.toString
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit =
+      stats.putIfAbsent(keyOf(event.id, event.name),
+        QueryStats(0L, 0L, 0L, 0.0, terminated = false))
+
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      val k = keyOf(p.id, p.name)
+      stats.merge(k,
+        QueryStats(1L, p.numInputRows,
+          p.stateOperators.map(_.numRowsTotal).sum,
+          p.processedRowsPerSecond, terminated = false),
+        (a, b) => QueryStats(
+          a.batches + 1, a.inputRows + b.inputRows,
+          b.stateRows, b.lastRowsPerSec, a.terminated))
+    }
+
+    override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      stats.computeIfPresent(event.id.toString,
+        (_, s) => s.copy(terminated = true))
+
+    /** Snapshot for a query by name (or id string). */
+    def snapshot(key: String): Option[QueryStats] = Option(stats.get(key))
+  }
+
+  /** Register a fresh listener on the session; returns it for scraping. */
+  def attach(spark: SparkSession): Listener = {
+    val l = new Listener
+    spark.streams.addListener(l)
+    l
+  }
+}

@@ -203,6 +203,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A5' monitor listener accumulates per-query streaming progress") {
+    implicit val sqlCtx = spark.sqlContext
+    val mon = graft.streaming.Monitor.attach(spark)
+    try {
+      val source = MemoryStream[Ev]
+      val q = source.toDF().writeStream.format("memory")
+        .queryName("monitored_out").outputMode("append").start()
+      try {
+        source.addData(ev("1"), ev("2"))
+        q.processAllAvailable()
+        source.addData(ev("3"))
+        q.processAllAvailable()
+        // listener bus is async — poll briefly for the totals
+        val deadline = System.currentTimeMillis() + 10000
+        def ok = mon.snapshot("monitored_out").exists(_.inputRows >= 3)
+        while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        val s = mon.snapshot("monitored_out").get
+        assert(s.inputRows === 3)
+        assert(s.batches >= 2)
+      } finally q.stop()
+    } finally spark.streams.removeListener(mon)
+  }
+
   test("B4/B5 retrying sink: subset retry on failure indexes, then success") {
     val metrics = RetryingSink.newMetrics(spark)
     // Scripted producer (mocks/sender.go shape): attempt 0 fails the
