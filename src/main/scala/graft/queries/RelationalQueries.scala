@@ -317,6 +317,20 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // q67 — column profiling (graft.ops.Profile): the one-scan data-quality
+  // summary (counts, nulls, distincts, ranges) per column.
+  private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val q67 = Q(
+    "q67_profile",
+    (s, d) => graft.ops.Profile.numeric(Tables.lineitem(s, d), profCols),
+    Some(profCols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS vmin, CAST(MAX($c) AS DOUBLE) AS vmax
+         |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61)
+    q25, q57, q60, q61, q67)
 }
