@@ -127,7 +127,9 @@ object SimilaritySearch {
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         cosine(col("embedding"), col("cvec")).as("ccos"))
       .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
+      // every replicated row carries the same embedding; min is the
+      // deterministic way to say "any" (first() is flagged nondeterministic)
+      .agg(min(col("embedding")).as("embedding"),
         max(struct(col("ccos"), (-col("cell_id")).as("ncell"))).as("m"))
       .select(col("vec_id"), col("embedding"), (-col("m.ncell")).as("cell"))
     val wProbe = Window.partitionBy(col("query_id"))

@@ -43,34 +43,41 @@ object RetryingSink {
 
   /**
    * Build the `foreachBatch` function. `sleeper` is injectable so tests
-   * don't wall-clock the exponential backoff.
+   * don't wall-clock the exponential backoff. The partition iterator is
+   * consumed in bounded `chunkSize` groups (the reference's producer
+   * batch, client/async.go linger buffer) so sink memory stays flat no
+   * matter how large a partition grows at 100 TB — only the current
+   * chunk and its retry subset are ever resident.
    */
   def foreachBatchFn(
       producer: Producer,
       metrics: Metrics,
       maxRetries: Int = 3,
       retryIntervalMs: Long = 1000L,
-      sleeper: Long => Unit = Thread.sleep): (DataFrame, Long) => Unit =
+      sleeper: Long => Unit = Thread.sleep,
+      chunkSize: Int = 10000): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       batch.foreachPartition { it: Iterator[Row] =>
-        var pending: Seq[Row] = it.toSeq
-        var attempt = 0
-        while (pending.nonEmpty && attempt <= maxRetries) {
-          if (attempt > 0) {
-            // 2^(attempt-1) * interval — the reference's backoff curve
-            // (client/async.go:255-262, retry counter starts at 0).
-            sleeper((1L << (attempt - 1)) * retryIntervalMs)
-            metrics.retried.add(pending.size)
+        it.grouped(chunkSize).foreach { chunk =>
+          var pending: Seq[Row] = chunk
+          var attempt = 0
+          while (pending.nonEmpty && attempt <= maxRetries) {
+            if (attempt > 0) {
+              // 2^(attempt-1) * interval — the reference's backoff curve
+              // (client/async.go:255-262, retry counter starts at 0).
+              sleeper((1L << (attempt - 1)) * retryIntervalMs)
+              metrics.retried.add(pending.size)
+            }
+            val failed = producer(attempt, pending).toSet
+            metrics.sent.add(pending.size - failed.size)
+            // Rebuild the batch from the failure indexes — the subset
+            // retry of client/async.go:264-271.
+            pending = pending.zipWithIndex.collect {
+              case (r, i) if failed.contains(i) => r
+            }
+            attempt += 1
           }
-          val failed = producer(attempt, pending).toSet
-          metrics.sent.add(pending.size - failed.size)
-          // Rebuild the batch from the failure indexes — the subset
-          // retry of client/async.go:264-271.
-          pending = pending.zipWithIndex.collect {
-            case (r, i) if failed.contains(i) => r
-          }
-          attempt += 1
+          if (pending.nonEmpty) metrics.dropped.add(pending.size)
         }
-        if (pending.nonEmpty) metrics.dropped.add(pending.size)
       }
 }
