@@ -306,7 +306,9 @@ object RelationalQueries {
     (s, d) => {
       val l = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "okey")
       val o = Tables.orders(s, d).withColumnRenamed("o_orderkey", "okey")
-      graft.ops.Salted.saltedJoin(l, o, "okey", col("l_linenumber"), nSalts = 16)
+      // salt source must be roughly uniform with range >= nSalts —
+      // l_partkey is; l_linenumber (1-7) would leave most salts unused
+      graft.ops.Salted.saltedJoin(l, o, "okey", col("l_partkey"), nSalts = 16)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")

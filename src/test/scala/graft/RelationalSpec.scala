@@ -42,17 +42,21 @@ class RelationalSpec extends SparkSpec {
   test("salted join is row-identical to the plain join and spreads the key") {
     val l = graft.model.Tables.lineitem(spark, sfDir)
       .withColumnRenamed("l_orderkey", "okey")
-      .select("okey", "l_linenumber", "l_extendedprice")
+      .select("okey", "l_partkey", "l_extendedprice")
     val o = graft.model.Tables.orders(spark, sfDir)
       .withColumnRenamed("o_orderkey", "okey")
       .select("okey", "o_orderpriority")
-    val salted = graft.ops.Salted.saltedJoin(l, o, "okey", col("l_linenumber"), 8)
+    val salted = graft.ops.Salted.saltedJoin(l, o, "okey", col("l_partkey"), 8)
     val plain = l.join(o, "okey")
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
-    // the physical join really runs on (okey, __salt), not okey alone
+    // the salt really spreads: all 8 sub-keys occupied on real data
+    val saltsUsed = l.select(pmod(col("l_partkey"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(saltsUsed === 8)
+    // and the physical join really runs on (okey, __salt), not okey alone
     val joinPlan = graft.ops.Salted
-      .saltedJoin(l, o, "okey", col("l_linenumber"), 8)
+      .saltedJoin(l, o, "okey", col("l_partkey"), 8)
       .queryExecution.executedPlan.toString
     assert(joinPlan.contains("__salt"))
   }
