@@ -77,4 +77,61 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => StubDecoder.decode(id, bytes) })
   }
+
+  /** One sampled "frame": the payload byte at an evenly-spaced offset —
+    * the video-frame-sampling shape (k frames per clip regardless of
+    * duration). */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_val: Int)
+
+  /**
+   * Frame sampling: k evenly-spaced single-byte samples per payload
+   * (offset_i = floor(i·n/k)) — the stand-in for decoding k frames from
+   * a video byte stream. Same partition-wise iteration as
+   * [[extractFeatures]]; a real frame decoder replaces the byte read.
+   * Empty payloads contribute no frames.
+   */
+  def sampleFrames(media: DataFrame, k: Int)(
+      implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val n = bytes.length
+        if (n == 0) Iterator.empty
+        else (0 until k).iterator.map { i =>
+          FrameSample(id, i, bytes((i * n) / k) & 0xff)
+        }
+      })
+  }
+
+  /** One "pixel" of the resized payload: the byte-sum and width of one
+    * of k equal spans — the downsample/thumbnail shape. */
+  final case class ResizedBucket(doc_id: Long, bucket: Int,
+      sum_bytes: Long, n_in_bucket: Long)
+
+  /**
+   * Resize (downsample) to k buckets: bucket b covers byte span
+   * [⌊b·n/k⌋, ⌊(b+1)·n/k⌋) and reports its byte-sum and width — integer
+   * outputs so the result is exactly oracle-comparable (a real resize
+   * averages pixels; the span arithmetic is identical). Empty payloads
+   * contribute no buckets.
+   */
+  def resize(media: DataFrame, k: Int)(
+      implicit spark: SparkSession): Dataset[ResizedBucket] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val n = bytes.length
+        if (n == 0) Iterator.empty
+        else (0 until k).iterator.map { b =>
+          val lo = (b * n) / k
+          val hi = ((b + 1) * n) / k
+          var s = 0L
+          var p = lo
+          while (p < hi) { s += bytes(p) & 0xff; p += 1 }
+          ResizedBucket(id, b, s, (hi - lo).toLong)
+        }
+      })
+  }
 }

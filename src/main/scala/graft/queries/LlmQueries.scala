@@ -628,6 +628,50 @@ object LlmQueries {
          |       ELSE unicode(substr(text, length(text), 1)) END AS height
          |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // q68 — multimodal frame sampling: k evenly-spaced byte "frames" per
+  // payload (the video-frame-sample shape on the stub decoder; ASCII
+  // contract makes byte i == codepoint i for the oracle).
+  private val nFrames = 8
+  val q68 = Q(
+    "q68_frame_sample",
+    (s, d) => {
+      implicit val spark = s
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), nFrames)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      s"""WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |           WHERE length(text) > 0)
+         |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |       CAST(unicode(substr(text, CAST((i * n) // $nFrames AS INTEGER) + 1, 1)) AS INT) AS frame_val
+         |FROM m, (SELECT unnest(range($nFrames)) AS i) idx
+         |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  // q69 — multimodal resize/downsample: k equal byte spans per payload
+  // with integer sums (the thumbnail shape; span arithmetic identical to
+  // a real pixel downsample).
+  private val nBuckets = 4
+  val q69 = Q(
+    "q69_resize",
+    (s, d) => {
+      implicit val spark = s
+      Multimodal.resize(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), nBuckets)
+        .toDF().orderBy("doc_id", "bucket")
+    },
+    Some(
+      s"""WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |           WHERE length(text) > 0)
+         |SELECT doc_id, CAST(b AS INT) AS bucket,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |         range((b * n) // $nBuckets, ((b + 1) * n) // $nBuckets),
+         |         p -> CAST(unicode(substr(text, CAST(p AS INTEGER) + 1, 1)) AS BIGINT))),
+         |         (a, x) -> a + x) AS BIGINT) AS sum_bytes,
+         |       CAST(((b + 1) * n) // $nBuckets - (b * n) // $nBuckets AS BIGINT) AS n_in_bucket
+         |FROM m, (SELECT unnest(range($nBuckets)) AS b) bs
+         |ORDER BY doc_id, bucket""".stripMargin))
+
   // q51 — int8 embedding quantization: per-vector symmetric scale,
   // explicit floor(x+0.5) rounding (no engine round-half conventions).
   // Output view: scale + quantized checksum + saturation count per
@@ -680,5 +724,5 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69)
 }
