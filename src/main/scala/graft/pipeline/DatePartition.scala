@@ -38,13 +38,17 @@ object DatePartition {
    * lands Delta (`format("delta")`, ipynb cells 4–5); this sandbox's
    * `/opt/spark/jars` has no delta-spark jar, so parquet is the default
    * and Delta is one parameter away on a cluster that ships it.
+   * `compression` picks the codec: snappy (default) for hot data, zstd
+   * for the long cold tail — at 100 TB the codec choice is a double-digit
+   * storage-percent decision per table.
    */
   def appendPartitioned(df: DataFrame, path: String,
-      format: String = "parquet"): Unit =
+      format: String = "parquet", compression: String = "snappy"): Unit =
     withDateParts(df)
       .write.mode("append")
       .partitionBy("year", "month", "day")
       .format(format)
+      .option("compression", compression)
       .save(path)
 
   /**

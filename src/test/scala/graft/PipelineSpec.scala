@@ -127,6 +127,19 @@ class PipelineSpec extends SparkSpec {
     assert(left.count() === expectedLeft)
   }
 
+  test("S6 compression codec is a sink parameter (zstd files land and read back)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_zstd").toString
+    val df = Seq((1L, 1704067200000L)).toDF("id", "clientTimestamp")
+    DatePartition.appendPartitioned(df, out, compression = "zstd")
+    def dirs(f: java.io.File) = f.listFiles().filter(_.isDirectory)
+    val files = dirs(new java.io.File(out))
+      .flatMap(dirs).flatMap(dirs).flatMap(_.listFiles())
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")), files.mkString(","))
+    assert(spark.read.parquet(out).count() === 1)
+  }
+
   test("S6 schema evolution: a new envelope field lands and reads back with mergeSchema") {
     import spark.implicits._
     // a long-lived event table gains fields over its lifetime; Hive-style
