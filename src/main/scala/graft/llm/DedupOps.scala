@@ -218,18 +218,26 @@ object DedupOps {
    * lineage each round (standard for iterative Spark).
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: `pairs` is usually an expensive
+    // dedup computation (shingling + banding + verification) and appears
+    // in every iteration's join — without this it would re-run per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // lazy checkpoint: the convergence count below materializes it, so
+      // each iteration runs ONE job (count) instead of two (checkpoint
+      // job + count job) — iteration cost here is driver round-trips,
+      // not data volume
       val next = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels = next
