@@ -15,7 +15,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -43,7 +43,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Round 3's stdout-only line was truncated by the driver's tail capture
+    // (log noise + one giant line); the file copy is the durable artifact.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+    println(json)
     spark.stop()
   }
 }

@@ -23,22 +23,44 @@ import TextFunctions._
  */
 object DedupOps {
 
+  /** Column-metadata key recording the shingle width a precomputed
+    * `shingle_hashes` column was built with. */
+  private val ShingleNKey = "graft.shingle.n"
+
   /** The per-doc distinct shingle-hash array: the precomputed
     * `shingle_hashes` column when the caller materialized one (see
-    * [[withShingleHashes]]), else computed inline from `text`. */
+    * [[withShingleHashes]]), else computed inline from `text`. A
+    * precomputed column carrying a different shingle width than the
+    * operator's `n` is rejected — silently returning n=3 results from an
+    * n=4 call was the trap. */
   private def shingleArr(docs: DataFrame, n: Int) =
-    if (docs.columns.contains("shingle_hashes")) col("shingle_hashes")
-    else shingleHashes(col("text"), n)
+    if (docs.columns.contains("shingle_hashes")) {
+      val meta = docs.schema("shingle_hashes").metadata
+      if (meta.contains(ShingleNKey)) {
+        val built = meta.getLong(ShingleNKey)
+        require(built == n.toLong,
+          s"precomputed shingle_hashes was built with n=$built but the " +
+            s"operator was called with n=$n — re-run withShingleHashes(docs, $n)")
+      }
+      col("shingle_hashes")
+    } else shingleHashes(col("text"), n)
 
   /**
    * Precompute the per-doc distinct shingle-hash arrays ONCE, so a
    * pipeline running several dedup families over the same corpus (the
    * common curation stack: exact Jaccard audit + MinHash dedup) shares
    * a single tokenize+hash pass — `.persist()` the result and every
-   * DedupOps operator picks the column up instead of recomputing.
+   * DedupOps operator picks the column up instead of recomputing. The
+   * shingle width is stamped into the column metadata so a later
+   * operator call with a mismatched `n` fails instead of silently using
+   * the wrong width.
    */
-  def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.withColumn("shingle_hashes", shingleHashes(col("text"), n))
+  def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(ShingleNKey, n.toLong).build()
+    docs.withColumn("shingle_hashes",
+      shingleHashes(col("text"), n).as("shingle_hashes", meta))
+  }
 
   /** Exploded (doc_id, shingle-hash) inverted index — the shared substrate
     * for Jaccard and MinHash verification. Distinct hashes per doc. */
@@ -214,18 +236,33 @@ object DedupOps {
    * shape); the driver loop only checks convergence counts, never data.
    * Iterations needed = component diameter — near-dup clusters are
    * shallow (a dup of a dup of a dup…), so convergence is fast; `maxIter`
-   * bounds pathological chains. `localCheckpoint` cuts the growing
-   * lineage each round (standard for iterative Spark).
+   * bounds pathological chains, and hitting it with labels still moving
+   * raises (or warns, per `failOnNonConvergence`) instead of silently
+   * returning wrong representatives.
+   *
+   * Checkpointing: by default `localCheckpoint` cuts the growing lineage
+   * each round (executor-memory-held — fine for label-table state, the
+   * working set is one row per involved doc). For 1e9-node graphs on a
+   * real cluster pass `checkpointDir` to use reliable HDFS/S3
+   * `checkpoint` instead: iteration state survives executor loss, at the
+   * cost of a write per round.
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      failOnNonConvergence: Boolean = false): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     // materialize the edge list ONCE: `pairs` is usually an expensive
     // dedup computation (shingling + banding + verification) and appears
     // in every iteration's join — without this it would re-run per round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val edges = cut(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      eager = true)
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var labels = cut(nodes.withColumn("label", col("id")), eager = true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -233,15 +270,23 @@ object DedupOps {
       // each iteration runs ONE job (count) instead of two (checkpoint
       // job + count job) — iteration cost here is driver round-trips,
       // not data volume
-      val next = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("label"))
-        .unionAll(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(false)
+      val next = cut(
+        edges.join(labels, edges("dst") === labels("id"))
+          .select(col("src").as("id"), col("label"))
+          .unionAll(labels)
+          .groupBy("id").agg(min("label").as("label")),
+        eager = false)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels = next
       i += 1
+    }
+    if (changed > 0) {
+      val msg = s"duplicateClusters did NOT converge after $maxIter " +
+        s"iterations ($changed labels still changing): some component's " +
+        "diameter exceeds maxIter and its cluster_rep labels are wrong"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }

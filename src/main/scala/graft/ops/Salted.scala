@@ -27,7 +27,10 @@ object Salted {
    */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltExpr: Column, nSalts: Int = 16): DataFrame = {
-    val salted = large.withColumn("__salt", pmod(saltExpr, lit(nSalts.toLong)))
+    // A NULL saltExpr would make pmod NULL and silently drop the row from
+    // the equi-join — land NULLs in bucket 0 so the identity claim holds.
+    val salted = large.withColumn("__salt",
+      coalesce(pmod(saltExpr, lit(nSalts.toLong)), lit(0L)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

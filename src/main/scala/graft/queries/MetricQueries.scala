@@ -166,11 +166,11 @@ object MetricQueries {
     Some(IngestQueries.incomingSql +
       s""", agg AS (
          |  SELECT name,
-         |    SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS c1,
-         |    SUM(CASE WHEN value <= 30 THEN 1 ELSE 0 END) AS c2,
-         |    SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c3,
-         |    SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c4,
-         |    SUM(CASE WHEN value <= 500 THEN 1 ELSE 0 END) AS c5,
+         |    CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN value <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |    CAST(SUM(CASE WHEN value <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
          |    COUNT(*) AS cinf,
          |    ${Det.dsumSql("value")} AS sum_value
          |  FROM valid GROUP BY 1)

@@ -146,8 +146,8 @@ object WindowQueries {
          |                 THEN 1 ELSE 0 END AS boundary
          |  FROM ordered),
          |sessions AS (
-         |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id
-         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id,
          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -26,13 +26,18 @@ object Monitor {
 
   final class Listener extends StreamingQueryListener {
     private val stats = new ConcurrentHashMap[String, QueryStats]()
+    // QueryTerminatedEvent carries no name — remember each id's stats key
+    // at start so named queries get their terminated flag set too.
+    private val idToKey = new ConcurrentHashMap[String, String]()
 
     private def keyOf(id: java.util.UUID, name: String): String =
       if (name != null && name.nonEmpty) name else id.toString
 
-    override def onQueryStarted(event: QueryStartedEvent): Unit =
-      stats.putIfAbsent(keyOf(event.id, event.name),
-        QueryStats(0L, 0L, 0L, 0.0, terminated = false))
+    override def onQueryStarted(event: QueryStartedEvent): Unit = {
+      val k = keyOf(event.id, event.name)
+      idToKey.put(event.id.toString, k)
+      stats.putIfAbsent(k, QueryStats(0L, 0L, 0L, 0.0, terminated = false))
+    }
 
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val p = event.progress
@@ -49,7 +54,8 @@ object Monitor {
     override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-      stats.computeIfPresent(event.id.toString,
+      stats.computeIfPresent(
+        idToKey.getOrDefault(event.id.toString, event.id.toString),
         (_, s) => s.copy(terminated = true))
 
     /** Snapshot for a query by name (or id string). */

@@ -17,6 +17,12 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The driver's hash canonicalizes these types stably; anything else (HUGEINT
+# from SUM(BIGINT), DECIMAL, TIMESTAMP, ...) hashes differently from the
+# Spark parquet dump even when every cell compares equal through pandas
+# (int128 -> float64 makes 5.0 == 5). Fail the gate on sight.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "BOOLEAN"}
+
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
@@ -30,9 +36,17 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in sorted(oracles):
         sql = oracles[name]
         try:
-            want = con.sql(sql).df()
+            rel = con.sql(sql)
+            bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                         if str(t) not in ALLOWED_TYPES]
+            want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: oracle column types outside "
+                  f"{sorted(ALLOWED_TYPES)}: {bad_types} — CAST them")
             failures += 1
             continue
         try:
