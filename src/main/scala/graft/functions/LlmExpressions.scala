@@ -223,20 +223,31 @@ case class SimHashExpr(child: Expression, bits: Int = 32) extends UnaryExpressio
 }
 
 /**
- * In-order dot product of two float-array columns, accumulated in
- * double with each element cast BEFORE the multiply — bit-identical to
- * the oracle's list_reduce fold and TextFunctions.dotProduct.
+ * In-order dot product of two float- or double-array columns, accumulated
+ * in double with each element cast BEFORE the multiply — bit-identical to
+ * the oracle's list_reduce fold and TextFunctions.dotProduct. The element
+ * accessor is chosen from each side's compile-time type, so float corpus
+ * vectors dot double k-means centroids with no conversion pass.
  */
 case class VecDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDoubleArr(left), isDoubleArr(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      s += (if (xd) x.getDouble(i) else x.getFloat(i).toDouble) *
+        (if (yd) y.getDouble(i) else y.getFloat(i).toDouble)
+      i += 1
+    }
     s
   }
   // The hottest expression (3 dots per candidate pair in cosine): the
@@ -246,11 +257,14 @@ case class VecDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val nVar = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def get(arr: String, e: Expression): String =
+        if (isDoubleArr(e)) s"$arr.getDouble($i)"
+        else s"((double) $arr.getFloat($i))"
       s"""
          |int $nVar = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $nVar; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin

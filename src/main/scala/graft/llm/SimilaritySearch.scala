@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,28 +115,61 @@ object SimilaritySearch {
    * comes from k-means on a sample and the plan shape is identical
    * (broadcast centroids → per-row argmax assignment → probe-list join).
    *
-   * Assignment cost is one broadcast pass: n·nCells scored rows flow
-   * through a map-side-combined argmax (max over a (cos, -cell) struct),
-   * never shuffling the corpus before aggregation.
+   * Assignment is a SCAN-STAGE argmax: the centroid table is folded into
+   * ONE row holding a cell-ascending array of (cell_id, cvec) structs,
+   * broadcast, and each corpus row picks its nearest cell with a
+   * higher-order `aggregate` fold over that array — the corpus is never
+   * shuffled (and never replicated ×nCells) before the probe join. Ties
+   * keep the earliest (= smallest) cell_id, matching a
+   * `row_number() ORDER BY ccos DESC, cell_id` argmax. (Round 3's
+   * crossJoin + groupBy-argmax moved every corpus row, embedding
+   * included, through a shuffle just to pick the cell — at 100 TB that
+   * shuffle simply disappears here.)
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosine(col("embedding"), col("cvec")).as("ccos"))
-      .groupBy(col("vec_id"))
-      // every replicated row carries the same embedding; min is the
-      // deterministic way to say "any" (first() is flagged nondeterministic)
-      .agg(min(col("embedding")).as("embedding"),
-        max(struct(col("ccos"), (-col("cell_id")).as("ncell"))).as("m"))
-      .select(col("vec_id"), col("embedding"), (-col("m.ncell")).as("cell"))
+      nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      corpus.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec")),
+      nprobe)
+
+  /** Fold the one-row centroid-array column `cents` (cell-ascending
+    * array<struct<cell_id,cvec>>) against `vec`, returning the
+    * struct(ccos, cell) of the max-cosine cell. The strict `>` keeps the
+    * EARLIEST (= smallest) cell_id on ties — identical to a
+    * `row_number() ORDER BY ccos DESC, cell_id` argmax. */
+  private def nearestCell(cents: Column, vec: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val sc = cosine(vec, c.getField("cvec"))
+        when(sc > acc.getField("ccos"),
+          struct(sc.as("ccos"), c.getField("cell_id").as("cell")))
+          .otherwise(acc)
+      })
+
+  /** All centroids as ONE broadcast-ready row: array_sort on (cell_id,
+    * cvec) structs orders by cell_id, making the fold tie-break
+    * well-defined. */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(
+      struct(col("cell_id").cast("long").as("cell_id"), col("cvec")))).as("cents"))
+
+  /** [[ivfTopK]] with an explicit coarse-quantizer centroid table
+    * (cell_id, cvec) — the k-means path ([[kmeansCentroids]]) and the
+    * deterministic `vec_id < nCells` cut share this plan. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nprobe: Int = 4): DataFrame = {
+    val assigned = corpus.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("vec_id"), col("embedding"),
+        nearestCell(col("cents"), col("embedding")).getField("cell").as("cell"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id"))
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cell_id"), cosine(col("embedding"), col("cvec")).as("ccos"))
+        col("cell_id").cast("long").as("cell_id"),
+        cosine(col("embedding"), col("cvec")).as("ccos"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell_id").as("cell"))
@@ -150,6 +183,66 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .withColumn("cos", fround(col("cos"), 4))
   }
+
+  /**
+   * Coarse-quantizer centroids by k-means: `iters` Lloyd rounds over a
+   * deterministic hash sample (`vec_id % sampleMod == 0`), initialized
+   * from the `vec_id < nCells` cut. Assignment reuses the broadcast
+   * argmax fold the IVF search runs; the update is an integer-scaled
+   * per-dimension mean — each coordinate is `floor(x·10^6 + 0.5)` summed
+   * as BIGINT and divided exactly twice — so the double centroids are
+   * bit-reproducible regardless of aggregation order (the oracle
+   * determinism contract applied to k-means). Cells that lose all sample
+   * members keep their previous centroid.
+   *
+   * Scale shape: the per-iteration shuffle moves sample×dim scaled longs
+   * (never the corpus); centroid tables stay nCells rows throughout. The
+   * output feeds [[ivfTopKWith]], whose corpus assignment remains a
+   * shuffle-free scan-stage fold.
+   */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
+      sampleMod: Long = 3L): DataFrame = {
+    val Scale = 1000000.0
+    val sample = corpus.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    var cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val asg = sample.crossJoin(broadcast(centroidArray(cents)))
+        .select(col("vec_id"), col("embedding"),
+          nearestCell(col("cents"), col("embedding")).getField("cell").as("cell"))
+      val dims = asg
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * Scale + 0.5)).as("s"),
+          count(lit(1)).as("c"))
+      val means = dims.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("c").cast("double") / Scale).as("cv")))),
+          s => s.getField("cv")).as("mvec"))
+      cents = cents.as("o")
+        .join(means.as("n"), col("o.cell_id") === col("n.cell"), "left")
+        .select(col("o.cell_id").as("cell_id"),
+          coalesce(col("n.mvec"), col("o.cvec")).as("cvec"))
+    }
+    cents
+  }
+
+  /**
+   * SemDeDup-shaped semantic duplicate clusters: connected components
+   * over the embedding near-dup pair graph — [[embeddingNearDupPairs]]
+   * feeding DedupOps.duplicateClusters — closing the pairs → clusters →
+   * representative loop in embedding space exactly as q66 does for text.
+   * Keep rows where vec_id == cluster_rep, drop the rest.
+   */
+  def semanticDupClusters(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.4, tables: Int = 8, nbits: Int = 6,
+      maxIter: Int = 20): DataFrame =
+    DedupOps.duplicateClusters(
+      embeddingNearDupPairs(embeddings, dim, threshold, tables, nbits),
+      maxIter)
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
 
   /**
    * Embedding near-dup pairs: LSH candidates (any shared bucket, distinct

@@ -601,6 +601,120 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  // q70 — SemDeDup-shaped semantic dedup closure: the q42 embedding
+  // near-dup pairs fed through the q66 connected-components operator,
+  // labeling every vector with its embedding-space duplicate cluster's
+  // min vec_id. Oracle: the q42 pair SQL under the same recursive-CTE
+  // reachability closure as q66.
+  val q70 = Q(
+    "q70_semantic_dedup_clusters",
+    (s, d) => SimilaritySearch.semanticDupClusters(
+      Tables.embeddings(s, d), dim, threshold = 0.4,
+      tables = lshTables, nbits = lshBits)
+      .orderBy("vec_id"),
+    Some(
+      s"""WITH RECURSIVE buckets AS (${bucketsCte("embeddings")}),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b),
+         |prs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS vec_id, MIN(b) AS cluster_rep
+         |FROM reach GROUP BY a ORDER BY a""".stripMargin))
+
+  // q71 — IVF with k-means coarse quantizer: 2 Lloyd rounds over the
+  // vec_id % 3 deterministic sample, init = the q54 cut. The oracle
+  // replays each round as CTEs: argmax assignment, integer-scaled
+  // per-dimension means (CAST BIGINT — SUM would go HUGEINT), exactly
+  // two IEEE divisions per coordinate — so Spark's double centroids are
+  // bit-equal and the final probe/rank stage matches q54's shape.
+  private val kmSampleMod = 3
+  private val kmScale = "1000000.0"
+
+  /** One Lloyd-round CTE chain: sample assignment against cents$prev →
+    * scaled per-dim means → cents$i (empty cells keep prior centroid). */
+  private def lloydCtes(i: Int, prev: String): String =
+    s"""asg$i AS (
+       |  SELECT s.vec_id, s.embedding, c.cell_id,
+       |         ${cosineSql("s.embedding", "c.cvec")} AS ccos
+       |  FROM sample s CROSS JOIN $prev c),
+       |a$i AS (
+       |  SELECT vec_id, embedding, cell_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell_id) AS rn FROM asg$i) WHERE rn = 1),
+       |d$i AS (
+       |  SELECT cell, i AS pos,
+       |         CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * $kmScale + 0.5)
+       |           AS BIGINT)) AS BIGINT) AS s,
+       |         COUNT(*) AS c
+       |  FROM a$i CROSS JOIN range($dim) r(i) GROUP BY 1, 2),
+       |m$i AS (
+       |  SELECT cell AS cell_id,
+       |         list(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / $kmScale
+       |           ORDER BY pos) AS cvec
+       |  FROM d$i GROUP BY 1),
+       |cents$i AS (
+       |  SELECT p.cell_id, COALESCE(m.cvec, p.cvec) AS cvec
+       |  FROM $prev p LEFT JOIN m$i m USING (cell_id))""".stripMargin
+
+  val q71 = Q(
+    "q71_ann_ivf_kmeans",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopKWith(e, e.filter(col("vec_id") < 8), k = 3,
+        SimilaritySearch.kmeansCentroids(e, nCells = ivfCells, iters = 2,
+          sampleMod = kmSampleMod.toLong),
+        nprobe = ivfProbe)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH sample AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $kmSampleMod = 0),
+         |cents0 AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS cell_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id < $ivfCells),
+         |${lloydCtes(1, "cents0")},
+         |${lloydCtes(2, "cents1")},
+         |fin AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |         ${cosineSql("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents2 c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM fin)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM fin WHERE vec_id < 8)
+         |  WHERE rn <= $ivfProbe),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${cosineSql("p.qe", "a.embedding")} AS cos
+         |  FROM probes p JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   // ---------------------------------------------------------- multimodal
 
   val q45 = Q(
@@ -724,5 +838,6 @@ object LlmQueries {
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
+    q70, q71)
 }

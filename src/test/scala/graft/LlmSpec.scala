@@ -184,6 +184,85 @@ class LlmSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("native dotProduct handles double and mixed arrays, bit-equal to the HOF fold") {
+    val dd = embs.select(
+      transform(col("embedding"), x => x.cast("double")).as("demb"),
+      col("embedding"))
+    val diffD = dd.select(
+      dotProduct(col("demb"), col("demb")).as("a"),
+      dotProductHof(col("demb"), col("demb")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffD === 0)
+    // float corpus vector × double centroid — the q71 hot path
+    val diffM = dd.select(
+      dotProduct(col("embedding"), col("demb")).as("a"),
+      dotProductHof(col("embedding"), col("demb")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffM === 0)
+  }
+
+  test("k-means centroids keep nCells cells and IVF search quality is bounded by brute force") {
+    val cents = SimilaritySearch.kmeansCentroids(embs, nCells = 16, iters = 2)
+    assert(cents.count() === 16)
+    val q = embs.filter(col("vec_id") < 4)
+    val ivf = SimilaritySearch.ivfTopKWith(embs, q, k = 3, cents)
+    assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+    val bf1 = SimilaritySearch.bruteForceTopK(embs, q, k = 1)
+      .select(col("query_id"), col("cos").as("bf_cos"))
+    val ivf1 = ivf.filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("ivf_cos"))
+    assert(bf1.join(ivf1, "query_id")
+      .filter(col("ivf_cos") > col("bf_cos")).count() === 0)
+  }
+
+  test("semantic dedup clusters: embedding chain collapses transitively") {
+    import spark.implicits._
+    // v2 = e1; v1/v3 are ±18° rotations of v2 in the (e1,e2) plane:
+    // cos(v1,v2) = cos(v2,v3) = cos 18° ≈ 0.951, cos(v1,v3) = cos 36° ≈
+    // 0.809 — so at threshold 0.9 the only edges are 1-2 and 2-3, and only
+    // the transitive closure puts all three in one cluster. v10/v11 are
+    // orthogonal singletons and must not appear at all.
+    val c18 = math.cos(math.Pi / 10).toFloat
+    val s18 = math.sin(math.Pi / 10).toFloat
+    def vec(a: Float, b: Float, tail: Int = 0): Array[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(0) = a; v(1) = b
+      if (tail > 0) { v(0) = 0f; v(1) = 0f; v(tail) = 1.0f }
+      v
+    }
+    val vecs = Seq(
+      (1L, vec(c18, s18)), (2L, vec(1.0f, 0.0f)), (3L, vec(c18, -s18)),
+      (10L, vec(0f, 0f, tail = 20)), (11L, vec(0f, 0f, tail = 40)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch.embeddingNearDupPairs(e, 64, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L))) // no direct 1-3 edge
+    val clusters = SimilaritySearch.semanticDupClusters(e, 64, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("precomputed shingle_hashes with a mismatched n is rejected") {
+    val pre = DedupOps.withShingleHashes(docs, 3)
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.ngramJaccardPairs(pre, n = 4, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("n=3"))
+  }
+
+  test("duplicateClusters surfaces non-convergence instead of returning wrong labels") {
+    import spark.implicits._
+    // path 1-2-3-4-5 has diameter 4 > maxIter=1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.duplicateClusters(pairs, maxIter = 1, failOnNonConvergence = true)
+    }
+    assert(e.getMessage.contains("NOT converge"))
+    // and with the default it still returns (possibly unconverged) labels
+    assert(DedupOps.duplicateClusters(pairs, maxIter = 1).count() === 5)
+  }
+
   test("StubDecoder is deterministic byte statistics") {
     val f = Multimodal.StubDecoder.decode(7L, "abc".getBytes("UTF-8"))
     assert(f === Multimodal.MediaFeatures(7L, 3L, (97 + 98 + 99) / 3.0, 97, 99))

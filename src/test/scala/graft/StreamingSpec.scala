@@ -223,6 +223,12 @@ class StreamingSpec extends SparkSpec {
         assert(s.inputRows === 3)
         assert(s.batches >= 2)
       } finally q.stop()
+      // terminated must land on the NAME key (QueryTerminatedEvent only
+      // carries the id — the listener maps it back)
+      val deadline2 = System.currentTimeMillis() + 10000
+      def term = mon.snapshot("monitored_out").exists(_.terminated)
+      while (!term && System.currentTimeMillis() < deadline2) Thread.sleep(50)
+      assert(mon.snapshot("monitored_out").exists(_.terminated))
     } finally spark.streams.removeListener(mon)
   }
 
