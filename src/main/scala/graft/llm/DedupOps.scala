@@ -232,11 +232,14 @@ object DedupOps {
    * dedup pipeline ends with (keep = labels where doc_id == cluster_rep,
    * drop the rest).
    *
-   * Each iteration is one distributed join + min-aggregate (Pregel
-   * shape); the driver loop only checks convergence counts, never data.
-   * Iterations needed = component diameter — near-dup clusters are
-   * shallow (a dup of a dup of a dup…), so convergence is fast; `maxIter`
-   * bounds pathological chains, and hitting it with labels still moving
+   * Each iteration is a neighbor-min join + aggregate (Pregel shape)
+   * followed by a POINTER JUMP — every node also adopts its current
+   * label's label (`l(v) ← min(l(v), l(l(v)))`), halving the remaining
+   * chain depth each round — so convergence needs O(log diameter)
+   * iterations, not O(diameter): measured on a 100-node path, 9 rounds
+   * instead of 99 (SCALE.md). The driver loop only checks convergence
+   * counts, never data. `maxIter` still bounds pathological graphs
+   * (2^maxIter diameter ceiling), and hitting it with labels moving
    * raises (or warns, per `failOnNonConvergence`) instead of silently
    * returning wrong representatives.
    *
@@ -270,11 +273,19 @@ object DedupOps {
       // each iteration runs ONE job (count) instead of two (checkpoint
       // job + count job) — iteration cost here is driver round-trips,
       // not data volume
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump through the PREVIOUS round's labels (checkpointed →
+      // lineage-distinct, so no self-join ambiguity): label values are
+      // node ids and `labels` covers every node, so the join is total.
       val next = cut(
-        edges.join(labels, edges("dst") === labels("id"))
-          .select(col("src").as("id"), col("label"))
-          .unionAll(labels)
-          .groupBy("id").agg(min("label").as("label")),
+        nbrMin
+          .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
+            nbrMin("label") === col("jid"))
+          .select(nbrMin("id").as("id"),
+            least(col("label"), col("jlabel")).as("label")),
         eager = false)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
