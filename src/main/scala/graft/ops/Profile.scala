@@ -18,12 +18,23 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Profile numeric columns: one output row per column with
-    * (col_name, n_rows, n_null, n_distinct, vmin, vmax). */
-  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * (col_name, n_rows, n_null, n_distinct, vmin, vmax).
+    *
+    * `approx = false` (the oracle-checked default) counts distincts
+    * exactly: Catalyst plans the multi-distinct via Expand, multiplying
+    * every row ×N columns before the shuffle — fine to ~1e9 rows, the
+    * wrong trade at 100 TB. `approx = true` swaps in HLL
+    * `approx_count_distinct` (±~2.3% standard error): no Expand, no
+    * per-value shuffle state, a single partial-aggregate pass — the
+    * plan profiling should have at full scale. */
+  def numeric(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    def nd(c: String) =
+      if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
     val aggs = cols.flatMap(c => Seq(
       count(lit(1)).as(s"__n_$c"),
       (count(lit(1)) - count(col(c))).as(s"__nn_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
+      nd(c).as(s"__nd_$c"),
       min(col(c)).cast("double").as(s"__mn_$c"),
       max(col(c)).cast("double").as(s"__mx_$c")))
     val stacked = cols.map(c =>

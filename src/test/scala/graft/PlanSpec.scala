@@ -56,4 +56,15 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q20_broadcast_join")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
   }
+
+  test("q54: IVF assignment is scan-stage — corpus never shuffles before the probe join") {
+    val p = planOf("q54_ann_ivf_topk")
+    // the single-row centroid array reaches the corpus as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid array should broadcast")
+    // the only hash shuffles are the two query_id windows (probe ranking
+    // + final ranking); round 3's groupBy(vec_id) argmax added a third,
+    // moving every corpus row (embedding included) across the network
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles <= 2, s"corpus assignment should not shuffle, saw $shuffles hash exchanges")
+  }
 }

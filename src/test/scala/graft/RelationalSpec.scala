@@ -25,6 +25,26 @@ class RelationalSpec extends SparkSpec {
     assert(maxErr < 0.05, s"max relative error $maxErr")
   }
 
+  test("Profile approx mode: HLL distincts within bounds, no Expand in the plan") {
+    import graft.model.Tables
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val exact = graft.ops.Profile.numeric(li, cols)
+    val approx = graft.ops.Profile.numeric(li, cols, approx = true)
+    val joined = exact.select(col("col_name"), col("n_distinct").as("nd_e"))
+      .join(approx.select(col("col_name"), col("n_distinct").as("nd_a")), "col_name")
+      .withColumn("rel_err",
+        abs(col("nd_a") - col("nd_e")).cast("double") / col("nd_e"))
+    assert(joined.agg(max("rel_err")).head().getDouble(0) < 0.10)
+    // everything except n_distinct must be identical
+    val other = exact.drop("n_distinct").exceptAll(approx.drop("n_distinct"))
+    assert(other.count() === 0)
+    // exact pays the Expand row-multiplication; approx must not
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile should be a plain partial-aggregate pass")
+  }
+
   test("percentile_approx tracks exact percentiles within its rank bound") {
     val valid = IngestQueries.valid(spark, sfDir)
     val both = valid.groupBy("name").agg(
