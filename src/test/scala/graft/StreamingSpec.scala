@@ -203,6 +203,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment == batch AsOfJoin on the q64 fixture (cross-batch state)") {
+    import graft.streaming.StreamAsOf
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+
+    val e = graft.model.Tables.events(s2, sfDir)
+    val purchases = graft.ops.Dedup.latestByKey(
+      e.filter(col("event_type") === "purchase"),
+      Seq("user_id", "ts"), Seq(col("event_id")))
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts_ms"),
+        col("value").as("payload"))
+    val clicks = e.filter(col("event_type") === "click" && col("user_id") < 100)
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"))
+    val rows = {
+      import s2.implicits._
+      StreamAsOf.tagged(purchases, clicks).as[StreamAsOf.Tagged].collect()
+    }
+    // two micro-batches split at the median timestamp: per-key event-time
+    // order holds across the split, so the stream must reproduce the
+    // batch operator exactly, with state carrying over the boundary
+    val mid = rows.map(_.ts_ms).sorted.apply(rows.length / 2)
+
+    val source = MemoryStream[StreamAsOf.Tagged]
+    val q = StreamAsOf.enrich(source.toDF())
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("update").start()
+    try {
+      source.addData(rows.filter(_.ts_ms <= mid).toSeq)
+      q.processAllAvailable()
+      source.addData(rows.filter(_.ts_ms > mid).toSeq)
+      q.processAllAvailable()
+      val streaming = {
+        import s2.implicits._
+        s2.table("asof_stream_out").as[StreamAsOf.Enriched].collect()
+          .map(x => (x.event_id, x.asof_ts, x.asof_payload)).toSet
+      }
+      val batch = graft.ops.AsOfJoin.asof(
+        clicks.select(col("event_id"), col("key").as("user_id"), col("ts_ms").as("ts")),
+        purchases.select(col("key").as("user_id"), col("ts_ms").as("ts"), col("payload")),
+        "user_id", "ts", "ts")
+        .select(col("event_id"), col("asof.ts").as("ats"), col("asof.payload").as("ap"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(streaming === batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("A5' monitor listener accumulates per-query streaming progress") {
     implicit val sqlCtx = spark.sqlContext
     val mon = graft.streaming.Monitor.attach(spark)
