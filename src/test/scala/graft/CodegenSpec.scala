@@ -1,0 +1,47 @@
+package graft
+
+import graft.llm.TextFunctions._
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Proof that every custom Catalyst expression really participates in
+ * codegen: Spark SILENTLY falls back to interpreted eval when generated
+ * Java fails to compile, so a doGenCode bug costs 10-100× on the hot
+ * paths without failing anything. This suite runs each native function
+ * under CODEGEN_ONLY with fallback disabled — a broken doGenCode throws
+ * instead of degrading.
+ */
+class CodegenSpec extends SparkSpec {
+
+  private lazy val s2 = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s
+  }
+  private lazy val docs = Tables.documents(s2, sfDir)
+  private lazy val embs = Tables.embeddings(s2, sfDir)
+
+  test("all six native expressions compile under CODEGEN_ONLY (no fallback)") {
+    assert(docs.select(
+      polyHash(col("text")).as("ph"),
+      shingleHashes(col("text")).as("sh"),
+      minhashSig(shingleHashes(col("text")), 32).as("mh"),
+      simhashOfHashes(shingleHashList(col("text"), 3, P), 32).as("simh"))
+      .count() > 0)
+    assert(embs.select(
+      dotProduct(col("embedding"), col("embedding")).as("dot"),
+      hyperplaneBucketAt(col("embedding"), 64, 6, 12).as("hb"))
+      .count() > 0)
+  }
+
+  test("VecDotExpr codegen covers double and mixed element types") {
+    val d = embs.select(col("embedding"),
+      transform(col("embedding"), x => x.cast("double")).as("demb"))
+    assert(d.select(
+      dotProduct(col("demb"), col("demb")).as("dd"),
+      dotProduct(col("embedding"), col("demb")).as("fd"))
+      .count() > 0)
+  }
+}

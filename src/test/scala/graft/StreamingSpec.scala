@@ -13,11 +13,13 @@ import scala.jdk.CollectionConverters._
  * standing in for Kafka, mirroring the reference's integration tests
  * (send → drain → consume → assert) without a broker.
  */
+// top-level so Tungsten codegen can reach the accessors (a private inner
+// case class forces every encoder projection into interpreted fallback)
+private[graft] case class Ev(id: String, name: String, topic: String,
+    props: Map[String, String], clientTimestamp: Long, ts: Timestamp)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Ev(id: String, name: String, topic: String,
-      props: Map[String, String], clientTimestamp: Long, ts: Timestamp)
 
   private def ev(id: String, name: String = "e", topic: String = "t",
       tsMs: Long = 1704067200000L): Ev =
