@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *  - graft_simhash(array<bigint>) -> bigint
  *  - graft_vec_dot(array<float>, array<float>) -> double
  *  - graft_hyperplane_bucket(array<float>, nbits, offset) -> bigint
+ *  - graft_nearest_cell(array<float>, array<struct<cell_id,cvec>>) -> bigint
  */
 object GraftExtensions {
   /** Register the SQL functions on an ALREADY-RUNNING session (the
@@ -86,6 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[HyperplaneBucketExpr]) {
       case Seq(v, n, o) =>
         HyperplaneBucketExpr(v, intLit(n, "nbits"), intLit(o, "offset"))
+    }
+    register("graft_nearest_cell",
+      "graft_nearest_cell(vec, cents) - argmax-cosine cell_id over array<struct<cell_id,cvec>>",
+      classOf[NearestCellExpr]) {
+      case Seq(v, c) => NearestCellExpr(v, c)
     }
     out.result()
   }

@@ -141,6 +141,56 @@ object LlmExprs {
     (h5 % 2000003L) - 1000001L
   }
 
+  /** Static entry for NearestCellExpr codegen/eval: argmax-cosine cell id
+    * over a cell-ascending array<struct<cell_id, cvec>>. Bit-identical to
+    * folding TextFunctions.cosine per cell with strict `>` (earliest cell
+    * wins ties): every per-cell comparison sees the SAME IEEE value —
+    * dot/(|v|·|c|), multiplications in that order — the only change is
+    * hoisting |v| out of the loop, which is the same bits computed once.
+    * `vd`/`cd` select float vs double element accessors (compile-time
+    * types of the two sides). */
+  def nearestCell(v: ArrayData, cents: ArrayData, vd: Boolean, cd: Boolean): Long = {
+    val n = v.numElements()
+    var nvv = 0.0
+    var i = 0
+    while (i < n) {
+      val a = if (vd) v.getDouble(i) else v.getFloat(i).toDouble
+      nvv += a * a
+      i += 1
+    }
+    val nv = math.sqrt(nvv)
+    var bestCos = -2.0
+    var bestCell = -1L
+    var ci = 0
+    val nc = cents.numElements()
+    while (ci < nc) {
+      val st = cents.getStruct(ci, 2)
+      val cell = st.getLong(0)
+      val cv = st.getArray(1)
+      val cn = cv.numElements()
+      val m = math.min(n, cn)
+      var d = 0.0
+      var k = 0
+      while (k < m) {
+        val a = if (vd) v.getDouble(k) else v.getFloat(k).toDouble
+        val b = if (cd) cv.getDouble(k) else cv.getFloat(k).toDouble
+        d += a * b
+        k += 1
+      }
+      var cc = 0.0
+      var j = 0
+      while (j < cn) {
+        val b = if (cd) cv.getDouble(j) else cv.getFloat(j).toDouble
+        cc += b * b
+        j += 1
+      }
+      val sc = d / (nv * math.sqrt(cc))
+      if (sc > bestCos) { bestCos = sc; bestCell = cell }
+      ci += 1
+    }
+    bestCell
+  }
+
   /** Static entry for HyperplaneBucketExpr codegen/eval. */
   def hyperplaneBucket(x: ArrayData, nbits: Int, bitOffset: Int): Long = {
     val dim = x.numElements()
@@ -269,6 +319,39 @@ case class VecDotExpr(left: Expression, right: Expression)
          |${ev.value} = $s;
        """.stripMargin
     })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
+ * Argmax-cosine cell assignment: fold a (broadcast) cell-ascending
+ * array<struct<cell_id long, cvec array<float|double>>> against a
+ * vector column, returning the nearest cell's id (ties → smallest
+ * cell_id). The IVF assignment hot path: one codegen'd loop per row
+ * instead of a CodegenFallback higher-order aggregate re-walking an
+ * interpreted lambda tree per cell — and the probe vector's norm hoists
+ * out of the cell loop (same bits, computed once instead of nCells
+ * times). Bit-identical to the HOF fold (LlmSpec).
+ */
+case class NearestCellExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  private def isDoubleArr(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def vecDouble: Boolean = isDoubleArr(left.dataType)
+  private def centDouble: Boolean = right.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      isDoubleArr(fields(1).dataType)
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LlmExprs.nearestCell(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      vecDouble, centDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LlmExprs.nearestCell($a, $b, $vecDouble, $centDouble)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -133,22 +133,6 @@ object SimilaritySearch {
         .select(col("vec_id").as("cell_id"), col("embedding").as("cvec")),
       nprobe)
 
-  /** Fold the one-row centroid-array column `cents` (cell-ascending
-    * array<struct<cell_id,cvec>>) against `vec`, returning the
-    * struct(ccos, cell) of the max-cosine cell. The strict `>` keeps the
-    * EARLIEST (= smallest) cell_id on ties — identical to a
-    * `row_number() ORDER BY ccos DESC, cell_id` argmax. */
-  private def nearestCell(cents: Column, vec: Column): Column =
-    aggregate(
-      cents,
-      struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val sc = cosine(vec, c.getField("cvec"))
-        when(sc > acc.getField("ccos"),
-          struct(sc.as("ccos"), c.getField("cell_id").as("cell")))
-          .otherwise(acc)
-      })
-
   /** All centroids as ONE broadcast-ready row: array_sort on (cell_id,
     * cvec) structs orders by cell_id, making the fold tie-break
     * well-defined. */
@@ -163,7 +147,7 @@ object SimilaritySearch {
       cents: DataFrame, nprobe: Int = 4): DataFrame = {
     val assigned = corpus.crossJoin(broadcast(centroidArray(cents)))
       .select(col("vec_id"), col("embedding"),
-        nearestCell(col("cents"), col("embedding")).getField("cell").as("cell"))
+        nearestCellIdx(col("cents"), col("embedding")).as("cell"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id"))
     val probes = queries.crossJoin(broadcast(cents))
@@ -211,7 +195,7 @@ object SimilaritySearch {
     for (_ <- 0 until iters) {
       val asg = sample.crossJoin(broadcast(centroidArray(cents)))
         .select(col("vec_id"), col("embedding"),
-          nearestCell(col("cents"), col("embedding")).getField("cell").as("cell"))
+          nearestCellIdx(col("cents"), col("embedding")).as("cell"))
       val dims = asg
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))

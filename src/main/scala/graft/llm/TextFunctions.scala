@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.functions.{HyperplaneBucketExpr, MinHashSigExpr, PolyHashExpr, ShingleHashList, SimHashExpr, VecDotExpr}
+import graft.functions.{HyperplaneBucketExpr, MinHashSigExpr, NearestCellExpr, PolyHashExpr, ShingleHashList, SimHashExpr, VecDotExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
 import org.apache.spark.sql.functions._
@@ -183,6 +183,28 @@ object TextFunctions {
   /** Cosine similarity via deterministic in-order folds. */
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Argmax-cosine cell id of `vec` over a cell-ascending
+    * array<struct<cell_id, cvec>> column (ties → smallest cell_id) —
+    * the IVF assignment step as ONE codegen'd loop. Native expression;
+    * [[nearestCellIdxHof]] is the reference formulation. */
+  def nearestCellIdx(cents: Column, vec: Column): Column =
+    ofExpr(NearestCellExpr(exprOf(vec), exprOf(cents)))
+
+  /** HOF reference implementation of [[nearestCellIdx]]: fold with
+    * strict `>` so the earliest (= smallest, the array being sorted)
+    * cell_id wins ties — identical to a
+    * `row_number() ORDER BY ccos DESC, cell_id` argmax. */
+  def nearestCellIdxHof(cents: Column, vec: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val sc = cosine(vec, c.getField("cvec"))
+        when(sc > acc.getField("ccos"),
+          struct(sc.as("ccos"), c.getField("cell_id").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
 
   /**
    * Signed random-hyperplane LSH bucket over `dim`-dimensional float

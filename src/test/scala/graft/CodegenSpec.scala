@@ -44,4 +44,14 @@ class CodegenSpec extends SparkSpec {
       dotProduct(col("embedding"), col("demb")).as("fd"))
       .count() > 0)
   }
+
+  test("NearestCellExpr compiles under CODEGEN_ONLY") {
+    val cents = embs.filter(col("vec_id") < 8)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").cast("long").as("cell_id"),
+        col("embedding").as("cvec")))).as("cents"))
+    assert(embs.crossJoin(broadcast(cents))
+      .select(nearestCellIdx(col("cents"), col("embedding")).as("cell"))
+      .filter(col("cell") >= 0).count() > 0)
+  }
 }

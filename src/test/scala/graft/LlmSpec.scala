@@ -201,6 +201,21 @@ class LlmSpec extends SparkSpec {
     assert(diffM === 0)
   }
 
+  test("native nearestCellIdx == HOF fold on every embedding, float and double centroids") {
+    def centArr(cast: Boolean) = embs.filter(col("vec_id") < 16)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").cast("long").as("cell_id"),
+        (if (cast) transform(col("embedding"), x => x.cast("double"))
+         else col("embedding")).as("cvec")))).as("cents"))
+    for (doubleCents <- Seq(false, true)) {
+      val diff = embs.crossJoin(broadcast(centArr(doubleCents)))
+        .select(nearestCellIdx(col("cents"), col("embedding")).as("a"),
+          nearestCellIdxHof(col("cents"), col("embedding")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0, s"doubleCents=$doubleCents")
+    }
+  }
+
   test("k-means centroids keep nCells cells and IVF search quality is bounded by brute force") {
     val cents = SimilaritySearch.kmeansCentroids(embs, nCells = 16, iters = 2)
     assert(cents.count() === 16)
