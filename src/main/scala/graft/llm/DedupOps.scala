@@ -302,6 +302,19 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /**
+   * The dedup pipeline's final step: drop every clustered doc except its
+   * representative. `clusters` is [[duplicateClusters]] output (docs not
+   * in any cluster aren't listed and are kept); the non-representative
+   * id set is cluster-count-sized and broadcasts, so the corpus passes
+   * through one anti-join with no shuffle of the docs themselves.
+   */
+  def dedupedCorpus(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      broadcast(clusters.filter(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+
   /** SimHash over shingle features: (doc_id, simhash long). The word-level
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */

@@ -169,6 +169,43 @@ object SimilaritySearch {
   }
 
   /**
+   * Multi-probe LSH ANN top-k: each query probes its own bucket PLUS the
+   * `nbits` single-bit-flip neighbor buckets in every table — the
+   * standard recall lever that scales with the QUERY side (queries ×
+   * (nbits+1) probe rows) instead of duplicating the corpus into more
+   * tables (corpus × tables rows). Candidate sets are supersets of
+   * [[lshCandidateTopK]]'s, so per-query result quality can only
+   * improve; exact-cosine ranking is unchanged.
+   */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+      k: Int, tables: Int = 8, nbits: Int = 6): DataFrame = {
+    val cb = lshBuckets(corpus, dim, tables, nbits)
+    val qb0 = lshBuckets(queries, dim, tables, nbits)
+    val qb = qb0.unionAll(qb0
+      .select(col("vec_id"), col("table"),
+        explode(array((0 until nbits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket")))
+    val cand = cb.as("c")
+      .join(broadcast(qb.as("q")),
+        col("q.table") === col("c.table") && col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scoredCand = cand
+      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scoredCand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", fround(col("cos"), 4))
+  }
+
+  /**
    * Coarse-quantizer centroids by k-means: `iters` Lloyd rounds over a
    * deterministic hash sample (`vec_id % sampleMod == 0`), initialized
    * from the `vec_id < nCells` cut. Assignment reuses the broadcast

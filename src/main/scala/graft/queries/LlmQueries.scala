@@ -715,6 +715,74 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  // q72 — multi-probe LSH ANN: each query also probes the nbits
+  // single-bit-flip neighbor buckets in every table, so recall grows
+  // with the query-side probe count ((nbits+1)× tiny) instead of
+  // corpus-side table replication (tables× huge). Candidates are a
+  // superset of q44's.
+  val q72 = Q(
+    "q72_ann_multiprobe_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.lshMultiProbeTopK(e, e.filter(col("vec_id") < 8), dim,
+        k = 3, tables = lshTables, nbits = lshBits)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH buckets AS (${bucketsCte("embeddings")}),
+         |qb0 AS (SELECT * FROM buckets WHERE vec_id < 8),
+         |qb AS (
+         |  SELECT vec_id, tbl, bucket FROM qb0
+         |  UNION ALL
+         |  SELECT vec_id, tbl, xor(bucket, CAST(2.0 ** j AS BIGINT)) AS bucket
+         |  FROM qb0, (SELECT unnest(range($lshBits)) AS j) js),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM buckets c JOIN qb
+         |    ON qb.tbl = c.tbl AND qb.bucket = c.bucket AND qb.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         ${cosineSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = query_id
+         |  JOIN embeddings eb ON eb.vec_id = neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  // q73 — dedup keep-list: the corpus with every clustered doc dropped
+  // except its min-id representative (q66's clusters applied) — the
+  // dedup pipeline's actual output table, closing pairs → clusters →
+  // filtered corpus end-to-end.
+  val q73 = Q(
+    "q73_deduped_corpus",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.dedupedCorpus(docs,
+        DedupOps.duplicateClusters(
+          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5)))
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $shingleCtes,
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
   // ---------------------------------------------------------- multimodal
 
   val q45 = Q(
@@ -839,5 +907,5 @@ object LlmQueries {
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
-    q70, q71)
+    q70, q71, q72, q73)
 }

@@ -258,6 +258,38 @@ class LlmSpec extends SparkSpec {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("multi-probe LSH: candidate superset means per-query rank-1 never worse than plain LSH") {
+    val q = embs.filter(col("vec_id") < 8)
+    val plain = SimilaritySearch.lshCandidateTopK(embs, q, 64, k = 3)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("plain_cos"))
+    val multi = SimilaritySearch.lshMultiProbeTopK(embs, q, 64, k = 3)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("multi_cos"))
+    // every query plain LSH answers, multi-probe answers at least as well
+    assert(plain.join(multi, "query_id")
+      .filter(col("multi_cos") < col("plain_cos")).count() === 0)
+    // and multi-probe answers at least as many queries
+    assert(multi.count() >= plain.count())
+  }
+
+  test("dedupedCorpus keeps exactly the representatives and unclustered docs") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, threshold = 0.5)
+    val clusters = DedupOps.duplicateClusters(pairs).persist()
+    try {
+      val kept = DedupOps.dedupedCorpus(docs, clusters)
+      val nDocs = docs.count()
+      val nClustered = clusters.count()
+      val nReps = clusters.filter(col("doc_id") === col("cluster_rep")).count()
+      assert(kept.count() === nDocs - (nClustered - nReps))
+      // every representative survives; no non-representative does
+      assert(clusters.filter(col("doc_id") === col("cluster_rep"))
+        .join(kept, "doc_id").count() === nReps)
+      assert(clusters.filter(col("doc_id") =!= col("cluster_rep"))
+        .join(kept, "doc_id").count() === 0)
+    } finally clusters.unpersist()
+  }
+
   test("precomputed shingle_hashes with a mismatched n is rejected") {
     val pre = DedupOps.withShingleHashes(docs, 3)
     val e = intercept[IllegalArgumentException] {
