@@ -190,6 +190,33 @@ object RelationalQueries {
          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY 1, 2""".stripMargin))
 
+  // GROUPING SETS — arbitrary subtotal combinations (the general form
+  // rollup/cube specialize), with grouping_id() disambiguating which
+  // set produced each row — the way a real report distinguishes "NULL
+  // key value" from "aggregated over this key".
+  val q74 = Q(
+    "q74_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "priority", "status"),
+    Some(
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       COALESCE(o_orderstatus, 'ALL') AS status,
+         |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         |       COUNT(*) AS n, ${Det.dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY GROUPING SETS (
+         |  (o_orderpriority, o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, priority, status""".stripMargin))
+
   // Set operations: (high-value clickers ∩ high-value purchasers) ∖
   // high-value errorers. Value thresholds keep each side a proper subset
   // of the user population so the result is non-trivial.
@@ -334,5 +361,5 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
 
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61, q67)
+    q25, q57, q60, q61, q67, q74)
 }
