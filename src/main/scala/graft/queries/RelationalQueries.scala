@@ -217,6 +217,25 @@ object RelationalQueries {
          |  (o_orderpriority, o_orderstatus), (o_orderpriority), ())
          |ORDER BY gid, priority, status""".stripMargin))
 
+  // Correlated scalar subquery (TPC-H Q17 shape): small-quantity orders
+  // below 20% of their part's average. Runs through spark.sql so the
+  // surface under test is Catalyst's decorrelation (subquery → aggregate
+  // + join, never a per-row re-execution); the SAME SQL text is the
+  // DuckDB oracle — the avg is the Det scaled-integer form, valid and
+  // bit-identical on both engines.
+  private val q75Sql =
+    s"""SELECT COUNT(*) AS n, ${Det.dsumSql("l_extendedprice")} AS revenue
+       |FROM lineitem l
+       |WHERE l_quantity < (SELECT ${Det.davgSql("i.l_quantity", 2)} * 0.2
+       |                    FROM lineitem i WHERE i.l_partkey = l.l_partkey)""".stripMargin
+  val q75 = Q(
+    "q75_correlated_subquery",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(q75Sql)
+    },
+    Some(q75Sql))
+
   // Set operations: (high-value clickers ∩ high-value purchasers) ∖
   // high-value errorers. Value thresholds keep each side a proper subset
   // of the user population so the result is non-trivial.
@@ -361,5 +380,5 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
 
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61, q67, q74)
+    q25, q57, q60, q61, q67, q74, q75)
 }

@@ -33,6 +33,16 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4, 0) AS b")
       .head().getLong(0)
     assert(b >= 0L && b < 16L)
+    // cell 1's centroid equals the probe vector -> cosine 1, argmax = 1
+    val cell = s.sql(
+      """SELECT graft_nearest_cell(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(named_struct('cell_id', CAST(0 AS BIGINT),
+        |          'cvec', array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))),
+        |        named_struct('cell_id', CAST(1 AS BIGINT),
+        |          'cvec', array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))))) AS c""".stripMargin)
+      .head().getLong(0)
+    assert(cell === 1L)
   }
 
   test("DESCRIBE FUNCTION reports usable metadata (ExpressionInfo wiring)") {

@@ -205,6 +205,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attach to impressions within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1704067200000L + s * 1000L)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    // both sides watermarked — Spark can then bound the join state and
+    // evict rows once the other side's watermark passes the interval
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 seconds")
+    val clkDf = clicks.toDF().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "10 seconds")
+    val joined = impDf.join(clkDf,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("interval 10 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(5)), (2L, ts(30))) // ad 2 clicks after the window
+      q.processAllAvailable()
+      val out = spark.table("ssjoin_out").select("ad_id").as[Long].collect()
+      assert(out.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment == batch AsOfJoin on the q64 fixture (cross-batch state)") {
     import graft.streaming.StreamAsOf
     val s2 = spark.newSession()
