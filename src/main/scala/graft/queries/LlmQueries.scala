@@ -66,48 +66,59 @@ object LlmQueries {
   private def stopListSql(wordsSeq: Seq[String]): String =
     wordsSeq.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Per-language stopword-hit score projections (over a `ws` word-list
+    * column) and the argmax CASE — shared by q36 and the q76 pipeline. */
+  private val langScoresSql: String = TextAnalysis.stopwords.map { case (l, ws) =>
+    s"CAST(len(list_filter(ws, x -> list_contains(${stopListSql(ws)}, x))) AS BIGINT) AS s_$l"
+  }.mkString(",\n  ")
+  private val langCaseSql: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, idx) =>
+      val conds = langs.drop(idx + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"CASE $cases\n    ELSE '${langs.last}' END"
+  }
+
   val q36 = Q(
     "q36_lang_id",
     (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
-    Some {
-      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
-        s"CAST(len(list_filter(ws, x -> list_contains(${stopListSql(ws)}, x))) AS BIGINT) AS s_$l"
-      }.mkString(",\n  ")
-      val langs = TextAnalysis.stopwords.map(_._1)
-      val cases = langs.init.zipWithIndex.map { case (l, idx) =>
-        val conds = langs.drop(idx + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString("\n    ")
+    Some(
       s"""WITH w AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS ws FROM documents),
          |scored AS (SELECT doc_id, labeled_lang,
-         |  $scores
+         |  $langScoresSql
          |FROM w),
          |pred AS (SELECT *,
-         |  CASE $cases
-         |    ELSE '${langs.last}' END AS pred_lang
+         |  $langCaseSql AS pred_lang
          |FROM scored)
          |SELECT *, CAST(pred_lang = labeled_lang AS INT) AS is_match
-         |FROM pred ORDER BY doc_id""".stripMargin
-    })
+         |FROM pred ORDER BY doc_id""".stripMargin))
+
+  /** Token/distinct/stopword count projections (over a `ws` word-list
+    * column) and the composite quality formula — shared by q37 and q76. */
+  private val qualityCountsSql: String = {
+    val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+    s"""CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop""".stripMargin
+  }
+  private val qualityExprSql: String =
+    Det.frSql("""least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+      |        + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3
+      |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3""".stripMargin, 4)
 
   val q37 = Q(
     "q37_quality_score",
     (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
-    Some {
-      val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+    Some(
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |c AS (SELECT doc_id,
-         |  CAST(len(ws) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
-         |  CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop
+         |  $qualityCountsSql
          |FROM w)
          |SELECT doc_id, n_tokens, n_distinct, n_stop,
          |  ${Det.frSql("CAST(n_distinct AS DOUBLE) / n_tokens", 4)} AS ttr,
-         |  ${Det.frSql("""least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-         |        + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3
-         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3""", 4)} AS quality
-         |FROM c ORDER BY doc_id""".stripMargin
-    })
+         |  $qualityExprSql AS quality
+         |FROM c ORDER BY doc_id""".stripMargin))
 
   val q38 = Q(
     "q38_fingerprint",
@@ -783,6 +794,86 @@ object LlmQueries {
          |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q76 — the END-TO-END curation pipeline, composed from the operators
+  // the registry checks individually: near-dup keep-list (q66/q73) →
+  // benchmark decontamination (q58) → content-hash split (q49), joined
+  // with language-ID (q36) and quality (q37) gates, summarized per
+  // (split, lang) — the table a training run actually consumes. One
+  // query proves the operators COMPOSE: every intermediate feeds the
+  // next with no materialization boundary, and Catalyst plans the whole
+  // chain as one job.
+  val q76 = Q(
+    "q76_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = DedupOps.dedupedCorpus(docs,
+        DedupOps.duplicateClusters(
+          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5)))
+      val clean = TextAnalysis.decontaminated(kept,
+        docs.filter(col("doc_id") % 50 === 0))
+      val lang = TextAnalysis.languageId(docs)
+        .select(col("doc_id"), col("pred_lang"))
+      val qual = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      TextAnalysis.withSplit(clean)
+        .join(lang, "doc_id").join(qual, "doc_id")
+        .filter(col("pred_lang").isin("en", "de") && col("quality") >= 0.64)
+        .groupBy(col("split"), col("pred_lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("split", "lang")
+    },
+    Some {
+      val normExpr =
+        "regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+      s"""WITH RECURSIVE $shingleCtes,
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |  WHERE l.doc_id IS NULL OR l.rep = d.doc_id),
+         |benchfp AS (
+         |  SELECT CASE WHEN length(norm) = 0 THEN 0
+         |              ELSE ${polyHashSql("norm")} END AS f
+         |  FROM (SELECT $normExpr AS norm FROM documents WHERE doc_id % 50 = 0)),
+         |clean AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CASE WHEN length(norm) = 0 THEN 0
+         |           ELSE ${polyHashSql("norm")} END AS f
+         |    FROM (SELECT doc_id, text, $normExpr AS norm FROM kept))
+         |  WHERE f NOT IN (SELECT f FROM benchfp)),
+         |assigned AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${polyHashSql("text")} % 100 < 90 THEN 'train'
+         |         WHEN ${polyHashSql("text")} % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean),
+         |lw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |lscored AS (SELECT doc_id,
+         |  $langScoresSql
+         |FROM lw),
+         |langp AS (SELECT doc_id, $langCaseSql AS pred_lang FROM lscored),
+         |qc AS (SELECT doc_id,
+         |  $qualityCountsSql
+         |FROM lw),
+         |qualp AS (SELECT doc_id, n_tokens, $qualityExprSql AS quality FROM qc)
+         |SELECT a.split, l.pred_lang AS lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens
+         |FROM assigned a
+         |JOIN langp l ON l.doc_id = a.doc_id
+         |JOIN qualp q ON q.doc_id = a.doc_id
+         |WHERE l.pred_lang IN ('en', 'de') AND q.quality >= 0.64
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
+
   // ---------------------------------------------------------- multimodal
 
   val q45 = Q(
@@ -907,5 +998,5 @@ object LlmQueries {
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
-    q70, q71, q72, q73)
+    q70, q71, q72, q73, q76)
 }
