@@ -224,5 +224,32 @@ object WindowQueries {
         |FROM w JOIN c ON c.ts >= w_start AND c.ts < w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47, q64, q65)
+  // q77 — analytic-distribution windows: percent_rank / cume_dist /
+  // nth_value over a uniquely-ordered frame. (rank-1)/(N-1) and
+  // rank/N are single IEEE divisions of exact integers, so the doubles
+  // are bit-identical cross-engine with no rounding; the unique
+  // (value, event_id) ordering makes RANGE == ROWS for nth_value.
+  val q77 = Q(
+    "q77_distribution_windows",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 25)
+        .select(col("event_type"), col("event_id"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("event_id"), 3).over(w).as("third_id"))
+        .orderBy("event_type", "event_id")
+    },
+    Some(
+      """SELECT event_type, event_id, value,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(event_id, 3) OVER w AS third_id
+        |FROM events WHERE user_id < 25
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47, q64, q65, q77)
 }
