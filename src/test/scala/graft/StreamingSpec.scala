@@ -284,6 +284,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup == batch simhashPairs across micro-batches") {
+    import graft.streaming.StreamDedup
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+
+    val docs = graft.model.Tables.documents(s2, sfDir)
+    val batchPairs = graft.llm.DedupOps.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batchPairs.nonEmpty)
+
+    val rows = {
+      import s2.implicits._
+      docs.select("doc_id", "text").as[(Long, String)].collect()
+    }
+    val mid = rows.map(_._1).sorted.apply(rows.length / 2)
+    val source = MemoryStream[(Long, String)]
+    val q = StreamDedup.dupPairs(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("update").start()
+    try {
+      source.addData(rows.filter(_._1 <= mid).toSeq)
+      q.processAllAvailable()
+      source.addData(rows.filter(_._1 > mid).toSeq)
+      q.processAllAvailable()
+      val streaming = s2.table("sdedup_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streaming === batchPairs)
+    } finally q.stop()
+  }
+
   test("A5' monitor listener accumulates per-query streaming progress") {
     implicit val sqlCtx = spark.sqlContext
     val mon = graft.streaming.Monitor.attach(spark)
