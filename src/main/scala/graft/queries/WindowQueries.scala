@@ -251,5 +251,49 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_type, event_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47, q64, q65, q77)
+  // q78 — time-series resample + forward-fill: an hourly grid per user
+  // (sequence + explode — rows generated, never collected) as-of joined
+  // to each user's latest event at or before the grid point. Composes
+  // graft.ops.AsOfJoin a second way (gap-fill, where q64 is enrichment);
+  // the oracle is DuckDB generate_series + native ASOF LEFT JOIN.
+  val q78 = Q(
+    "q78_resample_ffill",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val bounds = e.agg(
+        date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("grid_ts"))
+      val latest = graft.ops.Dedup.latestByKey(e,
+        Seq("user_id", "ts"), Seq(col("event_id")))
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asof(grid, latest, "user_id", "grid_ts", "ts")
+        .select(col("user_id"),
+          date_format(col("grid_ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+          col("asof.value").as("v"))
+        .orderBy("user_id", "grid_ts")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, ts, value, event_id FROM events
+        |           WHERE user_id < 10),
+        |b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1 FROM e),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS grid_ts
+        |  FROM (SELECT DISTINCT user_id FROM e) u, b),
+        |r AS (SELECT user_id, ts, value FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn FROM e)
+        |      WHERE rn = 1)
+        |SELECT g.user_id, strftime(g.grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |       r.value AS v
+        |FROM grid g ASOF LEFT JOIN r
+        |  ON g.user_id = r.user_id AND g.grid_ts >= r.ts
+        |ORDER BY 1, 2""".stripMargin))
+
+  val all: Vector[Q] = Vector(q26, q27, q28, q29, q47, q64, q65, q77, q78)
 }
