@@ -802,6 +802,12 @@ object LlmQueries {
   // query proves the operators COMPOSE: every intermediate feeds the
   // next with no materialization boundary, and Catalyst plans the whole
   // chain as one job.
+  //
+  // Candidate-generator choice: this registry entry uses the exact
+  // inverted-index pairs for oracle parity; on replication-heavy or
+  // shared-vocabulary corpora swap in DedupOps.minhashLshPairs — at
+  // 125k docs the banding found every clone cluster where the df-capped
+  // exact index kept only ~55% (measured, SCALE.md "curation pipeline").
   val q76 = Q(
     "q76_curation_pipeline",
     (s, d) => {

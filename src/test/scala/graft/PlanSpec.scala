@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
   }
 
+  test("q76: the composed curation pipeline plans with no nested-loop join") {
+    // five operators chained; a lost broadcast hint or a non-equi
+    // condition anywhere would surface as a BroadcastNestedLoopJoin over
+    // document rows — quadratic at corpus scale
+    val p = planOf("q76_curation_pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "curation pipeline must stay equi-join only")
+  }
+
   test("q54: IVF assignment is scan-stage — corpus never shuffles before the probe join") {
     val p = planOf("q54_ann_ivf_topk")
     // the single-row centroid array reaches the corpus as a broadcast

@@ -81,6 +81,32 @@ class RelationalSpec extends SparkSpec {
     assert(joinPlan.contains("__salt"))
   }
 
+  test("AQE splits a skewed sort-merge join (skew=true in the adaptive plan)") {
+    // the automatic counterpart to ops.Salted: one hot key dominating a
+    // shuffle partition is split by AQE at runtime — assert the final
+    // adaptive plan actually took the skew path, with thresholds scaled
+    // down to test-data sizes
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val big = s2.range(0, 300000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val small = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val j = big.join(small, "k")
+    // execute THIS dataset's own QueryExecution (count() would plan a
+    // separate one and leave j's adaptive plan unfinalized)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected a skew-split sort-merge join in:\n${plan.take(1500)}")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val s2 = spark.newSession()
