@@ -81,6 +81,22 @@ class RelationalSpec extends SparkSpec {
     assert(joinPlan.contains("__salt"))
   }
 
+  test("get_json_object == from_json + element_at on the props JSON column") {
+    // the two JSON access paths SURVEY §2.5 maps T10 to must agree on
+    // the real events payload (get_json_object avoids materializing the
+    // whole map when one key is probed)
+    val e = graft.model.Tables.events(spark, sfDir)
+    val both = e.select(
+      get_json_object(col("props"), "$.k").as("a"),
+      element_at(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)), "k").as("b"))
+    assert(both.count() > 0)
+    assert(both.filter(!(col("a") <=> col("b"))).count() === 0)
+    assert(both.filter(col("a").isNotNull).count() > 0)
+  }
+
   test("AQE splits a skewed sort-merge join (skew=true in the adaptive plan)") {
     // the automatic counterpart to ops.Salted: one hot key dominating a
     // shuffle partition is split by AQE at runtime — assert the final
