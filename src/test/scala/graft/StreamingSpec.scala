@@ -317,6 +317,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A5'' Dataset.observe surfaces pipeline counters without a second pass") {
+    // the batch analog of the reference's ok/failed counters: metrics
+    // ride the existing job (no extra scan), collected via Observation
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val e = graft.model.Tables.events(spark, sfDir)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 50, 1L).otherwise(0L)).as("n_high"))
+    val total = e.count()
+    val row = obs.get
+    assert(row("n_rows") === total)
+    val expectedHigh = graft.model.Tables.events(spark, sfDir)
+      .filter(col("value") > 50).count()
+    assert(row("n_high") === expectedHigh)
+  }
+
   test("A5' monitor listener accumulates per-query streaming progress") {
     implicit val sqlCtx = spark.sqlContext
     val mon = graft.streaming.Monitor.attach(spark)
