@@ -168,6 +168,125 @@ object SimilaritySearch {
       .withColumn("cos", fround(col("cos"), 4))
   }
 
+  /** In-order squared-L2 fold over two numeric arrays: each element cast
+    * to double BEFORE the subtract, (d·d) accumulated left-to-right —
+    * mirrorable exactly in DuckDB list_reduce. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (s, x) => s + x)
+
+  /** Argmin-L2 cell over a cell-ascending array<struct<..,cell_id,cvec>>:
+    * strict `<` keeps the earliest (= smallest) cell_id on ties,
+    * matching a `row_number() ORDER BY d, cell_id` argmin. */
+  private def argminL2(cands: Column, vec: Column): Column =
+    aggregate(
+      cands,
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val d = l2sq(vec, c.getField("cvec"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("cell_id").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
+
+  /**
+   * Product-quantization codebooks from the deterministic cut: the first
+   * `k` corpus vectors, split into `subspaces` contiguous sub-vectors —
+   * (sub, cell_id, cvec) rows. At scale the sub-centroids come from
+   * per-subspace k-means (the [[kmeansCentroids]] recipe applied per
+   * slice); the cut keeps the codebook oracle-checkable, and the
+   * encode/search plan shape is identical either way.
+   */
+  def pqCodebooks(corpus: DataFrame, dim: Int = 64, subspaces: Int = 8,
+      k: Int = 16): DataFrame = {
+    val subDim = dim / subspaces
+    corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cell_id"), col("embedding"))
+      .select(col("cell_id"), explode(array((0 until subspaces).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("cvec"))): _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("cell_id"), col("sc.cvec").as("cvec"))
+  }
+
+  /**
+   * PQ encoding: every corpus vector compressed to `subspaces` one-byte
+   * codes (nearest sub-centroid by squared L2 per slice) — 64 floats
+   * become 8 codes, a 32× memory cut, the representation IVF-PQ indexes
+   * store. Scan-stage like the IVF assignment: the whole codebook is ONE
+   * broadcast row and each vector encodes inside its scan partition —
+   * the corpus is never shuffled.
+   */
+  def pqEncode(corpus: DataFrame, dim: Int = 64, subspaces: Int = 8,
+      k: Int = 16): DataFrame = {
+    val subDim = dim / subspaces
+    val cb = pqCodebooks(corpus, dim, subspaces, k)
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("cell_id"), col("cvec")))).as("cbs"))
+    corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cbs"),
+        explode(array((0 until subspaces).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("embedding"), j * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"),
+        argminL2(filter(col("cbs"), c => c.getField("sub") === col("s.sub")),
+          col("s.sv")).as("code"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
+   * tiny (subspaces × codes) squared-L2 lookup table against the
+   * codebook, and every corpus vector's approximate distance is the
+   * IN-ORDER sum of 8 table lookups addressed by its codes — the scoring
+   * pass never touches an original embedding (8 bytes read per vector
+   * instead of 256). The distance tables broadcast (queries × subspaces
+   * × codes doubles); only the 8-long code rows flow. At scale this
+   * composes with the IVF list restriction (q54/q71) — here the full
+   * code table is scanned to keep the oracle linear.
+   */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
+      subspaces: Int = 8, nCodes: Int = 16): DataFrame = {
+    val subDim = dim / subspaces
+    val cb = pqCodebooks(corpus, dim, subspaces, nCodes)
+    val qsub = queries.select(col("vec_id").as("query_id"),
+      explode(array((0 until subspaces).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val dcell = qsub.join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("cell_id"),
+        l2sq(col("sv"), col("cvec")).as("dd"))
+    // nested [sub][cell] lookup arrays, one row per query — both levels
+    // rebuilt deterministically via array_sort on (key, value) structs
+    val perSub = dcell.groupBy("query_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("cell_id"), col("dd")))),
+        s => s.getField("dd")).as("ds"))
+    val dtab = perSub.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
+        s => s.getField("ds")).as("dts"))
+    val packed = pqEncode(corpus, dim, subspaces, nCodes)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    packed.crossJoin(broadcast(dtab))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0),
+          (s, j) => s + element_at(
+            element_at(col("dts"), (j + 1).cast("int")),
+            (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int")))
+          .as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("adc", fround(col("adc"), 4))
+  }
+
   /**
    * Multi-probe LSH ANN top-k: each query probes its own bucket PLUS the
    * `nbits` single-bit-flip neighbor buckets in every table — the

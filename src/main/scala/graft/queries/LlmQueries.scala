@@ -880,6 +880,99 @@ object LlmQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     })
 
+  // q79 — product-quantization encoding: 64 floats → 8 one-byte codes
+  // (nearest sub-centroid by squared L2 per contiguous slice), the
+  // representation an IVF-PQ index stores (32× memory cut). Codebook =
+  // the deterministic vec_id < 16 cut per subspace; encode is scan-stage
+  // (one broadcast codebook row, zero corpus shuffle) like q54.
+  private val pqSubspaces = 8
+  private val pqSubDim = dim / pqSubspaces
+
+  /** DuckDB in-order squared-L2 fold over `n`-element slices (cast before
+    * subtract, the difference expression repeated — values identical). */
+  private def l2sqSql(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($n), i ->
+       |  (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+       |   * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)))),
+       |  (s, x) -> s + x)""".stripMargin
+
+  val q79 = Q(
+    "q79_pq_encode",
+    (s, d) => SimilaritySearch.pqEncode(Tables.embeddings(s, d),
+      dim, subspaces = pqSubspaces, k = ivfCells)
+      .orderBy("vec_id", "sub"),
+    Some(
+      s"""WITH subs AS (SELECT CAST(unnest(range($pqSubspaces)) AS INTEGER) AS sub),
+         |cb AS (
+         |  SELECT s.sub, CAST(e.vec_id AS BIGINT) AS cell_id,
+         |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS cvec
+         |  FROM embeddings e, subs s WHERE e.vec_id < $ivfCells),
+         |sv AS (
+         |  SELECT e.vec_id, s.sub,
+         |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS sv
+         |  FROM embeddings e, subs s),
+         |dists AS (
+         |  SELECT v.vec_id, v.sub, c.cell_id,
+         |         ${l2sqSql("v.sv", "c.cvec", pqSubDim)} AS dd
+         |  FROM sv v JOIN cb c ON c.sub = v.sub)
+         |SELECT vec_id, sub, cell_id AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY dd, cell_id) AS rn FROM dists)
+         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin))
+
+  // q80 — ADC search over the q79 codes: per-query (sub × cell) L2
+  // lookup tables, approximate distance = in-order sum of 8 lookups per
+  // corpus vector. The scoring pass reads 8 codes per vector, never the
+  // embedding — PQ's whole point at 100 TB.
+  val q80 = Q(
+    "q80_ann_adc_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.adcTopK(e, e.filter(col("vec_id") < 8), k = 3,
+        dim, subspaces = pqSubspaces, nCodes = ivfCells)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH subs AS (SELECT CAST(unnest(range($pqSubspaces)) AS INTEGER) AS sub),
+         |cb AS (
+         |  SELECT s.sub, CAST(e.vec_id AS BIGINT) AS cell_id,
+         |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS cvec
+         |  FROM embeddings e, subs s WHERE e.vec_id < $ivfCells),
+         |sv AS (
+         |  SELECT e.vec_id, s.sub,
+         |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS sv
+         |  FROM embeddings e, subs s),
+         |dists AS (
+         |  SELECT v.vec_id, v.sub, c.cell_id,
+         |         ${l2sqSql("v.sv", "c.cvec", pqSubDim)} AS dd
+         |  FROM sv v JOIN cb c ON c.sub = v.sub),
+         |codes AS (
+         |  SELECT vec_id, sub, cell_id AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dd, cell_id) AS rn FROM dists)
+         |  WHERE rn = 1),
+         |packed AS (
+         |  SELECT vec_id, list(code ORDER BY sub) AS codes
+         |  FROM codes GROUP BY 1),
+         |d1 AS (
+         |  SELECT vec_id AS query_id, sub, list(dd ORDER BY cell_id) AS ds
+         |  FROM dists WHERE vec_id < 8 GROUP BY 1, 2),
+         |d2 AS (SELECT query_id, list(ds ORDER BY sub) AS dts FROM d1 GROUP BY 1),
+         |scored AS (
+         |  SELECT d2.query_id, p.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range($pqSubspaces), j ->
+         |             d2.dts[j+1][p.codes[j+1]+1])),
+         |           (s, x) -> s + x) AS adc
+         |  FROM packed p, d2 WHERE p.vec_id <> d2.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, FLOOR((adc) * 10000.0 + 0.5) / 10000.0 AS adc, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   // ---------------------------------------------------------- multimodal
 
   val q45 = Q(
@@ -1004,5 +1097,5 @@ object LlmQueries {
 
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
-    q70, q71, q72, q73, q76)
+    q70, q71, q72, q73, q76, q79, q80)
 }

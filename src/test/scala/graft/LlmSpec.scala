@@ -290,6 +290,19 @@ class LlmSpec extends SparkSpec {
     } finally clusters.unpersist()
   }
 
+  test("PQ: codebook vectors encode to themselves; ADC returns exactly k per query") {
+    val codes = SimilaritySearch.pqEncode(embs)
+    // a codebook vector's sub-distance to itself is 0 — strict minimum
+    assert(codes.filter(col("vec_id") < 16)
+      .filter(col("code") =!= col("vec_id")).count() === 0)
+    // every vector gets one code per subspace, all within the codebook
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 8).count() === 0)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() === 0)
+    val adc = SimilaritySearch.adcTopK(embs, embs.filter(col("vec_id") < 4), k = 3)
+    assert(adc.groupBy("query_id").count().filter(col("count") =!= 3).count() === 0)
+    assert(adc.filter(col("adc") < 0).count() === 0)
+  }
+
   test("precomputed shingle_hashes with a mismatched n is rejected") {
     val pre = DedupOps.withShingleHashes(docs, 3)
     val e = intercept[IllegalArgumentException] {
