@@ -185,6 +185,9 @@ object LlmExprs {
         j += 1
       }
       val sc = d / (nv * math.sqrt(cc))
+      // Java `>` is false for NaN, so a zero-norm vector or centroid
+      // (cosine = NaN) never wins a cell; the HOF reference carries an
+      // explicit isnan guard to match (Spark SQL `>` sorts NaN greatest).
       if (sc > bestCos) { bestCos = sc; bestCell = cell }
       ci += 1
     }

@@ -305,14 +305,16 @@ object DedupOps {
   /**
    * The dedup pipeline's final step: drop every clustered doc except its
    * representative. `clusters` is [[duplicateClusters]] output (docs not
-   * in any cluster aren't listed and are kept); the non-representative
-   * id set is cluster-count-sized and broadcasts, so the corpus passes
-   * through one anti-join with no shuffle of the docs themselves.
+   * in any cluster aren't listed and are kept). The drop-list is sized by
+   * the number of DROPPED docs — on a replication-heavy corpus that is a
+   * large fraction of the corpus, so no forced `broadcast()` hint here: a
+   * pinned hint bypasses `autoBroadcastJoinThreshold` and would OOM the
+   * driver at curation scale. AQE picks broadcast on its own whenever the
+   * id list is actually small (LlmSpec pins that plan at test scale).
    */
   def dedupedCorpus(docs: DataFrame, clusters: DataFrame): DataFrame =
     docs.join(
-      broadcast(clusters.filter(col("doc_id") =!= col("cluster_rep"))
-        .select(col("doc_id"))),
+      clusters.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
   /** SimHash over shingle features: (doc_id, simhash long). The word-level

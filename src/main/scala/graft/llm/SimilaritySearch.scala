@@ -204,6 +204,11 @@ object SimilaritySearch {
    */
   def pqCodebooks(corpus: DataFrame, dim: Int = 64, subspaces: Int = 8,
       k: Int = 16): DataFrame = {
+    // A non-divisible split would SILENTLY drop the trailing dim %
+    // subspaces dimensions (integer subDim + slice/zip_with min-length
+    // folds), producing quietly-wrong codes and distances downstream.
+    require(dim % subspaces == 0,
+      s"dim ($dim) must be a multiple of subspaces ($subspaces)")
     val subDim = dim / subspaces
     corpus.filter(col("vec_id") < k)
       .select(col("vec_id").cast("long").as("cell_id"), col("embedding"))

@@ -194,14 +194,25 @@ object TextFunctions {
   /** HOF reference implementation of [[nearestCellIdx]]: fold with
     * strict `>` so the earliest (= smallest, the array being sorted)
     * cell_id wins ties — identical to a
-    * `row_number() ORDER BY ccos DESC, cell_id` argmax. */
+    * `row_number() ORDER BY ccos DESC, cell_id` argmax. NaN cosines
+    * (zero-norm vector or centroid) are skipped EXPLICITLY: Spark SQL's
+    * `>` orders NaN above everything while the native expression's Java
+    * `>` is false for NaN — without the guard the two formulations pick
+    * different cells on degenerate vectors (a doc with a zero-norm
+    * embedding keeps cell -1 in both, never a NaN cell). `try_divide`
+    * rather than [[cosine]]'s plain `/`: under ANSI mode (Spark 4
+    * default) a zero denominator THROWS in the interpreted path instead
+    * of producing NaN — try_divide yields NULL there and the identical
+    * IEEE quotient everywhere else. */
   def nearestCellIdxHof(cents: Column, vec: Column): Column =
     aggregate(
       cents,
       struct(lit(-2.0).as("ccos"), lit(-1L).as("cell")),
       (acc, c) => {
-        val sc = cosine(vec, c.getField("cvec"))
-        when(sc > acc.getField("ccos"),
+        val cv = c.getField("cvec")
+        val sc = try_divide(dotProduct(vec, cv),
+          sqrt(normSq(vec)) * sqrt(normSq(cv)))
+        when(sc.isNotNull && !isnan(sc) && (sc > acc.getField("ccos")),
           struct(sc.as("ccos"), c.getField("cell_id").as("cell")))
           .otherwise(acc)
       }).getField("cell")

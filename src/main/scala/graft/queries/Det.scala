@@ -35,10 +35,15 @@ object Det {
 
   /** DuckDB mirror of [[dsum]]. `FLOOR` returns DOUBLE there, but the value
     * is integer-valued so `CAST AS BIGINT` is exact (no round-vs-truncate
-    * divergence). `SUM(BIGINT)` is HUGEINT; dividing by a double literal
-    * renders the same double as Spark's long/double division. */
+    * divergence). The sum is CAST to DOUBLE before the scale division
+    * because these SQL strings also run through `spark.sql` (q75): Spark
+    * parses the literal `100.0` as DECIMAL(4,1), and `BIGINT / DECIMAL`
+    * there produces a DECIMAL(27,6) column that the driver hashes
+    * differently from DuckDB's DOUBLE even when every value is equal.
+    * `DOUBLE / DECIMAL` is plain double division on both engines, and
+    * HUGEINT/BIGINT→DOUBLE is exact below 2^53 units. */
   def dsumSql(e: String, dp: Int = 2): String =
-    s"SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) / ${scaleSql(dp)}"
+    s"CAST(SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) AS DOUBLE) / ${scaleSql(dp)}"
 
   /** Order-free mean: exact scaled sum, then `/ count / scale` — two IEEE
     * divisions performed in the same order on both engines. */
@@ -47,9 +52,10 @@ object Det {
     sum(floor(c * sc + lit(0.5))) / count(lit(1)) / lit(sc)
   }
 
-  /** DuckDB mirror of [[davg]] (left-associative, same division order). */
+  /** DuckDB mirror of [[davg]] (left-associative, same division order;
+    * CAST AS DOUBLE for the same Spark-decimal reason as [[dsumSql]]). */
   def davgSql(e: String, dp: Int): String =
-    s"SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) / COUNT(*) / ${scaleSql(dp)}"
+    s"CAST(SUM(CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / ${scaleSql(dp)}"
 
   /** Deterministic scalar rounding — see TextFunctions.fround: engine
     * `round()` differs across engines exactly at half boundaries (Spark
@@ -60,7 +66,9 @@ object Det {
     floor(c * sc + lit(0.5)) / lit(sc)
   }
 
-  /** DuckDB mirror of [[fr]]. */
+  /** DuckDB mirror of [[fr]] (CAST AS DOUBLE: DuckDB FLOOR is already
+    * DOUBLE so the cast is a no-op there, but Spark FLOOR yields BIGINT
+    * and `BIGINT / DECIMAL-literal` would go decimal — see [[dsumSql]]). */
   def frSql(e: String, dp: Int): String =
-    s"FLOOR(($e) * ${scaleSql(dp)} + 0.5) / ${scaleSql(dp)}"
+    s"CAST(FLOOR(($e) * ${scaleSql(dp)} + 0.5) AS DOUBLE) / ${scaleSql(dp)}"
 }

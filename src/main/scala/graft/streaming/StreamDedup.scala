@@ -49,18 +49,25 @@ object StreamDedup {
         timerValues: TimerValues): Iterator[DupPair] = {
       val members = scala.collection.mutable.ArrayBuffer.empty[Seen]
       if (seen.exists()) seen.get().foreach(members += _)
+      val ids = scala.collection.mutable.Set(members.map(_.doc_id).toSeq: _*)
       val out = Vector.newBuilder[DupPair]
       // doc_id order within the batch: pairs always emit (older, newer)
       for (r <- rows.toSeq.sortBy(_.doc_id)) {
-        for (m <- members if m.doc_id != r.doc_id) {
-          val dist = java.lang.Long.bitCount(m.simhash ^ r.simhash)
-          if (dist <= maxHamming)
-            out += DupPair(math.min(m.doc_id, r.doc_id),
-              math.max(m.doc_id, r.doc_id), dist)
+        // A replayed/re-ingested doc_id is a no-op: appending it again
+        // would duplicate ListState entries and inflate every later
+        // O(bucket-size) verification pass for this bucket.
+        if (!ids.contains(r.doc_id)) {
+          for (m <- members) {
+            val dist = java.lang.Long.bitCount(m.simhash ^ r.simhash)
+            if (dist <= maxHamming)
+              out += DupPair(math.min(m.doc_id, r.doc_id),
+                math.max(m.doc_id, r.doc_id), dist)
+          }
+          val s = Seen(r.doc_id, r.simhash)
+          members += s
+          ids += r.doc_id
+          seen.appendValue(s)
         }
-        val s = Seen(r.doc_id, r.simhash)
-        members += s
-        seen.appendValue(s)
       }
       out.result().iterator
     }
@@ -84,7 +91,15 @@ object StreamDedup {
   }
 
   /** Near-dup pairs of a document stream (one row per colliding band —
-    * distinct downstream). RocksDB state store required. */
+    * distinct downstream). RocksDB state store required.
+    *
+    * State size: each bucket holds every member seen within `ttl` — with
+    * `TTLConfig.NONE` (the spec-friendly default) hot buckets grow for
+    * the lifetime of the query, so an unbounded production ingest should
+    * pass a TTL of the dedup horizon (e.g. `TTLConfig(Duration.ofDays
+    * (7))`) the way the batch pipeline bounds its corpus by partition
+    * date; replayed doc_ids are skipped, so state growth is per unique
+    * document, not per delivery. */
   def dupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
       ttl: TTLConfig = TTLConfig.NONE)(
       implicit spark: SparkSession): Dataset[DupPair] = {

@@ -216,6 +216,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("nearestCellIdx: NaN cosines (zero-norm vectors/centroids) skipped identically") {
+    import spark.implicits._
+    // cell 0 is a zero-norm centroid (cosine NaN against anything); the
+    // query set includes a zero-norm vector (NaN against every cell).
+    // Native Java `>` and the guarded HOF must both skip NaN: the zero
+    // vector lands in no cell (-1), normal vectors never pick cell 0.
+    val cents = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("cell_id", "cvec")
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec")))).as("cents"))
+    val vecs = Seq((10L, Array(0f, 0f)), (11L, Array(3f, 1f)), (12L, Array(-1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val got = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        nearestCellIdx(col("cents"), col("embedding")).as("a"),
+        nearestCellIdxHof(col("cents"), col("embedding")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, -1L, -1L), (11L, 1L, 1L), (12L, 2L, 2L)))
+  }
+
   test("k-means centroids keep nCells cells and IVF search quality is bounded by brute force") {
     val cents = SimilaritySearch.kmeansCentroids(embs, nCells = 16, iters = 2)
     assert(cents.count() === 16)
@@ -287,6 +307,12 @@ class LlmSpec extends SparkSpec {
         .join(kept, "doc_id").count() === nReps)
       assert(clusters.filter(col("doc_id") =!= col("cluster_rep"))
         .join(kept, "doc_id").count() === 0)
+      // No forced broadcast hint (a pinned hint would OOM at curation
+      // scale where the drop-list is corpus-sized); AQE must still pick a
+      // broadcast anti-join on its own when the list is genuinely small.
+      kept.collect() // finalize THIS dataset's adaptive plan
+      assert(kept.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "small drop-list should AQE-broadcast")
     } finally clusters.unpersist()
   }
 

@@ -50,10 +50,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            got_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            # The Spark dump must ALSO stay inside the canonical types: a
+            # DECIMAL(27,6) parquet column (Spark SQL types `x / 100.0`
+            # decimal — the q75 round-4 failure) compares equal through
+            # pandas yet hashes differently in the driver.
+            bad_spark = [(c, str(t)) for c, t in zip(got_rel.columns, got_rel.types)
+                         if str(t) not in ALLOWED_TYPES]
+            got = got_rel.df()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        if bad_spark:
+            print(f"FAIL {name}: SPARK dump column types outside "
+                  f"{sorted(ALLOWED_TYPES)}: {bad_spark} — cast in the query")
             failures += 1
             continue
         want = want.reindex(sorted(want.columns), axis=1)
