@@ -49,26 +49,48 @@ object StreamDedup {
         timerValues: TimerValues): Iterator[DupPair] = {
       val members = scala.collection.mutable.ArrayBuffer.empty[Seen]
       if (seen.exists()) seen.get().foreach(members += _)
-      val ids = scala.collection.mutable.Set(members.map(_.doc_id).toSeq: _*)
+      val byId = scala.collection.mutable.Map(members.map(s => s.doc_id -> s).toSeq: _*)
       val out = Vector.newBuilder[DupPair]
+      var rewritten = false
       // doc_id order within the batch: pairs always emit (older, newer)
       for (r <- rows.toSeq.sortBy(_.doc_id)) {
-        // A replayed/re-ingested doc_id is a no-op: appending it again
-        // would duplicate ListState entries and inflate every later
-        // O(bucket-size) verification pass for this bucket.
-        if (!ids.contains(r.doc_id)) {
-          for (m <- members) {
-            val dist = java.lang.Long.bitCount(m.simhash ^ r.simhash)
-            if (dist <= maxHamming)
-              out += DupPair(math.min(m.doc_id, r.doc_id),
-                math.max(m.doc_id, r.doc_id), dist)
-          }
-          val s = Seen(r.doc_id, r.simhash)
-          members += s
-          ids += r.doc_id
-          seen.appendValue(s)
+        byId.get(r.doc_id) match {
+          // An at-least-once replay (same doc_id, same content) is a
+          // no-op: appending it again would duplicate ListState entries
+          // and inflate every later O(bucket-size) verification pass.
+          case Some(prev) if prev.simhash == r.simhash => ()
+          // Same doc_id, CHANGED content, still routed to this bucket:
+          // replace the stored fingerprint and re-verify against the
+          // other members so near-dups of the UPDATED content are
+          // emitted. (Bands where the old fingerprint no longer routes
+          // keep their stale entry until TTL — see scaladoc.)
+          case Some(prev) =>
+            val idx = members.indexWhere(_.doc_id == r.doc_id)
+            members(idx) = Seen(r.doc_id, r.simhash)
+            byId(r.doc_id) = members(idx)
+            rewritten = true
+            for (m <- members if m.doc_id != r.doc_id) {
+              val dist = java.lang.Long.bitCount(m.simhash ^ r.simhash)
+              if (dist <= maxHamming)
+                out += DupPair(math.min(m.doc_id, r.doc_id),
+                  math.max(m.doc_id, r.doc_id), dist)
+            }
+          case None =>
+            for (m <- members) {
+              val dist = java.lang.Long.bitCount(m.simhash ^ r.simhash)
+              if (dist <= maxHamming)
+                out += DupPair(math.min(m.doc_id, r.doc_id),
+                  math.max(m.doc_id, r.doc_id), dist)
+            }
+            val s = Seen(r.doc_id, r.simhash)
+            members += s
+            byId(r.doc_id) = s
+            if (!rewritten) seen.appendValue(s)
         }
       }
+      // An in-place update invalidates the append-only history; rewrite
+      // the whole bucket once (updates are rare, buckets are small).
+      if (rewritten) seen.put(members.toArray)
       out.result().iterator
     }
   }
@@ -99,7 +121,15 @@ object StreamDedup {
     * pass a TTL of the dedup horizon (e.g. `TTLConfig(Duration.ofDays
     * (7))`) the way the batch pipeline bounds its corpus by partition
     * date; replayed doc_ids are skipped, so state growth is per unique
-    * document, not per delivery. */
+    * document, not per delivery.
+    *
+    * In-place updates (same doc_id, changed content): buckets the new
+    * fingerprint still routes to replace the stored entry and re-verify,
+    * so near-dup pairs against the UPDATED content are emitted. Bands
+    * the new fingerprint no longer routes to cannot be reached from the
+    * new row's keys (state is band-partitioned), so their stale entry
+    * survives until TTL — a window where the OLD content can still match
+    * one band. Bounded staleness, not silent drop. */
   def dupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
       ttl: TTLConfig = TTLConfig.NONE)(
       implicit spark: SparkSession): Dataset[DupPair] = {

@@ -310,8 +310,17 @@ class LlmSpec extends SparkSpec {
       // No forced broadcast hint (a pinned hint would OOM at curation
       // scale where the drop-list is corpus-sized); AQE must still pick a
       // broadcast anti-join on its own when the list is genuinely small.
-      kept.collect() // finalize THIS dataset's adaptive plan
-      assert(kept.queryExecution.executedPlan.toString
+      // Run the plan assertion on an isolated session with the broadcast
+      // threshold pinned, so a future suite mutating the shared session's
+      // conf can't make this test order-dependent.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      val docs2 = Tables.documents(s2, sfDir)
+      val kept2 = DedupOps.dedupedCorpus(
+        docs2, DedupOps.duplicateClusters(DedupOps.ngramJaccardPairs(docs2, threshold = 0.5)))
+      kept2.collect() // finalize THIS dataset's adaptive plan
+      assert(kept2.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"), "small drop-list should AQE-broadcast")
     } finally clusters.unpersist()
   }

@@ -317,6 +317,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup re-emits pairs for a doc re-ingested with changed content") {
+    import graft.streaming.StreamDedup
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+    import s2.implicits._
+
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "completely unrelated payload describing kafka offsets and avro schemas"
+    val source = MemoryStream[(Long, String)]
+    val q = StreamDedup.dupPairs(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_upd_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: two unrelated docs — no pairs
+      source.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+      assert(s2.table("sdedup_upd_out").count() === 0)
+      // batch 2: doc 1 re-ingested with content identical to doc 2 —
+      // the updated fingerprint must pair with doc 2 (the pre-fix code
+      // skipped any seen doc_id and silently dropped this)
+      source.addData((1L, textB))
+      q.processAllAvailable()
+      val pairs = s2.table("sdedup_upd_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs === Set((1L, 2L, 0)))
+      // batch 3: an at-least-once replay (same id, same content) stays a
+      // no-op — no new output rows
+      val before = s2.table("sdedup_upd_out").count()
+      source.addData((1L, textB))
+      q.processAllAvailable()
+      assert(s2.table("sdedup_upd_out").count() === before)
+    } finally q.stop()
+  }
+
   test("A5'' Dataset.observe surfaces pipeline counters without a second pass") {
     // the batch analog of the reference's ok/failed counters: metrics
     // ride the existing job (no extra scan), collected via Observation
