@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sparse lexical retrieval over the `documents` table: TF-IDF term
+ * weighting and BM25 ranking — the keyword-search half of a curation
+ * stack (the dense half is [[SimilaritySearch]]). The reference exposes
+ * ad-hoc SQL over its landed table (README §"Querying with Presto");
+ * these are the standard scoring operators such a SQL surface feeds.
+ *
+ * Plan shape at 100 TB: term frequencies are one explode + partial-agg
+ * (map-side combined); document frequencies aggregate the (doc, term)
+ * pairs a second time. The tf↔df join shuffles on `term` with NO forced
+ * broadcast — a web-scale vocabulary is itself huge, and AQE broadcasts
+ * on its own whenever the df side is actually small. Corpus-level
+ * scalars (N, avgdl) ride a broadcast one-row cross join, never a
+ * driver collect.
+ *
+ * Determinism: the checked oracles use the RATIONAL idf forms
+ * (`(N+1)/(df+1)`, `(N-df+1/2)/(df+1/2)`) because `ln` is not
+ * bit-identical between the JVM and C libm (measured: 7 of 5500
+ * idf-shaped inputs differ in the last ulp — enough to flip a
+ * rank-order hash). `logIdf = true` (the default, standard BM25/TF-IDF)
+ * applies `ln` to the same rational and is cross-checked
+ * ranking-equivalent in CurationSpec, where a 1-ulp divergence cannot
+ * fail a hash.
+ */
+object Retrieval {
+
+  /** (doc_id, term, tf) — whitespace tokens, exact counts. */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(TextFunctions.words(col("text")), w => w =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (term, df) — number of distinct documents containing the term.
+    * Derived from [[termCounts]] output, where (doc, term) is unique, so
+    * a plain count IS the distinct-doc count (no Expand-based distinct). */
+  def docFrequencies(tc: DataFrame): DataFrame =
+    tc.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** `(N+1)/(df+1)` — the smoothed inverse document frequency, optionally
+    * log-compressed (standard TF-IDF). Both operands cast before the one
+    * division so the oracle mirror is bit-identical. */
+  private def idfOf(nDocs: Column, df: Column, logIdf: Boolean): Column = {
+    val r = (nDocs.cast("double") + lit(1.0)) / (df.cast("double") + lit(1.0))
+    if (logIdf) log(r) else r
+  }
+
+  /**
+   * Per-(doc, term) TF-IDF scores: (doc_id, term, tf, df, tfidf).
+   * `logIdf = false` selects the rational idf the hash-checked oracle
+   * mirrors (see object scaladoc).
+   */
+  def tfIdf(docs: DataFrame, logIdf: Boolean = true): DataFrame = {
+    val tc = termCounts(docs)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tc.join(docFrequencies(tc), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          idfOf(col("n_docs"), col("df"), logIdf)).as("tfidf"))
+  }
+
+  /** Top-`k` TF-IDF terms per document (rank ties broken by term). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int, logIdf: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfIdf(docs, logIdf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * BM25 document scores for a fixed bag of query terms:
+   * (doc_id, score), one row per document matching at least one term.
+   *
+   * score = Σ_t idf(t) · (tf·(k1+1)) / (tf + k1·(1−b + b·dl/avgdl))
+   *
+   * The per-term partial scores are summed as one conditional aggregate
+   * per query-term position and then added LEFT-TO-RIGHT — `x + 0.0 ≡ x`
+   * in IEEE arithmetic, so the conditional sums are order-free and the
+   * final in-order add chain is the only float reduction, identical on
+   * both engines.
+   */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val c1 = k1 + 1.0
+    val c2 = 1.0 - b
+    val tc = termCounts(docs).filter(col("term").isin(queryTerms: _*))
+    val dfs = docFrequencies(tc)
+    val dl = docs.select(col("doc_id"),
+      size(filter(TextFunctions.words(col("text")), w => w =!= ""))
+        .cast("long").as("dl"))
+    // one broadcast row: corpus size and mean doc length (exact integer
+    // sum, ONE division)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val idf = {
+      val nD = col("n_docs").cast("double")
+      val dfD = col("df").cast("double")
+      val r = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+      if (logIdf) log(r) else r
+    }
+    val scored = tc.join(dfs, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (idf * (col("tf").cast("double") * lit(c1)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(c2) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("s"))
+    // per-position conditional sums (order-free: all other rows add 0.0),
+    // then an in-order left-to-right chain across positions
+    val partials = queryTerms.indices.map(i =>
+      sum(when(col("term") === queryTerms(i), col("s")).otherwise(lit(0.0)))
+        .as(s"s_$i"))
+    val agged = scored.groupBy("doc_id").agg(partials.head, partials.tail: _*)
+    val score = queryTerms.indices.map(i => col(s"s_$i")).reduceLeft(_ + _)
+    agged.select(col("doc_id"), score.as("score"))
+  }
+
+  /** Top-`k` BM25 documents (ties broken by doc_id). The global top-k is
+    * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
+    * sort); the single-partition rank window only ever sees `k` rows. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25(docs, queryTerms, k1, b, logIdf)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+}

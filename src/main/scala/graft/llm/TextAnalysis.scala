@@ -247,4 +247,70 @@ object TextAnalysis {
     corpus.join(org.apache.spark.sql.functions.broadcast(bench),
       normFp(col("text")) === col("bench_fp"), "left_anti")
   }
+
+  /** Distinct word `n`-grams of a doc as an array column (empty when the
+    * doc is shorter than `n` — Spark's `sequence(0, neg)` DESCENDS, so
+    * the guard is load-bearing). */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val ws = filter(words(text), w => w =!= "")
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, n), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Graded n-gram contamination against a benchmark set — the
+   * finer-grained companion to [[decontaminated]]'s whole-document
+   * fingerprint: a document that EMBEDS a benchmark item (quotes a test
+   * question inside other prose) has a normalized fingerprint that
+   * matches nothing, but its n-gram overlap fraction is high. Emits
+   * (doc_id, n_grams, n_hit, contamination) for every corpus document,
+   * zero rows included, so the caller picks the drop threshold.
+   *
+   * The benchmark reduces to a distinct n-gram set and broadcasts
+   * (benchmarks are small by definition); corpus grams never shuffle —
+   * per-doc counting is a partial agg keyed on doc_id.
+   */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5): DataFrame = {
+    val bench = benchmark
+      .select(explode(wordGrams(col("text"), n)).as("gram"))
+      .distinct().withColumn("hit", lit(1L))
+    corpus.select(col("doc_id"), explode(wordGrams(col("text"), n)).as("gram"))
+      .join(org.apache.spark.sql.functions.broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        fround(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("contamination"))
+  }
+
+  /**
+   * Sliding-window token chunking — the training-example cut: windows of
+   * `size` tokens every `stride` tokens (stride < size ⇒ overlapping
+   * context, the usual pretraining shape). Start positions are
+   * 0, stride, 2·stride, … while start < n_tokens; the final window
+   * truncates at the document end. Pure per-row array expressions
+   * exploded to one row per chunk — scan-stage, no shuffle, and the
+   * chunk count per doc is ⌈n/stride⌉ so output size is linear in
+   * corpus tokens.
+   */
+  def chunked(docs: DataFrame, width: Int = 32, stride: Int = 24): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val ws = filter(words(col("text")), w => w =!= "")
+    val chunk = slice(col("ws"), col("start_tok") + 1, lit(width))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(chunk).cast("long").as("n_tok"),
+        array_join(chunk, " ").as("chunk_text"))
+  }
 }
