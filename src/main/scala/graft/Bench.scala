@@ -38,7 +38,11 @@ object Bench {
           }
       }
     }
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale-pinned: f"$v%.3f" uses the default JVM locale, which under
+    // e.g. de_DE emits "1,234" — invalid JSON.
+    def ms(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }

@@ -255,7 +255,7 @@ object TextAnalysis {
     val ws = filter(words(text), w => w =!= "")
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, n), " "))))
+        i => array_join(slice(ws, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -277,13 +277,18 @@ object TextAnalysis {
     val bench = benchmark
       .select(explode(wordGrams(col("text"), n)).as("gram"))
       .distinct().withColumn("hit", lit(1L))
-    corpus.select(col("doc_id"), explode(wordGrams(col("text"), n)).as("gram"))
+    // explode_outer keeps docs shorter than n words (null gram row);
+    // count(gram) ignores that null so they emit n_grams = 0, and the
+    // 0/0 division nulls out and coalesces to contamination = 0.0.
+    corpus.select(col("doc_id"),
+        explode_outer(wordGrams(col("text"), n)).as("gram"))
       .join(org.apache.spark.sql.functions.broadcast(bench), Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("gram")).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        fround(col("n_hit").cast("double") / col("n_grams"), 4)
+        coalesce(
+          fround(col("n_hit").cast("double") / col("n_grams"), 4), lit(0.0))
           .as("contamination"))
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{DedupOps, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.llm.{DedupOps, Multimodal, Retrieval, SimilaritySearch, TextAnalysis}
 import graft.model.Tables
 import org.apache.spark.sql.functions._
 
@@ -1095,7 +1095,150 @@ object LlmQueries {
         |        ORDER BY doc_id) AS rn FROM documents)
         |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // q81 — graded n-gram contamination against the q58 benchmark cut: a
+  // doc that merely EMBEDS an eval item (quotes it inside other prose)
+  // slips past whole-document fingerprinting but lights up here. The
+  // benchmark reduces to a distinct 5-gram set and broadcasts; corpus
+  // grams never shuffle (partial agg on doc_id).
+  private val contamN = 5
+  val q81 = Q(
+    "q81_contamination_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationOverlap(
+        docs, docs.filter(col("doc_id") % 50 === 0), n = contamN)
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |           FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |        i -> array_to_string(list_slice(ws, i + 1, i + $contamN), ' '))) AS grams
+         |      FROM ws),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+         |         FROM cg LEFT JOIN bench b ON b.gram = cg.gram GROUP BY 1)
+         |SELECT g.doc_id, CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN h.n_grams IS NULL THEN 0.0
+         |       ELSE ${Det.frSql("CAST(h.n_hit AS DOUBLE) / h.n_grams", 4)} END AS contamination
+         |FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin))
+
+  // q82 — top TF-IDF terms per document (the keyword half of the
+  // retrieval surface; the reference analog is ad-hoc scoring SQL over
+  // the landed table). logIdf = false selects the RATIONAL idf
+  // (N+1)/(df+1) so both engines compute the identical IEEE ops per row
+  // — no rounding needed, every division is of exact integers (see
+  // Retrieval scaladoc; the log form is ranking-equivalent, proven in
+  // CurationSpec where a 1-ulp `ln` divergence cannot fail a hash).
+  val q82 = Q(
+    "q82_tfidf_top_terms",
+    (s, d) => Retrieval.tfIdfTopTerms(Tables.documents(s, d), k = 3, logIdf = false)
+      .orderBy("doc_id", "rank"),
+    Some(
+      s"""WITH tc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+         |            FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tc GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY tfidf DESC, term) AS INT) AS rank FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin))
+
+  // q83 — BM25 top-20 for a fixed query-term bag. k1 = 1.5 (standard
+  // range) keeps EVERY constant exactly binary-representable
+  // (c1 = 2.5, c2 = 0.25, b = 0.75), so the per-row score is identical
+  // IEEE arithmetic on both engines with zero literal-parsing risk. The
+  // global top-k is a TakeOrderedAndProject (per-partition heaps), the
+  // corpus stats ride one broadcast row — pinned in CurationSpec.
+  private val bmTerms = Seq("spark", "merge", "filter")
+  private def bm25Ctes(docsRel: String): String =
+    s"""dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS dl
+       |       FROM $docsRel),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |             FROM $docsRel)
+       |       WHERE term IN (${bmTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1, 2),
+       |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1),
+       |scored AS (SELECT doc_id, term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * 2.5)
+       |      / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+       |  FROM tc JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |agg AS (SELECT doc_id,
+       |${bmTerms.zipWithIndex.map { case (t, i) =>
+           s"  SUM(CASE WHEN term = '$t' THEN s ELSE 0.0 END) AS s_$i" }.mkString(",\n")}
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+  private def bm25TopSql(k: Int): String =
+    s"""SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+       |FROM (SELECT doc_id, ${bmTerms.indices.map(i => s"s_$i").mkString(" + ")} AS score
+       |      FROM agg ORDER BY score DESC, doc_id LIMIT $k)
+       |ORDER BY rank""".stripMargin
+  val q83 = Q(
+    "q83_bm25_topk",
+    (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), bmTerms, k = 20,
+      k1 = 1.5, b = 0.75, logIdf = false).orderBy("rank"),
+    Some(s"WITH ${bm25Ctes("documents")}\n${bm25TopSql(20)}"))
+
+  // q84 — curated search: the "search your curated corpus" step every
+  // pipeline ends with. Near-dup keep-list (q73's broadcast anti-join)
+  // feeds BM25 ranking (q83) — corpus stats (N, avgdl, df) are computed
+  // over the DEDUPED corpus, so a removed clone no longer inflates term
+  // statistics. One Catalyst job end-to-end.
+  val q84 = Q(
+    "q84_curated_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = DedupOps.dedupedCorpus(docs,
+        DedupOps.duplicateClusters(
+          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5)))
+      Retrieval.bm25TopK(kept, bmTerms, k = 10, k1 = 1.5, b = 0.75,
+        logIdf = false).orderBy("rank")
+    },
+    Some(
+      s"""WITH RECURSIVE $shingleCtes,
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+         |kept AS (SELECT d.* FROM documents d
+         |         LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |         WHERE l.doc_id IS NULL OR l.rep = d.doc_id),
+         |${bm25Ctes("kept")}
+         |${bm25TopSql(10)}""".stripMargin))
+
+  // q85 — sliding-window token chunking (the training-example cut):
+  // width-32 windows every 24 tokens, final window truncated. Pure
+  // per-row array expressions exploded — scan-stage, no shuffle.
+  val q85 = Q(
+    "q85_chunked",
+    (s, d) => TextAnalysis.chunked(Tables.documents(s, d), width = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id"),
+    Some(
+      s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |           FROM documents),
+         |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start_tok
+         |      FROM ws WHERE len(ws) > 0)
+         |SELECT doc_id, CAST(start_tok // 24 AS BIGINT) AS chunk_id,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(len(list_slice(ws, start_tok + 1, start_tok + 32)) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(ws, start_tok + 1, start_tok + 32), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
-    q70, q71, q72, q73, q76, q79, q80)
+    q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85)
 }

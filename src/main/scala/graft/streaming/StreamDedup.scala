@@ -129,7 +129,14 @@ object StreamDedup {
     * the new fingerprint no longer routes to cannot be reached from the
     * new row's keys (state is band-partitioned), so their stale entry
     * survives until TTL — a window where the OLD content can still match
-    * one band. Bounded staleness, not silent drop. */
+    * one band. Bounded staleness, not silent drop.
+    *
+    * A re-verified pair can therefore co-exist with the pair emitted for
+    * the OLD content at a different Hamming distance — e.g. (1,2,dist=2)
+    * then, after doc 1's content changes, (1,2,dist=1). A `distinct()`
+    * keyed on all three columns keeps both rows; consumers that want one
+    * row per pair should reduce on (id_a, id_b) keeping min(dist) (the
+    * StreamingSpec does exactly this). */
   def dupPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3,
       ttl: TTLConfig = TTLConfig.NONE)(
       implicit spark: SparkSession): Dataset[DupPair] = {
