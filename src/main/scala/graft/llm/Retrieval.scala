@@ -24,9 +24,18 @@ import org.apache.spark.sql.functions._
  * bit-identical between the JVM and C libm (measured: 7 of 5500
  * idf-shaped inputs differ in the last ulp — enough to flip a
  * rank-order hash). `logIdf = true` (the default, standard BM25/TF-IDF)
- * applies `ln` to the same rational and is cross-checked
- * ranking-equivalent in CurationSpec, where a 1-ulp divergence cannot
- * fail a hash.
+ * applies `ln` to the same rational; CurationSpec certifies it three
+ * ways: per-row, the log score equals `tf · ln(rational)` recomputed
+ * from the same (tf, df, N) (bit-exact — one JVM, and Spark's `log`
+ * evaluates `StrictMath.log`, which the spec mirrors); for a
+ * SINGLE-term query on a term with df < N/2 (idf > 1, so `ln(idf)` is
+ * a positive constant scale) the two forms produce the identical
+ * ranking; and for a term in MORE than half the documents the log
+ * form's scores go negative (the classic BM25 negative-idf regime —
+ * the log compression is a genuinely different scoring model there,
+ * not a rounding detail). Multi-term rankings likewise legitimately
+ * differ between the compressions — which is exactly why the
+ * hash-checked registry queries fix `logIdf = false`.
  */
 object Retrieval {
 

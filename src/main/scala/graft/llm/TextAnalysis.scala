@@ -278,8 +278,9 @@ object TextAnalysis {
       .select(explode(wordGrams(col("text"), n)).as("gram"))
       .distinct().withColumn("hit", lit(1L))
     // explode_outer keeps docs shorter than n words (null gram row);
-    // count(gram) ignores that null so they emit n_grams = 0, and the
-    // 0/0 division nulls out and coalesces to contamination = 0.0.
+    // count(gram) ignores that null so they emit n_grams = 0. The
+    // division is guarded, not coalesced: under ANSI mode (Spark 4's
+    // default) 0/0 throws rather than nulling out.
     corpus.select(col("doc_id"),
         explode_outer(wordGrams(col("text"), n)).as("gram"))
       .join(org.apache.spark.sql.functions.broadcast(bench), Seq("gram"), "left")
@@ -287,8 +288,9 @@ object TextAnalysis {
       .agg(count(col("gram")).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        coalesce(
-          fround(col("n_hit").cast("double") / col("n_grams"), 4), lit(0.0))
+        when(col("n_grams") > 0,
+          fround(col("n_hit").cast("double") / col("n_grams"), 4))
+          .otherwise(lit(0.0))
           .as("contamination"))
   }
 

@@ -1131,8 +1131,10 @@ object LlmQueries {
   // the landed table). logIdf = false selects the RATIONAL idf
   // (N+1)/(df+1) so both engines compute the identical IEEE ops per row
   // — no rounding needed, every division is of exact integers (see
-  // Retrieval scaladoc; the log form is ranking-equivalent, proven in
-  // CurationSpec where a 1-ulp `ln` divergence cannot fail a hash).
+  // Retrieval scaladoc; the standard log form is certified in
+  // CurationSpec via a per-row bridge and single-term rank invariance —
+  // `ln` itself is not bit-portable across engines, so it stays out of
+  // the hash-checked path).
   val q82 = Q(
     "q82_tfidf_top_terms",
     (s, d) => Retrieval.tfIdfTopTerms(Tables.documents(s, d), k = 3, logIdf = false)
