@@ -341,6 +341,65 @@ object DedupOps {
    * fingerprint — a 64-bit SimHash with 4x16-bit bands divides the
    * collision factor by 256 with the identical operator shape.
    */
+  /**
+   * Cross-corpus span-level dedup accounting — the C4/CCNet "repeated
+   * span" rule adapted to flat word streams: each document is cut into
+   * consecutive NON-overlapping `width`-word spans (the trailing partial
+   * span is never a candidate), each span is hashed, and every instance
+   * of a span whose hash occurs more than once corpus-wide is removed
+   * EXCEPT the first occurrence (minimum (doc_id, span index) — the C4
+   * keep-one policy, so shared boilerplate survives exactly once in the
+   * corpus). Emits per-document accounting: span counts, duplicated
+   * instances, removed instances, and the token count after removal —
+   * the audit table a curation pipeline thresholds on before rewriting
+   * text.
+   *
+   * Scale shape: span hashing is a per-row array expression (scan
+   * stage). The corpus-wide pass is ONE explode + groupBy on the span
+   * hash — a single long key, map-side combined — yielding (count,
+   * first-occurrence key) per distinct span; instances then join that
+   * table back on the hash (AQE broadcasts when the duplicated-span
+   * table is small, shuffles otherwise) and re-aggregate per doc_id.
+   * Nothing is quadratic, and text bytes never shuffle — only
+   * (hash, instance-key) longs.
+   */
+  def spanDedupStats(docs: DataFrame, width: Int = 8): DataFrame = {
+    require(width > 0, "width must be positive")
+    // Orderable instance key: doc_id * 2^20 + span index. 2^20 spans per
+    // doc at width 8 is an 8M-word document — far above any real corpus
+    // doc; doc_ids stay below 2^43.
+    val spanIdxBits = 1048576L
+    val ws = filter(words(col("text")), w => w =!= "")
+    val base = docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_words"), ws.as("ws"))
+    // sequence(0, k) DESCENDS for k < 0, so the >= width guard is
+    // load-bearing (same trap as TextAnalysis.wordGrams).
+    val spanHashes = when(size(col("ws")) >= width,
+      transform(
+        sequence(lit(0), (size(col("ws")) / width).cast("int") - 1),
+        i => polyHash(array_join(slice(col("ws"), i * width + 1, lit(width)), " "))))
+      .otherwise(array().cast("array<long>"))
+    val spanned = base
+      .select(col("doc_id"), posexplode(spanHashes).as(Seq("idx", "h")))
+      .withColumn("k", col("doc_id") * spanIdxBits + col("idx"))
+    val grp = spanned.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
+    val perDoc = spanned.join(grp, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("cnt") > 1 && col("k") =!= col("first_k"), 1L)
+          .otherwise(0L)).as("n_removed"))
+    base.select(col("doc_id"), col("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_words") - lit(width.toLong) * coalesce(col("n_removed"), lit(0L)))
+          .as("n_tokens_kept"))
+  }
+
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
       bits: Int = 32, featureMod: Long = TextFunctions.P): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal bands")

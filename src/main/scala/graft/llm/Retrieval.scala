@@ -133,6 +133,43 @@ object Retrieval {
     agged.select(col("doc_id"), score.as("score"))
   }
 
+  /**
+   * Unigram-LM rarity scoring — the deterministic perplexity proxy for
+   * quality bucketing: train a unigram model on the corpus itself
+   * (global term counts) and score each document by the mean
+   * information content of its tokens. True −log₂ p(w) is transcendental
+   * and not bit-portable across engines, so the per-token surprisal is
+   * the INTEGER bit-length proxy `bitlen(total) − bitlen(count(w))`
+   * (= ⌊log₂ total⌋ − ⌊log₂ cnt⌋ within ±1 bit of −log₂ p) — exact
+   * integer arithmetic on both engines via `length(bin(x))`. Documents
+   * full of rare tokens score high (the gibberish/OCR-noise tail);
+   * documents of pure stopwords score near the minimum (the boilerplate
+   * tail); both ends get cut before training.
+   *
+   * Scale shape: term counts are one explode + partial agg; the vocab
+   * table aggregates those pairs again on `term` (map-side combined);
+   * the tf↔vocab join shuffles on `term` with NO forced broadcast (a
+   * web-scale vocabulary is huge; AQE broadcasts when it is actually
+   * small); the corpus total rides one broadcast row. The per-doc
+   * re-aggregation is an integer sum — order-free, oracle-exact.
+   */
+  def unigramRarity(docs: DataFrame): DataFrame = {
+    val tc = termCounts(docs)
+    val vocab = tc.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("total"))
+    tc.join(vocab, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") *
+          (length(bin(col("total"))) - length(bin(col("cnt")))).cast("long"))
+          .as("rarity_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_bits"),
+        TextFunctions.fround(
+          col("rarity_bits").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("avg_rarity"))
+  }
+
   /** Top-`k` BM25 documents (ties broken by doc_id). The global top-k is
     * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
     * sort); the single-partition rank window only ever sees `k` rows. */

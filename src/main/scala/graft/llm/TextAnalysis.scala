@@ -248,6 +248,84 @@ object TextAnalysis {
       normFp(col("text")) === col("bench_fp"), "left_anti")
   }
 
+  /**
+   * Two-phase Bloom decontamination — the 100 TB shape of
+   * [[decontaminated]]. When the benchmark set is too large to broadcast
+   * comfortably, an exact anti-join shuffles EVERY corpus row on its
+   * fingerprint; here a Bloom filter over the benchmark fingerprints
+   * (one aggregation job; ~1.2 MB per million items at 1% fpp) ships
+   * into the corpus scan as a codegen'd [[org.apache.spark.sql.catalyst
+   * .expressions.BloomFilterMightContain]] literal — native Catalyst,
+   * no UDF. Bloom-negative rows are DEFINITELY clean and bypass the
+   * join entirely; only true hits plus the ~fpp false-positive tail
+   * (the "maybe" branch) enters the exact anti-join, so the shuffle
+   * carries ~1% of the corpus instead of 100%. The corpus is scanned
+   * twice (both branches push the same pruned scan) — at scale two
+   * column-pruned scans are far cheaper than one full-corpus shuffle.
+   * The result is EXACT and row-identical to [[decontaminated]]: the
+   * Bloom filter only routes rows, never decides membership (no false
+   * negatives by construction; false positives are re-checked).
+   */
+  def bloomDecontaminated(corpus: DataFrame, benchmark: DataFrame,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    def normFp(c: Column): Column =
+      polyHash(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", ""), " +", " "))
+    val bench = benchmark.select(normFp(col("text")).as("bench_fp")).distinct()
+    val bf = bench.stat.bloomFilter("bench_fp", expectedItems, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    def might(c: Column): Column = ofExpr(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType), exprOf(c)))
+    val fp = normFp(col("text"))
+    // Null text never reaches the bench side (its join key is null, so the
+    // anti-join keeps it) — route it to the clean branch to match
+    // decontaminated() exactly.
+    val clean = corpus.filter(!coalesce(might(fp), lit(false)))
+    val maybes = corpus.filter(coalesce(might(fp), lit(false)))
+      .join(bench, fp === col("bench_fp"), "left_anti") // AQE picks the strategy
+    clean.unionByName(maybes)
+  }
+
+  /**
+   * Temperature-weighted source mixture sampling — the data-mixing step
+   * of multi-corpus pretraining: source s with n_s documents receives a
+   * quota ∝ √n_s (temperature α = 1/2), the sublinear weighting that
+   * upsamples small sources relative to proportional sampling, then its
+   * quota is filled by the deterministic salted-hash order (stable
+   * across reruns and machines). Returns the selected rows as
+   * (doc_id, group, rnk); a source with fewer rows than its quota
+   * contributes everything it has.
+   *
+   * Determinism contract: √ is correctly rounded per IEEE-754
+   * (bit-identical across engines — unlike ln/exp); weights scale to
+   * integers (·10⁴, half-up) before an order-free BIGINT sum; quotas
+   * use true integer division. One shuffle for the per-source window;
+   * the quota table (one row per source) broadcasts.
+   */
+  def mixtureSample(docs: DataFrame, groupCol: String = "source",
+      budget: Long = 200L, salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grp"))
+      .withColumn("w",
+        floor(sqrt(col("n_grp").cast("double")) * 10000d + lit(0.5)).cast("long"))
+    val tot = weights.agg(sum(col("w")).as("w_total"))
+    val quotas = weights.crossJoin(
+      org.apache.spark.sql.functions.broadcast(tot))
+      .select(col(groupCol), expr(s"($budget * w) div w_total").as("quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(polyHash(concat(col("text"), lit(salt))), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w))
+      .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
+      .filter(col("rnk") <= col("quota"))
+      .select(col("doc_id"), col(groupCol), col("rnk"))
+  }
+
   /** Distinct word `n`-grams of a doc as an array column (empty when the
     * doc is shorter than `n` — Spark's `sequence(0, neg)` DESCENDS, so
     * the guard is load-bearing). */

@@ -1240,7 +1240,123 @@ object LlmQueries {
          |  array_to_string(list_slice(ws, start_tok + 1, start_tok + 32), ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
 
+  // q86 — cross-corpus span dedup accounting (the C4 "repeated span"
+  // rule, keep-first policy): non-overlapping 8-word spans, every
+  // instance of a corpus-duplicated span removed except the minimum
+  // (doc_id, idx) occurrence. Instance keys pack as doc_id·2^20 + idx so
+  // MIN over one BIGINT is the keep-first selector on both engines.
+  val q86 = Q(
+    "q86_span_dedup",
+    (s, d) => graft.llm.DedupOps.spanDedupStats(Tables.documents(s, d), width = 8)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |        FROM documents)),
+         |sp AS (SELECT doc_id, unnest(range(len(ws) // 8)) AS idx, ws FROM base),
+         |spans AS (
+         |  SELECT doc_id, idx,
+         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h
+         |  FROM sp),
+         |grp AS (SELECT h, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
+         |        FROM spans GROUP BY h),
+         |agg AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |    CAST(SUM(CASE WHEN g.cnt > 1 AND s.doc_id * 1048576 + s.idx <> g.first_k
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |  FROM spans s JOIN grp g USING (h) GROUP BY s.doc_id)
+         |SELECT b.doc_id,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(a.n_removed, 0) AS n_removed,
+         |  b.n_words - 8 * coalesce(a.n_removed, 0) AS n_tokens_kept
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q87 — unigram-LM rarity (the deterministic perplexity proxy):
+  // per-token surprisal as the integer bit-length gap
+  // bitlen(total) − bitlen(count) — length(bin(x)) on both engines —
+  // so the per-doc sum is exact integer arithmetic and the mean is one
+  // IEEE division + fround.
+  val q87 = Q(
+    "q87_unigram_rarity",
+    (s, d) => graft.llm.Retrieval.unigramRarity(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH tc AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+         |SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * (length(bin(total)) - length(bin(cnt)))) AS BIGINT) AS rarity_bits,
+         |  ${Det.frSql(
+             "CAST(sum(tf * (length(bin(total)) - length(bin(cnt)))) AS BIGINT) / CAST(sum(tf) AS DOUBLE)",
+             4)} AS avg_rarity
+         |FROM tc JOIN vocab USING (term) CROSS JOIN tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin))
+
+  // q88 — two-phase Bloom decontamination: result is row-identical to
+  // the exact anti-join (the Bloom filter only routes rows — negatives
+  // bypass the join, positives are re-checked), so the oracle IS the
+  // exact anti-join. Benchmark cut: doc_id % 37 = 1 (distinct from
+  // q58's % 50 cut).
+  val q88 = Q(
+    "q88_bloom_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bloomDecontaminated(docs, docs.filter(col("doc_id") % 37 === 1),
+        expectedItems = 1000L)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH fp AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(norm) = 0 THEN 0
+         |         ELSE ${polyHashSql("norm")} END AS f
+         |  FROM (SELECT doc_id, source,
+         |          regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                         ' +', ' ', 'g') AS norm
+         |        FROM documents))
+         |SELECT doc_id, source FROM fp
+         |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 37 = 1)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q89 — temperature mixture sampling (α = 1/2 source weighting):
+  // quotas from integer-scaled √n weights and true integer division;
+  // per-source fill by salted-hash rank. √ is IEEE-correctly-rounded,
+  // hence bit-identical across engines — the one float op in the chain.
+  val q89 = Q(
+    "q89_mixture_sample",
+    (s, d) => TextAnalysis.mixtureSample(Tables.documents(s, d), "source",
+      budget = 200L).orderBy("source", "rnk"),
+    Some(
+      s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grp
+         |               FROM documents GROUP BY 1),
+         |w AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(n_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM counts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |quotas AS (SELECT source, (200 * w) // w_total AS quota
+         |           FROM w CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("text || 'graft'")}, doc_id) AS INT) AS rnk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.rnk
+         |FROM ranked r JOIN quotas q USING (source)
+         |WHERE r.rnk <= q.quota
+         |ORDER BY source, rnk""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
-    q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85)
+    q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -379,6 +379,41 @@ object RelationalQueries {
          |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
 
+  /** DuckDB mirror of ZOrder.zvalue — the identical bit interleave,
+    * generated from the same `bits` constant so the two cannot drift.
+    * Inputs must be non-negative (both engines then agree on `%`). */
+  private def zvalueSql(x: String, y: String, bits: Int): String = {
+    val m = (1L << bits).toString
+    val xm = s"(CAST($x AS BIGINT) % $m)"
+    val ym = s"(CAST($y AS BIGINT) % $m)"
+    (0 until bits).map { i =>
+      s"((($xm >> $i) & 1) << ${2 * i}) | ((($ym >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+  }
+
+  // q90 — Z-order (Morton) cell histogram over orders on
+  // (o_custkey, days-since-epoch-of-orderdate): the layout key behind
+  // graft.pipeline.ZOrder's clustered rewrite (OPTIMIZE ZORDER BY
+  // analog). The oracle pins the bit interleave exactly; PipelineSpec
+  // pins the layout property (per-file min/max tight on BOTH dims).
+  // Coarse cells: top 16 of the 32 z bits (256x256-key tiles).
+  val q90 = Q(
+    "q90_zorder_cells",
+    (s, d) => {
+      val days = datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+      val z = graft.pipeline.ZOrder.zvalue(col("o_custkey"), days, bits = 16)
+      Tables.orders(s, d)
+        .select(shiftright(z, 16).as("zcell"))
+        .groupBy("zcell").agg(count(lit(1)).as("n"))
+        .orderBy("zcell")
+    },
+    Some(
+      s"""SELECT zcell, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT ${zvalueSql("o_custkey",
+             "date_diff('day', DATE '1992-01-01', o_orderdate)", 16)} >> 16 AS zcell
+         |      FROM orders)
+         |GROUP BY zcell ORDER BY zcell""".stripMargin))
+
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61, q67, q74, q75)
+    q25, q57, q60, q61, q67, q74, q75, q90)
 }

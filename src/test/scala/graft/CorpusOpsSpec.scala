@@ -1,0 +1,146 @@
+package graft
+
+import graft.llm.{DedupOps, Retrieval, TextAnalysis}
+import graft.model.Tables
+import graft.pipeline.ZOrder
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-7 corpus-curation operators: span-level dedup (C4 keep-first),
+ * Bloom-routed decontamination, temperature mixture sampling, unigram
+ * rarity, and the Z-order layout. Each spec pins the semantic the
+ * hash-checked oracle can't see from the outside: keep-first selection,
+ * bloom-vs-exact row identity, quota arithmetic, score ordering, and
+ * the two-dimensional file-locality property that is the entire point
+ * of Z-ordering.
+ */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  // ------------------------------------------------------------ q86 span dedup
+
+  test("spanDedupStats: keep-first — shared span survives exactly once") {
+    val span = "a b c d e f g h" // exactly width-8
+    val corpus = Seq(
+      (1L, s"$span x1 x2 x3 x4 x5 x6 x7 x8"), // span at idx 0 (first occurrence)
+      (2L, s"y1 y2 y3 y4 y5 y6 y7 y8 $span"), // span at idx 1
+      (3L, span), //                             span at idx 0
+      (4L, "short doc") //                       no complete span
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanDedupStats(corpus, width = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dup_spans", "n_removed", "n_tokens_kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 2L, 1L, 0L, 16L), // first occurrence kept
+      (2L, 2L, 1L, 1L, 8L), //  later occurrence removed
+      (3L, 1L, 1L, 1L, 0L), //  later occurrence removed (whole doc was the span)
+      (4L, 0L, 0L, 0L, 2L))) // too short for any span: untouched
+  }
+
+  test("spanDedupStats: a corpus with no repeated spans removes nothing") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "i j k l m n o p")).toDF("doc_id", "text")
+    val got = DedupOps.spanDedupStats(corpus, width = 8)
+      .agg(sum("n_dup_spans"), sum("n_removed")).as[(Long, Long)].head()
+    assert(got === ((0L, 0L)))
+  }
+
+  // ------------------------------------------------- q88 bloom decontamination
+
+  test("bloomDecontaminated is row-identical to the exact anti-join") {
+    val bench = docs.filter(col("doc_id") % 37 === 1)
+    val viaBloom = TextAnalysis.bloomDecontaminated(docs, bench,
+      expectedItems = 1000L).select("doc_id")
+    val exact = TextAnalysis.decontaminated(docs, bench).select("doc_id")
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("bloomDecontaminated scrubs a reformatted copy (normalization)") {
+    val corpus = Seq((1L, "the exact benchmark question"), (2L, "unrelated text"))
+      .toDF("doc_id", "text")
+    // Same content modulo punctuation/extra spaces — the normalized
+    // fingerprint must still match and the copy must be dropped.
+    val bench = Seq((10L, "the exact  benchmark question!!")).toDF("doc_id", "text")
+    val kept = TextAnalysis.bloomDecontaminated(corpus, bench, expectedItems = 16L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L))
+  }
+
+  // ---------------------------------------------------- q89 mixture sampling
+
+  test("mixtureSample: per-source take = min(quota, n) with √n quotas") {
+    val budget = 200L
+    val got = TextAnalysis.mixtureSample(docs, "source", budget = budget)
+    val takes = got.groupBy("source").agg(count(lit(1)).as("n_taken"))
+      .as[(String, Long)].collect().toMap
+    // recompute quotas with the operator's integer arithmetic
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val w = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 10000d + 0.5).toLong }
+    val wTotal = w.values.sum
+    val quota = w.map { case (s, v) => s -> (budget * v) / wTotal }
+    for ((s, n) <- counts)
+      assert(takes.getOrElse(s, 0L) === math.min(quota(s), n), s"source $s")
+    assert(takes.values.sum <= budget)
+  }
+
+  test("mixtureSample is deterministic across runs") {
+    val a = TextAnalysis.mixtureSample(docs, "source").orderBy("source", "rnk")
+      .as[(Long, String, Int)].collect()
+    val b = TextAnalysis.mixtureSample(docs, "source").orderBy("source", "rnk")
+      .as[(Long, String, Int)].collect()
+    assert(a === b)
+  }
+
+  // ------------------------------------------------------ q87 unigram rarity
+
+  test("unigramRarity: rare-token docs outscore common-token docs") {
+    // 'zzz' occurs once corpus-wide; 'the' floods the corpus.
+    val corpus = Seq(
+      (1L, "zzz"),
+      (2L, "the the the the"),
+      (3L, "the the the the the the the the the the the the")
+    ).toDF("doc_id", "text")
+    val scores = Retrieval.unigramRarity(corpus)
+      .select("doc_id", "avg_rarity").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) == scores(3L)) // same unigram => same mean surprisal
+  }
+
+  // ----------------------------------------------------------- q90 Z-order
+
+  test("zorderBy clusters BOTH dimensions; single-column sort does not") {
+    // 64x64 grid, shuffled: every (x, y) once.
+    val grid = spark.range(64 * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    def avgSpread(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = df.groupBy(spark_partition_id().as("p"))
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).as[(Double, Double)].head()
+      s
+    }
+    val (zx, zy) = avgSpread(ZOrder.zorderBy(grid, col("x"), col("y"),
+      bits = 6, numFiles = 16))
+    val byXOnly = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    val (_, xyOnlyY) = avgSpread(byXOnly)
+    // Z-order: each of 16 partitions covers ~1/16 of the 64x64 square —
+    // both spreads well under half the domain. Sorting by x alone leaves
+    // the y-extent of every partition spanning the full domain.
+    assert(zx < 32 && zy < 32, s"z-order spreads ($zx, $zy)")
+    assert(xyOnlyY > 60, s"x-only sort y-spread $xyOnlyY")
+  }
+
+  test("zvalue interleaves bits exactly") {
+    // x = 0b101 (bits 0,2 -> even positions 0,4), y = 0b011 (bits 0,1 ->
+    // odd positions 1,3): z = 1 + 2 + 8 + 16 = 27.
+    val z = spark.range(1)
+      .select(ZOrder.zvalue(lit(5L), lit(3L), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z === 27L)
+  }
+}
