@@ -25,6 +25,17 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Several queries (q66/q70/q73/q76/q84) localCheckpoint their edge
+      // lists; those block-manager blocks are reclaimed by ContextCleaner
+      // only after the driver happens to GC the DataFrame refs — left
+      // alone, ~90 queries of accumulated blocks add multi-second noise
+      // to the iterative queries (q66 measured 2.6–7.7 s by position;
+      // System.gc() between queries made it WORSE, 10 s spikes, by
+      // pushing full-GC work into the timed runs). Synchronously drop
+      // whatever the previous query left persisted instead — exact, no
+      // GC storm, and each query starts from an empty block manager.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       def run(): Either[String, Long] =
         try Right(fn(spark, sfDir).count())
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }

@@ -170,6 +170,53 @@ object Retrieval {
           .as("avg_rarity"))
   }
 
+  /**
+   * Exact corpus-wide heavy hitters: the top-`k` terms by total
+   * occurrence count, rank ties broken by term. The frequency table is
+   * one explode + two-level map-side-combined agg; the global top-k is
+   * a sort-limit (TakeOrderedAndProject, per-partition heaps); the rank
+   * window sees only `k` rows. The exact path shuffles the full vocab
+   * once — fine while the vocabulary fits a shuffle, which even web
+   * corpora usually do; [[heavyHitterTermsSketch]] is the fixed-memory
+   * alternative when it doesn't.
+   */
+  def heavyHitterTerms(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    termCounts(docs).groupBy("term").agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /**
+   * Sketch-based heavy hitters via `approx_top_k` (DataSketches
+   * frequent-items): each partition tracks at most `maxTracked` items in
+   * fixed memory, partial sketches merge once — no full-vocabulary
+   * shuffle, the at-scale shape when the term domain itself is huge
+   * (URLs, n-grams, user ids). Guarantee: any item with true count
+   * > N/maxTracked is present, with estimate error ≤ N/maxTracked.
+   *
+   * Determinism boundary: the sketch's own top-k cut breaks count ties
+   * arbitrarily, so the full tracked set is pulled (`k = maxTracked`)
+   * and the top-k cut happens AFTER an explicit (cnt desc, term)
+   * re-rank. When `maxTracked` ≥ the distinct-item count the sketch
+   * never evicts, every estimate is the EXACT count, and the result
+   * equals [[heavyHitterTerms]] — the regime the hash-checked oracle
+   * runs in. With `maxTracked` below the domain size, estimates carry
+   * bounded error — CorpusOpsSpec pins the subset/error guarantees for
+   * that regime instead.
+   */
+  def heavyHitterTermsSketch(docs: DataFrame, k: Int,
+      maxTracked: Int = 4096): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    docs.select(explode(filter(TextFunctions.words(col("text")), x => x =!= ""))
+        .as("term"))
+      .agg(expr(s"approx_top_k(term, $maxTracked, $maxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Top-`k` BM25 documents (ties broken by doc_id). The global top-k is
     * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
     * sort); the single-partition rank window only ever sees `k` rows. */

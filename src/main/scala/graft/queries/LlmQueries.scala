@@ -1356,7 +1356,38 @@ object LlmQueries {
          |WHERE r.rnk <= q.quota
          |ORDER BY source, rnk""".stripMargin))
 
+  // Exact top-k terms by total count — shared oracle for q91/q92 (the
+  // sketch query runs in its no-eviction exactness regime).
+  private def heavyHitterSql(k: Int): String =
+    s"""SELECT term, CAST(sum(c) AS BIGINT) AS cnt,
+       |  CAST(row_number() OVER (ORDER BY sum(c) DESC, term) AS INT) AS rank
+       |FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term,
+       |             1 AS c
+       |      FROM documents)
+       |GROUP BY term ORDER BY cnt DESC, term LIMIT $k""".stripMargin
+
+  // q91 — exact corpus heavy hitters: top-20 terms, TakeOrderedAndProject
+  // cut, full-vocab shuffle (fine while the vocabulary fits a shuffle).
+  val q91 = Q(
+    "q91_heavy_hitters",
+    (s, d) => graft.llm.Retrieval.heavyHitterTerms(Tables.documents(s, d), k = 20)
+      .orderBy("rank"),
+    Some(heavyHitterSql(20)))
+
+  // q92 — sketch heavy hitters (approx_top_k / DataSketches
+  // frequent-items): fixed memory per partition, one sketch merge, no
+  // vocab-wide shuffle — the at-scale path for huge term domains. At
+  // maxTracked = 4096 ≥ |vocab| the sketch never evicts, estimates are
+  // exact, and the re-ranked result equals q91 — so the EXACT top-k SQL
+  // is a valid oracle here; the approx regime is spec-pinned instead.
+  val q92 = Q(
+    "q92_heavy_hitters_sketch",
+    (s, d) => graft.llm.Retrieval.heavyHitterTermsSketch(Tables.documents(s, d),
+      k = 20, maxTracked = 4096).orderBy("rank"),
+    Some(heavyHitterSql(20)))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
-    q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    q91, q92)
 }

@@ -112,6 +112,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores(2L) == scores(3L)) // same unigram => same mean surprisal
   }
 
+  // -------------------------------------------------- q91/q92 heavy hitters
+
+  test("heavyHitterTermsSketch: exact in the no-eviction regime") {
+    val exact = Retrieval.heavyHitterTerms(docs, k = 20)
+      .as[(String, Long, Int)].collect()
+    val sk = Retrieval.heavyHitterTermsSketch(docs, k = 20, maxTracked = 4096)
+      .as[(String, Long, Int)].collect()
+    assert(sk === exact)
+  }
+
+  test("heavyHitterTermsSketch: approx regime keeps the frequent-items guarantee") {
+    // maxTracked = 16 is far below the vocabulary: eviction happens,
+    // estimates may overcount — but any term with true count > N/16 must
+    // be PRESENT and its estimate error bounded by N/16.
+    val exact = Retrieval.heavyHitterTerms(docs, k = 1000)
+      .as[(String, Long, Int)].collect()
+    val n = exact.map(_._2).sum
+    val bound = n / 16
+    val sk = Retrieval.heavyHitterTermsSketch(docs, k = 1000, maxTracked = 16)
+      .as[(String, Long, Int)].collect()
+    val skMap = sk.map(r => r._1 -> r._2).toMap
+    for ((term, cnt, _) <- exact if cnt > bound) {
+      assert(skMap.contains(term), s"guaranteed heavy hitter '$term' missing")
+      assert(math.abs(skMap(term) - cnt) <= bound,
+        s"'$term' estimate ${skMap(term)} vs exact $cnt exceeds N/16=$bound")
+    }
+  }
+
   // ----------------------------------------------------------- q90 Z-order
 
   test("zorderBy clusters BOTH dimensions; single-column sort does not") {
