@@ -57,6 +57,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
   }
 
+  test("q88: bloom routing is a scan-stage might_contain filter, not a join") {
+    val p = planOf("q88_bloom_decontaminate")
+    assert(p.contains("might_contain"),
+      "the Bloom pre-filter must appear as a native expression in the plan")
+    // the clean branch never joins: exactly ONE anti-join (the maybe
+    // branch's exact re-check) in the whole two-branch union
+    val antis = p.split("LeftAnti").length - 1
+    assert(antis == 1, s"expected exactly one anti-join, saw $antis")
+  }
+
+  test("q90: the z-value is scan-stage — no exchange below the partial agg") {
+    val p = planOf("q90_zorder_cells")
+    // one shuffle total: the zcell groupBy. The Morton interleave itself
+    // must not induce any exchange.
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"z-value computation should not shuffle: $p")
+    assert(p.contains("shiftright"), "interleave should be inline bitwise ops")
+  }
+
+  test("q92: sketch heavy hitters needs one single-partition sketch merge, no vocab shuffle") {
+    val p = planOf("q92_heavy_hitters_sketch")
+    assert(p.contains("approx_top_k") || p.contains("ApproxTopK"),
+      "sketch aggregate missing from plan")
+    // partial sketches merge through ONE exchange to a single partition —
+    // never a vocabulary-keyed hash exchange
+    assert(!p.contains("hashpartitioning(term"),
+      s"vocabulary must not shuffle by term: $p")
+  }
+
   test("q76: the composed curation pipeline plans with no nested-loop join") {
     // five operators chained; a lost broadcast hint or a non-equi
     // condition anywhere would surface as a BroadcastNestedLoopJoin over
