@@ -363,7 +363,10 @@ object DedupOps {
    * Nothing is quadratic, and text bytes never shuffle — only
    * (hash, instance-key) longs.
    */
-  def spanDedupStats(docs: DataFrame, width: Int = 8): DataFrame = {
+  /** Shared internals of the span-dedup pair: (base, flagged) where
+    * `base` is (doc_id, n_words, ws) and `flagged` is one row per span
+    * instance joined to its corpus-wide (cnt, first-occurrence key). */
+  private def spanFlags(docs: DataFrame, width: Int): (DataFrame, DataFrame) = {
     require(width > 0, "width must be positive")
     // Orderable instance key: doc_id * 2^20 + span index. 2^20 spans per
     // doc at width 8 is an 8M-word document — far above any real corpus
@@ -384,7 +387,12 @@ object DedupOps {
       .withColumn("k", col("doc_id") * spanIdxBits + col("idx"))
     val grp = spanned.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
-    val perDoc = spanned.join(grp, "h")
+    (base, spanned.join(grp, "h"))
+  }
+
+  def spanDedupStats(docs: DataFrame, width: Int = 8): DataFrame = {
+    val (base, flagged) = spanFlags(docs, width)
+    val perDoc = flagged
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
@@ -398,6 +406,34 @@ object DedupOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         (col("n_words") - lit(width.toLong) * coalesce(col("n_removed"), lit(0L)))
           .as("n_tokens_kept"))
+  }
+
+  /**
+   * The rewrite half of [[spanDedupStats]]: emit each document's text
+   * with every removed span instance CUT OUT (later occurrences of
+   * corpus-duplicated spans; the first occurrence and the trailing
+   * partial span always survive). Word positions outside complete spans
+   * are untouched, so a document with no duplicated spans round-trips
+   * byte-identical.
+   *
+   * The removed-index set per doc is a small array (duplicated spans
+   * only) carried through one join; the cut itself is a positional
+   * `filter` over the word array — per-row, scan-stage, no extra
+   * shuffle beyond [[spanDedupStats]]'s own two.
+   */
+  def spanDedupApply(docs: DataFrame, width: Int = 8): DataFrame = {
+    val (base, flagged) = spanFlags(docs, width)
+    val removedIdx = flagged
+      .filter(col("cnt") > 1 && col("k") =!= col("first_k"))
+      .groupBy("doc_id").agg(collect_list(col("idx")).as("removed"))
+    val rem = coalesce(col("removed"), array().cast("array<int>"))
+    val nSpans = (size(col("ws")) / width).cast("int")
+    val kept = filter(col("ws"), (_, i) =>
+      (i >= nSpans * width) || !array_contains(rem, (i / width).cast("int")))
+    base.join(removedIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(kept).cast("long").as("n_tokens_kept"),
+        array_join(kept, " ").as("text_clean"))
   }
 
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,

@@ -1386,8 +1386,43 @@ object LlmQueries {
       k = 20, maxTracked = 4096).orderBy("rank"),
     Some(heavyHitterSql(20)))
 
+  // q93 — the rewrite half of q86: documents with later occurrences of
+  // corpus-duplicated spans CUT OUT (keep-first policy applied to the
+  // text itself). The positional cut mirrors exactly: Spark's filter
+  // lambda index is 0-based, DuckDB's is 1-based, hence the (i - 1).
+  val q93 = Q(
+    "q93_span_dedup_apply",
+    (s, d) => graft.llm.DedupOps.spanDedupApply(Tables.documents(s, d), width = 8)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH base AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |sp AS (SELECT doc_id, unnest(range(len(ws) // 8)) AS idx, ws FROM base),
+         |spans AS (
+         |  SELECT doc_id, idx,
+         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h
+         |  FROM sp),
+         |grp AS (SELECT h, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
+         |        FROM spans GROUP BY h),
+         |rm AS (SELECT s.doc_id, list(s.idx) AS removed
+         |       FROM spans s JOIN grp g USING (h)
+         |       WHERE g.cnt > 1 AND s.doc_id * 1048576 + s.idx <> g.first_k
+         |       GROUP BY s.doc_id),
+         |cut AS (
+         |  SELECT b.doc_id,
+         |    list_filter(b.ws, (x, i) ->
+         |      (i - 1) >= (len(b.ws) // 8) * 8
+         |      OR NOT list_contains(coalesce(r.removed, []), (i - 1) // 8)) AS kept
+         |  FROM base b LEFT JOIN rm r USING (doc_id))
+         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+         |       -- a fully-removed doc keeps []: array_to_string([]) is NULL
+         |       -- in DuckDB but '' in Spark's array_join — align on ''
+         |       coalesce(array_to_string(kept, ' '), '') AS text_clean
+         |FROM cut ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92)
+    q91, q92, q93)
 }

@@ -49,6 +49,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === ((0L, 0L)))
   }
 
+  test("spanDedupApply: cuts later occurrences, keeps first + tail verbatim") {
+    val span = "a b c d e f g h"
+    val corpus = Seq(
+      (1L, s"$span x1 x2 x3"), //                 first occurrence + tail: untouched
+      (2L, s"y1 y2 y3 y4 y5 y6 y7 y8 $span t1"), // span cut, own span + tail kept
+      (3L, "plain text with no duplicate spans at all")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanDedupApply(corpus, width = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "text_clean").as[(Long, String)].collect()
+    assert(got === Array(
+      (1L, s"$span x1 x2 x3"),
+      (2L, "y1 y2 y3 y4 y5 y6 y7 y8 t1"),
+      (3L, "plain text with no duplicate spans at all")))
+  }
+
+  test("spanDedupApply token counts agree with spanDedupStats accounting") {
+    val a = DedupOps.spanDedupApply(docs, width = 8)
+      .select("doc_id", "n_tokens_kept").as[(Long, Long)].collect().toMap
+    val b = DedupOps.spanDedupStats(docs, width = 8)
+      .select("doc_id", "n_tokens_kept").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   // ------------------------------------------------- q88 bloom decontamination
 
   test("bloomDecontaminated is row-identical to the exact anti-join") {
@@ -68,6 +92,28 @@ class CorpusOpsSpec extends SparkSpec {
     val kept = TextAnalysis.bloomDecontaminated(corpus, bench, expectedItems = 16L)
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(2L))
+  }
+
+  test("bloomDecontaminated composes with a document stream (ingest-time scrub)") {
+    // The decontamination guard at ingest: the bloom literal is a plain
+    // scan-stage expression and the exact re-check is a stream-static
+    // anti-join — both streaming-legal, so the SAME operator runs on a
+    // batch corpus and on the ingest stream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the exact benchmark question")).toDF("doc_id", "text")
+    val source = MemoryStream[(Long, String)]
+    val stream = source.toDF().toDF("doc_id", "text")
+    val q = TextAnalysis.bloomDecontaminated(stream, bench, expectedItems = 16L)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "the exact benchmark question"), (2L, "clean doc"),
+        (3L, "the exact  benchmark question!!"), (4L, "another clean doc"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").select("doc_id").as[Long].collect().sorted
+      assert(kept === Array(2L, 4L))
+    } finally q.stop()
   }
 
   // ---------------------------------------------------- q89 mixture sampling
