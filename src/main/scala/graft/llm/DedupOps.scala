@@ -237,11 +237,17 @@ object DedupOps {
    * label's label (`l(v) ← min(l(v), l(l(v)))`), halving the remaining
    * chain depth each round — so convergence needs O(log diameter)
    * iterations, not O(diameter): measured on a 100-node path, 9 rounds
-   * instead of 99 (SCALE.md). The driver loop only checks convergence
-   * counts, never data. `maxIter` still bounds pathological graphs
-   * (2^maxIter diameter ceiling), and hitting it with labels moving
-   * raises (or warns, per `failOnNonConvergence`) instead of silently
-   * returning wrong representatives.
+   * instead of 99 (SCALE.md). The driver loop only checks convergence,
+   * never data: labels are MONOTONE NON-INCREASING per node (each step
+   * takes a min that includes the node's own label), so the fixpoint is
+   * reached exactly when Σlabels stops decreasing — ONE aggregate per
+   * round (the same job that materializes the round's checkpoint), where
+   * a changed-row count would need an extra next⋈previous join+shuffle
+   * of the full label table every round. The sum rides DECIMAL(38,0):
+   * exact to 1e38, far above 1e9 nodes × 1e19 max ids. `maxIter` still
+   * bounds pathological graphs (2^maxIter diameter ceiling), and hitting
+   * it with labels moving raises (or warns, per `failOnNonConvergence`)
+   * instead of silently returning wrong representatives.
    *
    * Checkpointing: by default `localCheckpoint` cuts the growing lineage
    * each round (executor-memory-held — fine for label-table state, the
@@ -266,13 +272,12 @@ object DedupOps {
       eager = true)
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = cut(nodes.withColumn("label", col("id")), eager = true)
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // lazy checkpoint: the convergence count below materializes it, so
-      // each iteration runs ONE job (count) instead of two (checkpoint
-      // job + count job) — iteration cost here is driver round-trips,
-      // not data volume
+    while (changed && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
         .unionAll(labels)
@@ -287,14 +292,19 @@ object DedupOps {
           .select(nbrMin("id").as("id"),
             least(col("label"), col("jlabel")).as("label")),
         eager = false)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      // lazy checkpoint + monotone convergence: the Σlabel aggregate both
+      // materializes the round's checkpoint and detects the fixpoint
+      // (labels only ever decrease, so equal sums ⇔ nothing moved) — ONE
+      // job per round, no next⋈previous join.
+      val newSum = labelSum(next)
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       labels = next
       i += 1
     }
-    if (changed > 0) {
+    if (changed) {
       val msg = s"duplicateClusters did NOT converge after $maxIter " +
-        s"iterations ($changed labels still changing): some component's " +
+        "iterations (label sum still decreasing): some component's " +
         "diameter exceeds maxIter and its cluster_rep labels are wrong"
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
