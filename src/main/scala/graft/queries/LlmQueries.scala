@@ -1110,15 +1110,17 @@ object LlmQueries {
         .orderBy("doc_id")
     },
     Some(
-      s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-         |           FROM documents),
+      // hash-space mirror of ShingleHashList: unfiltered split (the
+      // native expression splits with -1 limit), gram = polyhash of the
+      // space-joined n-word slice.
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
-         |        i -> array_to_string(list_slice(ws, i + 1, i + $contamN), ' '))) AS grams
+         |        i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
          |      FROM ws),
-         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
-         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
-         |         FROM cg LEFT JOIN bench b ON b.gram = cg.gram GROUP BY 1)
+         |bench AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gh) AS n_hit
+         |         FROM cg LEFT JOIN bench b ON b.gh = cg.gh GROUP BY 1)
          |SELECT g.doc_id, CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
          |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  CASE WHEN h.n_grams IS NULL THEN 0.0

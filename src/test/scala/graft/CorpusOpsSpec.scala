@@ -209,6 +209,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(xyOnlyY > 60, s"x-only sort y-spread $xyOnlyY")
   }
 
+  test("spanDedupStats matches a sequential reference on seeded random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val width = 4
+    // 4-word spans over a 4-word vocabulary: 256 possible spans across
+    // ~40 docs forces plenty of cross-doc collisions.
+    val docGen = Gen.chooseNum(0, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, docGen.apply(Gen.Parameters.default, Seed(7L + i)).get))
+
+    // sequential reference (strings, not hashes — collision-free ground truth)
+    case class Inst(doc: Long, idx: Int, span: String)
+    val insts = corpus.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).grouped(width).zipWithIndex
+        .collect { case (g, i) if g.length == width => Inst(id, i, g.mkString(" ")) }
+    }
+    val bySpan = insts.groupBy(_.span)
+    val removed = bySpan.values.filter(_.size > 1)
+      .flatMap(_.sortBy(s => s.doc * 1048576 + s.idx).drop(1)).toSet
+    val expect = corpus.map { case (id, text) =>
+      val n = text.split(" ", -1).count(_.nonEmpty).toLong
+      val mine = insts.filter(_.doc == id)
+      val nRem = mine.count(removed).toLong
+      (id, mine.size.toLong, mine.count(s => bySpan(s.span).size > 1).toLong,
+        nRem, n - width * nRem)
+    }.toArray
+
+    val got = DedupOps.spanDedupStats(corpus.toDF("doc_id", "text"), width)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === expect)
+  }
+
+  test("zvalue deinterleaves back to (x, y) on seeded random pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pairs = (0 until 200).map { i =>
+      Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+        .apply(Gen.Parameters.default, Seed(11L + i)).get
+    }
+    val zs = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zvalue(col("x"), col("y"), bits = 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    for ((x, y, z) <- zs) {
+      val dx = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val dy = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert((dx, dy) === ((x, y)), s"z=$z")
+    }
+  }
+
   test("zvalue interleaves bits exactly") {
     // x = 0b101 (bits 0,2 -> even positions 0,4), y = 0b011 (bits 0,1 ->
     // odd positions 1,3): z = 1 + 2 + 8 + 16 = 27.
