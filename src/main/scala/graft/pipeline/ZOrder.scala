@@ -31,13 +31,25 @@ object ZOrder {
    * key cardinality; beyond-range keys wrap (pmod), which degrades
    * clustering for the wrapped tail but never correctness.
    */
-  def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xm = pmod(x.cast("long"), lit(1L << bits))
-    val ym = pmod(y.cast("long"), lit(1L << bits))
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    zvalueN(Seq(x, y), bits)
+
+  /**
+   * k-dimensional Morton interleave: dimension j of `dims` occupies bit
+   * positions i·k + j — a LongType column in [0, 2^(bits·k)). The
+   * product bits·k must stay below 63 (the long sign bit); beyond-range
+   * keys wrap per dimension (pmod), degrading clustering for the
+   * wrapped tail but never correctness.
+   */
+  def zvalueN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.size
+    require(k >= 1, "at least one dimension")
+    require(bits >= 1 && bits * k <= 62, s"bits*$k must be in [1, 62]")
+    val ms = dims.map(d => pmod(d.cast("long"), lit(1L << bits)))
+    (0 until bits).flatMap { i =>
+      ms.zipWithIndex.map { case (m, j) =>
+        shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * k + j)
+      }
     }.reduce(_ bitwiseOR _)
   }
 
@@ -49,8 +61,13 @@ object ZOrder {
    * still land in balanced files.
    */
   def zorderBy(df: DataFrame, x: Column, y: Column, bits: Int = 16,
-      numFiles: Int = 64): DataFrame = {
-    val z = zvalue(x, y, bits)
+      numFiles: Int = 64): DataFrame =
+    zorderByN(df, Seq(x, y), bits, numFiles)
+
+  /** k-dimensional [[zorderBy]] over [[zvalueN]]'s key. */
+  def zorderByN(df: DataFrame, dims: Seq[Column], bits: Int,
+      numFiles: Int): DataFrame = {
+    val z = zvalueN(dims, bits)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
 }

@@ -186,6 +186,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch heavy hitters runs on a document stream (complete mode)") {
+    // Ingest-time vocabulary monitoring: the same approx_top_k aggregate
+    // as q92, in a streaming complete-mode aggregation — sketch state
+    // merges across micro-batches, no vocabulary-wide shuffle.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val stream = source.toDF().toDF("text")
+    val q = stream
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(expr("approx_top_k(term, 64, 64)").as("tk"))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      source.addData("a a a b", "b c")
+      q.processAllAvailable()
+      source.addData("a d d")
+      q.processAllAvailable()
+      val top = spark.table("hh_out").selectExpr("explode(tk) AS e")
+        .selectExpr("e.item", "e.count").as[(String, Long)].collect().toMap
+      assert(top === Map("a" -> 4L, "b" -> 2L, "d" -> 2L, "c" -> 1L))
+    } finally q.stop()
+  }
+
   // ----------------------------------------------------------- q90 Z-order
 
   test("zorderBy clusters BOTH dimensions; single-column sort does not") {
@@ -257,6 +281,26 @@ class CorpusOpsSpec extends SparkSpec {
       val dy = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
       assert((dx, dy) === ((x, y)), s"z=$z")
     }
+  }
+
+  test("zorderByN clusters three dimensions at once") {
+    // 32^3 grid: ids 0..32767 decompose into (x, y, w) base-32 digits.
+    val grid = spark.range(32 * 32 * 32).select(
+      (col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).cast("long").as("y"),
+      (col("id") / (32 * 32)).cast("long").as("w"))
+    val parts = ZOrder.zorderByN(grid,
+      Seq(col("x"), col("y"), col("w")), bits = 5, numFiles = 64)
+      .groupBy(spark_partition_id())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"),
+        (max("w") - min("w")).as("sw"))
+      .agg(avg("sx"), avg("sy"), avg("sw")).as[(Double, Double, Double)].head()
+    // 64 range partitions over a 32^3 cube ≈ 2 z-bits per dimension plus
+    // sampled-boundary slop: every dimension's average spread must sit
+    // well under half the 0..31 domain (a 1-D sort leaves two of them
+    // near 31).
+    assert(parts._1 <= 16 && parts._2 <= 16 && parts._3 <= 16,
+      s"3-D spreads $parts")
   }
 
   test("zvalue interleaves bits exactly") {
