@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted IVF index lifecycle — the step between the inline ANN
+ * operators (SimilaritySearch.ivfTopK recomputes cell assignment per
+ * query batch) and a production deployment, where the corpus is
+ * assigned ONCE and searched many times:
+ *
+ *  - [[build]]: k-means centroids + per-vector cell assignment, written
+ *    as parquet with the assignment table HIVE-PARTITIONED BY CELL —
+ *    each inverted list is a directory, so a search touching `nprobe`
+ *    cells scans only those directories (partition pruning, pinned in
+ *    LlmSpec).
+ *  - [[append]]: assign NEW vectors against the FROZEN centroids and
+ *    append their partitions — incremental ingest without rebuilding
+ *    (the standard IVF freshness trade: cell balance degrades as the
+ *    distribution drifts; rebuild on a cadence).
+ *  - [[search]]: probe cells come from the tiny centroid table; the
+ *    probed cell ids are collected (nprobe × |queries| ints — driver
+ *    coordination IS the IVF lookup) into a partition-pruning filter,
+ *    then the exact-cosine top-k runs over the surviving lists only.
+ *
+ * At 100 TB the assignment pass is one scan-stage argmin over broadcast
+ * centroids (codegen'd NearestCellExpr; the corpus never shuffles) plus
+ * one partitioned write; every subsequent search reads nprobe/nCells of
+ * the data. Embeddings round-trip parquet bit-exactly (float arrays),
+ * so search-after-build equals the inline operator row-for-row.
+ */
+object IvfIndex {
+
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  /** Build centroids (k-means over a deterministic hash sample) and the
+    * cell-partitioned assignment table. */
+  def build(corpus: DataFrame, dir: String, nCells: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    SimilaritySearch.kmeansCentroids(corpus, nCells, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // assign against the WRITTEN centroids (not the in-flight plan) so
+    // append() and search() see the identical values byte-for-byte
+    SimilaritySearch.assignCells(corpus, centroids(spark, dir))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  /** Assign new vectors against the frozen centroids and append. */
+  def append(vectors: DataFrame, dir: String): Unit =
+    SimilaritySearch.assignCells(vectors, centroids(vectors.sparkSession, dir))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+
+  /** Top-`k` exact-cosine neighbors from the persisted index, scanning
+    * only the probed cell partitions. */
+  def search(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)
+    // tiny: nprobe ids per query — the driver-side cell lookup every IVF
+    // serving layer performs; isin literals are what partition pruning
+    // needs to skip unprobed directories at plan time
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+    SimilaritySearch.searchAssigned(assigned, probes, k)
+  }
+}

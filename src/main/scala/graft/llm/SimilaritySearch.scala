@@ -144,19 +144,37 @@ object SimilaritySearch {
     * (cell_id, cvec) — the k-means path ([[kmeansCentroids]]) and the
     * deterministic `vec_id < nCells` cut share this plan. */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
-      cents: DataFrame, nprobe: Int = 4): DataFrame = {
-    val assigned = corpus.crossJoin(broadcast(centroidArray(cents)))
+      cents: DataFrame, nprobe: Int = 4): DataFrame =
+    searchAssigned(assignCells(corpus, cents), probeCells(queries, cents, nprobe), k)
+
+  /** (vec_id, embedding, cell): each corpus vector labeled with its
+    * nearest centroid — the scan-stage codegen'd argmin over the
+    * broadcast centroid array (never a corpus shuffle). This IS the
+    * index build step; [[IvfIndex]] persists its output partitioned by
+    * cell so searches prune to the probed inverted lists. */
+  private[llm] def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroidArray(cents)))
       .select(col("vec_id"), col("embedding"),
         nearestCellIdx(col("cents"), col("embedding")).as("cell"))
+
+  /** (query_id, qe, cell): each query paired with its `nprobe` closest
+    * cells by centroid cosine (ties toward the smaller cell_id). */
+  private[llm] def probeCells(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell_id"))
-    val probes = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("cell_id").cast("long").as("cell_id"),
         cosine(col("embedding"), col("cvec")).as("ccos"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell_id").as("cell"))
+  }
+
+  /** Exact-cosine top-k over the probed cells of an assigned corpus. */
+  private[llm] def searchAssigned(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), "cell")

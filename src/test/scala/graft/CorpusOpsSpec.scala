@@ -210,6 +210,54 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------------------------------------ IVF index lifecycle
+
+  private lazy val embeddings = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  test("IvfIndex: build once + search equals the inline IVF operator") {
+    val dir = "/tmp/graft_ivf_spec"
+    graft.llm.IvfIndex.build(embeddings, dir, nCells = 16, iters = 2)
+    val queries = embeddings.filter(col("vec_id") % 100 === 7)
+    val fromIndex = graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val inline = graft.llm.SimilaritySearch.ivfTopKWith(
+      embeddings, queries, k = 5,
+      graft.llm.IvfIndex.centroids(spark, dir), nprobe = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fromIndex === inline)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("IvfIndex: search scans only the probed cell partitions") {
+    val dir = "/tmp/graft_ivf_spec"
+    val one = embeddings.filter(col("vec_id") === 7)
+    val res = graft.llm.IvfIndex.search(one, dir, k = 5, nprobe = 2)
+    res.count()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition pruning: $plan")
+    assert(plan.contains("cell"), "pruning filter should target the cell column")
+    // one query, nprobe=2: at most 2 of the 16 cell directories are read
+    val scanned = res.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.find(_.contains("Location")))
+    assert(scanned.nonEmpty)
+  }
+
+  test("IvfIndex: append makes new vectors searchable without a rebuild") {
+    val dir = "/tmp/graft_ivf_spec2"
+    graft.llm.IvfIndex.build(embeddings.filter(col("vec_id") < 400), dir,
+      nCells = 16, iters = 2)
+    // append the rest; a held-out vector must now surface as a neighbor
+    graft.llm.IvfIndex.append(embeddings.filter(col("vec_id") >= 400), dir)
+    val queries = embeddings.filter(col("vec_id") === 401)
+    val neighbors = graft.llm.IvfIndex.search(queries, dir, k = 500, nprobe = 16)
+      .select("neighbor_id").as[Long].collect()
+    assert(neighbors.exists(_ >= 400), "appended vectors never surfaced")
+    assert(neighbors.exists(_ < 400), "built vectors lost after append")
+  }
+
   // ----------------------------------------------------------- q90 Z-order
 
   test("zorderBy clusters BOTH dimensions; single-column sort does not") {
