@@ -58,14 +58,59 @@ object IvfIndex {
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)
-    // tiny: nprobe ids per query — the driver-side cell lookup every IVF
-    // serving layer performs; isin literals are what partition pruning
-    // needs to skip unprobed directories at plan time
+    val assigned = prunedRead(spark, s"$dir/assignments", probes)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    SimilaritySearch.searchAssigned(assigned, probes, k)
+  }
+
+  /**
+   * IVF-PQ (the FAISS IVFPQ layout): alongside [[build]]'s coarse
+   * routing, store each vector as its `subspaces`-byte product-quantized
+   * code word, cell-partitioned, plus the sub-codebooks. [[searchPq]]
+   * then never reads an embedding: probed cells are pruned at plan time
+   * and scoring is `subspaces` lookup-table adds per candidate — the
+   * layout that serves billion-vector corpora from a fraction of the
+   * storage (8 bytes/vector vs 256 for a float 64-dim embedding).
+   */
+  def buildPq(corpus: DataFrame, dir: String, nCells: Int = 16,
+      iters: Int = 2, dim: Int = 64, subspaces: Int = 8,
+      nCodes: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    build(corpus, dir, nCells, iters)
+    SimilaritySearch.pqCodebooks(corpus, dim, subspaces, nCodes)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    SimilaritySearch.pqPacked(corpus, dim, subspaces, nCodes)
+      .join(spark.read.parquet(s"$dir/assignments").select("vec_id", "cell"),
+        "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/pq_codes")
+  }
+
+  /** Top-`k` by asymmetric distance over the persisted PQ codes of the
+    * probed cells — embeddings are never read. */
+  def searchPq(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
+      dim: Int = 64, subspaces: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)
+    val dtab = SimilaritySearch.adcTables(SimilaritySearch.adcSubDists(
+      queries.select(col("vec_id"), col("embedding")),
+      spark.read.parquet(s"$dir/pq_codebooks"), dim, subspaces))
+    val candidates = prunedRead(spark, s"$dir/pq_codes", probes)
+      .join(broadcast(probes.select(col("query_id"), col("cell")).distinct()), "cell")
+    SimilaritySearch.adcRank(candidates.join(broadcast(dtab), "query_id"),
+      subspaces, k)
+  }
+
+  /** Read a cell-partitioned table restricted to the probed cells:
+    * the probe list is tiny (nprobe ids per query — the driver-side
+    * lookup every IVF serving layer performs) and the isin literals are
+    * what partition pruning needs to skip unprobed directories at plan
+    * time. */
+  private def prunedRead(spark: SparkSession, path: String,
+      probes: DataFrame): DataFrame = {
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assigned = spark.read.parquet(s"$dir/assignments")
+    spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
-      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
-    SimilaritySearch.searchAssigned(assigned, probes, k)
+      .withColumn("cell", col("cell").cast("long"))
   }
 }

@@ -273,31 +273,55 @@ object SimilaritySearch {
    */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
       subspaces: Int = 8, nCodes: Int = 16): DataFrame = {
-    val subDim = dim / subspaces
     val cb = pqCodebooks(corpus, dim, subspaces, nCodes)
-    val qsub = queries.select(col("vec_id").as("query_id"),
+    // nested [sub][cell] lookup arrays, one row per query — both levels
+    // rebuilt deterministically via array_sort on (key, value) structs
+    val dtab = adcTables(adcSubDists(queries, cb, dim, subspaces))
+    val packed = pqPacked(corpus, dim, subspaces, nCodes)
+    adcRank(packed.crossJoin(broadcast(dtab)), subspaces, k)
+  }
+
+  /** (vec_id, codes): the per-vector PQ code word as one sub-ordered
+    * array — the 8-byte representation ADC scoring reads instead of the
+    * embedding. */
+  private[llm] def pqPacked(corpus: DataFrame, dim: Int, subspaces: Int,
+      nCodes: Int): DataFrame =
+    pqEncode(corpus, dim, subspaces, nCodes)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Per-query nested [sub][cell] distance lookup arrays from the
+    * (query_id, sub, cell_id, dd) sub-distances. */
+  private[llm] def adcTables(dcell: DataFrame): DataFrame = {
+    val perSub = dcell.groupBy("query_id", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("cell_id"), col("dd")))),
+        s => s.getField("dd")).as("ds"))
+    perSub.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
+        s => s.getField("ds")).as("dts"))
+  }
+
+  /** Per-query sub-distances of `queries` against codebooks `cb`. */
+  private[llm] def adcSubDists(queries: DataFrame, cb: DataFrame, dim: Int,
+      subspaces: Int): DataFrame = {
+    val subDim = dim / subspaces
+    queries.select(col("vec_id").as("query_id"),
       explode(array((0 until subspaces).map(j =>
         struct(lit(j).as("sub"),
           slice(col("embedding"), j * subDim + 1, subDim).as("sv"))): _*)).as("s"))
       .select(col("query_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
-    val dcell = qsub.join(broadcast(cb), "sub")
+      .join(broadcast(cb), "sub")
       .select(col("query_id"), col("sub"), col("cell_id"),
         l2sq(col("sv"), col("cvec")).as("dd"))
-    // nested [sub][cell] lookup arrays, one row per query — both levels
-    // rebuilt deterministically via array_sort on (key, value) structs
-    val perSub = dcell.groupBy("query_id", "sub")
-      .agg(transform(array_sort(collect_list(struct(col("cell_id"), col("dd")))),
-        s => s.getField("dd")).as("ds"))
-    val dtab = perSub.groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
-        s => s.getField("ds")).as("dts"))
-    val packed = pqEncode(corpus, dim, subspaces, nCodes)
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+  }
+
+  /** ADC-sum + per-query top-k over rows carrying (query_id, vec_id,
+    * codes, dts). */
+  private[llm] def adcRank(rows: DataFrame, subspaces: Int, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
-    packed.crossJoin(broadcast(dtab))
+    rows
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         aggregate(sequence(lit(0), lit(subspaces - 1)), lit(0.0),

@@ -245,6 +245,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scanned.nonEmpty)
   }
 
+  test("IvfIndex: IVF-PQ search with all cells probed equals full ADC scoring") {
+    val dir = "/tmp/graft_ivfpq_spec"
+    graft.llm.IvfIndex.buildPq(embeddings, dir, nCells = 16, iters = 2)
+    val queries = embeddings.filter(col("vec_id") % 100 === 7)
+    // nprobe = nCells: no candidate is pruned, so the persisted-code path
+    // must reproduce the inline full-corpus ADC ranking exactly (floats
+    // round-trip parquet bit-identically; same codebook cut).
+    val fromIndex = graft.llm.IvfIndex.searchPq(queries, dir, k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val inline = graft.llm.SimilaritySearch.adcTopK(embeddings, queries, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(fromIndex === inline)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("IvfIndex: PQ search plan reads codes only — no embedding column") {
+    val dir = "/tmp/graft_ivfpq_spec"
+    val one = embeddings.filter(col("vec_id") === 7)
+    val res = graft.llm.IvfIndex.searchPq(one, dir, k = 5, nprobe = 2)
+    res.count()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), "pruning lost")
+    val codesScan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes")).mkString
+    assert(codesScan.nonEmpty && !codesScan.contains("embedding"),
+      s"the code scan must not read embeddings: $codesScan")
+  }
+
   test("IvfIndex: append makes new vectors searchable without a rebuild") {
     val dir = "/tmp/graft_ivf_spec2"
     graft.llm.IvfIndex.build(embeddings.filter(col("vec_id") < 400), dir,
