@@ -273,6 +273,10 @@ object TextAnalysis {
     def normFp(c: Column): Column =
       polyHash(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", ""), " +", " "))
     val bench = benchmark.select(normFp(col("text")).as("bench_fp")).distinct()
+    // Spark's stat.bloomFilter NPEs on zero rows (bloom_filter_agg
+    // aggregates to null and readFrom(null) throws); an empty benchmark
+    // legitimately means "nothing to scrub".
+    if (bench.isEmpty) return corpus
     val bf = bench.stat.bloomFilter("bench_fp", expectedItems, fpp)
     val bytes = {
       val os = new java.io.ByteArrayOutputStream()

@@ -116,6 +116,14 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomDecontaminated with an empty benchmark keeps everything") {
+    val corpus = Seq((1L, "some doc"), (2L, "another doc")).toDF("doc_id", "text")
+    val bench = corpus.filter(lit(false))
+    val kept = TextAnalysis.bloomDecontaminated(corpus, bench, expectedItems = 16L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L))
+  }
+
   // ---------------------------------------------------- q89 mixture sampling
 
   test("mixtureSample: per-source take = min(quota, n) with √n quotas") {
@@ -156,6 +164,14 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id", "avg_rarity").as[(Long, Double)].collect().toMap
     assert(scores(1L) > scores(2L))
     assert(scores(2L) == scores(3L)) // same unigram => same mean surprisal
+  }
+
+  test("mixtureSample with a budget above the corpus returns every row") {
+    val n = docs.count()
+    // Σ floor quotas ≤ budget, and per-source take = min(quota, n_s): with
+    // budget = 10·corpus every quota exceeds its source size.
+    val got = TextAnalysis.mixtureSample(docs, "source", budget = 10 * n).count()
+    assert(got === n)
   }
 
   // -------------------------------------------------- q91/q92 heavy hitters
