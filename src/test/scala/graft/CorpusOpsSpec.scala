@@ -304,6 +304,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(neighbors.exists(_ < 400), "built vectors lost after append")
   }
 
+  test("chunk → embed → index → search composes end-to-end (RAG shape)") {
+    // The retrieval pipeline every RAG deployment runs: cut documents
+    // into overlapping token windows (q85), embed each chunk (here a
+    // deterministic text-hash stand-in — the real encoder is external),
+    // build the persisted IVF index, search. A duplicated document's
+    // chunks embed identically, so the search must surface the twin
+    // chunk at cosine 1.0.
+    val dir = "/tmp/graft_rag_spec"
+    val base = Tables.documents(spark, sfDir).limit(50)
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") === 7) // plant one exact duplicate doc
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    val chunks = graft.llm.TextAnalysis.chunked(corpus, width = 32, stride = 24)
+    val vecs = chunks.select(
+      (col("doc_id") * 1024 + col("chunk_id")).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(graft.llm.TextFunctions.polyHash(
+          concat(col("chunk_text"), lit("#"), j.cast("string"))), lit(10007L))
+          .cast("float") / 10007.0f)).as("embedding"))
+    graft.llm.IvfIndex.build(vecs, dir, nCells = 8, iters = 1)
+    val query = vecs.filter(col("vec_id") === 7L * 1024) // doc 7, chunk 0
+    val top = graft.llm.IvfIndex.search(query, dir, k = 1, nprobe = 8)
+      .select("neighbor_id", "cos").as[(Long, Double)].head()
+    assert(top._1 === 100007L * 1024, "twin chunk not retrieved")
+    assert(top._2 === 1.0)
+  }
+
   // ----------------------------------------------------------- q90 Z-order
 
   test("zorderBy clusters BOTH dimensions; single-column sort does not") {
