@@ -39,6 +39,17 @@ object LlmExprs {
   /** Static entry for PolyHashExpr codegen. */
   def polyHash(s: UTF8String): Long = hashChars(s.toString)
 
+  /** Modulus-parameterized [[polyHash]] (mod = P48 for wide keys; with
+    * h < 2^48 the fold's products stay < 2^53 — exact in int64 and in
+    * the oracle's arithmetic). */
+  def polyHashMod(s: UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) { h = (h * 31L + str.charAt(i).toInt) % mod; i += 1 }
+    h
+  }
+
   /** 48-bit-range prime modulus for wide feature hashing (SimHash widths
     * beyond 30 bits need feature hashes that populate those bits; with
     * h < 2^48 the products h*31 stay < 2^53 — exact in int64 AND in the
@@ -215,12 +226,13 @@ object LlmExprs {
 }
 
 /** Polynomial rolling hash of a string column → long. */
-case class PolyHashExpr(child: Expression) extends UnaryExpression {
+case class PolyHashExpr(child: Expression, mod: Long = LlmExprs.P)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
-    LlmExprs.polyHash(input.asInstanceOf[UTF8String])
+    LlmExprs.polyHashMod(input.asInstanceOf[UTF8String], mod)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.polyHash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.polyHashMod($c, ${mod}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -272,8 +272,13 @@ object DedupOps {
       eager = true)
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = cut(nodes.withColumn("label", col("id")), eager = true)
+    // cast BEFORE the sum: sum over LongType accumulates in a long buffer
+    // (overflow at 1e9 nodes × large ids — ANSI throws, non-ANSI wraps and
+    // could fake convergence); DECIMAL(38,0) input makes the whole
+    // aggregation exact. Empty graph ⇒ sum is null ⇒ ZERO.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true
     var i = 0
@@ -375,7 +380,15 @@ object DedupOps {
    */
   /** Shared internals of the span-dedup pair: (base, flagged) where
     * `base` is (doc_id, n_words, ws) and `flagged` is one row per span
-    * instance joined to its corpus-wide (cnt, first-occurrence key). */
+    * instance joined to its corpus-wide (cnt, first-occurrence key).
+    *
+    * Span identity is the PAIR of independent polynomial hashes (mod P ≈
+    * 2³⁰ and mod P48 ≈ 2⁴⁸): the removal decision is destructive (unlike
+    * the pair-dedup families there is no exact verify step — text never
+    * shuffles), and a single 30-bit hash would birthday-collide at
+    * curation scale (~5e6 false merges at 1e8 distinct spans). Colliding
+    * in both moduli simultaneously is a ~2⁻⁷⁸ event per pair — zero
+    * expected false removals below ~10³⁰ spans. */
   private def spanFlags(docs: DataFrame, width: Int): (DataFrame, DataFrame) = {
     require(width > 0, "width must be positive")
     // Orderable instance key: doc_id * 2^20 + span index. 2^20 spans per
@@ -387,17 +400,21 @@ object DedupOps {
       size(ws).cast("long").as("n_words"), ws.as("ws"))
     // sequence(0, k) DESCENDS for k < 0, so the >= width guard is
     // load-bearing (same trap as TextAnalysis.wordGrams).
-    val spanHashes = when(size(col("ws")) >= width,
+    def spanHashes(mod: Long) = when(size(col("ws")) >= width,
       transform(
         sequence(lit(0), (size(col("ws")) / width).cast("int") - 1),
-        i => polyHash(array_join(slice(col("ws"), i * width + 1, lit(width)), " "))))
+        i => polyHashMod(array_join(slice(col("ws"), i * width + 1, lit(width)), " "), mod)))
       .otherwise(array().cast("array<long>"))
     val spanned = base
-      .select(col("doc_id"), posexplode(spanHashes).as(Seq("idx", "h")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(spanHashes(TextFunctions.P),
+          spanHashes(graft.functions.LlmExprs.P48))).as(Seq("idx", "hz")))
+      .select(col("doc_id"), col("idx"),
+        col("hz").getField("0").as("h"), col("hz").getField("1").as("h2"))
       .withColumn("k", col("doc_id") * spanIdxBits + col("idx"))
-    val grp = spanned.groupBy(col("h"))
+    val grp = spanned.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
-    (base, spanned.join(grp, "h"))
+    (base, spanned.join(grp, Seq("h", "h2")))
   }
 
   def spanDedupStats(docs: DataFrame, width: Int = 8): DataFrame = {

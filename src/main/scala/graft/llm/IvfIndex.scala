@@ -86,14 +86,20 @@ object IvfIndex {
   }
 
   /** Top-`k` by asymmetric distance over the persisted PQ codes of the
-    * probed cells — embeddings are never read. */
-  def searchPq(queries: DataFrame, dir: String, k: Int, nprobe: Int = 4,
-      dim: Int = 64, subspaces: Int = 8): DataFrame = {
+    * probed cells — embeddings are never read. The PQ geometry
+    * (subspaces, dim) is DERIVED from the stored codebooks rather than
+    * trusted from the caller: a repeated-but-wrong parameter would
+    * silently score half of each code word. */
+  def searchPq(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$dir/pq_codebooks")
+    val geom = cb.agg(max(col("sub")), max(size(col("cvec")))).head()
+    val subspaces = geom.getInt(0) + 1
+    val dim = subspaces * geom.getInt(1)
     val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)
     val dtab = SimilaritySearch.adcTables(SimilaritySearch.adcSubDists(
-      queries.select(col("vec_id"), col("embedding")),
-      spark.read.parquet(s"$dir/pq_codebooks"), dim, subspaces))
+      queries.select(col("vec_id"), col("embedding")), cb, dim, subspaces))
     val candidates = prunedRead(spark, s"$dir/pq_codes", probes)
       .join(broadcast(probes.select(col("query_id"), col("cell")).distinct()), "cell")
     SimilaritySearch.adcRank(candidates.join(broadcast(dtab), "query_id"),

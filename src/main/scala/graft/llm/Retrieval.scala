@@ -157,17 +157,26 @@ object Retrieval {
     val tc = termCounts(docs)
     val vocab = tc.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("total"))
-    tc.join(vocab, "term")
+    val scored = tc.join(vocab, "term")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") *
           (length(bin(col("total"))) - length(bin(col("cnt")))).cast("long"))
           .as("rarity_bits"))
-      .select(col("doc_id"), col("n_tokens"), col("rarity_bits"),
-        TextFunctions.fround(
-          col("rarity_bits").cast("double") / col("n_tokens").cast("double"), 4)
-          .as("avg_rarity"))
+    // token-less documents (empty/whitespace text — a junk class a quality
+    // gate must SEE, not silently pass) emit (0, 0, 0.0) instead of
+    // vanishing through the inner join; the division is guarded — under
+    // ANSI (Spark 4's default) 0/0 throws rather than nulling out.
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rarity_bits"), lit(0L)).as("rarity_bits"),
+        when(col("n_tokens") > 0,
+          TextFunctions.fround(
+            col("rarity_bits").cast("double") / col("n_tokens").cast("double"), 4))
+          .otherwise(lit(0.0)).as("avg_rarity"))
   }
 
   /**

@@ -273,11 +273,16 @@ object TextAnalysis {
     def normFp(c: Column): Column =
       polyHash(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", ""), " +", " "))
     val bench = benchmark.select(normFp(col("text")).as("bench_fp")).distinct()
-    // Spark's stat.bloomFilter NPEs on zero rows (bloom_filter_agg
-    // aggregates to null and readFrom(null) throws); an empty benchmark
-    // legitimately means "nothing to scrub".
-    if (bench.isEmpty) return corpus
-    val bf = bench.stat.bloomFilter("bench_fp", expectedItems, fpp)
+    // Spark 4.1's stat.bloomFilter NPEs on zero input rows (the internal
+    // bloom_filter_agg aggregates to null and BloomFilter.readFrom(null)
+    // throws before any public check can run). An empty benchmark
+    // legitimately means "nothing to scrub" — and catching the NPE here
+    // beats a bench.isEmpty pre-check, which would run the whole
+    // benchmark-side normalize+distinct pipeline one extra time in
+    // exactly the large-benchmark regime this operator exists for.
+    val bf =
+      try bench.stat.bloomFilter("bench_fp", expectedItems, fpp)
+      catch { case _: NullPointerException => return corpus }
     val bytes = {
       val os = new java.io.ByteArrayOutputStream()
       bf.writeTo(os)

@@ -68,6 +68,10 @@ object TextFunctions {
    */
   def polyHash(s: Column): Column = ofExpr(PolyHashExpr(exprOf(s)))
 
+  /** Modulus-parameterized [[polyHash]] (LlmExprs.P48 for wide keys). */
+  def polyHashMod(s: Column, mod: Long): Column =
+    ofExpr(PolyHashExpr(exprOf(s), mod))
+
   /** HOF reference implementation of [[polyHash]]. Spark's `split(s, "")`
     * appends a trailing "" (Java regex split with limit -1), which
     * DuckDB's char split does not — the filter drops it so both engines

@@ -1259,16 +1259,18 @@ object LlmQueries {
          |sp AS (SELECT doc_id, unnest(range(len(ws) // 8)) AS idx, ws FROM base),
          |spans AS (
          |  SELECT doc_id, idx,
-         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h
+         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h,
+         |    ${polyHashSqlMod("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')",
+               graft.functions.LlmExprs.P48.toString)} AS h2
          |  FROM sp),
-         |grp AS (SELECT h, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
-         |        FROM spans GROUP BY h),
+         |grp AS (SELECT h, h2, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
+         |        FROM spans GROUP BY h, h2),
          |agg AS (
          |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |    CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |    CAST(SUM(CASE WHEN g.cnt > 1 AND s.doc_id * 1048576 + s.idx <> g.first_k
          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-         |  FROM spans s JOIN grp g USING (h) GROUP BY s.doc_id)
+         |  FROM spans s JOIN grp g USING (h, h2) GROUP BY s.doc_id)
          |SELECT b.doc_id,
          |  coalesce(a.n_spans, 0) AS n_spans,
          |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
@@ -1293,15 +1295,20 @@ object LlmQueries {
          |        FROM documents)
          |  GROUP BY 1, 2),
          |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
-         |SELECT doc_id,
-         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |  CAST(sum(tf * (length(bin(total)) - length(bin(cnt)))) AS BIGINT) AS rarity_bits,
-         |  ${Det.frSql(
-             "CAST(sum(tf * (length(bin(total)) - length(bin(cnt)))) AS BIGINT) / CAST(sum(tf) AS DOUBLE)",
-             4)} AS avg_rarity
-         |FROM tc JOIN vocab USING (term) CROSS JOIN tot
-         |GROUP BY doc_id
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tf * (length(bin(total)) - length(bin(cnt)))) AS BIGINT) AS rarity_bits,
+         |    ${Det.frSql(
+               "CAST(sum(tf * (length(bin(total)) - length(bin(cnt)))) AS BIGINT) / CAST(sum(tf) AS DOUBLE)",
+               4)} AS avg_rarity
+         |  FROM tc JOIN vocab USING (term) CROSS JOIN tot
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+         |  coalesce(s.rarity_bits, 0) AS rarity_bits,
+         |  coalesce(s.avg_rarity, 0.0) AS avg_rarity
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
   // q88 — two-phase Bloom decontamination: result is row-identical to
@@ -1403,12 +1410,14 @@ object LlmQueries {
          |sp AS (SELECT doc_id, unnest(range(len(ws) // 8)) AS idx, ws FROM base),
          |spans AS (
          |  SELECT doc_id, idx,
-         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h
+         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h,
+         |    ${polyHashSqlMod("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')",
+               graft.functions.LlmExprs.P48.toString)} AS h2
          |  FROM sp),
-         |grp AS (SELECT h, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
-         |        FROM spans GROUP BY h),
+         |grp AS (SELECT h, h2, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
+         |        FROM spans GROUP BY h, h2),
          |rm AS (SELECT s.doc_id, list(s.idx) AS removed
-         |       FROM spans s JOIN grp g USING (h)
+         |       FROM spans s JOIN grp g USING (h, h2)
          |       WHERE g.cnt > 1 AND s.doc_id * 1048576 + s.idx <> g.first_k
          |       GROUP BY s.doc_id),
          |cut AS (

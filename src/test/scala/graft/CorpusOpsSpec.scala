@@ -231,16 +231,35 @@ class CorpusOpsSpec extends SparkSpec {
   private lazy val embeddings = Tables.embeddings(spark, sfDir)
     .select(col("vec_id"), col("embedding"))
 
+  // per-run unique root: a fixed /tmp path would read STALE indexes from a
+  // previous sbt run (old code could pass fresh tests) and breaks testOnly
+  // isolation; lazy fixtures build each index exactly once per run.
+  private lazy val specTmp =
+    java.nio.file.Files.createTempDirectory("graft_corpus_spec_").toString
+  private lazy val ivfDir = {
+    val d = s"$specTmp/ivf"
+    graft.llm.IvfIndex.build(embeddings, d, nCells = 16, iters = 2)
+    d
+  }
+  private lazy val ivfPqDir = {
+    val d = s"$specTmp/ivfpq"
+    graft.llm.IvfIndex.buildPq(embeddings, d, nCells = 16, iters = 2)
+    d
+  }
+
+  /** Non-empty PartitionFilters entry mentioning `cell` — an empty list
+    * also renders as "PartitionFilters: []", so contains() is vacuous. */
+  private def hasCellPartitionFilter(plan: String): Boolean =
+    "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined
+
   test("IvfIndex: build once + search equals the inline IVF operator") {
-    val dir = "/tmp/graft_ivf_spec"
-    graft.llm.IvfIndex.build(embeddings, dir, nCells = 16, iters = 2)
     val queries = embeddings.filter(col("vec_id") % 100 === 7)
-    val fromIndex = graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+    val fromIndex = graft.llm.IvfIndex.search(queries, ivfDir, k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect()
     val inline = graft.llm.SimilaritySearch.ivfTopKWith(
       embeddings, queries, k = 5,
-      graft.llm.IvfIndex.centroids(spark, dir), nprobe = 4)
+      graft.llm.IvfIndex.centroids(spark, ivfDir), nprobe = 4)
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect()
     assert(fromIndex === inline)
@@ -248,27 +267,19 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("IvfIndex: search scans only the probed cell partitions") {
-    val dir = "/tmp/graft_ivf_spec"
     val one = embeddings.filter(col("vec_id") === 7)
-    val res = graft.llm.IvfIndex.search(one, dir, k = 5, nprobe = 2)
+    val res = graft.llm.IvfIndex.search(one, ivfDir, k = 5, nprobe = 2)
     res.count()
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), s"no partition pruning: $plan")
-    assert(plan.contains("cell"), "pruning filter should target the cell column")
-    // one query, nprobe=2: at most 2 of the 16 cell directories are read
-    val scanned = res.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.toString.linesIterator.find(_.contains("Location")))
-    assert(scanned.nonEmpty)
+    assert(hasCellPartitionFilter(plan), s"no cell partition pruning: $plan")
   }
 
   test("IvfIndex: IVF-PQ search with all cells probed equals full ADC scoring") {
-    val dir = "/tmp/graft_ivfpq_spec"
-    graft.llm.IvfIndex.buildPq(embeddings, dir, nCells = 16, iters = 2)
     val queries = embeddings.filter(col("vec_id") % 100 === 7)
     // nprobe = nCells: no candidate is pruned, so the persisted-code path
     // must reproduce the inline full-corpus ADC ranking exactly (floats
     // round-trip parquet bit-identically; same codebook cut).
-    val fromIndex = graft.llm.IvfIndex.searchPq(queries, dir, k = 5, nprobe = 16)
+    val fromIndex = graft.llm.IvfIndex.searchPq(queries, ivfPqDir, k = 5, nprobe = 16)
       .orderBy("query_id", "rank")
       .as[(Long, Long, Double, Int)].collect()
     val inline = graft.llm.SimilaritySearch.adcTopK(embeddings, queries, k = 5)
@@ -279,12 +290,11 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("IvfIndex: PQ search plan reads codes only — no embedding column") {
-    val dir = "/tmp/graft_ivfpq_spec"
     val one = embeddings.filter(col("vec_id") === 7)
-    val res = graft.llm.IvfIndex.searchPq(one, dir, k = 5, nprobe = 2)
+    val res = graft.llm.IvfIndex.searchPq(one, ivfPqDir, k = 5, nprobe = 2)
     res.count()
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), "pruning lost")
+    assert(hasCellPartitionFilter(plan), s"no cell partition pruning: $plan")
     val codesScan = plan.linesIterator
       .filter(l => l.contains("ReadSchema") && l.contains("codes")).mkString
     assert(codesScan.nonEmpty && !codesScan.contains("embedding"),
@@ -292,7 +302,7 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("IvfIndex: append makes new vectors searchable without a rebuild") {
-    val dir = "/tmp/graft_ivf_spec2"
+    val dir = s"$specTmp/ivf_append"
     graft.llm.IvfIndex.build(embeddings.filter(col("vec_id") < 400), dir,
       nCells = 16, iters = 2)
     // append the rest; a held-out vector must now surface as a neighbor
@@ -311,7 +321,7 @@ class CorpusOpsSpec extends SparkSpec {
     // build the persisted IVF index, search. A duplicated document's
     // chunks embed identically, so the search must surface the twin
     // chunk at cosine 1.0.
-    val dir = "/tmp/graft_rag_spec"
+    val dir = s"$specTmp/rag"
     val base = Tables.documents(spark, sfDir).limit(50)
     val corpus = base.unionByName(
       base.filter(col("doc_id") === 7) // plant one exact duplicate doc
