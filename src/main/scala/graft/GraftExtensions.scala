@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[PolyHashExpr]) {
       case Seq(s) => PolyHashExpr(s)
     }
+    register("graft_deflate_len",
+      "graft_deflate_len(str) - DEFLATE-compressed byte count (compression-ratio quality signal)",
+      classOf[DeflateLenExpr]) {
+      case Seq(s) => DeflateLenExpr(s)
+    }
     register("graft_shingle_hashes",
       "graft_shingle_hashes(str, n) - hashes of all n-word shingles",
       classOf[ShingleHashList]) {

@@ -50,6 +50,24 @@ object LlmExprs {
     h
   }
 
+  /** Static entry for DeflateLenExpr codegen: DEFLATE-compressed size of
+    * the string's UTF-8 bytes at the default level, raw stream (nowrap —
+    * no zlib header so tiny inputs aren't all header). Deterministic for
+    * a fixed JVM; there is no cross-engine oracle for zlib, so the
+    * operator is spec-checked rather than hash-checked. */
+  def deflateLen(s: UTF8String): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** 48-bit-range prime modulus for wide feature hashing (SimHash widths
     * beyond 30 bits need feature hashes that populate those bits; with
     * h < 2^48 the products h*31 stay < 2^53 — exact in int64 AND in the
@@ -226,6 +244,20 @@ object LlmExprs {
 }
 
 /** Polynomial rolling hash of a string column → long. */
+/** DEFLATE-compressed byte count of a string — the compression-ratio
+  * quality signal (Gopher/RedPajama-style: highly repetitive boilerplate
+  * compresses far below natural prose). Tight JNI-backed loop via
+  * java.util.zip; participates in whole-stage codegen. */
+case class DeflateLenExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.deflateLen(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.deflateLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PolyHashExpr(child: Expression, mod: Long = LlmExprs.P)
     extends UnaryExpression {
   override def dataType: DataType = LongType

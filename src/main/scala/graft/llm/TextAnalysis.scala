@@ -249,6 +249,26 @@ object TextAnalysis {
   }
 
   /**
+   * Compression-ratio quality signal (the Gopher/RedPajama heuristic):
+   * DEFLATE-compressed size over raw UTF-8 size per document. Highly
+   * repetitive text (boilerplate, scraped navigation, SEO keyword
+   * stuffing) compresses far below natural prose, so pipelines cut both
+   * tails — near-zero ratios are template spam, near-1.0 ratios are
+   * random noise/binary junk. Pure per-row native expression
+   * (DeflateLenExpr, whole-stage codegen) — scan-stage, no shuffle.
+   * zlib output has no cross-engine oracle, so this operator is
+   * spec-checked (ordering + determinism), not hash-checked.
+   */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      deflateLen(col("text")).as("n_deflate"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") > 0,
+          fround(col("n_deflate").cast("double") / col("n_bytes"), 4))
+          .otherwise(lit(0.0)))
+
+  /**
    * Two-phase Bloom decontamination — the 100 TB shape of
    * [[decontaminated]]. When the benchmark set is too large to broadcast
    * comfortably, an exact anti-join shuffles EVERY corpus row on its

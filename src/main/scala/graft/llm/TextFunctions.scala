@@ -72,6 +72,12 @@ object TextFunctions {
   def polyHashMod(s: Column, mod: Long): Column =
     ofExpr(PolyHashExpr(exprOf(s), mod))
 
+  /** DEFLATE-compressed size of a string's UTF-8 bytes (native
+    * DeflateLenExpr; no cross-engine oracle exists for zlib, so its
+    * consumers are spec-checked). */
+  def deflateLen(s: Column): Column =
+    ofExpr(graft.functions.DeflateLenExpr(exprOf(s)))
+
   /** HOF reference implementation of [[polyHash]]. Spark's `split(s, "")`
     * appends a trailing "" (Java regex split with limit -1), which
     * DuckDB's char split does not — the filter drops it so both engines

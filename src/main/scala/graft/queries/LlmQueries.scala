@@ -1432,8 +1432,18 @@ object LlmQueries {
          |       coalesce(array_to_string(kept, ' '), '') AS text_clean
          |FROM cut ORDER BY doc_id""".stripMargin))
 
+  // q94 — compression-ratio quality signal (native DeflateLenExpr).
+  // zlib has no DuckDB mirror, so like q13's HLL this is a rows-only
+  // driver check; CorpusOpsSpec pins ordering (repetitive < prose) and
+  // determinism, CodegenSpec pins the codegen path.
+  val q94 = Q(
+    "q94_compression_ratio",
+    (s, d) => TextAnalysis.compressionRatio(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    None)
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93)
+    q91, q92, q93, q94)
 }

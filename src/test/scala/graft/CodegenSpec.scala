@@ -23,9 +23,11 @@ class CodegenSpec extends SparkSpec {
   private lazy val docs = Tables.documents(s2, sfDir)
   private lazy val embs = Tables.embeddings(s2, sfDir)
 
-  test("all six native expressions compile under CODEGEN_ONLY (no fallback)") {
+  test("all native expressions compile under CODEGEN_ONLY (no fallback)") {
     assert(docs.select(
       polyHash(col("text")).as("ph"),
+      polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("ph48"),
+      deflateLen(col("text")).as("dl"),
       shingleHashes(col("text")).as("sh"),
       minhashSig(shingleHashes(col("text")), 32).as("mh"),
       simhashOfHashes(shingleHashList(col("text"), 3, P), 32).as("simh"))

@@ -174,6 +174,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === n)
   }
 
+  // ------------------------------------------------ q94 compression ratio
+
+  test("compressionRatio: boilerplate compresses below prose, noise above it") {
+    val rnd = new scala.util.Random(42)
+    val corpus = Seq(
+      (1L, "buy now " * 200), //                      template spam
+      (2L, docs.select("text").as[String].head()), // natural-ish prose
+      (3L, Array.fill(400)((rnd.nextInt(93) + 33).toChar).mkString) // true noise
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(corpus)
+      .select("doc_id", "compression_ratio").as[(Long, Double)].collect().toMap
+    assert(r(1L) < r(2L), s"spam ${r(1L)} should compress below prose ${r(2L)}")
+    assert(r(2L) < r(3L), s"prose ${r(2L)} should compress below noise ${r(3L)}")
+  }
+
+  test("compressionRatio is deterministic and covers the empty doc") {
+    val corpus = Seq((1L, ""), (2L, "a b c")).toDF("doc_id", "text")
+    val a = TextAnalysis.compressionRatio(corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    val b = TextAnalysis.compressionRatio(corpus).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(a === b)
+    // empty input still emits the 2-byte empty DEFLATE block; the ratio
+    // guard reports 0.0 rather than dividing by zero
+    assert(a.head === ((1L, 0L, 2L, 0.0)))
+  }
+
   // -------------------------------------------------- q91/q92 heavy hitters
 
   test("heavyHitterTermsSketch: exact in the no-eviction regime") {
