@@ -72,6 +72,22 @@ object TextAnalysis {
   }
 
   /**
+   * [[languageId]] with a CONFIDENCE margin — the CCNet-style gate: the
+   * argmax alone misclassifies freely when scores are close (short docs,
+   * mixed-language text), so pipelines threshold on top1 − top2. The
+   * margin is an integer difference of stopword-hit counts (exact on
+   * both engines — no probability calibration needed for a cut), taken
+   * from one array_sort over the per-language score columns.
+   */
+  def languageIdConfidence(docs: DataFrame, minMargin: Long = 1L): DataFrame = {
+    val sorted = array_sort(array(stopwords.map { case (l, _) => col(s"s_$l") }: _*))
+    languageId(docs)
+      .withColumn("margin",
+        (element_at(sorted, -1) - element_at(sorted, -2)).cast("long"))
+      .withColumn("is_confident", (col("margin") >= minMargin).cast("int"))
+  }
+
+  /**
    * Quality scoring: blend of length saturation, type-token ratio and
    * non-stopword density — the standard cheap heuristics used to filter
    * web text before training. Returns the components and the blended

@@ -1432,6 +1432,28 @@ object LlmQueries {
          |       coalesce(array_to_string(kept, ' '), '') AS text_clean
          |FROM cut ORDER BY doc_id""".stripMargin))
 
+  // q95 — language-ID confidence margin (the CCNet-style gate): the
+  // integer top1−top2 stopword-score gap, thresholded at 1. Shares q36's
+  // score/argmax SQL so the two cannot drift.
+  val q95 = Q(
+    "q95_lang_confidence",
+    (s, d) => TextAnalysis.languageIdConfidence(Tables.documents(s, d))
+      .select(col("doc_id"), col("pred_lang"), col("margin"), col("is_confident"))
+      .orderBy("doc_id"),
+    Some {
+      val srt = "[" + TextAnalysis.stopwords.map(l => s"s_${l._1}").mkString(", ") + "]"
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |scored AS (SELECT doc_id,
+         |  $langScoresSql
+         |FROM w),
+         |pred AS (SELECT *, $langCaseSql AS pred_lang,
+         |  list_sort($srt)[-1] - list_sort($srt)[-2] AS margin
+         |FROM scored)
+         |SELECT doc_id, pred_lang, CAST(margin AS BIGINT) AS margin,
+         |  CAST(margin >= 1 AS INT) AS is_confident
+         |FROM pred ORDER BY doc_id""".stripMargin
+    })
+
   // q94 — compression-ratio quality signal (native DeflateLenExpr).
   // zlib has no DuckDB mirror, so like q13's HLL this is a rows-only
   // driver check; CorpusOpsSpec pins ordering (repetitive < prose) and
@@ -1445,5 +1467,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94)
+    q91, q92, q93, q94, q95)
 }

@@ -174,6 +174,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === n)
   }
 
+  // ------------------------------------------------ q95 language confidence
+
+  test("languageIdConfidence: unanimous text is confident, ambiguous is not") {
+    // "der die das und ist" are exclusively German stopwords (margin 5-0);
+    // "la" is both a Spanish and a French stopword (tie => margin 0).
+    val corpus = Seq(
+      (1L, "der die das und ist", "de"),
+      (2L, "la la la", "es")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.languageIdConfidence(corpus)
+      .select("doc_id", "pred_lang", "margin", "is_confident")
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, "de", 5L, 1)))
+    assert(r(1)._3 === 0L && r(1)._4 === 0)
+  }
+
   // ------------------------------------------------ q94 compression ratio
 
   test("compressionRatio: boilerplate compresses below prose, noise above it") {
