@@ -174,6 +174,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === n)
   }
 
+  // --------------------------------------------------- registry invariants
+
+  test("registry: 95 uniquely-named queries, 92 oracle-checked, qNN prefixes unique") {
+    val all = graft.queries.Registry.all
+    assert(all.size === 95)
+    assert(all.count(_.oracle.isDefined) === 92)
+    assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
+    // Bench's stdout artifact abbreviates to the qNN prefix — collisions
+    // would silently merge two queries' timings
+    val prefixes = all.map(_.name.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size === prefixes.size, "qNN prefix collision")
+    // only q13 (HLL), q59 (approx percentile) and q94 (zlib) may lack an
+    // oracle — anything else unoracled is an unchecked operator
+    val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).sorted
+    assert(rowsOnly === Vector("q13_approx_distinct", "q59_approx_percentiles",
+      "q94_compression_ratio"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
   // ------------------------------------------------ q95 language confidence
 
   test("languageIdConfidence: unanimous text is confident, ambiguous is not") {
