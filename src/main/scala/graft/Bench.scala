@@ -3,8 +3,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: times every registry query at the given SF,
   * emitting ONE JSON line. Each query runs once untimed (codegen compile,
-  * broadcast build, parquet footer reads) and the SECOND run is reported,
-  * so no query absorbs warm-up cost by alphabetical accident. Failures are
+  * broadcast build, parquet footer reads), then THREE timed runs, and the
+  * MEDIAN is reported — a single contended-host spike can no longer poison
+  * the round's committed artifact (round 7 recorded 136.8 s for a tree that
+  * reproduced at 59.9 s idle; the median of 3 sits inside the measured
+  * variance band unless the whole window is contended). Failures are
   * surfaced in an "errors" map with value -1 — never silently timed. */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,13 +42,18 @@ object Bench {
       def run(): Either[String, Long] =
         try Right(fn(spark, sfDir).count())
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+      def timed(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        run().map(_ => (System.nanoTime() - t0) / 1e9)
+      }
       run() match {
         case Left(err) => (name, -1.0, Some(err))
         case Right(_) =>
-          val t0 = System.nanoTime()
-          run() match {
-            case Left(err) => (name, -1.0, Some(err))
-            case Right(_) => (name, (System.nanoTime() - t0) / 1e9, None)
+          // Median of 3 timed runs (warm-up above not counted).
+          val runs = List(timed(), timed(), timed())
+          runs.collectFirst { case Left(err) => err } match {
+            case Some(err) => (name, -1.0, Some(err))
+            case None => (name, runs.map(_.toOption.get).sorted.apply(1), None)
           }
       }
     }

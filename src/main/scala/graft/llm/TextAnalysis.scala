@@ -316,9 +316,22 @@ object TextAnalysis {
     // beats a bench.isEmpty pre-check, which would run the whole
     // benchmark-side normalize+distinct pipeline one extra time in
     // exactly the large-benchmark regime this operator exists for.
+    // This is a contamination SAFETY gate, so the shortcut must not fail
+    // open: before returning the corpus unscrubbed, confirm the benchmark
+    // really is empty (a cheap limit(1) probe, only on the NPE path) and
+    // rethrow if it isn't — an NPE with a non-empty benchmark means the
+    // failure mode changed and silently skipping the scrub would pass
+    // contaminated rows as clean.
     val bf =
       try bench.stat.bloomFilter("bench_fp", expectedItems, fpp)
-      catch { case _: NullPointerException => return corpus }
+      catch {
+        case npe: NullPointerException =>
+          if (bench.limit(1).isEmpty) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "bloomDecontaminated: benchmark set is empty; returning corpus unmodified")
+            return corpus
+          } else throw npe
+      }
     val bytes = {
       val os = new java.io.ByteArrayOutputStream()
       bf.writeTo(os)
