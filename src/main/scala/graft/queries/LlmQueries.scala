@@ -32,17 +32,30 @@ object LlmQueries {
 
   /** docs + distinct 3-shingle-hash inverted index + set sizes +
     * pair intersections + exact Jaccard — mirrors DedupOps.shingleIndex /
-    * intersections / withJaccard. */
-  private val shingleCtes: String =
+    * intersections / withJaccard, including the optional `maxDf` cap:
+    * shingles with document frequency > cap are dropped BEFORE pairing
+    * (intersections become lower bounds for pairs that shared capped
+    * shingles; per-doc set SIZES stay full, exactly as the operator's
+    * setSizes reads the uncapped array length). */
+  private def shingleCtesWithCap(maxDf: Option[Long]): String = {
+    val pairSrc = if (maxDf.isDefined) "shc" else "sh"
+    // shc = the df-capped inverted index; only the pairing stage reads it.
+    val capCte = maxDf.fold("") { k =>
+      s"""shc AS (
+         |  SELECT sh.doc_id, sh.h FROM sh
+         |  JOIN (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
+         |        WHERE df <= $k) keep USING (h)),
+         |""".stripMargin
+    }
     s"""docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 2), i ->
        |    ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}))) AS h
        |  FROM docs),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |${capCte}sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  FROM $pairSrc a JOIN $pairSrc b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |jacc AS (
        |  SELECT id_a, id_b,
@@ -50,6 +63,20 @@ object LlmQueries {
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+  }
+
+  private val shingleCtes: String = shingleCtesWithCap(None)
+
+  /** Document-frequency cap used by every COMPOSED dedup pipeline
+    * (q66/q73/q76/q84). One hot shingle with df = k emits k(k-1)/2 pairs
+    * from that key alone — a 5k-replica boilerplate line is ~12.5M pairs
+    * (SCALE.md measured 109 s uncapped vs 1.3 s capped on exactly that
+    * shape). df <= 64 keeps all legitimate near-dup signal at corpus
+    * scale (near-dups share MANY shingles; only ubiquitous boilerplate
+    * crosses the cap) while bounding the pair blowup to 64²/2 per key.
+    * q39 stays uncapped as the exact ground-truth variant. */
+  private[graft] val DedupDfCap = 64L
+  private val cappedShingleCtes: String = shingleCtesWithCap(Some(DedupDfCap))
 
   // ---------------------------------------------------------------- text
 
@@ -343,13 +370,17 @@ object LlmQueries {
   // — the pairs -> clusters -> keep-one-representative closing step of
   // the dedup pipeline. Oracle: recursive-CTE reachability closure (fine
   // at oracle scale; the operator itself is iterative min-propagation).
+  // Pair generation is df-capped (DedupDfCap, mirrored in the oracle):
+  // the composed production shape must stay sub-quadratic under a hot
+  // boilerplate shingle — see the scaladoc on DedupDfCap.
   val q66 = Q(
     "q66_dup_clusters",
     (s, d) => DedupOps.duplicateClusters(
-      DedupOps.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5))
+      DedupOps.ngramJaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.5,
+        maxDf = Some(DedupDfCap)))
       .orderBy("doc_id"),
     Some(
-      s"""WITH RECURSIVE $shingleCtes,
+      s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
          |          UNION ALL SELECT id_b, id_a FROM prs),
@@ -775,11 +806,12 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
-          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5)))
+          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+            maxDf = Some(DedupDfCap))))
         .select(col("doc_id")).orderBy("doc_id")
     },
     Some(
-      s"""WITH RECURSIVE $shingleCtes,
+      s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
          |          UNION ALL SELECT id_b, id_a FROM prs),
@@ -803,18 +835,21 @@ object LlmQueries {
   // next with no materialization boundary, and Catalyst plans the whole
   // chain as one job.
   //
-  // Candidate-generator choice: this registry entry uses the exact
-  // inverted-index pairs for oracle parity; on replication-heavy or
-  // shared-vocabulary corpora swap in DedupOps.minhashLshPairs — at
-  // 125k docs the banding found every clone cluster where the df-capped
-  // exact index kept only ~55% (measured, SCALE.md "curation pipeline").
+  // Candidate-generator choice: this registry entry runs the df-capped
+  // exact inverted-index pairs (DedupDfCap, mirrored in the oracle) so
+  // the composed shape stays sub-quadratic under hot keys; on
+  // replication-heavy or shared-vocabulary corpora swap in
+  // DedupOps.minhashLshPairs — at 125k docs the banding found every
+  // clone cluster where the df-capped exact index kept only ~55%
+  // (measured, SCALE.md "curation pipeline").
   val q76 = Q(
     "q76_curation_pipeline",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val kept = DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
-          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5)))
+          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+            maxDf = Some(DedupDfCap))))
       val clean = TextAnalysis.decontaminated(kept,
         docs.filter(col("doc_id") % 50 === 0))
       val lang = TextAnalysis.languageId(docs)
@@ -831,7 +866,7 @@ object LlmQueries {
     Some {
       val normExpr =
         "regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
-      s"""WITH RECURSIVE $shingleCtes,
+      s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
          |          UNION ALL SELECT id_b, id_a FROM prs),
@@ -1196,19 +1231,22 @@ object LlmQueries {
   // pipeline ends with. Near-dup keep-list (q73's broadcast anti-join)
   // feeds BM25 ranking (q83) — corpus stats (N, avgdl, df) are computed
   // over the DEDUPED corpus, so a removed clone no longer inflates term
-  // statistics. One Catalyst job end-to-end.
+  // statistics. One Catalyst job end-to-end. Pair generation is
+  // df-capped (DedupDfCap, mirrored in the oracle) — the production
+  // shape, not the quadratic-on-hot-keys audit variant.
   val q84 = Q(
     "q84_curated_search",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val kept = DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
-          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5)))
+          DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+            maxDf = Some(DedupDfCap))))
       Retrieval.bm25TopK(kept, bmTerms, k = 10, k1 = 1.5, b = 0.75,
         logIdf = false).orderBy("rank")
     },
     Some(
-      s"""WITH RECURSIVE $shingleCtes,
+      s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
          |          UNION ALL SELECT id_b, id_a FROM prs),
