@@ -50,6 +50,19 @@ object LlmExprs {
     h
   }
 
+  /** Per-executor-thread Deflater, reset() between rows: a Deflater is a
+    * native (JNI/zlib) resource, and allocating+ending one PER ROW
+    * dominates the actual compression cost on short documents. reset()
+    * restores the exact initial state (level and nowrap are kept), so
+    * output is byte-identical to a fresh instance. Never end()ed — one
+    * native block per executor thread for the JVM's lifetime is noise,
+    * and threads are pooled so the thread-local count is bounded. */
+  private val localDeflater =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    }
+
   /** Static entry for DeflateLenExpr codegen: DEFLATE-compressed size of
     * the string's UTF-8 bytes at the default level, raw stream (nowrap —
     * no zlib header so tiny inputs aren't all header). Deterministic for
@@ -57,7 +70,7 @@ object LlmExprs {
     * operator is spec-checked rather than hash-checked. */
   def deflateLen(s: UTF8String): Long = {
     val in = s.getBytes
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val d = localDeflater.get()
     try {
       d.setInput(in)
       d.finish()
@@ -65,7 +78,7 @@ object LlmExprs {
       var total = 0L
       while (!d.finished()) total += d.deflate(buf)
       total
-    } finally d.end()
+    } finally d.reset()
   }
 
   /** 48-bit-range prime modulus for wide feature hashing (SimHash widths

@@ -405,13 +405,26 @@ object DedupOps {
         sequence(lit(0), (size(col("ws")) / width).cast("int") - 1),
         i => polyHashMod(array_join(slice(col("ws"), i * width + 1, lit(width)), " "), mod)))
       .otherwise(array().cast("array<long>"))
+    // The packing is only injective while idx < 2^20 and doc_id < 2^43;
+    // outside that range MIN(k) could pick the WRONG first occurrence and
+    // spanDedupApply would destructively cut the wrong spans. Guard at
+    // runtime (scan-stage conditional, codegen'd): fail loudly instead of
+    // corrupting removal decisions.
+    val docIdLimit = 1L << 43
     val spanned = base
       .select(col("doc_id"),
         posexplode(arrays_zip(spanHashes(TextFunctions.P),
           spanHashes(graft.functions.LlmExprs.P48))).as(Seq("idx", "hz")))
       .select(col("doc_id"), col("idx"),
         col("hz").getField("0").as("h"), col("hz").getField("1").as("h2"))
-      .withColumn("k", col("doc_id") * spanIdxBits + col("idx"))
+      .withColumn("k",
+        when(col("idx") < spanIdxBits &&
+            col("doc_id") >= 0 && col("doc_id") < docIdLimit,
+          col("doc_id") * spanIdxBits + col("idx"))
+          .otherwise(raise_error(concat_ws(" ",
+            lit("spanFlags: instance-key overflow — need 0 <= doc_id < 2^43" +
+              " and span idx < 2^20, got doc_id="),
+            col("doc_id"), lit("idx="), col("idx")))))
     val grp = spanned.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
     (base, spanned.join(grp, Seq("h", "h2")))

@@ -93,8 +93,20 @@ object IvfIndex {
   def searchPq(queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val cb = spark.read.parquet(s"$dir/pq_codebooks")
+    // A missing or empty pq_codebooks table (build() ran but buildPq()
+    // didn't, or a partial write) would otherwise surface as an obscure
+    // schema-inference failure or an NPE on getInt of the null aggregate
+    // row — name the actual problem instead.
+    def noPq(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"searchPq: no PQ index at '$dir' — the pq_codebooks table is " +
+          "missing or empty; run buildPq() (build() alone only writes " +
+          "the coarse IVF)", cause)
+    val cb =
+      try spark.read.parquet(s"$dir/pq_codebooks")
+      catch { case e: org.apache.spark.sql.AnalysisException => noPq(e) }
     val geom = cb.agg(max(col("sub")), max(size(col("cvec")))).head()
+    if (geom.isNullAt(0)) noPq(null)
     val subspaces = geom.getInt(0) + 1
     val dim = subspaces * geom.getInt(1)
     val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)

@@ -362,7 +362,8 @@ object LlmQueries {
          |                         ' +', ' ', 'g') AS norm
          |        FROM documents))
          |SELECT doc_id FROM fp
-         |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 50 = 0)
+         |WHERE f IS NULL
+         |   OR f NOT IN (SELECT f FROM fp WHERE doc_id % 50 = 0 AND f IS NOT NULL)
          |ORDER BY doc_id""".stripMargin))
 
   // q66 — duplicate clusters: connected components over the exact-Jaccard
@@ -890,7 +891,8 @@ object LlmQueries {
          |      CASE WHEN length(norm) = 0 THEN 0
          |           ELSE ${polyHashSql("norm")} END AS f
          |    FROM (SELECT doc_id, text, $normExpr AS norm FROM kept))
-         |  WHERE f NOT IN (SELECT f FROM benchfp)),
+         |  WHERE f IS NULL
+         |     OR f NOT IN (SELECT f FROM benchfp WHERE f IS NOT NULL)),
          |assigned AS (
          |  SELECT doc_id,
          |    CASE WHEN ${polyHashSql("text")} % 100 < 90 THEN 'train'
@@ -1372,7 +1374,8 @@ object LlmQueries {
          |                         ' +', ' ', 'g') AS norm
          |        FROM documents))
          |SELECT doc_id, source FROM fp
-         |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 37 = 1)
+         |WHERE f IS NULL
+         |   OR f NOT IN (SELECT f FROM fp WHERE doc_id % 37 = 1 AND f IS NOT NULL)
          |ORDER BY doc_id""".stripMargin))
 
   // q89 — temperature mixture sampling (α = 1/2 source weighting):

@@ -374,6 +374,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(neighbors.exists(_ < 400), "built vectors lost after append")
   }
 
+  test("IvfIndex: searchPq without buildPq names the missing table, not an NPE") {
+    // ivfDir has build() only — pq_codebooks was never written; reading
+    // it yields an analysis error OR (partial-write case, simulated by an
+    // empty dir) the empty-aggregate guard's IllegalStateException.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$specTmp/ivf_nopq/pq_codebooks"))
+    graft.llm.IvfIndex.build(embeddings.limit(100), s"$specTmp/ivf_nopq",
+      nCells = 4, iters = 1)
+    val queries = embeddings.filter(col("vec_id") === 7)
+    val e = intercept[Exception] {
+      graft.llm.IvfIndex.searchPq(queries, s"$specTmp/ivf_nopq", k = 3).collect()
+    }
+    assert(e.getMessage.contains("pq_codebooks"),
+      s"expected an error naming pq_codebooks, got: ${e.getMessage}")
+  }
+
+  test("spanDedup: out-of-range doc_id fails loudly instead of corrupting keys") {
+    // doc_id >= 2^43 breaks the doc_id*2^20+idx packing's injectivity —
+    // the guard must fail the job, not silently mis-rank first occurrences.
+    val span = "a b c d e f g h"
+    val bad = Seq((1L << 43, s"$span $span")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DedupOps.spanDedupStats(bad, width = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("instance-key overflow")),
+      s"expected the overflow guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("chunk → embed → index → search composes end-to-end (RAG shape)") {
     // The retrieval pipeline every RAG deployment runs: cut documents
     // into overlapping token windows (q85), embed each chunk (here a
