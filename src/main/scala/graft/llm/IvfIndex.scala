@@ -118,6 +118,40 @@ object IvfIndex {
       subspaces, k)
   }
 
+  /**
+   * Two-stage IVF-PQ serving: [[searchPq]] ranks the probed cells' code
+   * words by asymmetric distance, then the top-`refine` candidates per
+   * query are re-scored with EXACT cosine against their stored embeddings
+   * and the final top-`k` comes from the exact scores. The embedding read
+   * is restricted to the SAME probed cell partitions (plan-time pruning)
+   * and then semi-joined down to the `refine` candidate ids — per query,
+   * only `refine` full-precision vectors are touched, everything else is
+   * served from the 8-byte codes. Output schema matches [[search]].
+   */
+  def searchPqRefined(queries: DataFrame, dir: String, k: Int,
+      nprobe: Int = 4, refine: Int = 64): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val spark = queries.sparkSession
+    val cand = searchPq(queries, dir, refine, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val probes = SimilaritySearch.probeCells(queries,
+      centroids(spark, dir), nprobe)
+    val emb = prunedRead(spark, s"$dir/assignments", probes)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(emb, "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.llm.TextFunctions.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", graft.llm.TextFunctions.fround(col("cos"), 4))
+  }
+
   /** Read a cell-partitioned table restricted to the probed cells:
     * the probe list is tiny (nprobe ids per query — the driver-side
     * lookup every IVF serving layer performs) and the isin literals are

@@ -281,6 +281,36 @@ object SimilaritySearch {
     adcRank(packed.crossJoin(broadcast(dtab)), subspaces, k)
   }
 
+  /**
+   * Two-stage PQ serving (the standard FAISS refine shape): ADC ranks the
+   * whole corpus from code words alone, the top-`refine` candidates per
+   * query are re-scored with EXACT cosine against their real embeddings,
+   * and the final top-`k` comes from the exact scores. Only `refine`
+   * embeddings per query are ever read — the full-precision column stays
+   * out of the scan for the 99%+ of the corpus ADC already rejected —
+   * which is why recall approaches exact search while the I/O stays at
+   * PQ-code scale. Output schema matches [[bruteForceTopK]].
+   */
+  def adcRefinedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      refine: Int = 64, dim: Int = 64, subspaces: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    val cand = adcTopK(corpus, queries, refine, dim, subspaces, nCodes)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cos", fround(col("cos"), 4))
+  }
+
   /** (vec_id, codes): the per-vector PQ code word as one sub-ordered
     * array — the 8-byte representation ADC scoring reads instead of the
     * embedding. */

@@ -404,6 +404,55 @@ class CorpusOpsSpec extends SparkSpec {
       s"expected the overflow guard, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("ANN recall ladder: multi-probe >= LSH, IVF monotone in nprobe, refine exact at full R") {
+    import graft.llm.SimilaritySearch
+    val k = 5
+    val q = embeddings.filter(col("vec_id") % 5 === 2).cache()
+    val exact = SimilaritySearch.bruteForceTopK(embeddings, q, k).cache()
+    val denom = exact.count().toDouble
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count() / denom
+    // multi-probe candidates are supersets of single-probe — recall must
+    // not drop (quantitative form of the superset property)
+    val rLsh = recall(SimilaritySearch.lshCandidateTopK(
+      embeddings, q, 64, k, tables = 8, nbits = 6))
+    val rMp = recall(SimilaritySearch.lshMultiProbeTopK(
+      embeddings, q, 64, k, tables = 8, nbits = 6))
+    assert(rMp >= rLsh, s"multi-probe recall $rMp below single-probe $rLsh")
+    // probes are the top-nprobe cells: candidate sets grow with nprobe,
+    // so recall is monotone and hits 1.0 when every cell is probed
+    val ladder = Seq(1, 2, 4, 8, 16).map(np =>
+      recall(SimilaritySearch.ivfTopK(embeddings, q, k, nCells = 16, nprobe = np)))
+    assert(ladder === ladder.sorted, s"IVF recall not monotone in nprobe: $ladder")
+    assert(ladder.last === 1.0, s"nprobe = nCells must be exact, got ${ladder.last}")
+    // refine = corpus size: ADC rejects nothing, the exact re-rank IS
+    // brute force — row-identical, not merely high-recall
+    val n = embeddings.count().toInt
+    val refined = SimilaritySearch.adcRefinedTopK(embeddings, q, k, refine = n)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = exact.orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(refined === brute)
+    q.unpersist(); exact.unpersist()
+  }
+
+  test("IvfIndex: searchPqRefined at full probes+refine equals the exact index search") {
+    val queries = embeddings.filter(col("vec_id") % 100 === 7)
+    val n = embeddings.count().toInt
+    val refined = graft.llm.IvfIndex.searchPqRefined(
+      queries, ivfPqDir, k = 5, nprobe = 16, refine = n)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val exact = graft.llm.IvfIndex.search(queries, ivfPqDir, k = 5, nprobe = 16)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(refined === exact)
+    assert(refined.nonEmpty)
+  }
+
   test("chunk → embed → index → search composes end-to-end (RAG shape)") {
     // The retrieval pipeline every RAG deployment runs: cut documents
     // into overlapping token windows (q85), embed each chunk (here a
