@@ -52,6 +52,43 @@ object IvfIndex {
     SimilaritySearch.assignCells(vectors, centroids(vectors.sparkSession, dir))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
 
+  /**
+   * Cell-balance report for the rebuild-cadence decision [[append]]
+   * defers: per-cell occupancy plus a skew summary. `skew` is
+   * max-cell / mean-cell occupancy — 1.0 is perfectly balanced; the
+   * search cost of probing a cell is proportional to its occupancy, so
+   * skew IS the worst-case/average probe-cost ratio. `empty_cells`
+   * counts centroids that own no vectors (wasted routing resolution —
+   * a symptom of drift or a too-large nCells). Operators alert on a
+   * threshold (skew > ~3 is a common rebuild trigger) rather than
+   * re-clustering on a timer. One count-by-partition-column job over
+   * the assignments table — reads only parquet partition metadata
+   * columns, never an embedding.
+   */
+  def rebalanceCheck(spark: SparkSession, dir: String): DataFrame = {
+    val occ = spark.read.parquet(s"$dir/assignments")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    // centroids with zero members never appear in assignments — join the
+    // centroid table so empty cells are reported, not silently absent
+    val cellIds = centroids(spark, dir).select(col("cell_id").as("cell"))
+    val perCell = cellIds.join(occ, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    val stats = perCell.agg(
+      max(col("n_vectors")).as("max_occ"),
+      avg(col("n_vectors")).as("mean_occ"),
+      sum(when(col("n_vectors") === 0L, 1L).otherwise(0L)).as("empty_cells"))
+    perCell.crossJoin(broadcast(stats))
+      .select(col("cell"), col("n_vectors"),
+        TextFunctions.fround(
+          col("n_vectors").cast("double") / col("mean_occ"), 4)
+          .as("occ_ratio"),
+        TextFunctions.fround(
+          col("max_occ").cast("double") / col("mean_occ"), 4).as("skew"),
+        col("empty_cells"))
+      .orderBy(col("cell"))
+  }
+
   /** Top-`k` exact-cosine neighbors from the persisted index, scanning
     * only the probed cell partitions. */
   def search(queries: DataFrame, dir: String, k: Int,

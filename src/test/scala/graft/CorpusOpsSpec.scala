@@ -404,6 +404,30 @@ class CorpusOpsSpec extends SparkSpec {
       s"expected the overflow guard, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("IvfIndex: rebalanceCheck surfaces the skew a drifted append creates") {
+    val dir = s"$specTmp/ivf_drift"
+    graft.llm.IvfIndex.build(embeddings, dir, nCells = 16, iters = 2)
+    val before = graft.llm.IvfIndex.rebalanceCheck(spark, dir)
+    val skewBefore = before.select("skew").head().getDouble(0)
+    assert(before.count() === 16)
+    assert(skewBefore >= 1.0)
+    // drift: append many copies of ONE existing vector (tiny jitter so
+    // vec_ids are unique but they all route to the same cell) — the
+    // frozen centroids can't re-balance, so one cell balloons
+    val hot = embeddings.filter(col("vec_id") === 3)
+      .crossJoin(spark.range(500).select(col("id").as("rep")))
+      .select((col("vec_id") * 1000 + col("rep") + 1000000L).as("vec_id"),
+        col("embedding"))
+    graft.llm.IvfIndex.append(hot, dir)
+    val after = graft.llm.IvfIndex.rebalanceCheck(spark, dir)
+    val skewAfter = after.select("skew").head().getDouble(0)
+    assert(skewAfter > 3.0 && skewAfter > skewBefore,
+      s"drifted append must show up as skew: before=$skewBefore after=$skewAfter")
+    // the hot cell is identifiable: its occ_ratio equals the skew
+    val hotCells = after.filter(col("occ_ratio") === col("skew")).count()
+    assert(hotCells >= 1)
+  }
+
   test("ANN recall ladder: multi-probe >= LSH, IVF monotone in nprobe, refine exact at full R") {
     import graft.llm.SimilaritySearch
     val k = 5
