@@ -1,0 +1,170 @@
+package graft
+
+import graft.llm.DedupOps
+import org.apache.spark.sql.functions._
+
+/**
+ * Differential fuzzing of the dedup PAIR families: every distributed
+ * operator (inverted-index exact Jaccard, its maxDf-capped variant,
+ * MinHash+LSH, SimHash banding, connected-component clustering) is
+ * cross-checked against an independent SEQUENTIAL reference on seeded
+ * random corpora — several seeds, small vocabularies chosen so shingles
+ * collide heavily across documents (the regime where pairing bugs
+ * live). The references re-derive everything with plain Scala
+ * collections (per-pair set intersections, union-find), sharing only
+ * the pinned polynomial-hash constant with the operators, so a bug in
+ * the join/banding/aggregation shape cannot cancel out of both sides.
+ */
+class DedupFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 1000000007L
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31L + c.toInt) % P)
+  private def fround4(x: Double): Double =
+    math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** n-gram hash MULTISET per doc (SimHash's feature stream) and the
+    * distinct SET (Jaccard's shingle set) — words split keeping empties,
+    * exactly like the operators' ShingleHashList. */
+  private def gramHashes(text: String, n: Int): Seq[Long] = {
+    val w = text.split(" ", -1)
+    (0 to w.length - n).map(i => polyHash(w.slice(i, i + n).mkString(" ")))
+  }
+
+  private def randomCorpus(seed: Long, nDocs: Int, vocab: Vector[String],
+      maxLen: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nDocs).map { i =>
+      val len = rnd.nextInt(maxLen + 1)
+      (i.toLong, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  /** Sequential exact-Jaccard pairs, optionally df-capped with the
+    * operator's documented semantics: intersections over surviving
+    * shingles only, set sizes full. */
+  private def exactPairsRef(corpus: Seq[(Long, String)], n: Int,
+      threshold: Double, maxDf: Option[Int]): Map[(Long, Long), Double] = {
+    val sets = corpus.map { case (id, t) => id -> gramHashes(t, n).toSet }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val keep: Long => Boolean = maxDf.fold((_: Long) => true)(k => h => df(h) <= k)
+    val ids = corpus.map(_._1)
+    (for {
+      a <- ids; b <- ids if a < b
+      inter = (sets(a) intersect sets(b)).count(keep) if inter > 0
+      jacc = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if jacc >= threshold
+    } yield (a, b) -> fround4(jacc)).toMap
+  }
+
+  private def runPairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+
+  // Tiny vocabulary => 3-grams collide across most docs: the hot-key,
+  // dense-overlap regime.
+  private val denseVocab = Vector("a", "b", "c", "d")
+  private val seeds = Seq(11L, 42L, 1337L)
+
+  test("fuzz: exact n-gram Jaccard pairs match the sequential reference") {
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      val got = runPairs(DedupOps.ngramJaccardPairs(
+        corpus.toDF("doc_id", "text"), n = 3, threshold = 0.3))
+      val want = exactPairsRef(corpus, 3, 0.3, None)
+      assert(got === want, s"seed $seed")
+      assert(want.nonEmpty, s"seed $seed produced a vacuous corpus")
+    }
+  }
+
+  test("fuzz: maxDf-capped Jaccard matches the capped reference, and the cap binds") {
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      val got = runPairs(DedupOps.ngramJaccardPairs(
+        corpus.toDF("doc_id", "text"), n = 3, threshold = 0.3, maxDf = Some(3L)))
+      val want = exactPairsRef(corpus, 3, 0.3, Some(3))
+      assert(got === want, s"seed $seed")
+      // the whole point: with a 4-word vocabulary df(shingle) >> 3, so
+      // the capped result must differ from the uncapped one — otherwise
+      // this test exercises nothing
+      assert(want !== exactPairsRef(corpus, 3, 0.3, None), s"seed $seed: cap never bound")
+    }
+  }
+
+  test("fuzz: MinHash+LSH pairs are a subset of exact pairs with identical Jaccard") {
+    for (seed <- seeds) {
+      // larger vocab: MinHash banding needs genuine near-dups, so plant
+      // them — each doc has a mutated twin (one word changed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+      val base = randomCorpus(seed, 15, vocab, 20).filter(_._2.split(" ").length >= 6)
+      val rnd = new scala.util.Random(seed * 31)
+      val twins = base.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (id + 1000L, w.mkString(" "))
+      }
+      val corpus = base ++ twins
+      val got = runPairs(DedupOps.minhashLshPairs(
+        corpus.toDF("doc_id", "text"), n = 3, perms = 32, bands = 8,
+        rowsPerBand = 4, threshold = 0.5))
+      val want = exactPairsRef(corpus, 3, 0.5, None)
+      got.foreach { case (pair, jacc) =>
+        assert(want.contains(pair), s"seed $seed: LSH invented pair $pair")
+        assert(want(pair) === jacc, s"seed $seed: Jaccard mismatch on $pair")
+      }
+      assert(got.nonEmpty, s"seed $seed: banding found none of the planted twins")
+    }
+  }
+
+  test("fuzz: SimHash banding finds exactly the pairs within the Hamming radius") {
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      // independent per-doc SimHash from the raw feature MULTISET
+      def simhash(text: String): Option[Long] = {
+        val feats = gramHashes(text, 3)
+        if (feats.isEmpty) None
+        else Some((0 until 32).foldLeft(0L) { (acc, b) =>
+          val votes = feats.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+          if (votes > 0) acc | (1L << b) else acc
+        })
+      }
+      val sims = corpus.flatMap { case (id, t) => simhash(t).map(id -> _) }
+      val want = (for {
+        (a, sa) <- sims; (b, sb) <- sims if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+      } yield (a, b) -> d).toMap
+      val got = DedupOps.simhashPairs(corpus.toDF("doc_id", "text"),
+        n = 3, maxHamming = 3)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+        .collect().map { case (a, b, d) => (a, b) -> d }.toMap
+      assert(got === want, s"seed $seed")
+      assert(want.nonEmpty, s"seed $seed produced a vacuous corpus")
+    }
+  }
+
+  test("fuzz: duplicate clusters match a sequential union-find on the same pairs") {
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      val pairs = exactPairsRef(corpus, 3, 0.3, None).keys.toSeq
+      // sequential union-find with min-label components
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = members.map(m => m -> find(m)).toMap
+      val got = DedupOps.duplicateClusters(DedupOps.ngramJaccardPairs(
+        corpus.toDF("doc_id", "text"), n = 3, threshold = 0.3))
+        .select("doc_id", "cluster_rep").as[(Long, Long)]
+        .collect().toMap
+      assert(got === want, s"seed $seed")
+      assert(want.values.toSet.size < members.size, s"seed $seed: no non-trivial cluster")
+    }
+  }
+}
