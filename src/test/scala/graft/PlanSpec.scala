@@ -84,6 +84,11 @@ class PlanSpec extends SparkSpec {
     // never a vocabulary-keyed hash exchange
     assert(!p.contains("hashpartitioning(term"),
       s"vocabulary must not shuffle by term: $p")
+    // ... and the merge really is a SinglePartition exchange (32 fixed-size
+    // sketches to one task), so a regression back to a term-keyed shuffle
+    // cannot slip in as some other partitioning either
+    assert(p.contains("Exchange SinglePartition"),
+      s"sketch merge should be a SinglePartition exchange: $p")
   }
 
   test("q76: the composed curation pipeline plans with no nested-loop join") {
