@@ -961,6 +961,48 @@ object LlmQueries {
   // lookup tables, approximate distance = in-order sum of 8 lookups per
   // corpus vector. The scoring pass reads 8 codes per vector, never the
   // embedding — PQ's whole point at 100 TB.
+  /** Shared ADC oracle CTEs (codebooks → codes → per-query lookup tables
+    * → in-order ADC sums → `ranked`) — q80 selects from `ranked`
+    * directly; q96 re-ranks its top-`refine` prefix with exact cosine. */
+  private val adcOracleCtes: String =
+    s"""subs AS (SELECT CAST(unnest(range($pqSubspaces)) AS INTEGER) AS sub),
+       |cb AS (
+       |  SELECT s.sub, CAST(e.vec_id AS BIGINT) AS cell_id,
+       |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS cvec
+       |  FROM embeddings e, subs s WHERE e.vec_id < $ivfCells),
+       |sv AS (
+       |  SELECT e.vec_id, s.sub,
+       |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS sv
+       |  FROM embeddings e, subs s),
+       |dists AS (
+       |  SELECT v.vec_id, v.sub, c.cell_id,
+       |         ${l2sqSql("v.sv", "c.cvec", pqSubDim)} AS dd
+       |  FROM sv v JOIN cb c ON c.sub = v.sub),
+       |codes AS (
+       |  SELECT vec_id, sub, cell_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dd, cell_id) AS rn FROM dists)
+       |  WHERE rn = 1),
+       |packed AS (
+       |  SELECT vec_id, list(code ORDER BY sub) AS codes
+       |  FROM codes GROUP BY 1),
+       |d1 AS (
+       |  SELECT vec_id AS query_id, sub, list(dd ORDER BY cell_id) AS ds
+       |  FROM dists WHERE vec_id < 8 GROUP BY 1, 2),
+       |d2 AS (SELECT query_id, list(ds ORDER BY sub) AS dts FROM d1 GROUP BY 1),
+       |scored AS (
+       |  SELECT d2.query_id, p.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range($pqSubspaces), j ->
+       |             d2.dts[j+1][p.codes[j+1]+1])),
+       |           (s, x) -> s + x) AS adc
+       |  FROM packed p, d2 WHERE p.vec_id <> d2.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc, neighbor_id) AS INT) AS rank
+       |  FROM scored)""".stripMargin
+
   val q80 = Q(
     "q80_ann_adc_topk",
     (s, d) => {
@@ -970,45 +1012,42 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     },
     Some(
-      s"""WITH subs AS (SELECT CAST(unnest(range($pqSubspaces)) AS INTEGER) AS sub),
-         |cb AS (
-         |  SELECT s.sub, CAST(e.vec_id AS BIGINT) AS cell_id,
-         |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS cvec
-         |  FROM embeddings e, subs s WHERE e.vec_id < $ivfCells),
-         |sv AS (
-         |  SELECT e.vec_id, s.sub,
-         |         e.embedding[(s.sub*$pqSubDim+1):(s.sub*$pqSubDim+$pqSubDim)] AS sv
-         |  FROM embeddings e, subs s),
-         |dists AS (
-         |  SELECT v.vec_id, v.sub, c.cell_id,
-         |         ${l2sqSql("v.sv", "c.cvec", pqSubDim)} AS dd
-         |  FROM sv v JOIN cb c ON c.sub = v.sub),
-         |codes AS (
-         |  SELECT vec_id, sub, cell_id AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY dd, cell_id) AS rn FROM dists)
-         |  WHERE rn = 1),
-         |packed AS (
-         |  SELECT vec_id, list(code ORDER BY sub) AS codes
-         |  FROM codes GROUP BY 1),
-         |d1 AS (
-         |  SELECT vec_id AS query_id, sub, list(dd ORDER BY cell_id) AS ds
-         |  FROM dists WHERE vec_id < 8 GROUP BY 1, 2),
-         |d2 AS (SELECT query_id, list(ds ORDER BY sub) AS dts FROM d1 GROUP BY 1),
-         |scored AS (
-         |  SELECT d2.query_id, p.vec_id AS neighbor_id,
-         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |           list_transform(range($pqSubspaces), j ->
-         |             d2.dts[j+1][p.codes[j+1]+1])),
-         |           (s, x) -> s + x) AS adc
-         |  FROM packed p, d2 WHERE p.vec_id <> d2.query_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, adc,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY adc, neighbor_id) AS INT) AS rank
-         |  FROM scored)
+      s"""WITH $adcOracleCtes
          |SELECT query_id, neighbor_id, FLOOR((adc) * 10000.0 + 0.5) / 10000.0 AS adc, rank
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  // q96 — two-stage PQ serving (the FAISS refine shape): ADC ranks the
+  // corpus from 8-byte codes, the top-`refine` candidates are re-scored
+  // with EXACT cosine against their real embeddings, final top-k from
+  // the exact scores. Only `refine` embeddings per query are ever read.
+  // Deterministic end to end: the ADC sums and the cosine are in-order
+  // folds mirrored exactly by the oracle, so the candidate SET — not
+  // just the final ranks — is identical across engines.
+  private val pqRefine = 32
+  val q96 = Q(
+    "q96_ann_adc_refined",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.adcRefinedTopK(e, e.filter(col("vec_id") < 8), k = 3,
+        refine = pqRefine, dim, subspaces = pqSubspaces, nCodes = ivfCells)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH $adcOracleCtes,
+         |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $pqRefine),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         ${cosineSql("qa.embedding", "qb.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings qa ON qa.vec_id = c.query_id
+         |  JOIN embeddings qb ON qb.vec_id = c.neighbor_id),
+         |reranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
+         |FROM reranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
   // ---------------------------------------------------------- multimodal
 
@@ -1508,5 +1547,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95)
+    q91, q92, q93, q94, q95, q96)
 }
