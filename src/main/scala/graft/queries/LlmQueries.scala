@@ -827,6 +827,59 @@ object LlmQueries {
          |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q97 — the MinHash-composed keep-list: q73's shape with
+  // minhashLshPairs as the pair source. The banded generator has no df²
+  // term AND full recall on verbatim/near-verbatim clones (identical
+  // docs => identical signatures => same buckets) — the production
+  // choice for replication-heavy or shared-vocabulary corpora, where
+  // the df cap that protects the exact index also throws away the
+  // shingles that link clones (SCALE.md "curation pipeline": banding
+  // collapsed every clone cluster where the capped index kept ~55%).
+  // Registered alongside the capped q73 so BOTH production pair sources
+  // are oracle-checked end-to-end through clusters -> keep-list.
+  val q97 = Q(
+    "q97_deduped_corpus_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.dedupedCorpus(docs,
+        DedupOps.duplicateClusters(
+          DedupOps.minhashLshPairs(docs, n = 3, perms = 32, bands = 8,
+            rowsPerBand = 4, threshold = 0.5)))
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $shingleCtes,
+         |perms AS (SELECT unnest(range(32)) AS p),
+         |mh AS (
+         |  SELECT doc_id, p,
+         |         min(((1000003 * p + 7919) * h + 104729 * p + 12345) % $P) AS v
+         |  FROM sh, perms GROUP BY doc_id, p),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(p / 4.0) AS BIGINT) AS band,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+         |                     (a, x) -> (a * 1000003 + x) % $P) AS bkey
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |prs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
   // q76 — the END-TO-END curation pipeline, composed from the operators
   // the registry checks individually: near-dup keep-list (q66/q73) →
   // benchmark decontamination (q58) → content-hash split (q49), joined
@@ -1547,5 +1600,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96)
+    q91, q92, q93, q94, q95, q96, q97)
 }
