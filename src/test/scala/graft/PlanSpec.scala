@@ -91,6 +91,24 @@ class PlanSpec extends SparkSpec {
       s"sketch merge should be a SinglePartition exchange: $p")
   }
 
+  test("q96: refined ADC re-rank joins stay hash joins — corpus never sort-merges") {
+    val p = planOf("q96_ann_adc_refined")
+    // the only nested-loop joins are the broadcast codebook/lookup-table
+    // cross joins ADC is built from; the candidate re-rank must resolve
+    // to (broadcast) hash joins on neighbor_id/query_id
+    assert(!p.contains("CartesianProduct"), "unbroadcast cross product in refined ADC")
+    assert(!p.contains("SortMergeJoin"), s"re-rank should hash-join, not sort-merge: $p")
+  }
+
+  test("q97: the minhash-composed keep-list plans with no cross product") {
+    // pairs -> clusters run through eager checkpoints, so the final plan
+    // is the keep-list anti-join — it must stay an equi-join (broadcast
+    // or shuffled), never a nested-loop over document rows
+    val p = planOf("q97_deduped_corpus_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keep-list must stay equi-join only: $p")
+  }
+
   test("q76: the composed curation pipeline plans with no nested-loop join") {
     // five operators chained; a lost broadcast hint or a non-equi
     // condition anywhere would surface as a BroadcastNestedLoopJoin over
