@@ -143,6 +143,44 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: embedding near-dup pairs are a subset of exact cosine pairs; twins always found") {
+    val dim = 16
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 30).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextFloat())))
+      // plant exact twins: identical vectors land in identical buckets in
+      // EVERY table, so the LSH candidate stage cannot miss them
+      val twins = base.take(8).map { case (id, v) => (id + 100L, v.clone()) }
+      val corpus = base ++ twins
+      // sequential reference: in-order fold cosine, exactly the operator's
+      // zip-multiply-then-fold shape (double per element, left-to-right)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p.toDouble * q.toDouble }
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      val threshold = 0.9
+      val want = (for {
+        (a, va) <- corpus; (b, vb) <- corpus if a < b
+        c = cos(va, vb) if c >= threshold
+      } yield (a, b) -> fround4(c)).toMap
+      val got = graft.llm.SimilaritySearch.embeddingNearDupPairs(
+        corpus.toDF("vec_id", "embedding"), dim, threshold = threshold)
+        .select("id_a", "id_b", "cos").as[(Long, Long, Double)]
+        .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+      got.foreach { case (pair, c) =>
+        assert(want.contains(pair), s"seed $seed: LSH invented pair $pair")
+        assert(want(pair) === c, s"seed $seed: cosine mismatch on $pair")
+      }
+      val twinPairs = twins.map(t => (t._1 - 100L, t._1))
+      twinPairs.foreach { p =>
+        assert(got.contains(p), s"seed $seed: planted twin $p missed")
+        assert(got(p) === 1.0, s"seed $seed: twin cosine != 1.0")
+      }
+    }
+  }
+
   test("fuzz: duplicate clusters match a sequential union-find on the same pairs") {
     for (seed <- seeds) {
       val corpus = randomCorpus(seed, 40, denseVocab, 25)
