@@ -332,6 +332,29 @@ object DedupOps {
       clusters.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /**
+   * The production dedup stack: exact-fingerprint dedup FIRST (one hash
+   * aggregate collapses every verbatim-clone cluster to its min-id row —
+   * no pair term at all), then MinHash-banded near-dup dedup over the
+   * survivors. Ordering is the whole point: a k-clone cluster is
+   * k(k-1)/2 REAL pairs, so any pair-emitting generator is output-bound
+   * on it (SCALE.md: 5k replicas cost the minhash composition 65–84 s vs
+   * 2.0 s for this stack with identical output), while near-verbatim
+   * dups — which exact hashing can't see — survive to the banded stage
+   * that handles them sub-quadratically. Returns the kept corpus rows.
+   */
+  def exactThenNearDedup(docs: DataFrame, n: Int = 3, perms: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val fpKept = docs.join(
+      TextAnalysis.fingerprint(docs)
+        .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    dedupedCorpus(fpKept,
+      duplicateClusters(
+        minhashLshPairs(fpKept, n, perms, bands, rowsPerBand, threshold)))
+  }
+
   /** SimHash over shingle features: (doc_id, simhash long). The word-level
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */

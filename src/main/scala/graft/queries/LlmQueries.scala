@@ -37,7 +37,8 @@ object LlmQueries {
     * (intersections become lower bounds for pairs that shared capped
     * shingles; per-doc set SIZES stay full, exactly as the operator's
     * setSizes reads the uncapped array length). */
-  private def shingleCtesWithCap(maxDf: Option[Long]): String = {
+  private def shingleCtesWithCap(maxDf: Option[Long],
+      src: String = "documents"): String = {
     val pairSrc = if (maxDf.isDefined) "shc" else "sh"
     // shc = the df-capped inverted index; only the pairing stage reads it.
     val capCte = maxDf.fold("") { k =>
@@ -47,7 +48,7 @@ object LlmQueries {
          |        WHERE df <= $k) keep USING (h)),
          |""".stripMargin
     }
-    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 2), i ->
        |    ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}))) AS h
@@ -77,6 +78,39 @@ object LlmQueries {
     * q39 stays uncapped as the exact ground-truth variant. */
   private[graft] val DedupDfCap = 64L
   private val cappedShingleCtes: String = shingleCtesWithCap(Some(DedupDfCap))
+
+  /** MinHash signature + banding + candidate CTEs over `sh` — mirrors
+    * DedupOps.minhashSignatures / minhashLshPairs's candidate stage
+    * (32 perms, 8 bands × 4 rows). Shared by q40/q97/q98. */
+  private val minhashCandCtes: String =
+    s"""perms AS (SELECT unnest(range(32)) AS p),
+       |mh AS (
+       |  SELECT doc_id, p,
+       |         min(((1000003 * p + 7919) * h + 104729 * p + 12345) % $P) AS v
+       |  FROM sh, perms GROUP BY doc_id, p),
+       |bands AS (
+       |  SELECT doc_id, CAST(floor(p / 4.0) AS BIGINT) AS band,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
+       |                     (a, x) -> (a * 1000003 + x) % $P) AS bkey
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Connected-component closure over a `prs (id_a, id_b)` CTE — the
+    * recursive reachability mirror of DedupOps.duplicateClusters,
+    * yielding `labels (doc_id, rep)`. Shared by the composed dedup
+    * oracles (q66/q73/q76/q84/q97/q98). */
+  private val ccClosureCtes: String =
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |          UNION ALL SELECT id_b, id_a FROM prs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)""".stripMargin
 
   // ---------------------------------------------------------------- text
 
@@ -849,33 +883,44 @@ object LlmQueries {
     },
     Some(
       s"""WITH RECURSIVE $shingleCtes,
-         |perms AS (SELECT unnest(range(32)) AS p),
-         |mh AS (
-         |  SELECT doc_id, p,
-         |         min(((1000003 * p + 7919) * h + 104729 * p + 12345) % $P) AS v
-         |  FROM sh, perms GROUP BY doc_id, p),
-         |bands AS (
-         |  SELECT doc_id, CAST(floor(p / 4.0) AS BIGINT) AS band,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
-         |                     (a, x) -> (a * 1000003 + x) % $P) AS bkey
-         |  FROM mh GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |$minhashCandCtes,
          |prs AS (
          |  SELECT c.id_a, c.id_b FROM cand c
          |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
          |  WHERE j.jaccard >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION ALL SELECT id_b, id_a FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+         |$ccClosureCtes
          |SELECT d.doc_id FROM documents d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
+  // q98 — the PRODUCTION dedup stack (DedupOps.exactThenNearDedup):
+  // exact-fingerprint dedup collapses verbatim-clone clusters in one
+  // hash aggregate (no pair term), THEN MinHash-banded near-dup over
+  // the survivors. SCALE.md's hot-key table is the motivation: a
+  // 5k-clone cluster costs any pair generator 12.5M real pairs (65–84 s
+  // for the q97 shape) but this stack 2.0 s with identical output.
+  val q98 = Q(
+    "q98_production_dedup_stack",
+    (s, d) => DedupOps.exactThenNearDedup(Tables.documents(s, d),
+      n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select(col("doc_id")).orderBy("doc_id"),
+    Some(
+      s"""WITH RECURSIVE fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSql("text")} END AS f
+         |  FROM documents),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY f),
+         |kept0 AS (SELECT d.* FROM documents d JOIN keepid USING (doc_id)),
+         |${shingleCtesWithCap(None, "kept0")},
+         |$minhashCandCtes,
+         |prs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5),
+         |$ccClosureCtes
+         |SELECT d.doc_id FROM kept0 d
          |LEFT JOIN labels l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
@@ -1600,5 +1645,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97)
+    q91, q92, q93, q94, q95, q96, q97, q98)
 }

@@ -176,10 +176,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 97 uniquely-named queries, 94 oracle-checked, qNN prefixes unique") {
+  test("registry: 98 uniquely-named queries, 95 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 97)
-    assert(all.count(_.oracle.isDefined) === 94)
+    assert(all.size === 98)
+    assert(all.count(_.oracle.isDefined) === 95)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

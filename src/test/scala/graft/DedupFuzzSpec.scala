@@ -181,6 +181,29 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("production stack removes planted verbatim clones AND near-verbatim twins") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val rnd = new scala.util.Random(99L)
+    val base = (0 until 12).map(i =>
+      (i.toLong, Vector.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val clones = base.take(4).flatMap { case (id, t) =>
+      (1 to 5).map(r => (id + 100L * r, t)) }                // verbatim ×5
+    val twins = base.drop(4).take(4).map { case (id, t) =>
+      val w = t.split(" ", -1); w(0) = "zz"; (id + 1000L, w.mkString(" ")) }
+    val corpus = base ++ clones ++ twins
+    val kept = DedupOps.exactThenNearDedup(corpus.toDF("doc_id", "text"),
+      threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // all verbatim clones drop, their min-id originals survive
+    clones.foreach { case (id, _) => assert(!kept.contains(id), s"clone $id kept") }
+    base.take(4).foreach { case (id, _) => assert(kept.contains(id)) }
+    // every near-verbatim twin pair lost exactly its higher id
+    twins.foreach { case (id, _) =>
+      assert(!kept.contains(id), s"near-dup twin $id kept")
+      assert(kept.contains(id - 1000L), s"original of twin $id lost")
+    }
+  }
+
   test("fuzz: duplicate clusters match a sequential union-find on the same pairs") {
     for (seed <- seeds) {
       val corpus = randomCorpus(seed, 40, denseVocab, 25)
