@@ -430,6 +430,26 @@ object TextAnalysis {
   }
 
   /**
+   * Fuzzy decontamination — the graded companion of [[decontaminated]]:
+   * drop every corpus doc whose n-gram overlap fraction with the
+   * benchmark ([[contaminationOverlap]]) reaches `maxOverlap`. Exact
+   * fingerprinting only catches verbatim benchmark copies; this gate
+   * catches paraphrased or partially-quoted leakage (the contamination
+   * mode eval suites actually worry about). The drop-list — contaminated
+   * docs, rare by definition — feeds a LEFT ANTI join, so AQE broadcasts
+   * it when it is small and the corpus never shuffles; no pinned hint
+   * (same reasoning as DedupOps.dedupedCorpus). The threshold compares
+   * the ROUNDED fraction (fround 4), keeping the decision engine-exact.
+   */
+  def fuzzyDecontaminated(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5, maxOverlap: Double = 0.5): DataFrame = {
+    require(maxOverlap > 0.0, "maxOverlap must be positive (0 would drop everything)")
+    val dropped = contaminationOverlap(corpus, benchmark, n)
+      .filter(col("contamination") >= maxOverlap).select(col("doc_id"))
+    corpus.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /**
    * Sliding-window token chunking — the training-example cut: windows of
    * `size` tokens every `stride` tokens (stride < size ⇒ overlapping
    * context, the usual pretraining shape). Start positions are

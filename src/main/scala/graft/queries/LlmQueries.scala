@@ -1302,6 +1302,37 @@ object LlmQueries {
          |FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
          |ORDER BY g.doc_id""".stripMargin))
 
+  // q99 — fuzzy decontamination: drop docs whose graded n-gram overlap
+  // with the benchmark (q81's fraction) reaches 0.5 — catches the
+  // paraphrased/partially-quoted leakage exact fingerprints (q58/q88)
+  // miss. Drop-list anti-join; threshold compares the rounded fraction
+  // so the decision is engine-exact.
+  val q99 = Q(
+    "q99_fuzzy_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.fuzzyDecontaminated(
+        docs, docs.filter(col("doc_id") % 50 === 0), n = contamN,
+        maxOverlap = 0.5)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |        i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
+         |      FROM ws),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gh) AS n_hit
+         |         FROM cg LEFT JOIN bench b ON b.gh = cg.gh GROUP BY 1),
+         |dropped AS (
+         |  SELECT doc_id FROM hits
+         |  WHERE ${Det.frSql("CAST(n_hit AS DOUBLE) / n_grams", 4)} >= 0.5)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN dropped x ON x.doc_id = d.doc_id
+         |WHERE x.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin))
+
   // q82 — top TF-IDF terms per document (the keyword half of the
   // retrieval surface; the reference analog is ad-hoc scoring SQL over
   // the landed table). logIdf = false selects the RATIONAL idf
@@ -1645,5 +1676,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }

@@ -176,10 +176,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 98 uniquely-named queries, 95 oracle-checked, qNN prefixes unique") {
+  test("registry: 99 uniquely-named queries, 96 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 98)
-    assert(all.count(_.oracle.isDefined) === 95)
+    assert(all.size === 99)
+    assert(all.count(_.oracle.isDefined) === 96)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -190,6 +190,24 @@ class CorpusOpsSpec extends SparkSpec {
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).sorted
     assert(rowsOnly === Vector("q13_approx_distinct", "q59_approx_percentiles",
       "q94_compression_ratio"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("fuzzyDecontaminated drops partial quotes exact fingerprinting misses") {
+    val bench = Seq((900L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 60%+ of this doc's 5-grams come verbatim from the benchmark, but
+      // the framing words make the exact fingerprint differ
+      (1L, "quote follows alpha bravo charlie delta echo foxtrot golf hotel india juliet end"),
+      (2L, "completely unrelated words about kafka topics and avro schemas here"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val keptFuzzy = TextAnalysis.fuzzyDecontaminated(corpus, bench, n = 5,
+      maxOverlap = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(keptFuzzy === Set(2L, 3L), s"got $keptFuzzy")
+    // the exact gate keeps the partial quote — that is the gap q99 closes
+    val keptExact = TextAnalysis.decontaminated(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExact === Set(1L, 2L, 3L))
   }
 
   // ------------------------------------------------ q95 language confidence
