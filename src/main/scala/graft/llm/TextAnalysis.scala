@@ -176,6 +176,40 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic training order — the "shuffle the corpus once" step a
+   * training run ends with: a global rank by salted content hash
+   * (tie-broken by doc_id), so epoch order is a pure function of
+   * (content, salt) — reproducible across reruns, machines and input
+   * orderings, and re-saltable per epoch without touching the data.
+   *
+   * Shape: the hash is a scan-stage expression; `orderBy` is Spark's
+   * one-pass distributed sort (range shuffle); the contiguous rank is
+   * `zipWithIndex` over the sorted partitions — per-partition counts
+   * plus offsets, no data movement. NOT `row_number()` over a global
+   * window: an unpartitioned window collapses the corpus onto one task
+   * (Spark itself warns), which is exactly the shape that dies at 100 TB.
+   * The total order (key, doc_id) has no ties, so the assigned index is
+   * deterministic.
+   *
+   * The salt is a PREFIX, not a suffix: a rolling hash of `text || salt`
+   * differing only in trailing salt chars shifts every key by the same
+   * constant (h' = h + Δ mod P), which preserves the order — the epoch
+   * "reshuffle" would be a no-op. Prepending perturbs the initial fold
+   * state, so every document's key diverges (spec-pinned).
+   */
+  def trainingOrder(docs: DataFrame, salt: String = "epoch0"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val key = polyHash(concat(lit(salt), lit("#"), col("text")))
+    docs.select(col("doc_id"), key.as("order_key"))
+      .orderBy(col("order_key"), col("doc_id"))
+      .as[(Long, Long)].rdd
+      .zipWithIndex()
+      .map { case ((id, k), i) => (id, k, i + 1L) }
+      .toDF("doc_id", "order_key", "ord")
+  }
+
+  /**
    * Sequence packing (concat-and-chunk shard assignment): documents are
    * hash-bucketed into `shards`, ordered within each shard, and cut into
    * fixed `budgetTokens` bins by cumulative token count — the shape of a

@@ -1333,6 +1333,21 @@ object LlmQueries {
          |WHERE x.doc_id IS NULL
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q100 — deterministic training order: global rank by salt-PREFIXED
+  // content hash (ties by doc_id) — the reproducible epoch shuffle.
+  // Distributed shape: range-sort + zipWithIndex, never a
+  // single-partition window. Salt prefixes (a suffixed salt only shifts
+  // every rolling-hash key by a constant, preserving the order).
+  val q100 = Q(
+    "q100_training_order",
+    (s, d) => TextAnalysis.trainingOrder(Tables.documents(s, d), salt = "epoch0")
+      .orderBy("ord"),
+    Some(
+      s"""SELECT doc_id, ${polyHashSql("'epoch0#' || text")} AS order_key,
+         |  CAST(row_number() OVER (
+         |    ORDER BY ${polyHashSql("'epoch0#' || text")}, doc_id) AS BIGINT) AS ord
+         |FROM documents ORDER BY ord""".stripMargin))
+
   // q82 — top TF-IDF terms per document (the keyword half of the
   // retrieval surface; the reference analog is ad-hoc scoring SQL over
   // the landed table). logIdf = false selects the RATIONAL idf
@@ -1676,5 +1691,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -176,10 +176,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 99 uniquely-named queries, 96 oracle-checked, qNN prefixes unique") {
+  test("registry: 100 uniquely-named queries, 97 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 99)
-    assert(all.count(_.oracle.isDefined) === 96)
+    assert(all.size === 100)
+    assert(all.count(_.oracle.isDefined) === 97)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -190,6 +190,20 @@ class CorpusOpsSpec extends SparkSpec {
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).sorted
     assert(rowsOnly === Vector("q13_approx_distinct", "q59_approx_percentiles",
       "q94_compression_ratio"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("trainingOrder is a contiguous rank, stable under input reordering") {
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val a = TextAnalysis.trainingOrder(docs, "epoch0")
+      .orderBy("ord").as[(Long, Long, Long)].collect()
+    val b = TextAnalysis.trainingOrder(docs.repartition(7).sortWithinPartitions(col("text")), "epoch0")
+      .orderBy("ord").as[(Long, Long, Long)].collect()
+    assert(a === b, "order must not depend on input partitioning/order")
+    assert(a.map(_._3).toSeq === (1L to a.length).toSeq, "rank must be contiguous from 1")
+    // a different salt reshuffles (pure function of content+salt)
+    val c = TextAnalysis.trainingOrder(docs, "epoch1")
+      .orderBy("ord").as[(Long, Long, Long)].collect()
+    assert(c.map(_._1).toSeq !== a.map(_._1).toSeq, "salt must change the order")
   }
 
   test("fuzzyDecontaminated drops partial quotes exact fingerprinting misses") {
