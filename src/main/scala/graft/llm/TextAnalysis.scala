@@ -419,6 +419,50 @@ object TextAnalysis {
   }
 
   /**
+   * Token-budget mixture sampling — [[mixtureSample]] with the budget in
+   * TOKENS, which is what a pretraining mix actually allocates: source s
+   * receives a token quota ∝ √(tokens_s) (temperature α = 1/2 over token
+   * mass, not doc counts), then docs fill it in the deterministic
+   * salted-hash order until the INCLUSIVE cumulative token count reaches
+   * the quota — so the budget may be overshot by at most one document,
+   * never undershot while candidates remain. Returns
+   * (doc_id, group, n_tokens, rnk, cum_tokens) for the selected rows.
+   *
+   * Same determinism contract as [[mixtureSample]] (IEEE √, integer-
+   * scaled weights, integer division); tokens are whitespace tokens
+   * (empty-string words excluded, matching tokenStats). The cumulative
+   * sum is a running BIGINT window per source — one shuffle; a hot
+   * source's prefix scan is one task, the same per-source serialization
+   * [[mixtureSample]]'s rank fill already accepts (sources are few by
+   * construction; shard within source BEFORE mixing if one source
+   * dominates).
+   */
+  def mixtureSampleTokens(docs: DataFrame, groupCol: String = "source",
+      tokenBudget: Long = 10000L, salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.withColumn("n_tokens",
+      size(filter(words(col("text")), w => w =!= "")).cast("long"))
+    val weights = toks.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("tok_grp"))
+      .withColumn("w",
+        floor(sqrt(col("tok_grp").cast("double")) * 10000d + lit(0.5)).cast("long"))
+    val tot = weights.agg(sum(col("w")).as("w_total"))
+    val quotas = weights.crossJoin(
+      org.apache.spark.sql.functions.broadcast(tot))
+      .select(col(groupCol), expr(s"($tokenBudget * w) div w_total").as("quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(polyHash(concat(col("text"), lit(salt))), col("doc_id"))
+    toks
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
+      .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        col("rnk"), col("cum_tokens"))
+  }
+
+  /**
    * Graded n-gram contamination against a benchmark set — the
    * finer-grained companion to [[decontaminated]]'s whole-document
    * fingerprint: a document that EMBEDS a benchmark item (quotes a test

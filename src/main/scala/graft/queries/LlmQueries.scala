@@ -1589,6 +1589,42 @@ object LlmQueries {
          |WHERE r.rnk <= q.quota
          |ORDER BY source, rnk""".stripMargin))
 
+  // q101 — token-budget mixture (α = 1/2 over TOKEN mass): quotas from
+  // integer-scaled √(tokens per source); per-source fill by salted-hash
+  // order until the inclusive cumulative token count reaches the quota
+  // (the crossing doc is kept — overshoot is at most one document).
+  val q101 = Q(
+    "q101_mixture_tokens",
+    (s, d) => TextAnalysis.mixtureSampleTokens(Tables.documents(s, d),
+      "source", tokenBudget = 5000L).orderBy("source", "rnk"),
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+         |        FROM toks GROUP BY 1),
+         |w AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |quotas AS (SELECT source, (5000 * w) // w_total AS quota
+         |           FROM w CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("text || 'graft'")}, doc_id) AS INT) AS rnk,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("text || 'graft'")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM toks)
+         |SELECT r.doc_id, r.source, r.n_tokens, r.rnk, r.cum_tokens
+         |FROM ranked r JOIN quotas q USING (source)
+         |WHERE r.cum_tokens - r.n_tokens < q.quota
+         |ORDER BY source, rnk""".stripMargin))
+
   // Exact top-k terms by total count — shared oracle for q91/q92 (the
   // sketch query runs in its no-eviction exactness regime).
   private def heavyHitterSql(k: Int): String =
@@ -1691,5 +1727,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }

@@ -176,10 +176,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 100 uniquely-named queries, 97 oracle-checked, qNN prefixes unique") {
+  test("registry: 101 uniquely-named queries, 98 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 100)
-    assert(all.count(_.oracle.isDefined) === 97)
+    assert(all.size === 101)
+    assert(all.count(_.oracle.isDefined) === 98)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -190,6 +190,31 @@ class CorpusOpsSpec extends SparkSpec {
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).sorted
     assert(rowsOnly === Vector("q13_approx_distinct", "q59_approx_percentiles",
       "q94_compression_ratio"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("mixtureSampleTokens fills each source's token quota, overshooting at most one doc") {
+    val got = TextAnalysis.mixtureSampleTokens(docs, "source", tokenBudget = 2000L)
+      .as[(Long, String, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    // recompute quotas independently (whitespace tokens, empties excluded)
+    val toks = docs.select(col("source"),
+      size(filter(split(col("text"), " ", -1), w => w =!= "")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("tok"))
+      .as[(String, Long)].collect().toMap
+    val w = toks.view.mapValues(t => math.floor(math.sqrt(t.toDouble) * 10000 + 0.5).toLong).toMap
+    val quotas = w.view.mapValues(x => 2000L * x / w.values.sum).toMap
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val cum = rows.map(_._5).max
+      val last = rows.maxBy(_._4)
+      // exclusive prefix of every selected doc is under quota; the final
+      // cumulative is allowed to overshoot by (at most) the last doc
+      rows.foreach(r => assert(r._5 - r._3 < quotas(src), s"$src over-filled"))
+      assert(cum >= quotas(src) - 0 || rows.length == docsPerSource(src),
+        s"$src under-filled: cum=$cum quota=${quotas(src)}")
+      assert(cum - last._3 < quotas(src))
+    }
+    def docsPerSource(src: String): Int =
+      docs.filter(col("source") === src).count().toInt
   }
 
   test("trainingOrder is a contiguous rank, stable under input reordering") {
