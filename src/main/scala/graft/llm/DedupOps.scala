@@ -346,9 +346,16 @@ object DedupOps {
   def exactThenNearDedup(docs: DataFrame, n: Int = 3, perms: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // Exact identity is the PAIR of independent polynomial hashes (mod P
+    // ≈ 2³⁰ and mod P48 ≈ 2⁴⁸) — same reasoning as spanFlags: dropping a
+    // doc is destructive and a single ~30-bit hash birthday-collides at
+    // corpus scale (~n²/2e9 false merges: hundreds at 1M docs). A
+    // simultaneous collision in both moduli is ~2⁻⁷⁸ per pair.
+    val fp = docs.select(col("doc_id"),
+      TextFunctions.polyHash(col("text")).as("f1"),
+      TextFunctions.polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("f2"))
     val fpKept = docs.join(
-      TextAnalysis.fingerprint(docs)
-        .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id")),
+      fp.groupBy(col("f1"), col("f2")).agg(min(col("doc_id")).as("doc_id")),
       Seq("doc_id"), "left_semi")
     dedupedCorpus(fpKept,
       duplicateClusters(

@@ -130,6 +130,16 @@ object IvfIndex {
   def searchPq(queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    searchPqWithProbes(queries, dir, k,
+      SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe))
+  }
+
+  /** [[searchPq]] body against an already-computed probe table, so
+    * [[searchPqRefined]]'s refine stage can reuse the same probes (and
+    * their driver-side pruning collect) instead of recomputing them. */
+  private def searchPqWithProbes(queries: DataFrame, dir: String, k: Int,
+      probes: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
     // A missing or empty pq_codebooks table (build() ran but buildPq()
     // didn't, or a partial write) would otherwise surface as an obscure
     // schema-inference failure or an NPE on getInt of the null aggregate
@@ -146,7 +156,6 @@ object IvfIndex {
     if (geom.isNullAt(0)) noPq(null)
     val subspaces = geom.getInt(0) + 1
     val dim = subspaces * geom.getInt(1)
-    val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)
     val dtab = SimilaritySearch.adcTables(SimilaritySearch.adcSubDists(
       queries.select(col("vec_id"), col("embedding")), cb, dim, subspaces))
     val candidates = prunedRead(spark, s"$dir/pq_codes", probes)
@@ -169,10 +178,10 @@ object IvfIndex {
       nprobe: Int = 4, refine: Int = 64): DataFrame = {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
     val spark = queries.sparkSession
-    val cand = searchPq(queries, dir, refine, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
     val probes = SimilaritySearch.probeCells(queries,
       centroids(spark, dir), nprobe)
+    val cand = searchPqWithProbes(queries, dir, refine, probes)
+      .select(col("query_id"), col("neighbor_id"))
     val emb = prunedRead(spark, s"$dir/assignments", probes)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val w = org.apache.spark.sql.expressions.Window

@@ -200,7 +200,13 @@ object TextAnalysis {
   def trainingOrder(docs: DataFrame, salt: String = "epoch0"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val key = polyHash(concat(lit(salt), lit("#"), col("text")))
+    // null text orders as the empty string (its key is then a pure
+    // function of the salt): without the coalesce the null key would
+    // fail the non-nullable (Long, Long) decode and kill the whole
+    // epoch-ordering job on one bad row. Other gates in this file keep
+    // null-text rows too — dropping them is a filter's decision, not an
+    // ordering side effect.
+    val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
     docs.select(col("doc_id"), key.as("order_key"))
       .orderBy(col("order_key"), col("doc_id"))
       .as[(Long, Long)].rdd
@@ -360,9 +366,15 @@ object TextAnalysis {
       try bench.stat.bloomFilter("bench_fp", expectedItems, fpp)
       catch {
         case npe: NullPointerException =>
-          if (bench.limit(1).isEmpty) {
+          // "Empty" must mean no non-null FINGERPRINTS, not no rows: a
+          // benchmark whose rows all have null text yields only a null
+          // bench_fp, which matches nothing in the exact gate — the
+          // correct result is still the unscrubbed corpus, and the
+          // stat.bloomFilter NPE is the same zero-input failure mode.
+          if (bench.filter(col("bench_fp").isNotNull).limit(1).isEmpty) {
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              "bloomDecontaminated: benchmark set is empty; returning corpus unmodified")
+              "bloomDecontaminated: benchmark has no non-null fingerprints; " +
+                "returning corpus unmodified")
             return corpus
           } else throw npe
       }
@@ -447,9 +459,16 @@ object TextAnalysis {
       .withColumn("w",
         floor(sqrt(col("tok_grp").cast("double")) * 10000d + lit(0.5)).cast("long"))
     val tot = weights.agg(sum(col("w")).as("w_total"))
+    // budget·w is widened to DECIMAL(38,0) before the integral division:
+    // at real token scales (a 10¹³-token source gives w ≈ 3·10¹⁰; a
+    // 10¹³-token budget) the long product overflows 2⁶³ and would wrap to
+    // a negative quota, silently zeroing the source's contribution. `div`
+    // on decimals is exact integral division on both engines.
     val quotas = weights.crossJoin(
       org.apache.spark.sql.functions.broadcast(tot))
-      .select(col(groupCol), expr(s"($tokenBudget * w) div w_total").as("quota"))
+      .select(col(groupCol),
+        expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
+          .as("quota"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(polyHash(concat(col("text"), lit(salt))), col("doc_id"))
     toks

@@ -100,8 +100,8 @@ object LlmQueries {
 
   /** Connected-component closure over a `prs (id_a, id_b)` CTE — the
     * recursive reachability mirror of DedupOps.duplicateClusters,
-    * yielding `labels (doc_id, rep)`. Shared by the composed dedup
-    * oracles (q66/q73/q76/q84/q97/q98). */
+    * yielding `labels (doc_id, rep)`. Shared by every clustering oracle
+    * (q66/q70/q73/q76/q84/q97/q98). */
   private val ccClosureCtes: String =
     s"""edges AS (SELECT id_a AS src, id_b AS dst FROM prs
        |          UNION ALL SELECT id_b, id_a FROM prs),
@@ -210,20 +210,7 @@ object LlmQueries {
       .orderBy("id_a", "id_b"),
     Some(
       s"""WITH $shingleCtes,
-         |perms AS (SELECT unnest(range(32)) AS p),
-         |mh AS (
-         |  SELECT doc_id, p,
-         |         min(((1000003 * p + 7919) * h + 104729 * p + 12345) % $P) AS v
-         |  FROM sh, perms GROUP BY doc_id, p),
-         |bands AS (
-         |  SELECT doc_id, CAST(floor(p / 4.0) AS BIGINT) AS band,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY p)),
-         |                     (a, x) -> (a * 1000003 + x) % $P) AS bkey
-         |  FROM mh GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |$minhashCandCtes
          |SELECT c.id_a, c.id_b, j.jaccard
          |FROM cand c JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
          |WHERE j.jaccard >= 0.8 ORDER BY c.id_a, c.id_b""".stripMargin))
@@ -417,15 +404,9 @@ object LlmQueries {
     Some(
       s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION ALL SELECT id_b, id_a FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-         |SELECT a AS doc_id, MIN(b) AS cluster_rep
-         |FROM reach GROUP BY a ORDER BY a""".stripMargin))
+         |$ccClosureCtes
+         |SELECT doc_id, rep AS cluster_rep
+         |FROM labels ORDER BY doc_id""".stripMargin))
 
   // q62 — stratified hash sampling: per-language keep rates in permille,
   // the data-mixing reweighting pass (upsample rare strata, cap others).
@@ -701,15 +682,9 @@ object LlmQueries {
          |  JOIN embeddings ea ON ea.vec_id = id_a
          |  JOIN embeddings eb ON eb.vec_id = id_b),
          |prs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.4),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION ALL SELECT id_b, id_a FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-         |SELECT a AS vec_id, MIN(b) AS cluster_rep
-         |FROM reach GROUP BY a ORDER BY a""".stripMargin))
+         |$ccClosureCtes
+         |SELECT doc_id AS vec_id, rep AS cluster_rep
+         |FROM labels ORDER BY vec_id""".stripMargin))
 
   // q71 — IVF with k-means coarse quantizer: 2 Lloyd rounds over the
   // vec_id % 3 deterministic sample, init = the q54 cut. The oracle
@@ -848,14 +823,7 @@ object LlmQueries {
     Some(
       s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION ALL SELECT id_b, id_a FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+         |$ccClosureCtes
          |SELECT d.doc_id FROM documents d
          |LEFT JOIN labels l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
@@ -905,13 +873,16 @@ object LlmQueries {
     (s, d) => DedupOps.exactThenNearDedup(Tables.documents(s, d),
       n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id"),
-    Some(
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
       s"""WITH RECURSIVE fp0 AS (
          |  SELECT doc_id,
          |    CASE WHEN length(text) = 0 THEN 0
-         |         ELSE ${polyHashSql("text")} END AS f
+         |         ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("text", p48)} END AS f2
          |  FROM documents),
-         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY f),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY f1, f2),
          |kept0 AS (SELECT d.* FROM documents d JOIN keepid USING (doc_id)),
          |${shingleCtesWithCap(None, "kept0")},
          |$minhashCandCtes,
@@ -923,7 +894,8 @@ object LlmQueries {
          |SELECT d.doc_id FROM kept0 d
          |LEFT JOIN labels l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin))
+         |ORDER BY d.doc_id""".stripMargin
+    })
 
   // q76 — the END-TO-END curation pipeline, composed from the operators
   // the registry checks individually: near-dup keep-list (q66/q73) →
@@ -967,14 +939,7 @@ object LlmQueries {
         "regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
       s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION ALL SELECT id_b, id_a FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+         |$ccClosureCtes,
          |kept AS (
          |  SELECT d.doc_id, d.text FROM documents d
          |  LEFT JOIN labels l ON d.doc_id = l.doc_id
@@ -1343,9 +1308,9 @@ object LlmQueries {
     (s, d) => TextAnalysis.trainingOrder(Tables.documents(s, d), salt = "epoch0")
       .orderBy("ord"),
     Some(
-      s"""SELECT doc_id, ${polyHashSql("'epoch0#' || text")} AS order_key,
+      s"""SELECT doc_id, ${polyHashSql("'epoch0#' || coalesce(text, '')")} AS order_key,
          |  CAST(row_number() OVER (
-         |    ORDER BY ${polyHashSql("'epoch0#' || text")}, doc_id) AS BIGINT) AS ord
+         |    ORDER BY ${polyHashSql("'epoch0#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS ord
          |FROM documents ORDER BY ord""".stripMargin))
 
   // q82 — top TF-IDF terms per document (the keyword half of the
@@ -1433,14 +1398,7 @@ object LlmQueries {
     Some(
       s"""WITH RECURSIVE $cappedShingleCtes,
          |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION ALL SELECT id_b, id_a FROM prs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(a, b) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-         |labels AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+         |$ccClosureCtes,
          |kept AS (SELECT d.* FROM documents d
          |         LEFT JOIN labels l ON d.doc_id = l.doc_id
          |         WHERE l.doc_id IS NULL OR l.rep = d.doc_id),
@@ -1608,7 +1566,8 @@ object LlmQueries {
          |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
          |      FROM wts),
          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
-         |quotas AS (SELECT source, (5000 * w) // w_total AS quota
+         |quotas AS (SELECT source,
+         |             CAST((CAST(5000 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
          |           FROM w CROSS JOIN tot),
          |ranked AS (
          |  SELECT doc_id, source, n_tokens,

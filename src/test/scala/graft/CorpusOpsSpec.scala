@@ -116,6 +116,27 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomDecontaminated with an all-null-text benchmark keeps everything") {
+    // rows exist but no fingerprint can be built — semantically the same
+    // no-op scrub as an empty benchmark (null matches nothing in the
+    // exact gate), not a crash
+    val corpus = Seq((1L, "alpha bravo"), (2L, "charlie delta")).toDF("doc_id", "text")
+    val bench = Seq((9L, Option.empty[String]), (10L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.bloomDecontaminated(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("trainingOrder survives null-text rows (ordered as empty, job not killed)") {
+    val docs = Seq((1L, Some("alpha bravo")), (2L, None), (3L, Some("charlie")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trainingOrder(docs, "epoch0")
+      .orderBy("ord").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("bloomDecontaminated with an empty benchmark keeps everything") {
     val corpus = Seq((1L, "some doc"), (2L, "another doc")).toDF("doc_id", "text")
     val bench = corpus.filter(lit(false))
