@@ -77,8 +77,18 @@ object LlmExprs {
       val buf = new Array[Byte](8192)
       var total = 0L
       while (!d.finished()) total += d.deflate(buf)
+      d.reset()
       total
-    } finally d.reset()
+    } catch {
+      // The pooled-thread invariant rests on reset() always restoring the
+      // initial state; a Deflater abandoned mid-stream (OOM/interrupt
+      // between deflate() calls) would silently poison every later row on
+      // this thread. Discard the instance instead — the next row
+      // allocates fresh — and release the native block eagerly.
+      case t: Throwable =>
+        try d.end() finally localDeflater.remove()
+        throw t
+    }
   }
 
   /** 48-bit-range prime modulus for wide feature hashing (SimHash widths

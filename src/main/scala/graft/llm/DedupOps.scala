@@ -342,6 +342,15 @@ object DedupOps {
    * 2.0 s for this stack with identical output), while near-verbatim
    * dups — which exact hashing can't see — survive to the banded stage
    * that handles them sub-quadratically. Returns the kept corpus rows.
+   *
+   * Null-text rows BYPASS the exact-fingerprint stage and are kept
+   * unconditionally (they also generate no shingles, so the near-dup
+   * stage never clusters them): a null fingerprint groups with every
+   * other null under both Spark's `groupBy` and SQL `GROUP BY`, which
+   * would destructively collapse all unknown-content rows into one —
+   * rows whose content is unknown are not verbatim clones of each
+   * other. Same policy as the other gates in TextAnalysis: dropping a
+   * null-text row is a filter's decision, not a dedup side effect.
    */
   def exactThenNearDedup(docs: DataFrame, n: Int = 3, perms: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4,
@@ -351,12 +360,14 @@ object DedupOps {
     // doc is destructive and a single ~30-bit hash birthday-collides at
     // corpus scale (~n²/2e9 false merges: hundreds at 1M docs). A
     // simultaneous collision in both moduli is ~2⁻⁷⁸ per pair.
-    val fp = docs.select(col("doc_id"),
+    val nonNull = docs.filter(col("text").isNotNull)
+    val fp = nonNull.select(col("doc_id"),
       TextFunctions.polyHash(col("text")).as("f1"),
       TextFunctions.polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("f2"))
-    val fpKept = docs.join(
+    val fpKept = nonNull.join(
       fp.groupBy(col("f1"), col("f2")).agg(min(col("doc_id")).as("doc_id")),
       Seq("doc_id"), "left_semi")
+      .unionByName(docs.filter(col("text").isNull))
     dedupedCorpus(fpKept,
       duplicateClusters(
         minhashLshPairs(fpKept, n, perms, bands, rowsPerBand, threshold)))

@@ -64,6 +64,12 @@ object IvfIndex {
    * re-clustering on a timer. One count-by-partition-column job over
    * the assignments table — reads only parquet partition metadata
    * columns, never an embedding.
+   *
+   * An EMPTY index (zero vectors assigned — all partitions deleted, or
+   * built over nothing) reports `occ_ratio`/`skew` as NULL rather than
+   * the NaN a 0/0 would produce: there is no probe cost to compare, and
+   * an alerting rule on `skew > 3` must see a well-defined non-firing
+   * value, not NaN (which is neither > nor ≤ anything).
    */
   def rebalanceCheck(spark: SparkSession, dir: String): DataFrame = {
     val occ = spark.read.parquet(s"$dir/assignments")
@@ -78,13 +84,14 @@ object IvfIndex {
       max(col("n_vectors")).as("max_occ"),
       avg(col("n_vectors")).as("mean_occ"),
       sum(when(col("n_vectors") === 0L, 1L).otherwise(0L)).as("empty_cells"))
+    val guarded = when(col("mean_occ") > 0, col("mean_occ"))
     perCell.crossJoin(broadcast(stats))
       .select(col("cell"), col("n_vectors"),
         TextFunctions.fround(
-          col("n_vectors").cast("double") / col("mean_occ"), 4)
+          col("n_vectors").cast("double") / guarded, 4)
           .as("occ_ratio"),
         TextFunctions.fround(
-          col("max_occ").cast("double") / col("mean_occ"), 4).as("skew"),
+          col("max_occ").cast("double") / guarded, 4).as("skew"),
         col("empty_cells"))
       .orderBy(col("cell"))
   }

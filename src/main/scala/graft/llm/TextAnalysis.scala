@@ -182,14 +182,15 @@ object TextAnalysis {
    * (content, salt) — reproducible across reruns, machines and input
    * orderings, and re-saltable per epoch without touching the data.
    *
-   * Shape: the hash is a scan-stage expression; `orderBy` is Spark's
-   * one-pass distributed sort (range shuffle); the contiguous rank is
-   * `zipWithIndex` over the sorted partitions — per-partition counts
-   * plus offsets, no data movement. NOT `row_number()` over a global
-   * window: an unpartitioned window collapses the corpus onto one task
-   * (Spark itself warns), which is exactly the shape that dies at 100 TB.
-   * The total order (key, doc_id) has no ties, so the assigned index is
-   * deterministic.
+   * Shape: the hash is a scan-stage expression; the contiguous rank is
+   * [[graft.ops.PrefixRank.keyedPrefix]] with no group — deterministic
+   * hash-range buckets, per-bucket local ranks, broadcast per-bucket
+   * offsets. NOT `row_number()` over a global window: an unpartitioned
+   * window collapses the corpus onto one task (Spark itself warns),
+   * which is exactly the shape that dies at 100 TB. And no RDD
+   * `zipWithIndex` round-trip either (rounds ≤ 8 used one): the whole
+   * plan stays in Catalyst/Tungsten. The total order (key, doc_id) has
+   * no ties, so the assigned index is deterministic.
    *
    * The salt is a PREFIX, not a suffix: a rolling hash of `text || salt`
    * differing only in trailing salt chars shifts every key by the same
@@ -198,21 +199,17 @@ object TextAnalysis {
    * state, so every document's key diverges (spec-pinned).
    */
   def trainingOrder(docs: DataFrame, salt: String = "epoch0"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // null text orders as the empty string (its key is then a pure
     // function of the salt): without the coalesce the null key would
-    // fail the non-nullable (Long, Long) decode and kill the whole
-    // epoch-ordering job on one bad row. Other gates in this file keep
-    // null-text rows too — dropping them is a filter's decision, not an
-    // ordering side effect.
+    // raise in the rank operator and kill the whole epoch-ordering job
+    // on one bad row. Other gates in this file keep null-text rows too —
+    // dropping them is a filter's decision, not an ordering side effect.
     val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
-    docs.select(col("doc_id"), key.as("order_key"))
-      .orderBy(col("order_key"), col("doc_id"))
-      .as[(Long, Long)].rdd
-      .zipWithIndex()
-      .map { case ((id, k), i) => (id, k, i + 1L) }
-      .toDF("doc_id", "order_key", "ord")
+    graft.ops.PrefixRank.keyedPrefix(
+      docs.select(col("doc_id"), key.as("order_key")),
+      groupCols = Nil, orderKey = col("order_key"), keyBound = P,
+      tieBreaker = col("doc_id"), rankName = "ord")
+      .select(col("doc_id"), col("order_key"), col("ord"))
   }
 
   /**
@@ -408,12 +405,20 @@ object TextAnalysis {
    * Determinism contract: √ is correctly rounded per IEEE-754
    * (bit-identical across engines — unlike ln/exp); weights scale to
    * integers (·10⁴, half-up) before an order-free BIGINT sum; quotas
-   * use true integer division. One shuffle for the per-source window;
-   * the quota table (one row per source) broadcasts.
+   * use true integer division. Null text orders as the empty string
+   * (the salted hash of a null would otherwise sort NULLS FIRST on
+   * Spark but NULLS LAST on an oracle engine — and a sampler must not
+   * drop rows whose content is merely unknown).
+   *
+   * Scale shape: the per-source rank comes from
+   * [[graft.ops.PrefixRank.keyedPrefix]] — deterministic hash-range
+   * buckets, per-(bucket, source) local ranks, broadcast offsets — NOT
+   * `Window.partitionBy(source)`, which would sort the largest source
+   * (possibly tens of TB of a pretraining mix) on a single task. The
+   * quota table (one row per source) broadcasts.
    */
   def mixtureSample(docs: DataFrame, groupCol: String = "source",
       budget: Long = 200L, salt: String = "graft"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val weights = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_grp"))
       .withColumn("w",
@@ -422,9 +427,9 @@ object TextAnalysis {
     val quotas = weights.crossJoin(
       org.apache.spark.sql.functions.broadcast(tot))
       .select(col(groupCol), expr(s"($budget * w) div w_total").as("quota"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(polyHash(concat(col("text"), lit(salt))), col("doc_id"))
-    docs.withColumn("rnk", row_number().over(w))
+    val key = polyHash(concat(coalesce(col("text"), lit("")), lit(salt)))
+    graft.ops.PrefixRank.keyedPrefix(docs, Seq(groupCol), key, P, col("doc_id"))
+      .withColumn("rnk", col("rnk").cast("int"))
       .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
       .filter(col("rnk") <= col("quota"))
       .select(col("doc_id"), col(groupCol), col("rnk"))
@@ -441,17 +446,16 @@ object TextAnalysis {
    * (doc_id, group, n_tokens, rnk, cum_tokens) for the selected rows.
    *
    * Same determinism contract as [[mixtureSample]] (IEEE √, integer-
-   * scaled weights, integer division); tokens are whitespace tokens
-   * (empty-string words excluded, matching tokenStats). The cumulative
-   * sum is a running BIGINT window per source — one shuffle; a hot
-   * source's prefix scan is one task, the same per-source serialization
-   * [[mixtureSample]]'s rank fill already accepts (sources are few by
-   * construction; shard within source BEFORE mixing if one source
-   * dominates).
+   * scaled weights, integer division, null text ordered as empty);
+   * tokens are whitespace tokens (empty-string words excluded, matching
+   * tokenStats). The per-source rank AND running token sum come from one
+   * [[graft.ops.PrefixRank.keyedPrefix]] pass — bucketed local windows
+   * plus broadcast per-source offsets — so a hot source's prefix sum is
+   * spread over all buckets instead of serialized on a single task (the
+   * shape a 95%-one-source pretraining mix dies in; see SCALE.md).
    */
   def mixtureSampleTokens(docs: DataFrame, groupCol: String = "source",
       tokenBudget: Long = 10000L, salt: String = "graft"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.withColumn("n_tokens",
       size(filter(words(col("text")), w => w =!= "")).cast("long"))
     val weights = toks.groupBy(col(groupCol))
@@ -469,12 +473,10 @@ object TextAnalysis {
       .select(col(groupCol),
         expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
           .as("quota"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(polyHash(concat(col("text"), lit(salt))), col("doc_id"))
-    toks
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("cum_tokens",
-        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val key = polyHash(concat(coalesce(col("text"), lit("")), lit(salt)))
+    graft.ops.PrefixRank.keyedPrefix(toks, Seq(groupCol), key, P, col("doc_id"),
+      sums = Seq((col("n_tokens"), "cum_tokens")))
+      .withColumn("rnk", col("rnk").cast("int"))
       .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
       .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
       .select(col("doc_id"), col(groupCol), col("n_tokens"),

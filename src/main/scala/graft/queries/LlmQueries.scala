@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.llm.{DedupOps, Multimodal, Retrieval, SimilaritySearch, TextAnalysis}
 import graft.model.Tables
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**
@@ -882,8 +883,11 @@ object LlmQueries {
          |    CASE WHEN length(text) = 0 THEN 0
          |         ELSE ${polyHashSqlMod("text", p48)} END AS f2
          |  FROM documents),
-         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY f1, f2),
-         |kept0 AS (SELECT d.* FROM documents d JOIN keepid USING (doc_id)),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0
+         |           WHERE f1 IS NOT NULL GROUP BY f1, f2),
+         |kept0 AS (SELECT d.* FROM documents d JOIN keepid USING (doc_id)
+         |          UNION ALL
+         |          SELECT d.* FROM documents d WHERE d.text IS NULL),
          |${shingleCtesWithCap(None, "kept0")},
          |$minhashCandCtes,
          |prs AS (
@@ -1087,6 +1091,28 @@ object LlmQueries {
   // folds mirrored exactly by the oracle, so the candidate SET — not
   // just the final ranks — is identical across engines.
   private val pqRefine = 32
+  /** Shared oracle for q96 (inline two-stage ADC) and q102 (the persisted
+    * IvfIndex serving path probed over ALL cells): with every cell probed
+    * the candidate universe is the whole corpus, embeddings round-trip
+    * parquet bit-exactly, and both paths score through the identical
+    * in-order folds — so the two queries are value-identical by
+    * construction (the ≡ is additionally spec-pinned in CorpusOpsSpec). */
+  private val refinedOracleSql: String =
+    s"""WITH $adcOracleCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $pqRefine),
+       |rescored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ${cosineSql("qa.embedding", "qb.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings qa ON qa.vec_id = c.query_id
+       |  JOIN embeddings qb ON qb.vec_id = c.neighbor_id),
+       |reranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
+       |FROM reranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   val q96 = Q(
     "q96_ann_adc_refined",
     (s, d) => {
@@ -1095,22 +1121,35 @@ object LlmQueries {
         refine = pqRefine, dim, subspaces = pqSubspaces, nCodes = ivfCells)
         .orderBy("query_id", "rank")
     },
-    Some(
-      s"""WITH $adcOracleCtes,
-         |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $pqRefine),
-         |rescored AS (
-         |  SELECT c.query_id, c.neighbor_id,
-         |         ${cosineSql("qa.embedding", "qb.embedding")} AS cos
-         |  FROM cand c
-         |  JOIN embeddings qa ON qa.vec_id = c.query_id
-         |  JOIN embeddings qb ON qb.vec_id = c.neighbor_id),
-         |reranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-         |  FROM rescored)
-         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
-         |FROM reranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+    Some(refinedOracleSql))
+
+  // q102 — the PERSISTED serving path a production deployment actually
+  // calls (IvfIndex: buildPq once into an index directory, then
+  // searchPqRefined many times). The index builds ONCE per (JVM, sfDir)
+  // into a scratch dir — the registry fn then times/checks pure serving,
+  // which is the production shape (build amortizes over every query).
+  // Probing all cells makes the result value-identical to q96's inline
+  // operator (same oracle); the nprobe<nCells pruning regime is pinned
+  // separately in CorpusOpsSpec ("search scans only the probed cell
+  // partitions").
+  private val ivfServeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfServeDir(s: SparkSession, d: String): String =
+    ivfServeDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
+        .toString
+      graft.llm.IvfIndex.buildPq(Tables.embeddings(s, d), dir,
+        nCells = ivfCells, iters = 2, dim = dim,
+        subspaces = pqSubspaces, nCodes = ivfCells)
+      dir
+    })
+  val q102 = Q(
+    "q102_ivf_serve_refined",
+    (s, d) => graft.llm.IvfIndex.searchPqRefined(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8),
+      ivfServeDir(s, d), k = 3, nprobe = ivfCells, refine = pqRefine)
+      .orderBy("query_id", "rank"),
+    Some(refinedOracleSql))
 
   // ---------------------------------------------------------- multimodal
 
@@ -1300,9 +1339,11 @@ object LlmQueries {
 
   // q100 — deterministic training order: global rank by salt-PREFIXED
   // content hash (ties by doc_id) — the reproducible epoch shuffle.
-  // Distributed shape: range-sort + zipWithIndex, never a
-  // single-partition window. Salt prefixes (a suffixed salt only shifts
-  // every rolling-hash key by a constant, preserving the order).
+  // Distributed shape: PrefixRank's deterministic hash-range buckets +
+  // broadcast offsets, never a single-partition window and (since round
+  // 9) no RDD zipWithIndex round-trip. Salt prefixes (a suffixed salt
+  // only shifts every rolling-hash key by a constant, preserving the
+  // order).
   val q100 = Q(
     "q100_training_order",
     (s, d) => TextAnalysis.trainingOrder(Tables.documents(s, d), salt = "epoch0")
@@ -1540,7 +1581,7 @@ object LlmQueries {
          |  SELECT doc_id, source,
          |    CAST(row_number() OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("text || 'graft'")}, doc_id) AS INT) AS rnk
+         |      ORDER BY ${polyHashSql("coalesce(text, '') || 'graft'")}, doc_id) AS INT) AS rnk
          |  FROM documents)
          |SELECT r.doc_id, r.source, r.rnk
          |FROM ranked r JOIN quotas q USING (source)
@@ -1573,10 +1614,10 @@ object LlmQueries {
          |  SELECT doc_id, source, n_tokens,
          |    CAST(row_number() OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("text || 'graft'")}, doc_id) AS INT) AS rnk,
+         |      ORDER BY ${polyHashSql("coalesce(text, '') || 'graft'")}, doc_id) AS INT) AS rnk,
          |    CAST(sum(n_tokens) OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("text || 'graft'")}, doc_id
+         |      ORDER BY ${polyHashSql("coalesce(text, '') || 'graft'")}, doc_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM toks)
          |SELECT r.doc_id, r.source, r.n_tokens, r.rnk, r.cum_tokens
@@ -1686,5 +1727,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 }

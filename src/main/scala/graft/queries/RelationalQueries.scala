@@ -379,6 +379,20 @@ object RelationalQueries {
          |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
 
+  // q103 — the profile you'd run at 100 TB: approx_count_distinct (HLL
+  // sketch) replaces exact COUNT(DISTINCT) so the plan is ONE pass with
+  // NO Expand — q67's exact multi-distinct duplicates every scanned row
+  // once per profiled column (Expand ×4) to key the distinct aggregates,
+  // which is the right exact answer but 4× the shuffled rows. HLL merges
+  // fixed-size sketches instead (relative error ~2.3% at the default
+  // precision). No cross-engine oracle exists for HLL (like q13), so the
+  // row is rows-only; the Expand-free plan is pinned in PlanSpec.
+  val q103 = Q(
+    "q103_profile_approx",
+    (s, d) => graft.ops.Profile.numeric(Tables.lineitem(s, d), profCols,
+      approx = true),
+    None)
+
   /** DuckDB mirror of ZOrder.zvalue — the identical bit interleave,
     * generated from the same `bits` constant so the two cannot drift.
     * Inputs must be non-negative (both engines then agree on `%`). */
@@ -415,5 +429,5 @@ object RelationalQueries {
          |GROUP BY zcell ORDER BY zcell""".stripMargin))
 
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61, q67, q74, q75, q90)
+    q25, q57, q60, q61, q67, q74, q75, q90, q103)
 }

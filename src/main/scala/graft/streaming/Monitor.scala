@@ -68,4 +68,27 @@ object Monitor {
     spark.streams.addListener(l)
     l
   }
+
+  // ------------------------------------------------------- sink counters
+
+  /** One scrape row for a registered sink — the reference's
+    * ok/retried/DROPPED counter triple (metrics/metrics.go:59-66): retry
+    * exhaustion must be observable from the same surface as the query
+    * stats, because silently-dropped rows are the one failure mode a
+    * streaming pipeline cannot see from row counts alone. */
+  final case class SinkStats(sent: Long, retried: Long, dropped: Long)
+
+  private val sinks =
+    new ConcurrentHashMap[String, RetryingSink.Metrics]()
+
+  /** Register a sink's accumulators under a scrape name (accumulator
+    * values are driver-readable at any time; re-registering a name
+    * replaces the previous sink, matching listener semantics). */
+  def registerSink(name: String, m: RetryingSink.Metrics): Unit =
+    sinks.put(name, m)
+
+  /** Snapshot a registered sink's counters. */
+  def sinkSnapshot(name: String): Option[SinkStats] =
+    Option(sinks.get(name)).map(m =>
+      SinkStats(m.sent.value, m.retried.value, m.dropped.value))
 }

@@ -41,6 +41,21 @@ object RetryingSink {
     spark.sparkContext.longAccumulator("graft.sink.retried"),
     spark.sparkContext.longAccumulator("graft.sink.dropped"))
 
+  /** Deterministic per-(partition, attempt) backoff jitter in
+    * [0, jitterMs): a murmur-style integer mix, NOT a shared RNG — the
+    * point of jitter is decorrelating the retry herd ACROSS partitions
+    * (1000 executors all sleeping exactly 2^k·interval re-spike the
+    * broker in lockstep), and a pure function of (partition, attempt)
+    * achieves that while keeping runs reproducible and testable. */
+  def jitterOf(partitionId: Int, attempt: Int,
+      jitterMs: Long): Long =
+    if (jitterMs <= 0) 0L
+    else {
+      var h = partitionId.toLong * 0x9E3779B97F4A7C15L + attempt
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      java.lang.Math.floorMod(h, jitterMs)
+    }
+
   /**
    * Build the `foreachBatch` function. `sleeper` is injectable so tests
    * don't wall-clock the exponential backoff. The partition iterator is
@@ -48,6 +63,12 @@ object RetryingSink {
    * batch, client/async.go linger buffer) so sink memory stays flat no
    * matter how large a partition grows at 100 TB — only the current
    * chunk and its retry subset are ever resident.
+   *
+   * `maxBackoffMs` caps the exponential curve (the reference's raw
+   * `2^retry` grows unbounded with maxRetries — a capped curve is what a
+   * production sender actually runs); `jitterMs` adds the deterministic
+   * per-partition spread of [[jitterOf]] on top. Defaults preserve the
+   * reference's exact uncapped, unjittered curve.
    */
   def foreachBatchFn(
       producer: Producer,
@@ -55,17 +76,23 @@ object RetryingSink {
       maxRetries: Int = 3,
       retryIntervalMs: Long = 1000L,
       sleeper: Long => Unit = Thread.sleep,
-      chunkSize: Int = 10000): (DataFrame, Long) => Unit =
+      chunkSize: Int = 10000,
+      maxBackoffMs: Long = Long.MaxValue,
+      jitterMs: Long = 0L): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       batch.foreachPartition { it: Iterator[Row] =>
+        val pid = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0)
         it.grouped(chunkSize).foreach { chunk =>
           var pending: Seq[Row] = chunk
           var attempt = 0
           while (pending.nonEmpty && attempt <= maxRetries) {
             if (attempt > 0) {
               // 2^(attempt-1) * interval — the reference's backoff curve
-              // (client/async.go:255-262, retry counter starts at 0).
-              sleeper((1L << (attempt - 1)) * retryIntervalMs)
+              // (client/async.go:255-262, retry counter starts at 0) —
+              // capped, plus the per-partition jitter.
+              sleeper(math.min((1L << (attempt - 1)) * retryIntervalMs,
+                maxBackoffMs) + jitterOf(pid, attempt, jitterMs))
               metrics.retried.add(pending.size)
             }
             val failed = producer(attempt, pending).toSet

@@ -197,20 +197,22 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 101 uniquely-named queries, 98 oracle-checked, qNN prefixes unique") {
+  test("registry: 103 uniquely-named queries, 99 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 101)
-    assert(all.count(_.oracle.isDefined) === 98)
+    assert(all.size === 103)
+    assert(all.count(_.oracle.isDefined) === 99)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
     val prefixes = all.map(_.name.takeWhile(_ != '_'))
     assert(prefixes.distinct.size === prefixes.size, "qNN prefix collision")
-    // only q13 (HLL), q59 (approx percentile) and q94 (zlib) may lack an
-    // oracle — anything else unoracled is an unchecked operator
+    // only q13 (HLL), q59 (approx percentile), q94 (zlib) and q103 (HLL
+    // profile) may lack an oracle — anything else unoracled is an
+    // unchecked operator
     val rowsOnly = all.filter(_.oracle.isEmpty).map(_.name).sorted
-    assert(rowsOnly === Vector("q13_approx_distinct", "q59_approx_percentiles",
-      "q94_compression_ratio"), s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly === Vector("q103_profile_approx", "q13_approx_distinct",
+      "q59_approx_percentiles", "q94_compression_ratio"),
+      s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("mixtureSampleTokens fills each source's token quota, overshooting at most one doc") {
@@ -504,6 +506,38 @@ class CorpusOpsSpec extends SparkSpec {
     // the hot cell is identifiable: its occ_ratio equals the skew
     val hotCells = after.filter(col("occ_ratio") === col("skew")).count()
     assert(hotCells >= 1)
+  }
+
+  test("IvfIndex: rebalanceCheck on an empty index reports NULL ratios, not NaN") {
+    // all partitions deleted / built over nothing: mean occupancy is 0 and
+    // 0/0 would emit NaN — which silently never fires a `skew > 3` alert.
+    // The report must be well-defined: every cell 0, ratios NULL, every
+    // centroid counted empty.
+    val dir = s"$specTmp/ivf_empty"
+    graft.llm.IvfIndex.build(embeddings.limit(50), dir, nCells = 4, iters = 1)
+    spark.read.parquet(s"$dir/assignments").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+    val rep = graft.llm.IvfIndex.rebalanceCheck(spark, dir)
+      .select("n_vectors", "occ_ratio", "skew", "empty_cells")
+      .as[(Long, Option[Double], Option[Double], Long)].collect()
+    assert(rep.length === 4)
+    assert(rep.forall { case (n, r, s, e) =>
+      n == 0L && r.isEmpty && s.isEmpty && e == 4L })
+  }
+
+  test("exactThenNearDedup keeps every null-text row (no destructive null collapse)") {
+    // null fingerprints group as equal under GROUP BY on both engines; the
+    // exact stage must route unknown-content rows around itself instead of
+    // collapsing them all onto one min-id representative.
+    val corpus = Seq(
+      (1L, Some("verbatim clone text")),
+      (2L, Some("verbatim clone text")), // real clone: dropped
+      (3L, None), (4L, None), (5L, None), // unknown content: all kept
+      (6L, Some("a genuinely different document"))
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.exactThenNearDedup(corpus)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L, 6L))
   }
 
   test("ANN recall ladder: multi-probe >= LSH, IVF monotone in nprobe, refine exact at full R") {

@@ -204,6 +204,77 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: spanDedupApply rewrite matches the sequential keep-first cut") {
+    val width = 4
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      // sequential reference over STRINGS (collision-free ground truth):
+      // non-overlapping width-word spans, every instance of a repeated
+      // span removed except the minimum (doc_id, idx); the trailing
+      // partial span is never a candidate and always survives.
+      val insts = corpus.flatMap { case (id, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).grouped(width).zipWithIndex
+          .collect { case (g, i) if g.length == width => (id, i, g.mkString(" ")) }
+      }
+      val removed = insts.groupBy(_._3).values.filter(_.size > 1)
+        .flatMap(_.sortBy(s => s._1 * 1048576L + s._2).drop(1))
+        .map(s => (s._1, s._2)).toSet
+      val expect = corpus.map { case (id, t) =>
+        val w = t.split(" ", -1).filter(_.nonEmpty)
+        val nFull = w.length / width
+        val keptSpans = (0 until nFull).filterNot(i => removed((id, i)))
+          .flatMap(i => w.slice(i * width, i * width + width))
+        id -> (keptSpans ++ w.drop(nFull * width)).mkString(" ")
+      }.toMap
+      val got = DedupOps.spanDedupApply(corpus.toDF("doc_id", "text"), width)
+        .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+      assert(got === expect, s"seed $seed")
+      assert(removed.nonEmpty, s"seed $seed produced a vacuous corpus")
+    }
+  }
+
+  test("fuzz: streaming dedup replay over micro-batches == batch simhashPairs on the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+    import s2.implicits._
+    for (seed <- seeds) {
+      // random docs + mutated twins (one word changed) so the Hamming-3
+      // band join has genuine work; arrival order shuffled independently
+      // of doc_id, split into 3 micro-batches
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val rnd = new scala.util.Random(seed * 17)
+      val base = randomCorpus(seed, 20, vocab, 20).filter(_._2.split(" ").length >= 8)
+      val twins = base.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (id + 500L, w.mkString(" "))
+      }
+      val corpus = rnd.shuffle(base ++ twins)
+      val want = DedupOps.simhashPairs(corpus.toDF("doc_id", "text"),
+        n = 3, maxHamming = 3)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      val source = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamDedup.dupPairs(
+        source.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(s"sdedup_fuzz_$seed")
+        .outputMode("update").start()
+      try {
+        corpus.grouped((corpus.size + 2) / 3).foreach { batch =>
+          source.addData(batch)
+          q.processAllAvailable()
+        }
+        val got = s2.table(s"sdedup_fuzz_$seed").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got === want, s"seed $seed")
+        assert(want.nonEmpty, s"seed $seed: no pairs to find")
+      } finally q.stop()
+    }
+  }
+
   test("fuzz: duplicate clusters match a sequential union-find on the same pairs") {
     for (seed <- seeds) {
       val corpus = randomCorpus(seed, 40, denseVocab, 25)

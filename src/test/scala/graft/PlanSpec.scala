@@ -118,6 +118,50 @@ class PlanSpec extends SparkSpec {
       "curation pipeline must stay equi-join only")
   }
 
+  test("q89/q101: mixture rank is bucketed — no per-source window over the corpus") {
+    // Window.partitionBy(source) puts EVERY row of a source on one task
+    // (a pretraining mix has few sources, so at 100 TB the largest
+    // source sorts on one core). The samplers must rank via the bucketed
+    // prefix operator: corpus windows keyed (bucket, source) — never
+    // source alone — with per-source offsets broadcast back.
+    for (q <- Seq("q89_mixture_sample", "q101_mixture_tokens")) {
+      val p = planOf(q)
+      assert(!p.contains("windowspecdefinition(source#"),
+        s"$q ranks through a per-source corpus window again")
+      assert(p.contains("windowspecdefinition(__graft_bkt"),
+        s"$q lost the bucketed cell window")
+      assert(p.contains("BroadcastExchange"),
+        s"$q offsets/quotas must broadcast, not shuffle the corpus")
+    }
+  }
+
+  test("q100: training order is Catalyst end-to-end — no RDD round-trip, no global window") {
+    val p = planOf("q100_training_order")
+    assert(!p.contains("ExistingRDD"),
+      "rank must stay in Tungsten (rounds ≤ 8 exited through .rdd.zipWithIndex)")
+    assert(p.contains("windowspecdefinition(__graft_bkt"),
+      "contiguous rank should come from the bucketed cell window")
+  }
+
+  test("q103: approx profile is Expand-free — one pass, no multi-distinct row duplication") {
+    // q67's exact multi-distinct Expands every scanned row ×4 (once per
+    // profiled column) to key the distinct aggregates; the HLL variant
+    // must profile in one pass with fixed-size sketch merges — the plan
+    // you'd run at 100 TB.
+    val p = planOf("q103_profile_approx")
+    assert(!p.contains("Expand"), s"approx profile must not Expand the scan: $p")
+    assert(p.contains("approx_count_distinct"), "HLL aggregate missing from plan")
+    val exact = planOf("q67_profile")
+    assert(exact.contains("Expand"),
+      "q67 exact profile lost its multi-distinct shape (pin both sides of the trade)")
+  }
+
+  test("q102: persisted-index serving reads codes for ranking — embeddings only for the refine join") {
+    val p = planOf("q102_ivf_serve_refined")
+    assert(!p.contains("CartesianProduct"), "unbroadcast cross product in PQ serving")
+    assert(!p.contains("SortMergeJoin"), s"re-rank should hash-join, not sort-merge: $p")
+  }
+
   test("q54: IVF assignment is scan-stage — corpus never shuffles before the probe join") {
     val p = planOf("q54_ann_ivf_topk")
     // the single-row centroid array reaches the corpus as a broadcast

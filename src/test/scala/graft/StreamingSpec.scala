@@ -437,4 +437,40 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(backoffs.value.asScala.toList === List(100L, 200L, 400L))
   }
+
+  test("B4 backoff cap + jitter: curve clamps at maxBackoffMs, jitter bounded and decorrelated") {
+    val metrics = RetryingSink.newMetrics(spark)
+    val backoffs = spark.sparkContext.collectionAccumulator[Long]("backoffs_cap")
+    val alwaysFail: RetryingSink.Producer = (_, rows) => rows.indices
+    val fn = RetryingSink.foreachBatchFn(alwaysFail, metrics,
+      maxRetries = 5, retryIntervalMs = 100L,
+      sleeper = ms => backoffs.add(ms), maxBackoffMs = 250L)
+    fn(Seq(("1", "doomed")).toDF("id", "name").coalesce(1), 0L)
+    import scala.jdk.CollectionConverters._
+    // 100, 200 then clamped: 250, 250, 250 — never the raw 400/800/1600
+    assert(backoffs.value.asScala.toList === List(100L, 200L, 250L, 250L, 250L))
+    assert(metrics.dropped.value === 1)
+    // jitter: pure function of (partition, attempt), bounded, and two
+    // partitions never share a full jitter sequence (the herd spreads)
+    val j = (1 to 4).map(a => RetryingSink.jitterOf(0, a, 1000L))
+    assert(j === (1 to 4).map(a => RetryingSink.jitterOf(0, a, 1000L)))
+    assert(j.forall(x => x >= 0L && x < 1000L))
+    val j2 = (1 to 4).map(a => RetryingSink.jitterOf(1, a, 1000L))
+    assert(j !== j2, "partitions 0 and 1 retry in lockstep")
+    assert(RetryingSink.jitterOf(7, 3, 0L) === 0L)
+  }
+
+  test("retry exhaustion is observable from Monitor (the reference's dropped counter)") {
+    import graft.streaming.Monitor
+    val metrics = RetryingSink.newMetrics(spark)
+    val alwaysFail: RetryingSink.Producer = (_, rows) => rows.indices
+    Monitor.registerSink("kafka_sink", metrics)
+    val fn = RetryingSink.foreachBatchFn(alwaysFail, metrics,
+      maxRetries = 2, retryIntervalMs = 1L, sleeper = _ => ())
+    fn(Seq(("1", "a"), ("2", "b")).toDF("id", "name").coalesce(1), 0L)
+    val snap = Monitor.sinkSnapshot("kafka_sink")
+    assert(snap === Some(Monitor.SinkStats(sent = 0L, retried = 4L, dropped = 2L)),
+      s"got $snap")
+    assert(Monitor.sinkSnapshot("unregistered").isEmpty)
+  }
 }
