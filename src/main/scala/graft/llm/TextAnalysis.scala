@@ -410,6 +410,13 @@ object TextAnalysis {
    * Spark but NULLS LAST on an oracle engine — and a sampler must not
    * drop rows whose content is merely unknown).
    *
+   * The salt is a PREFIX for the same reason as [[trainingOrder]]'s: a
+   * suffixed same-length salt shifts every rolling-hash key by a
+   * near-constant, so "re-salt for a different sample" would barely
+   * change the fill order (and hence the selected set). Prepending
+   * perturbs the initial fold state, so every key diverges and a new
+   * salt draws a genuinely different sample (spec-pinned).
+   *
    * Scale shape: the per-source rank comes from
    * [[graft.ops.PrefixRank.keyedPrefix]] — deterministic hash-range
    * buckets, per-(bucket, source) local ranks, broadcast offsets — NOT
@@ -427,7 +434,7 @@ object TextAnalysis {
     val quotas = weights.crossJoin(
       org.apache.spark.sql.functions.broadcast(tot))
       .select(col(groupCol), expr(s"($budget * w) div w_total").as("quota"))
-    val key = polyHash(concat(coalesce(col("text"), lit("")), lit(salt)))
+    val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
     graft.ops.PrefixRank.keyedPrefix(docs, Seq(groupCol), key, P, col("doc_id"))
       .withColumn("rnk", col("rnk").cast("int"))
       .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
@@ -446,7 +453,8 @@ object TextAnalysis {
    * (doc_id, group, n_tokens, rnk, cum_tokens) for the selected rows.
    *
    * Same determinism contract as [[mixtureSample]] (IEEE √, integer-
-   * scaled weights, integer division, null text ordered as empty);
+   * scaled weights, integer division, null text ordered as empty,
+   * salt PREFIXED so re-salting genuinely re-draws);
    * tokens are whitespace tokens (empty-string words excluded, matching
    * tokenStats). The per-source rank AND running token sum come from one
    * [[graft.ops.PrefixRank.keyedPrefix]] pass — bucketed local windows
@@ -473,7 +481,7 @@ object TextAnalysis {
       .select(col(groupCol),
         expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
           .as("quota"))
-    val key = polyHash(concat(coalesce(col("text"), lit("")), lit(salt)))
+    val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
     graft.ops.PrefixRank.keyedPrefix(toks, Seq(groupCol), key, P, col("doc_id"),
       sums = Seq((col("n_tokens"), "cum_tokens")))
       .withColumn("rnk", col("rnk").cast("int"))

@@ -1581,7 +1581,7 @@ object LlmQueries {
          |  SELECT doc_id, source,
          |    CAST(row_number() OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("coalesce(text, '') || 'graft'")}, doc_id) AS INT) AS rnk
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS INT) AS rnk
          |  FROM documents)
          |SELECT r.doc_id, r.source, r.rnk
          |FROM ranked r JOIN quotas q USING (source)
@@ -1614,10 +1614,10 @@ object LlmQueries {
          |  SELECT doc_id, source, n_tokens,
          |    CAST(row_number() OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("coalesce(text, '') || 'graft'")}, doc_id) AS INT) AS rnk,
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS INT) AS rnk,
          |    CAST(sum(n_tokens) OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("coalesce(text, '') || 'graft'")}, doc_id
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM toks)
          |SELECT r.doc_id, r.source, r.n_tokens, r.rnk, r.cum_tokens

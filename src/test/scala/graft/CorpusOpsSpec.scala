@@ -164,6 +164,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(takes.values.sum <= budget)
   }
 
+  test("mixtureSample: a different salt draws a genuinely different sample (prefix salt)") {
+    // a SUFFIXED same-length salt shifts every rolling-hash key by a
+    // near-constant — re-salting would barely change the fill order;
+    // the prefix form must actually re-draw
+    def sample(salt: String) =
+      TextAnalysis.mixtureSample(docs, "source", budget = 50L, salt = salt)
+        .select("doc_id").as[Long].collect().toSet
+    val (a, b) = (sample("s0"), sample("s1"))
+    assert(a.size === b.size, "quotas are salt-independent")
+    assert(a !== b, "re-salting must change the selected set")
+  }
+
   test("mixtureSample is deterministic across runs") {
     val a = TextAnalysis.mixtureSample(docs, "source").orderBy("source", "rnk")
       .as[(Long, String, Int)].collect()
