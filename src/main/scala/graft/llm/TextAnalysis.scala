@@ -120,6 +120,16 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), polyHash(col("text")).as("fingerprint"))
 
+  /** The shared salt-PREFIXED order key of [[trainingOrder]] /
+    * [[mixtureSample]] / [[mixtureSampleTokens]] — single-sourced because
+    * every piece is load-bearing and oracle-pinned: the prefix position
+    * (a suffixed salt only shifts a rolling hash by a near-constant, so
+    * re-salting would barely reshuffle), the '#' separator, and the
+    * null-text coalesce (a null key would sort NULLS FIRST on Spark but
+    * NULLS LAST on the oracle engine, and raise in PrefixRank). */
+  private def saltedKey(salt: String): Column =
+    polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
+
   /**
    * Deterministic train/val/test assignment by content hash: split by
    * `fingerprint mod 100` so membership is a pure function of the text —
@@ -200,13 +210,11 @@ object TextAnalysis {
    */
   def trainingOrder(docs: DataFrame, salt: String = "epoch0"): DataFrame = {
     // null text orders as the empty string (its key is then a pure
-    // function of the salt): without the coalesce the null key would
-    // raise in the rank operator and kill the whole epoch-ordering job
-    // on one bad row. Other gates in this file keep null-text rows too —
-    // dropping them is a filter's decision, not an ordering side effect.
-    val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
+    // function of the salt) — see saltedKey. Other gates in this file
+    // keep null-text rows too — dropping them is a filter's decision,
+    // not an ordering side effect.
     graft.ops.PrefixRank.keyedPrefix(
-      docs.select(col("doc_id"), key.as("order_key")),
+      docs.select(col("doc_id"), saltedKey(salt).as("order_key")),
       groupCols = Nil, orderKey = col("order_key"), keyBound = P,
       tieBreaker = col("doc_id"), rankName = "ord")
       .select(col("doc_id"), col("order_key"), col("ord"))
@@ -431,12 +439,21 @@ object TextAnalysis {
       .withColumn("w",
         floor(sqrt(col("n_grp").cast("double")) * 10000d + lit(0.5)).cast("long"))
     val tot = weights.agg(sum(col("w")).as("w_total"))
+    // budget·w widened to DECIMAL(38,0) before the integral division —
+    // same overflow reasoning as mixtureSampleTokens' quota: a 10¹⁰-doc
+    // source gives w = 10⁹, and budget·w past 2⁶³ would wrap to a
+    // negative quota, silently zeroing the source's contribution.
     val quotas = weights.crossJoin(
       org.apache.spark.sql.functions.broadcast(tot))
-      .select(col(groupCol), expr(s"($budget * w) div w_total").as("quota"))
-    val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
-    graft.ops.PrefixRank.keyedPrefix(docs, Seq(groupCol), key, P, col("doc_id"))
-      .withColumn("rnk", col("rnk").cast("int"))
+      .select(col(groupCol),
+        expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
+          .as("quota"))
+    // rnk stays the Long PrefixRank computed: casting to int would wrap
+    // negative past 2³¹ rows per source — exactly the hot-source regime
+    // the bucketed rank exists for — and a negative rnk passes every
+    // quota filter.
+    graft.ops.PrefixRank.keyedPrefix(docs, Seq(groupCol), saltedKey(salt),
+      P, col("doc_id"))
       .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
       .filter(col("rnk") <= col("quota"))
       .select(col("doc_id"), col(groupCol), col("rnk"))
@@ -464,8 +481,14 @@ object TextAnalysis {
    */
   def mixtureSampleTokens(docs: DataFrame, groupCol: String = "source",
       tokenBudget: Long = 10000L, salt: String = "graft"): DataFrame = {
+    // null text counts 0 tokens: size(null) is NULL under ANSI, and a
+    // null token count would both mis-render the output column and break
+    // the running sum's window parity (PrefixRank's sums contract
+    // requires non-null inputs — an all-null cell prefix folds to NULL
+    // where a window would carry the earlier cells' offset).
     val toks = docs.withColumn("n_tokens",
-      size(filter(words(col("text")), w => w =!= "")).cast("long"))
+      coalesce(size(filter(words(col("text")), w => w =!= "")).cast("long"),
+        lit(0L)))
     val weights = toks.groupBy(col(groupCol))
       .agg(sum(col("n_tokens")).as("tok_grp"))
       .withColumn("w",
@@ -481,10 +504,9 @@ object TextAnalysis {
       .select(col(groupCol),
         expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
           .as("quota"))
-    val key = polyHash(concat(lit(salt), lit("#"), coalesce(col("text"), lit(""))))
-    graft.ops.PrefixRank.keyedPrefix(toks, Seq(groupCol), key, P, col("doc_id"),
-      sums = Seq((col("n_tokens"), "cum_tokens")))
-      .withColumn("rnk", col("rnk").cast("int"))
+    // Long rnk for the same reason as mixtureSample's.
+    graft.ops.PrefixRank.keyedPrefix(toks, Seq(groupCol), saltedKey(salt),
+      P, col("doc_id"), sums = Seq((col("n_tokens"), "cum_tokens")))
       .join(org.apache.spark.sql.functions.broadcast(quotas), groupCol)
       .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
       .select(col("doc_id"), col(groupCol), col("n_tokens"),

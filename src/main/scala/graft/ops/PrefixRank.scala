@@ -67,7 +67,10 @@ object PrefixRank {
    *
    * `groupCols` may be empty (global rank — the epoch-shuffle shape).
    * Null group values form their own group (null-safe join), matching
-   * `Window.partitionBy` semantics.
+   * `Window.partitionBy` semantics. Sum INPUTS must be non-null
+   * (coalesce at the call site): `sum() OVER` skips nulls, but a cell
+   * whose entire prefix is null folds to NULL locally and NULL + offset
+   * stays NULL — where a window would carry the earlier cells' offset.
    */
   def keyedPrefix(
       df: DataFrame,
@@ -83,6 +86,9 @@ object PrefixRank {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     require(keyBound > 0 && b.toLong * keyBound <= (1L << 52),
       s"keyBound·buckets must stay exact in doubles (got $keyBound × $b)")
+    require(!df.columns.exists(_.startsWith("__graft_")),
+      "input already carries __graft_ working columns (nested keyedPrefix " +
+        "over its own temporaries would silently overwrite them)")
 
     val svNames = sums.indices.map(i => s"__graft_sv_$i")
     val lsNames = sums.indices.map(i => s"__graft_lsm_$i")

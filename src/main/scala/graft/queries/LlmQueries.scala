@@ -1134,15 +1134,35 @@ object LlmQueries {
   // partitions").
   private val ivfServeDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfServeDir(s: SparkSession, d: String): String =
-    ivfServeDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
-        .toString
-      graft.llm.IvfIndex.buildPq(Tables.embeddings(s, d), dir,
-        nCells = ivfCells, iters = 2, dim = dim,
-        subspaces = pqSubspaces, nCodes = ivfCells)
-      dir
+  private lazy val ivfServeCleanup: Unit =
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      ivfServeDirs.values.asScala.foreach { dir =>
+        try {
+          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+            .asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+  private def ivfServeDir(s: SparkSession, d: String): String = {
+    ivfServeCleanup // register the delete-on-exit hook once
+    // compute (not computeIfAbsent): a long-lived driver can outlive a
+    // /tmp reaper, so a cached dir is revalidated and rebuilt if its
+    // index files are gone — never returned stale.
+    ivfServeDirs.compute(d, (_, cached) => {
+      if (cached != null && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(cached, "pq_codebooks"))) cached
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
+          .toString
+        graft.llm.IvfIndex.buildPq(Tables.embeddings(s, d), dir,
+          nCells = ivfCells, iters = 2, dim = dim,
+          subspaces = pqSubspaces, nCodes = ivfCells)
+        dir
+      }
     })
+  }
   val q102 = Q(
     "q102_ivf_serve_refined",
     (s, d) => graft.llm.IvfIndex.searchPqRefined(
@@ -1575,13 +1595,14 @@ object LlmQueries {
          |        CAST(floor(sqrt(CAST(n_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
          |      FROM counts),
          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
-         |quotas AS (SELECT source, (200 * w) // w_total AS quota
+         |quotas AS (SELECT source,
+         |             CAST((CAST(200 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
          |           FROM w CROSS JOIN tot),
          |ranked AS (
          |  SELECT doc_id, source,
          |    CAST(row_number() OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS INT) AS rnk
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk
          |  FROM documents)
          |SELECT r.doc_id, r.source, r.rnk
          |FROM ranked r JOIN quotas q USING (source)
@@ -1599,7 +1620,7 @@ object LlmQueries {
     Some(
       s"""WITH toks AS (
          |  SELECT doc_id, source, text,
-         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+         |    CAST(coalesce(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS BIGINT) AS n_tokens
          |  FROM documents),
          |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
          |        FROM toks GROUP BY 1),
@@ -1614,7 +1635,7 @@ object LlmQueries {
          |  SELECT doc_id, source, n_tokens,
          |    CAST(row_number() OVER (
          |      PARTITION BY source
-         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS INT) AS rnk,
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk,
          |    CAST(sum(n_tokens) OVER (
          |      PARTITION BY source
          |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id

@@ -56,6 +56,23 @@ object RetryingSink {
       java.lang.Math.floorMod(h, jitterMs)
     }
 
+  /** Capped, jittered backoff delay — SATURATING arithmetic throughout:
+    * `(1L << (attempt-1)) * interval` overflows Long past attempt ~55,
+    * and a negative sleep would throw inside foreachPartition, failing
+    * the task, replaying already-acked chunks and corrupting the
+    * counters. The cap is the value the overflow saturates to. */
+  def backoffMs(attempt: Int, retryIntervalMs: Long, maxBackoffMs: Long,
+      jitter: Long): Long = {
+    val pow =
+      if (attempt - 1 >= 62) Long.MaxValue else 1L << (attempt - 1)
+    val raw =
+      if (retryIntervalMs <= 0) 0L
+      else if (pow > Long.MaxValue / retryIntervalMs) Long.MaxValue
+      else pow * retryIntervalMs
+    val capped = math.min(raw, maxBackoffMs)
+    if (capped > Long.MaxValue - jitter) Long.MaxValue else capped + jitter
+  }
+
   /**
    * Build the `foreachBatch` function. `sleeper` is injectable so tests
    * don't wall-clock the exponential backoff. The partition iterator is
@@ -90,9 +107,9 @@ object RetryingSink {
             if (attempt > 0) {
               // 2^(attempt-1) * interval — the reference's backoff curve
               // (client/async.go:255-262, retry counter starts at 0) —
-              // capped, plus the per-partition jitter.
-              sleeper(math.min((1L << (attempt - 1)) * retryIntervalMs,
-                maxBackoffMs) + jitterOf(pid, attempt, jitterMs))
+              // saturating-capped, plus the per-partition jitter.
+              sleeper(backoffMs(attempt, retryIntervalMs, maxBackoffMs,
+                jitterOf(pid, attempt, jitterMs)))
               metrics.retried.add(pending.size)
             }
             val failed = producer(attempt, pending).toSet

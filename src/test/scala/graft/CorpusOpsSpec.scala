@@ -178,9 +178,9 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("mixtureSample is deterministic across runs") {
     val a = TextAnalysis.mixtureSample(docs, "source").orderBy("source", "rnk")
-      .as[(Long, String, Int)].collect()
+      .as[(Long, String, Long)].collect()
     val b = TextAnalysis.mixtureSample(docs, "source").orderBy("source", "rnk")
-      .as[(Long, String, Int)].collect()
+      .as[(Long, String, Long)].collect()
     assert(a === b)
   }
 
@@ -229,7 +229,7 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("mixtureSampleTokens fills each source's token quota, overshooting at most one doc") {
     val got = TextAnalysis.mixtureSampleTokens(docs, "source", tokenBudget = 2000L)
-      .as[(Long, String, Long, Int, Long)].collect()
+      .as[(Long, String, Long, Long, Long)].collect()
     assert(got.nonEmpty)
     // recompute quotas independently (whitespace tokens, empties excluded)
     val toks = docs.select(col("source"),
@@ -250,6 +250,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
     def docsPerSource(src: String): Int =
       docs.filter(col("source") === src).count().toInt
+  }
+
+  test("mixtureSampleTokens: null text counts 0 tokens and never poisons the running sum") {
+    // size(null) is NULL under ANSI — un-coalesced it would render a null
+    // n_tokens AND make every later cum_tokens in an all-null cell prefix
+    // NULL (PrefixRank's non-null sums contract). One source, generous
+    // budget: every row must come back with exact integer accounting.
+    val corpus = Seq(
+      (1L, Some("alpha bravo charlie")), (2L, None),
+      (3L, Some("delta echo")), (4L, None), (5L, Some("foxtrot"))
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = TextAnalysis.mixtureSampleTokens(corpus, "source", tokenBudget = 100L)
+      .orderBy("rnk")
+      .select("doc_id", "n_tokens", "rnk", "cum_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 5, "null-text rows must not be dropped")
+    assert(got.map(_._2).sum === 6L, "3 + 0 + 2 + 0 + 1 whitespace tokens")
+    assert(got.map(_._3).toSeq === (1L to 5L), "contiguous rank")
+    // inclusive running sum is exact and never null
+    assert(got.scanLeft(0L)(_ + _._2).tail.toSeq === got.map(_._4).toSeq)
   }
 
   test("trainingOrder is a contiguous rank, stable under input reordering") {

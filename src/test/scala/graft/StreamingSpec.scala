@@ -458,6 +458,16 @@ class StreamingSpec extends SparkSpec {
     val j2 = (1 to 4).map(a => RetryingSink.jitterOf(1, a, 1000L))
     assert(j !== j2, "partitions 0 and 1 retry in lockstep")
     assert(RetryingSink.jitterOf(7, 3, 0L) === 0L)
+    // saturating arithmetic: 2^(attempt-1)·interval overflows Long past
+    // attempt ~55 — the delay must clamp at the cap, never go negative
+    // (a negative Thread.sleep throws, failing the task mid-sink)
+    for (a <- Seq(1, 55, 63, 64, 200)) {
+      val d = RetryingSink.backoffMs(a, 1000L, 30000L, 500L)
+      assert(d >= 0L && d <= 30500L, s"attempt $a: delay $d")
+    }
+    assert(RetryingSink.backoffMs(200, 1000L, Long.MaxValue, 500L) === Long.MaxValue)
+    assert(RetryingSink.backoffMs(3, 100L, Long.MaxValue, 0L) === 400L,
+      "uncapped small attempts keep the reference curve")
   }
 
   test("retry exhaustion is observable from Monitor (the reference's dropped counter)") {
