@@ -136,17 +136,24 @@ object DedupOps {
    * Candidate generation is sub-quadratic (only same-bucket pairs); the
    * exact verification join touches candidate pairs only.
    */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, perms: Int = 32,
-      bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
-    val sigs = minhashSignatures(docs, n, perms)
-    val banded = sigs.select(col("doc_id"),
+  /** (doc_id, band, key) LSH bucket rows — one per doc per band. Shared
+    * by the self-join pair generator and the incremental cross-corpus
+    * probe. Null-text docs emit null keys, which match nothing in an
+    * equi-join — they can never pair. */
+  private def bandedKeys(docs: DataFrame, n: Int, perms: Int, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    minhashSignatures(docs, n, perms).select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           bandKey(col("sig"), b * rowsPerBand, rowsPerBand).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, perms: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    val banded = bandedKeys(docs, n, perms, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -371,6 +378,89 @@ object DedupOps {
     dedupedCorpus(fpKept,
       duplicateClusters(
         minhashLshPairs(fpKept, n, perms, bands, rowsPerBand, threshold)))
+  }
+
+  /**
+   * Incremental append dedup — the daily-crawl production shape: dedup an
+   * INCOMING batch against an already-curated EXISTING corpus plus
+   * itself, returning only the incoming rows to append. Existing rows
+   * are never dropped (append-only contract); re-running full-corpus
+   * dedup on every append would re-pay the whole corpus's pair
+   * generation for a batch that is a fraction of it.
+   *
+   * Stages mirror [[exactThenNearDedup]]:
+   *  1. EXACT — incoming docs whose dual fingerprint (mod P, mod P48)
+   *     already exists in the corpus are dropped; verbatim clones WITHIN
+   *     the batch collapse to their min-id row. The existing side
+   *     contributes only (f1, f2) pairs — 16 bytes per doc, text never
+   *     shuffles.
+   *  2. NEAR — MinHash-banded candidates restricted to pairs TOUCHING a
+   *     surviving incoming doc: the batch side of the bucket join is
+   *     small, so candidate generation costs O(batch bands + matching
+   *     buckets), never a corpus self-join (at scale the corpus's banded
+   *     keys would be a persisted table, like IvfIndex's inverted
+   *     lists). Candidates verify with exact Jaccard; connected
+   *     components over the verified pairs, then an incoming doc is
+   *     dropped iff its cluster contains ANY existing doc (the corpus
+   *     already holds a representative) or it is not the min-id
+   *     representative of an all-incoming cluster.
+   *
+   * With an EMPTY existing corpus this reduces exactly to
+   * [[exactThenNearDedup]] (differential-fuzzed in DedupFuzzSpec).
+   * Contract: doc_ids are globally unique across existing ∪ incoming.
+   * Null-text incoming rows bypass both stages and are kept; the
+   * existing corpus is assumed internally deduped (its internal pairs
+   * are not re-examined).
+   */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
+      perms: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    def fps(df: DataFrame) = df.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFunctions.polyHash(col("text")).as("f1"),
+        TextFunctions.polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("f2"))
+    val fresh = fps(incoming).join(fps(existing).select("f1", "f2").distinct(),
+      Seq("f1", "f2"), "left_anti")
+    val keepExact = fresh.groupBy(col("f1"), col("f2"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val survivors = incoming
+      .join(keepExact.select("doc_id"), Seq("doc_id"), "left_semi")
+      .unionByName(incoming.filter(col("text").isNull))
+
+    val union = existing.select(col("doc_id"), col("text"))
+      .unionByName(survivors.select(col("doc_id"), col("text")))
+    val bandedAll = bandedKeys(union, n, perms, bands, rowsPerBand)
+    val bandedNew = bandedAll
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+    // normalize to (min, max) so a new-new pair (seen from both sides)
+    // and a new-old pair (seen once) land in one orientation
+    val cand = bandedNew.as("a")
+      .join(bandedAll.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val index = shingleIndex(union, n)
+    val inter = cand
+      .join(index.as("ia"), col("id_a") === col("ia.doc_id"))
+      .join(index.as("ib"),
+        col("id_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val pairs = withJaccard(inter, union, n)
+      .filter(col("jaccard") >= threshold)
+
+    val clusters = duplicateClusters(pairs)
+    val oldReps = clusters
+      .join(existing.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("cluster_rep").as("old_rep")).distinct()
+    val dropIds = clusters
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(oldReps, col("cluster_rep") === col("old_rep"), "left")
+      .filter(col("old_rep").isNotNull || col("doc_id") =!= col("cluster_rep"))
+      .select("doc_id")
+    survivors.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash over shingle features: (doc_id, simhash long). The word-level

@@ -901,6 +901,65 @@ object LlmQueries {
          |ORDER BY d.doc_id""".stripMargin
     })
 
+  // q104 — incremental append dedup (the daily-crawl shape): the corpus
+  // is the already-curated docs with doc_id % 4 <> 0; the incoming batch
+  // is doc_id % 4 = 0. Returned rows = the batch minus exact-fingerprint
+  // matches (vs corpus and within-batch, min-id kept) minus MinHash-near
+  // matches (dropped if clustered with ANY corpus doc, else all-new
+  // clusters keep their min-id rep). The oracle composes the q98
+  // dual-fingerprint CTEs with the q97 minhash/banding CTEs over the
+  // corpus ∪ survivors union, restricting verified pairs to those
+  // touching a survivor — exactly the operator's candidate contract.
+  val q104 = Q(
+    "q104_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH RECURSIVE
+         |inc AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+         |ex AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+         |fin AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSqlMod("text", p48)} END AS f2
+         |  FROM inc WHERE text IS NOT NULL),
+         |fex AS (
+         |  SELECT
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSqlMod("text", p48)} END AS f2
+         |  FROM ex WHERE text IS NOT NULL),
+         |fresh AS (SELECT f.* FROM fin f WHERE NOT EXISTS
+         |  (SELECT 1 FROM fex e WHERE e.f1 = f.f1 AND e.f2 = f.f2)),
+         |keepx AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY f1, f2),
+         |surv AS (SELECT i.* FROM inc i JOIN keepx USING (doc_id)
+         |         UNION ALL SELECT i.* FROM inc i WHERE i.text IS NULL),
+         |unioned AS (SELECT doc_id, text FROM ex
+         |            UNION ALL SELECT doc_id, text FROM surv),
+         |${shingleCtesWithCap(None, "unioned")},
+         |$minhashCandCtes,
+         |prs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5
+         |    AND (c.id_a IN (SELECT doc_id FROM surv)
+         |      OR c.id_b IN (SELECT doc_id FROM surv))),
+         |$ccClosureCtes,
+         |oldreps AS (SELECT DISTINCT l.rep FROM labels l
+         |            JOIN ex ON ex.doc_id = l.doc_id)
+         |SELECT s.doc_id FROM surv s
+         |LEFT JOIN labels l ON l.doc_id = s.doc_id
+         |LEFT JOIN oldreps o ON o.rep = l.rep
+         |WHERE l.doc_id IS NULL OR (o.rep IS NULL AND l.rep = s.doc_id)
+         |ORDER BY s.doc_id""".stripMargin
+    })
+
   // q76 — the END-TO-END curation pipeline, composed from the operators
   // the registry checks individually: near-dup keep-list (q66/q73) →
   // benchmark decontamination (q58) → content-hash split (q49), joined
@@ -1748,5 +1807,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104)
 }

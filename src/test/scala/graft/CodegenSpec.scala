@@ -47,6 +47,21 @@ class CodegenSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("PrefixRank runs end-to-end under CODEGEN_ONLY (rank path stays in Tungsten)") {
+    // the bucketed rank replaced an RDD zipWithIndex round-trip (q100) and
+    // per-source windows (q89/q101); its whole pipeline — key expression,
+    // bucket arithmetic, cell windows, offset join — must compile, or the
+    // epoch-ordering scan degrades 10-100× silently
+    import s2.implicits._
+    val ranked = graft.ops.PrefixRank.keyedPrefix(
+      docs.select(col("doc_id"), col("source"), col("text")),
+      Seq("source"),
+      polyHash(concat(lit("cg#"), coalesce(col("text"), lit("")))),
+      P, col("doc_id"),
+      sums = Seq((length(coalesce(col("text"), lit(""))).cast("long"), "cum_len")))
+    assert(ranked.agg(sum(col("rnk") + col("cum_len"))).as[Long].head() > 0L)
+  }
+
   test("NearestCellExpr compiles under CODEGEN_ONLY") {
     val cents = embs.filter(col("vec_id") < 8)
       .agg(array_sort(collect_list(struct(

@@ -209,10 +209,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 103 uniquely-named queries, 99 oracle-checked, qNN prefixes unique") {
+  test("registry: 104 uniquely-named queries, 100 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 103)
-    assert(all.count(_.oracle.isDefined) === 99)
+    assert(all.size === 104)
+    assert(all.count(_.oracle.isDefined) === 100)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -275,6 +275,51 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: planted appends — exact vs corpus, near vs corpus, within-batch") {
+    val existing = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "kilo lima mike november oscar papa quebec romeo sierra tango")
+    ).toDF("doc_id", "text")
+    val nearOf2 = "kilo lima mike november oscar papa quebec romeo sierra zulu"
+    val freshTxt = "uniform victor whiskey xray yankee zebra anchor bridge castle dragon"
+    val nearOfFresh = "uniform victor whiskey xray yankee zebra anchor bridge castle falcon"
+    val incoming = Seq(
+      (100L, Some("alpha bravo charlie delta echo foxtrot golf hotel india juliet")), // verbatim of corpus doc 1
+      (101L, Some(nearOf2)), //   near-dup of corpus doc 2: dropped
+      (102L, Some(freshTxt)), //  genuinely new: kept
+      (103L, Some("first of two in-batch clones first of two in-batch clones")),
+      (104L, Some("first of two in-batch clones first of two in-batch clones")), // in-batch verbatim: min id kept
+      (105L, Option.empty[String]), // unknown content: kept
+      (106L, Some(nearOfFresh)) //  near-dup of 102 within the batch: 102 is rep, 106 dropped
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.incrementalDedup(existing, incoming, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(102L, 103L, 105L))
+  }
+
+  test("fuzz: incremental dedup with an empty corpus == the production stack on the batch") {
+    for (seed <- seeds) {
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+      val rnd = new scala.util.Random(seed * 7)
+      val base = randomCorpus(seed, 15, vocab, 20).filter(_._2.split(" ").length >= 6)
+      val twins = base.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (id + 1000L, w.mkString(" "))
+      }
+      val clones = base.take(3).map { case (id, t) => (id + 2000L, t) }
+      val batch = (base ++ twins ++ clones).toDF("doc_id", "text")
+      val viaIncremental = DedupOps.incrementalDedup(
+        batch.filter(lit(false)), batch, threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted
+      val viaStack = DedupOps.exactThenNearDedup(batch, threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted
+      assert(viaIncremental === viaStack, s"seed $seed")
+      assert(viaIncremental.length < base.size + twins.size + clones.size,
+        s"seed $seed: nothing deduped — vacuous corpus")
+    }
+  }
+
   test("fuzz: duplicate clusters match a sequential union-find on the same pairs") {
     for (seed <- seeds) {
       val corpus = randomCorpus(seed, 40, denseVocab, 25)
