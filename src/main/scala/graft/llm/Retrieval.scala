@@ -229,6 +229,58 @@ object Retrieval {
   /** Top-`k` BM25 documents (ties broken by doc_id). The global top-k is
     * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
     * sort); the single-partition rank window only ever sees `k` rows. */
+  /**
+   * Collocation mining — top adjacent word pairs by PMI-style LIFT:
+   * `(c_xy · N) / (c_x · c_y)`, where c_xy counts the bigram, c_x/c_y
+   * the unigrams and N the corpus token total. Lift > 1 means the pair
+   * co-occurs more than independence predicts — the phrase-mining step
+   * of tokenizer-vocabulary construction (merge candidates for BPE-style
+   * vocabularies are exactly the high-lift adjacent pairs). `minCount`
+   * suppresses the unstable low-frequency tail, the standard PMI fix.
+   *
+   * Determinism: the score is one IEEE multiply+divide over exact
+   * integer counts — the same rational-score recipe as tfIdf's
+   * `logIdf = false` mode (log-PMI itself is not bit-portable across
+   * engines, and log is monotone so the RANKING is identical). Ties
+   * break on (w1, w2).
+   *
+   * Scale shape: unigram and bigram counts are map-side-combined hash
+   * aggregates on term keys; the count joins are term-keyed equi-joins;
+   * N rides one broadcast row; the global top-k compiles to
+   * TakeOrderedAndProject (per-partition heaps — the final rank window
+   * runs over k rows only).
+   */
+  def collocationsTopK(docs: DataFrame, k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(
+      filter(TextFunctions.words(col("text")), w => w =!= "").as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_tokens"))
+    val pairs = toks.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+        struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val scored = pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        TextFunctions.fround(
+          (col("c_xy").cast("double") * col("n_tokens").cast("double")) /
+            (col("c_x").cast("double") * col("c_y").cast("double")), 4)
+          .as("lift"))
+    // global top-k first (TakeOrderedAndProject), THEN the rank window
+    // over the k survivors — same shape as bm25TopK
+    val top = scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("lift").desc, col("w1"), col("w2"))))
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id"))

@@ -1705,6 +1705,40 @@ object LlmQueries {
          |WHERE r.cum_tokens - r.n_tokens < q.quota
          |ORDER BY source, rnk""".stripMargin))
 
+  // q105 — collocation mining: top adjacent word pairs by PMI-style lift
+  // (c_xy·N)/(c_x·c_y) — BPE merge candidates / phrase mining. Rational
+  // score (one IEEE multiply+divide over exact integer counts, same
+  // recipe as q82's rational idf: log-PMI is monotone in lift, so the
+  // ranking is identical and the score stays bit-portable); min-count 5
+  // suppresses the unstable PMI tail; top-k then rank over k rows.
+  val q105 = Q(
+    "q105_collocations",
+    (s, d) => Retrieval.collocationsTopK(Tables.documents(s, d),
+      k = 20, minCount = 5L).orderBy("rank"),
+    Some(
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |       FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uc),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws[i+1] AS w1, ws[i+2] AS w2
+         |             FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |                   FROM toks WHERE len(ws) >= 2))
+         |       GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+         |    ${Det.frSql(
+               "(CAST(b.c_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE)) / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))",
+               4)} AS lift
+         |  FROM bc b JOIN uc ux ON ux.w = b.w1 JOIN uc uy ON uy.w = b.w2
+         |  CROSS JOIN n WHERE b.c_xy >= 5)
+         |SELECT w1, w2, c_xy, c_x, c_y, lift,
+         |  CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank
+         |FROM (SELECT * FROM scored ORDER BY lift DESC, w1, w2 LIMIT 20)
+         |ORDER BY rank""".stripMargin))
+
   // Exact top-k terms by total count — shared oracle for q91/q92 (the
   // sketch query runs in its no-eviction exactness regime).
   private def heavyHitterSql(k: Int): String =
@@ -1807,5 +1841,5 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105)
 }

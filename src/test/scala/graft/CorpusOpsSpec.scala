@@ -184,6 +184,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("collocationsTopK: an exclusive adjacent pair takes rank 1 at maximal lift") {
+    // 'zx qy' occurs 6 times and its words occur NOWHERE else — lift is
+    // the maximum possible for c=6 (c·N/(c·c) = N/c); common adjacent
+    // words shared with other contexts score strictly lower
+    val corpus = (1L to 6L).map(i => (i, "zx qy the quick fox")) ++
+      (7L to 12L).map(i => (i, "the slow fox and the quick dog"))
+    val got = Retrieval.collocationsTopK(corpus.toDF("doc_id", "text"),
+      k = 10, minCount = 5L).orderBy("rank")
+      .select("w1", "w2", "c_xy", "lift", "rank")
+      .as[(String, String, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    val n = corpus.map(_._2.split(" ").length).sum.toDouble
+    assert((got.head._1, got.head._2) === (("zx", "qy")))
+    assert(got.head._4 === math.floor(n / 6.0 * 10000 + 0.5) / 10000)
+    assert(got.forall(_._3 >= 5L), "minCount must bind")
+    assert(got.map(_._4).toSeq === got.map(_._4).sortBy(-(_: Double)).toSeq,
+      "descending lift order")
+  }
+
   // ------------------------------------------------------ q87 unigram rarity
 
   test("unigramRarity: rare-token docs outscore common-token docs") {
@@ -209,10 +228,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 104 uniquely-named queries, 100 oracle-checked, qNN prefixes unique") {
+  test("registry: 105 uniquely-named queries, 101 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 104)
-    assert(all.count(_.oracle.isDefined) === 100)
+    assert(all.size === 105)
+    assert(all.count(_.oracle.isDefined) === 101)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -40,6 +40,14 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q24_top_events").contains("TakeOrderedAndProject"))
   }
 
+  test("q105: collocation top-k is per-partition heaps, counts map-side combined") {
+    val p = planOf("q105_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must not be a full sort")
+    val hashAggs = p.split("HashAggregate").length - 1
+    assert(hashAggs >= 4, s"bigram+unigram counts should partial-agg, saw $hashAggs")
+  }
+
   test("q01: aggregation is map-side combined (partial + final HashAggregate)") {
     val p = planOf("q01_daily_counts")
     val hashAggs = p.split("HashAggregate").length - 1
