@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted dedup index lifecycle — the production form of
+ * [[DedupOps.incrementalDedup]], mirroring [[IvfIndex]]'s
+ * build/probe/append shape: the curated corpus's dedup-relevant derived
+ * tables are computed ONCE at build time and stored as parquet longs, so
+ * each incoming batch is deduplicated WITHOUT re-reading, re-tokenizing
+ * or re-hashing a single corpus document.
+ *
+ * Layout under `dir` (all columnar longs — a few dozen bytes per corpus
+ * doc, vs re-scanning its text on every append):
+ *  - `fingerprints` (doc_id, f1, f2) — dual-hash exact identity;
+ *  - `bands` (doc_id, band, key)    — MinHash-LSH bucket keys;
+ *  - `shingles` (doc_id, h)         — the verification inverted index;
+ *  - `sizes` (doc_id, sz)           — shingle-set sizes for Jaccard;
+ *  - `params`                       — one row (n, perms, bands,
+ *    rowsPerBand): probe derives the geometry from the INDEX, never from
+ *    the caller — a repeated-but-wrong parameter would silently band the
+ *    batch against incompatible keys.
+ *
+ * [[probe]] answers "which of these rows would survive an append" with
+ * NO mutation (idempotent — the registry's q106 entry); [[append]]
+ * commits: the kept rows' derived tables land in the index, so the NEXT
+ * batch dedups against corpus + everything appended so far. A clone of
+ * an appended doc is dropped by the exact stage; a near-dup of one by
+ * the banded stage (both spec-pinned).
+ *
+ * Scale: probe cost is O(batch) compute + equi-joins against the stored
+ * long tables (band buckets, candidate shingles, candidate sizes — all
+ * pruned to matching keys); measured at a 55k-doc corpus, its appended
+ * set is IDENTICAL to re-running the full production stack on
+ * corpus ∪ batch, which re-pays the entire corpus's shingling + banding
+ * every time.
+ */
+object DedupIndex {
+
+  /** Build the index from an already-curated corpus (the output of
+    * [[DedupOps.exactThenNearDedup]] or prior appends). */
+  def build(corpus: DataFrame, dir: String, n: Int = 3, perms: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    writeTables(corpus, dir, n, perms, bands, rowsPerBand, overwrite = true)
+    Seq((n, perms, bands, rowsPerBand))
+      .toDF("n", "perms", "bands", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def writeTables(docs: DataFrame, dir: String, n: Int, perms: Int,
+      bands: Int, rowsPerBand: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    DedupOps.dualFingerprints(docs)
+      .write.mode(mode).parquet(s"$dir/fingerprints")
+    DedupOps.bandedKeys(docs, n, perms, bands, rowsPerBand)
+      .write.mode(mode).parquet(s"$dir/bands")
+    DedupOps.shingleIndex(docs, n)
+      .write.mode(mode).parquet(s"$dir/shingles")
+    DedupOps.setSizes(docs, n)
+      .write.mode(mode).parquet(s"$dir/sizes")
+  }
+
+  private def params(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
+    val row =
+      try spark.read.parquet(s"$dir/params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"probe: no dedup index at '$dir' — the params table is " +
+              "missing; run build() first", e)
+      }
+    (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+  }
+
+  /** The incoming rows an [[append]] would keep — NO index mutation. */
+  def probe(incoming: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = incoming.sparkSession
+    val (n, perms, bands, rowsPerBand) = params(spark, dir)
+    val fps = spark.read.parquet(s"$dir/fingerprints")
+    DedupOps.incrementalKeep(
+      DedupOps.exactSurvivors(fps.select("f1", "f2"), incoming),
+      existingIds = fps.select("doc_id"),
+      exBands = spark.read.parquet(s"$dir/bands"),
+      exIndex = spark.read.parquet(s"$dir/shingles"),
+      exSizes = spark.read.parquet(s"$dir/sizes"),
+      n, perms, bands, rowsPerBand, threshold)
+  }
+
+  /** [[probe]] + commit: the kept rows' derived tables are appended to
+    * the index (one pass — the kept frame is persisted so probe and
+    * commit share the computation), and the kept rows are returned for
+    * the caller to land alongside. */
+  def append(incoming: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (n, perms, bands, rowsPerBand) = params(incoming.sparkSession, dir)
+    // localCheckpoint CUTS the lineage before the commit: a lazy `kept`
+    // re-evaluated after the index writes would probe against the
+    // now-mutated index (every row its own exact dup ⇒ silently empty).
+    val kept = probe(incoming, dir, threshold).localCheckpoint(true)
+    writeTables(kept, dir, n, perms, bands, rowsPerBand, overwrite = false)
+    kept
+  }
+}

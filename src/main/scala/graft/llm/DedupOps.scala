@@ -70,7 +70,7 @@ object DedupOps {
   /** Per-doc shingle-set sizes — computed per row from the array length
     * (size of the distinct-hash array), NOT by re-aggregating the
     * exploded index: one scan-stage projection, zero shuffle. */
-  private def setSizes(docs: DataFrame, n: Int): DataFrame =
+  private[llm] def setSizes(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       size(shingleArr(docs, n)).cast("long").as("sz"))
 
@@ -140,7 +140,7 @@ object DedupOps {
     * by the self-join pair generator and the incremental cross-corpus
     * probe. Null-text docs emit null keys, which match nothing in an
     * equi-join — they can never pair. */
-  private def bandedKeys(docs: DataFrame, n: Int, perms: Int, bands: Int,
+  private[llm] def bandedKeys(docs: DataFrame, n: Int, perms: Int, bands: Int,
       rowsPerBand: Int): DataFrame =
     minhashSignatures(docs, n, perms).select(col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -414,46 +414,77 @@ object DedupOps {
    */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
       perms: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
-    def fps(df: DataFrame) = df.filter(col("text").isNotNull)
+      threshold: Double = 0.5): DataFrame =
+    incrementalKeep(
+      exactSurvivors(dualFingerprints(existing).select("f1", "f2"), incoming),
+      existingIds = dualFingerprints(existing).select("doc_id"),
+      exBands = bandedKeys(existing, n, perms, bands, rowsPerBand),
+      exIndex = shingleIndex(existing, n),
+      exSizes = setSizes(existing, n),
+      n, perms, bands, rowsPerBand, threshold)
+
+  /** (doc_id, f1, f2) dual-hash exact identity of the non-null-text rows
+    * — the 16-bytes-per-doc projection the incremental exact stage
+    * anti-joins on (and [[DedupIndex]] persists). */
+  private[llm] def dualFingerprints(df: DataFrame): DataFrame =
+    df.filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextFunctions.polyHash(col("text")).as("f1"),
         TextFunctions.polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("f2"))
-    val fresh = fps(incoming).join(fps(existing).select("f1", "f2").distinct(),
-      Seq("f1", "f2"), "left_anti")
+
+  /** Exact stage of the incremental pipeline: incoming minus corpus
+    * fingerprint matches, within-batch clones collapsed to min id,
+    * null-text rows routed around. */
+  private[llm] def exactSurvivors(existingFps: DataFrame,
+      incoming: DataFrame): DataFrame = {
+    val fresh = dualFingerprints(incoming)
+      .join(existingFps.distinct(), Seq("f1", "f2"), "left_anti")
     val keepExact = fresh.groupBy(col("f1"), col("f2"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val survivors = incoming
+    incoming
       .join(keepExact.select("doc_id"), Seq("doc_id"), "left_semi")
       .unionByName(incoming.filter(col("text").isNull))
+  }
 
-    val union = existing.select(col("doc_id"), col("text"))
-      .unionByName(survivors.select(col("doc_id"), col("text")))
-    val bandedAll = bandedKeys(union, n, perms, bands, rowsPerBand)
-    val bandedNew = bandedAll
-      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+  /** Near stage of the incremental pipeline, parameterized over the
+    * EXISTING side's derived tables so [[DedupIndex]] can feed the
+    * persisted versions (bands/shingles/sizes as parquet longs — the
+    * corpus text is never re-read, re-tokenized or re-hashed on append). */
+  private[llm] def incrementalKeep(survivors: DataFrame,
+      existingIds: DataFrame, exBands: DataFrame, exIndex: DataFrame,
+      exSizes: DataFrame, n: Int, perms: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    val newBands = bandedKeys(survivors, n, perms, bands, rowsPerBand)
+    val allBands = exBands.unionByName(newBands)
     // normalize to (min, max) so a new-new pair (seen from both sides)
     // and a new-old pair (seen once) land in one orientation
-    val cand = bandedNew.as("a")
-      .join(bandedAll.as("b"),
+    val cand = newBands.as("a")
+      .join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-    val index = shingleIndex(union, n)
+    val allIndex = exIndex.unionByName(shingleIndex(survivors, n))
     val inter = cand
-      .join(index.as("ia"), col("id_a") === col("ia.doc_id"))
-      .join(index.as("ib"),
+      .join(allIndex.as("ia"), col("id_a") === col("ia.doc_id"))
+      .join(allIndex.as("ib"),
         col("id_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val pairs = withJaccard(inter, union, n)
+    val allSizes = exSizes.unionByName(setSizes(survivors, n))
+    val pairs = inter
+      .join(allSizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(allSizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        fround(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
 
     val clusters = duplicateClusters(pairs)
     val oldReps = clusters
-      .join(existing.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(existingIds, Seq("doc_id"), "left_semi")
       .select(col("cluster_rep").as("old_rep")).distinct()
     val dropIds = clusters
       .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")

@@ -960,6 +960,28 @@ object LlmQueries {
          |ORDER BY s.doc_id""".stripMargin
     })
 
+  // q106 — the PERSISTED dedup-index serving path (DedupIndex): the
+  // corpus's fingerprints/bands/shingles/sizes build ONCE per (JVM,
+  // sfDir) into a scratch dir; the registry then times/checks a pure
+  // probe() of the q104 batch — no corpus text is re-read, re-tokenized
+  // or re-hashed. probe() never mutates, so the entry is idempotent
+  // across Bench's repeated runs, and its result is value-identical to
+  // q104's inline operator — same oracle (append ≡ probe + commit is
+  // spec-pinned in CorpusOpsSpec).
+  private def dedupIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_dedup_index", d, "params") { dir =>
+      graft.llm.DedupIndex.build(
+        Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), dir,
+        n = 3, perms = 32, bands = 8, rowsPerBand = 4)
+    }
+  val q106 = Q(
+    "q106_dedup_index_probe",
+    (s, d) => graft.llm.DedupIndex.probe(
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+      dedupIndexDir(s, d), threshold = 0.5)
+      .select(col("doc_id")).orderBy("doc_id"),
+    q104.oracle)
+
   // q76 — the END-TO-END curation pipeline, composed from the operators
   // the registry checks individually: near-dup keep-list (q66/q73) →
   // benchmark decontamination (q58) → content-hash split (q49), joined
@@ -1191,12 +1213,12 @@ object LlmQueries {
   // operator (same oracle); the nprobe<nCells pruning regime is pinned
   // separately in CorpusOpsSpec ("search scans only the probed cell
   // partitions").
-  private val ivfServeDirs =
+  private val scratchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val ivfServeCleanup: Unit =
+  private lazy val scratchCleanup: Unit =
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._
-      ivfServeDirs.values.asScala.foreach { dir =>
+      scratchDirs.values.asScala.foreach { dir =>
         try {
           java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
             .asScala.toSeq.reverse
@@ -1204,24 +1226,30 @@ object LlmQueries {
         } catch { case _: java.io.IOException => () }
       }
     }
-  private def ivfServeDir(s: SparkSession, d: String): String = {
-    ivfServeCleanup // register the delete-on-exit hook once
-    // compute (not computeIfAbsent): a long-lived driver can outlive a
-    // /tmp reaper, so a cached dir is revalidated and rebuilt if its
-    // index files are gone — never returned stale.
-    ivfServeDirs.compute(d, (_, cached) => {
+  /** Build-once scratch index per (JVM, sfDir) for the persisted-serving
+    * registry entries (q102/q106). compute (not computeIfAbsent): a
+    * long-lived driver can outlive a /tmp reaper, so a cached dir is
+    * revalidated against its `marker` table and rebuilt if gone — never
+    * returned stale. Deleted recursively on JVM exit. */
+  private def scratchDir(prefix: String, d: String, marker: String)(
+      build: String => Unit): String = {
+    scratchCleanup // register the delete-on-exit hook once
+    scratchDirs.compute(s"$prefix#$d", (_, cached) => {
       if (cached != null && java.nio.file.Files.exists(
-          java.nio.file.Paths.get(cached, "pq_codebooks"))) cached
+          java.nio.file.Paths.get(cached, marker))) cached
       else {
-        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
-          .toString
-        graft.llm.IvfIndex.buildPq(Tables.embeddings(s, d), dir,
-          nCells = ivfCells, iters = 2, dim = dim,
-          subspaces = pqSubspaces, nCodes = ivfCells)
+        val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+        build(dir)
         dir
       }
     })
   }
+  private def ivfServeDir(s: SparkSession, d: String): String =
+    scratchDir("graft_ivf_serve", d, "pq_codebooks") { dir =>
+      graft.llm.IvfIndex.buildPq(Tables.embeddings(s, d), dir,
+        nCells = ivfCells, iters = 2, dim = dim,
+        subspaces = pqSubspaces, nCodes = ivfCells)
+    }
   val q102 = Q(
     "q102_ivf_serve_refined",
     (s, d) => graft.llm.IvfIndex.searchPqRefined(
@@ -1841,5 +1869,6 @@ object LlmQueries {
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
+    q106)
 }

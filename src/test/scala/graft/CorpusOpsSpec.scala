@@ -228,10 +228,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 105 uniquely-named queries, 101 oracle-checked, qNN prefixes unique") {
+  test("registry: 106 uniquely-named queries, 102 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 105)
-    assert(all.count(_.oracle.isDefined) === 101)
+    assert(all.size === 106)
+    assert(all.count(_.oracle.isDefined) === 102)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -589,6 +589,59 @@ class CorpusOpsSpec extends SparkSpec {
     val kept = DedupOps.exactThenNearDedup(corpus)
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("DedupIndex: build + probe equals the inline incrementalDedup") {
+    val dir = s"$specTmp/dedup_idx_eq"
+    val existing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    graft.llm.DedupIndex.build(existing, dir)
+    val viaIndex = graft.llm.DedupIndex.probe(batch, dir, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val inline = DedupOps.incrementalDedup(existing, batch, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaIndex === inline)
+    assert(viaIndex.nonEmpty)
+    // probe never mutates: a second probe answers identically
+    val again = graft.llm.DedupIndex.probe(batch, dir, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === viaIndex)
+  }
+
+  test("DedupIndex: append commits — clones AND near-dups of appended docs drop next batch") {
+    val dir = s"$specTmp/dedup_idx_append"
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"))
+      .toDF("doc_id", "text")
+    graft.llm.DedupIndex.build(corpus, dir)
+    val freshTxt = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val batch1 = Seq((10L, freshTxt)).toDF("doc_id", "text")
+    val kept1 = graft.llm.DedupIndex.append(batch1, dir)
+      .select("doc_id").as[Long].collect()
+    assert(kept1 === Array(10L))
+    // batch 2: a verbatim clone and a near-dup of the doc APPENDED in
+    // batch 1 (not in the original corpus), plus a genuinely new doc
+    val batch2 = Seq(
+      (20L, freshTxt), // clone of appended doc 10: exact stage drops it
+      (21L, "kilo lima mike november oscar papa quebec romeo sierra zulu"), // near-dup of 10
+      (22L, "uniform victor whiskey xray yankee zebra anchor bridge castle dragon")
+    ).toDF("doc_id", "text")
+    val kept2 = graft.llm.DedupIndex.append(batch2, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2 === Array(22L), s"got ${kept2.mkString(",")}")
+    // replaying an already-appended batch is a no-op (at-least-once safe)
+    val kept3 = graft.llm.DedupIndex.probe(batch1, dir)
+      .select("doc_id").as[Long].collect()
+    assert(kept3.isEmpty)
+  }
+
+  test("DedupIndex: probe without build names the missing index, not a schema error") {
+    val e = intercept[IllegalStateException] {
+      graft.llm.DedupIndex.probe(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        s"$specTmp/dedup_idx_absent").collect()
+    }
+    assert(e.getMessage.contains("params"))
   }
 
   test("ANN recall ladder: multi-probe >= LSH, IVF monotone in nprobe, refine exact at full R") {
