@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
  *  - `bands` (doc_id, band, key)    — MinHash-LSH bucket keys;
  *  - `shingles` (doc_id, h)         — the verification inverted index;
  *  - `sizes` (doc_id, sz)           — shingle-set sizes for Jaccard;
+ *  - `ids` (doc_id)                 — every indexed doc (null-text rows
+ *    included): the at-least-once replay guard;
  *  - `params`                       — one row (n, perms, bands,
  *    rowsPerBand): probe derives the geometry from the INDEX, never from
  *    the caller — a repeated-but-wrong parameter would silently band the
@@ -51,17 +53,43 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /**
+   * The five derived tables of one doc frame. One shared tokenize+hash
+   * pass (withShingleHashes + persist) feeds all writes — bands,
+   * shingles and sizes would otherwise each re-shingle the text in
+   * their own independent write job.
+   *
+   * WRITE ORDER IS THE CRASH CONTRACT. The five appends are not one
+   * atomic commit (that needs a transactional table format); the order
+   * makes a torn commit CONSERVATIVE instead of lossy: the two tables
+   * that suppress a replay — `fingerprints` (exact stage) and `ids`
+   * (doc_id replay guard) — are written LAST. A crash before them
+   * leaves only bands/shingles/sizes rows, which cannot drop a replayed
+   * doc (its own doc_id never self-pairs); the replay re-keeps and
+   * re-commits it, at worst duplicating index rows — which only
+   * INFLATES intersection counts (over-dropping future near-dups of
+   * that doc), never silently losing a batch that was kept but not yet
+   * landed. Were fingerprints written first, a crash right after them
+   * would make the retry drop the entire batch as exact dups of
+   * itself — rows gone without ever being landed anywhere.
+   */
   private def writeTables(docs: DataFrame, dir: String, n: Int, perms: Int,
       bands: Int, rowsPerBand: Int, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
-    DedupOps.dualFingerprints(docs)
-      .write.mode(mode).parquet(s"$dir/fingerprints")
-    DedupOps.bandedKeys(docs, n, perms, bands, rowsPerBand)
-      .write.mode(mode).parquet(s"$dir/bands")
-    DedupOps.shingleIndex(docs, n)
-      .write.mode(mode).parquet(s"$dir/shingles")
-    DedupOps.setSizes(docs, n)
-      .write.mode(mode).parquet(s"$dir/sizes")
+    val prepped = DedupOps.withShingleHashes(
+      docs.select(col("doc_id"), col("text")), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      DedupOps.bandedKeys(prepped, n, perms, bands, rowsPerBand)
+        .write.mode(mode).parquet(s"$dir/bands")
+      DedupOps.shingleIndex(prepped, n)
+        .write.mode(mode).parquet(s"$dir/shingles")
+      DedupOps.setSizes(prepped, n)
+        .write.mode(mode).parquet(s"$dir/sizes")
+      DedupOps.dualFingerprints(prepped)
+        .write.mode(mode).parquet(s"$dir/fingerprints")
+      prepped.select("doc_id").write.mode(mode).parquet(s"$dir/ids")
+    } finally prepped.unpersist(false)
   }
 
   private def params(spark: SparkSession, dir: String): (Int, Int, Int, Int) = {
@@ -76,14 +104,21 @@ object DedupIndex {
     (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
   }
 
-  /** The incoming rows an [[append]] would keep — NO index mutation. */
+  /** The incoming rows an [[append]] would keep — NO index mutation.
+    * An incoming doc_id already in the index is dropped OUTRIGHT before
+    * content is even hashed: that is the at-least-once replay guard, and
+    * the only guard that covers null-text rows (they have no fingerprint
+    * to match, so without it every replay would re-keep and re-land
+    * them — duplicate doc_ids in the corpus). */
   def probe(incoming: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = incoming.sparkSession
     val (n, perms, bands, rowsPerBand) = params(spark, dir)
+    val unseen = incoming.join(spark.read.parquet(s"$dir/ids"),
+      Seq("doc_id"), "left_anti")
     val fps = spark.read.parquet(s"$dir/fingerprints")
     DedupOps.incrementalKeep(
-      DedupOps.exactSurvivors(fps.select("f1", "f2"), incoming),
+      DedupOps.exactSurvivors(fps.select("f1", "f2"), unseen),
       existingIds = fps.select("doc_id"),
       exBands = spark.read.parquet(s"$dir/bands"),
       exIndex = spark.read.parquet(s"$dir/shingles"),

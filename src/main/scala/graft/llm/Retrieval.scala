@@ -226,9 +226,6 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
   }
 
-  /** Top-`k` BM25 documents (ties broken by doc_id). The global top-k is
-    * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
-    * sort); the single-partition rank window only ever sees `k` rows. */
   /**
    * Collocation mining — top adjacent word pairs by PMI-style LIFT:
    * `(c_xy · N) / (c_x · c_y)`, where c_xy counts the bigram, c_x/c_y
@@ -281,6 +278,9 @@ object Retrieval {
         .orderBy(col("lift").desc, col("w1"), col("w2"))))
   }
 
+  /** Top-`k` BM25 documents (ties broken by doc_id). The global top-k is
+    * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
+    * sort); the single-partition rank window only ever sees `k` rows. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id"))

@@ -969,7 +969,7 @@ object LlmQueries {
   // q104's inline operator — same oracle (append ≡ probe + commit is
   // spec-pinned in CorpusOpsSpec).
   private def dedupIndexDir(s: SparkSession, d: String): String =
-    scratchDir("graft_dedup_index", d, "params") { dir =>
+    scratchDir("graft_dedup_index", d, "ids") { dir =>
       graft.llm.DedupIndex.build(
         Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), dir,
         n = 3, perms = 32, bands = 8, rowsPerBand = 4)

@@ -635,6 +635,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept3.isEmpty)
   }
 
+  test("DedupIndex: null-text appends are replay-safe (ids guard, not fingerprints)") {
+    // a null-text doc has no fingerprint to suppress its replay — without
+    // the ids table every replay would re-keep and re-land it, producing
+    // duplicate doc_ids in the corpus
+    val dir = s"$specTmp/dedup_idx_nulls"
+    graft.llm.DedupIndex.build(
+      Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text"), dir)
+    val batch = Seq((10L, Option.empty[String]), (11L, Some("kilo lima mike november")))
+      .toDF("doc_id", "text")
+    val kept1 = graft.llm.DedupIndex.append(batch, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept1 === Array(10L, 11L), "first append keeps the null-text row")
+    val replay = graft.llm.DedupIndex.append(batch, dir)
+      .select("doc_id").as[Long].collect()
+    assert(replay.isEmpty, s"replay re-kept ${replay.mkString(",")}")
+    // a NEW null-text doc (different id) is still kept — the guard is by
+    // id, never by collapsing unknown content
+    val fresh = graft.llm.DedupIndex.probe(
+      Seq((12L, Option.empty[String])).toDF("doc_id", "text"), dir)
+      .select("doc_id").as[Long].collect()
+    assert(fresh === Array(12L))
+  }
+
   test("DedupIndex: probe without build names the missing index, not a schema error") {
     val e = intercept[IllegalStateException] {
       graft.llm.DedupIndex.probe(
