@@ -414,14 +414,27 @@ object DedupOps {
    */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
       perms: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5): DataFrame = {
+    // ONE scan of the existing corpus: tokenize+hash once, persist, and
+    // derive every existing-side projection (both fingerprint uses, bands,
+    // shingles, sizes) from the persisted frame — previously each
+    // derivation re-read and re-tokenized the corpus text (5 scans; the
+    // shingling pass alone triple-paid). Persisted blocks are reclaimed
+    // by the ContextCleaner when the returned frame is dropped; at real
+    // scale prefer [[DedupIndex]], which persists these projections as
+    // parquet instead of executor memory.
+    val exPrepped = withShingleHashes(
+      existing.select(col("doc_id"), col("text")), n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exFps = dualFingerprints(exPrepped)
     incrementalKeep(
-      exactSurvivors(dualFingerprints(existing).select("f1", "f2"), incoming),
-      existingIds = dualFingerprints(existing).select("doc_id"),
-      exBands = bandedKeys(existing, n, perms, bands, rowsPerBand),
-      exIndex = shingleIndex(existing, n),
-      exSizes = setSizes(existing, n),
+      exactSurvivors(exFps.select("f1", "f2"), incoming),
+      existingIds = exFps.select("doc_id"),
+      exBands = bandedKeys(exPrepped, n, perms, bands, rowsPerBand),
+      exIndex = shingleIndex(exPrepped, n),
+      exSizes = setSizes(exPrepped, n),
       n, perms, bands, rowsPerBand, threshold)
+  }
 
   /** (doc_id, f1, f2) dual-hash exact identity of the non-null-text rows
     * — the 16-bytes-per-doc projection the incremental exact stage
