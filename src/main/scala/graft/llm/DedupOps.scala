@@ -415,17 +415,17 @@ object DedupOps {
   def incrementalDedup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
       perms: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    // ONE scan of the existing corpus: tokenize+hash once, persist, and
-    // derive every existing-side projection (both fingerprint uses, bands,
-    // shingles, sizes) from the persisted frame — previously each
-    // derivation re-read and re-tokenized the corpus text (5 scans; the
-    // shingling pass alone triple-paid). Persisted blocks are reclaimed
-    // by the ContextCleaner when the returned frame is dropped; at real
-    // scale prefer [[DedupIndex]], which persists these projections as
-    // parquet instead of executor memory.
+    // One shared prepped frame feeds every existing-side projection
+    // (fingerprints once — round 9 computed dualFingerprints twice —
+    // plus bands, shingles, sizes). Deliberately NOT persisted: round 11
+    // persisted it MEMORY_AND_DISK and q104 ran 1.8× SLOWER (9.7 s vs
+    // 5.5 s at sf0.1) — the materialized shingle-hash arrays are larger
+    // than the text they derive from, and the blocking persist write
+    // costs more than the three independent column-pruned parquet scans
+    // it saves. At real scale the right cache is [[DedupIndex]], which
+    // lands these projections as parquet tables once.
     val exPrepped = withShingleHashes(
       existing.select(col("doc_id"), col("text")), n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exFps = dualFingerprints(exPrepped)
     incrementalKeep(
       exactSurvivors(exFps.select("f1", "f2"), incoming),

@@ -27,17 +27,27 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
   /**
-   * The driver `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS),
-   * which Spark's vectorized reader rejects outright. Read the physical
-   * int64 nanos via the legacy conf and rebuild a micros TimestampType
-   * column (integer `div` — double division would lose precision on
-   * epoch-nanos magnitudes). The sub-microsecond part of the driver data is
-   * zero, so this conversion is lossless and DuckDB-comparable.
+   * The driver `events.parquet` has shipped `ts` in two physical layouts
+   * across rounds: parquet TIMESTAMP(NANOS) (rounds ≤11 — Spark's
+   * vectorized reader rejects it, so it is read as int64 nanos via the
+   * legacy conf and rebuilt with integer `div`, lossless because the
+   * sub-microsecond part is zero) and, from round 12, plain
+   * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+   * TIMESTAMP_NTZ. Normalize both to session-local TimestampType: every
+   * session in this repo pins `spark.sql.session.timeZone=UTC`, so the
+   * NTZ→LTZ cast interprets the stored wall-clock as the same UTC epoch
+   * DuckDB's `epoch_ms(ts)` sees on the oracle side.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
