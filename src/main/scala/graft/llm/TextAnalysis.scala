@@ -231,13 +231,25 @@ object TextAnalysis {
    * per-shard state in the window is O(1).
    */
   def packSequences(docs: DataFrame, budgetTokens: Long,
+      shards: Int): DataFrame =
+    packSequencesBy(docs, size(words(col("text"))).cast("long"),
+      budgetTokens, shards)
+
+  /**
+   * [[packSequences]] with a caller-supplied token-count expression —
+   * the hook real tokenization plugs into ([[Bpe.tokenCount]] bakes the
+   * learned merges in as a scan-stage expression, so the packing still
+   * involves no extra join or shuffle; the one shuffle remains the shard
+   * key).
+   */
+  def packSequencesBy(docs: DataFrame, nTokens: Column, budgetTokens: Long,
       shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col("doc_id"),
       pmod(polyHash(col("text")), lit(shards.toLong)).as("shard"),
-      size(words(col("text"))).cast("long").as("n_tokens"))
+      nTokens.cast("long").as("n_tokens"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before").cast("double") / budgetTokens)
@@ -480,15 +492,27 @@ object TextAnalysis {
    * shape a 95%-one-source pretraining mix dies in; see SCALE.md).
    */
   def mixtureSampleTokens(docs: DataFrame, groupCol: String = "source",
-      tokenBudget: Long = 10000L, salt: String = "graft"): DataFrame = {
+      tokenBudget: Long = 10000L, salt: String = "graft"): DataFrame =
+    mixtureSampleTokensBy(docs,
+      size(filter(words(col("text")), w => w =!= "")).cast("long"),
+      groupCol, tokenBudget, salt)
+
+  /**
+   * [[mixtureSampleTokens]] with a caller-supplied token-count
+   * expression — the hook real tokenization plugs into
+   * ([[Bpe.tokenCount]]): quotas then allocate ACTUAL subword-token
+   * mass, not whitespace proxies. Same shuffle shape (the count is a
+   * scan-stage expression, the rank/prefix-sum pass is unchanged).
+   */
+  def mixtureSampleTokensBy(docs: DataFrame, nTokens: Column,
+      groupCol: String = "source", tokenBudget: Long = 10000L,
+      salt: String = "graft"): DataFrame = {
     // null text counts 0 tokens: size(null) is NULL under ANSI, and a
     // null token count would both mis-render the output column and break
     // the running sum's window parity (PrefixRank's sums contract
     // requires non-null inputs — an all-null cell prefix folds to NULL
     // where a window would carry the earlier cells' offset).
-    val toks = docs.withColumn("n_tokens",
-      coalesce(size(filter(words(col("text")), w => w =!= "")).cast("long"),
-        lit(0L)))
+    val toks = docs.withColumn("n_tokens", coalesce(nTokens, lit(0L)))
     val weights = toks.groupBy(col(groupCol))
       .agg(sum(col("n_tokens")).as("tok_grp"))
       .withColumn("w",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{DedupOps, Multimodal, Retrieval, SimilaritySearch, TextAnalysis}
+import graft.llm.{Bpe, DedupOps, Multimodal, Retrieval, SimilaritySearch, TextAnalysis, TextFunctions}
 import graft.model.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -1866,9 +1866,170 @@ object LlmQueries {
       .orderBy("doc_id"),
     None)
 
+  // ---- BPE tokenizer (q107–q110): deterministic vocabulary learn +
+  // scan-stage encode, then the packing/mixture budgets re-run on REAL
+  // subword token counts. The oracle replays every merge round as CTEs
+  // (pair counts → 1-row argmax → list_reduce greedy fold), exactly like
+  // q71 replays Lloyd rounds — so the learned vocabulary itself is
+  // hash-checked, not just its downstream counts.
+  private val bpeK = 10
+  private val bpeSep = Bpe.Sep
+
+  /** One oracle merge round: weighted adjacent-pair counts over the
+    * word-type frame → the (count DESC, lhs, rhs) argmax → the greedy
+    * left-fold application (`list_reduce` mirrors [[Bpe.applyMerge]]'s
+    * fold bit-for-bit: a merge appends the rhs with no separator, fusing
+    * it into the accumulator's last symbol). */
+  private def bpeRoundCtes(r: Int): String =
+    s"""bp$r AS (
+       |  SELECT s[i+1] AS lhs, s[i+2] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT string_split(toks, '$bpeSep') AS s, cnt,
+       |               unnest(range(len(string_split(toks, '$bpeSep')) - 1)) AS i
+       |        FROM bt${r - 1} WHERE len(string_split(toks, '$bpeSep')) >= 2)
+       |  GROUP BY 1, 2),
+       |bb$r AS (SELECT lhs, rhs, c FROM bp$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+       |bt$r AS (
+       |  SELECT word, cnt, list_reduce(string_split(toks, '$bpeSep'), (acc, x) ->
+       |    CASE WHEN x = b.rhs AND (acc = b.lhs OR ends_with(acc, '$bpeSep' || b.lhs))
+       |         THEN acc || x ELSE acc || '$bpeSep' || x END) AS toks
+       |  FROM bt${r - 1} CROSS JOIN bb$r b)""".stripMargin
+
+  /** Word-type histogram (char-split tokenizations) + the K merge
+    * rounds — the shared prefix of every BPE oracle. */
+  private def bpeChainCtes: String =
+    (s"""bt0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |         array_to_string(string_split(word, ''), '$bpeSep') AS toks
+       |  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+       |                 w -> w <> '')) AS word FROM documents)
+       |  GROUP BY 1)""".stripMargin +:
+      (1 to bpeK).map(bpeRoundCtes)).mkString(",\n")
+
+  /** Final word→token-count table + per-doc word/token totals (docs with
+    * zero words surface via the LEFT JOIN in the consumer). */
+  private def bpeDocTokCtes: String =
+    s"""wt AS (SELECT word,
+       |         CAST(len(string_split(toks, '$bpeSep')) AS BIGINT) AS n_toks
+       |       FROM bt$bpeK),
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+       |         w -> w <> '')) AS word FROM documents),
+       |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |       FROM dw JOIN wt USING (word) GROUP BY 1)""".stripMargin
+
+  // q107 — the learned vocabulary itself: K ordered merges with their
+  // weighted pair counts, hash-checked against the CTE replay.
+  val q107 = Q(
+    "q107_bpe_vocab",
+    (s, d) => Bpe.learnBpe(Tables.documents(s, d), bpeK).orderBy("rank"),
+    Some {
+      val union = (1 to bpeK).map(r =>
+        s"SELECT $r AS rank, lhs, rhs, lhs || rhs AS merged, c AS cnt FROM bb$r")
+        .mkString(" UNION ALL ")
+      s"""WITH $bpeChainCtes
+         |SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged, cnt
+         |FROM ($union) ORDER BY rank""".stripMargin
+    })
+
+  // q108 — the encoder: per-document REAL token counts under the learned
+  // merges. Spark counts via the scan-stage nested-fold expression (no
+  // join); the oracle equivalently joins the word-type token table —
+  // equal because a word's encoding is a pure function of the word.
+  val q108 = Q(
+    "q108_bpe_token_counts",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.learnMerges(docs, bpeK)
+      docs.select(col("doc_id"),
+        size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+          w => w =!= "")).cast("long").as("n_words"),
+        Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |$bpeDocTokCtes
+         |SELECT d.doc_id, COALESCE(dt.n_words, 0) AS n_words,
+         |       COALESCE(dt.n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN dt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q109 — q63's sequence packing re-budgeted on real BPE tokens: the
+  // bins now cut at actual context-window mass. Same one-shuffle shape —
+  // the token count is a scan-stage expression, not a join.
+  val q109 = Q(
+    "q109_pack_bpe_tokens",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.learnMerges(docs, bpeK)
+      TextAnalysis.packSequencesBy(docs, Bpe.tokenCount(col("text"), merges),
+        packBudget, packShards)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("shard", "bin")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |$bpeDocTokCtes,
+         |t AS (
+         |  SELECT d.doc_id,
+         |    (CASE WHEN length(text) = 0 THEN 0
+         |          ELSE ${polyHashSql("text")} END) % $packShards AS shard,
+         |    COALESCE(dt.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN dt USING (doc_id)),
+         |c AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cum_before
+         |  FROM t)
+         |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // q110 — q101's token-budget mixture re-run on real BPE tokens: source
+  // quotas now allocate actual subword mass (α = 1/2 over real tokens).
+  val q110 = Q(
+    "q110_mixture_bpe_tokens",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.learnMerges(docs, bpeK)
+      TextAnalysis.mixtureSampleTokensBy(docs,
+        Bpe.tokenCount(col("text"), merges), "source", tokenBudget = 5000L)
+        .orderBy("source", "rnk")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |$bpeDocTokCtes,
+         |toks AS (
+         |  SELECT d.doc_id, d.source, d.text, COALESCE(dt.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN dt USING (doc_id)),
+         |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+         |        FROM toks GROUP BY 1),
+         |w AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |quotas AS (SELECT source,
+         |             CAST((CAST(5000 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
+         |           FROM w CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM toks)
+         |SELECT r.doc_id, r.source, r.n_tokens, r.rnk, r.cum_tokens
+         |FROM ranked r JOIN quotas q USING (source)
+         |WHERE r.cum_tokens - r.n_tokens < q.quota
+         |ORDER BY source, rnk""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106)
+    q106, q107, q108, q109, q110)
 }

@@ -1,0 +1,137 @@
+package graft
+
+import graft.llm.Bpe
+import graft.llm.Bpe.Merge
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE tokenizer semantics the hash-checked oracles (q107–q110) can't pin
+ * from the outside: single-pass greedy merge application (no chain
+ * re-merging within a round), the learn loop's argmax tie-break and
+ * early exhaustion, encode/count agreement, and null/empty-text
+ * behavior. The reference implementations here are sequential Scala —
+ * deliberately independent of both the Spark fold expressions and the
+ * DuckDB list_reduce replay.
+ */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential greedy single-pass merge — the textbook loop. */
+  private def refApply(syms: List[String], lhs: String,
+      rhs: String): List[String] =
+    syms.foldLeft(List.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == lhs && x == rhs)
+        acc.init :+ (lhs + rhs)
+      else acc :+ x
+    }
+
+  /** Sequential reference learner over a weighted word histogram. */
+  private def refLearn(texts: Seq[String], k: Int): Seq[Merge] = {
+    val hist = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => hist(w) = hist.getOrElse(w, 0L) + 1L))
+    var vocab: Map[String, List[String]] =
+      hist.keys.map(w => w -> w.toList.map(_.toString)).toMap
+    val out = Vector.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, syms) =>
+        syms.zip(syms.tail).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + hist(w)
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((lhs, rhs), c) = pairs.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        out += Merge(r, lhs, rhs, lhs + rhs, c)
+        vocab = vocab.map { case (w, syms) => w -> refApply(syms, lhs, rhs) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def applyOnWord(word: String, lhs: String, rhs: String): Seq[String] = {
+    val df = Seq(word).toDF("w")
+      .select(split(Bpe.applyMerge(
+        array_join(split(col("w"), ""), Bpe.Sep), lhs, rhs), Bpe.Sep).as("t"))
+    df.head.getSeq[String](0)
+  }
+
+  test("applyMerge: greedy left-to-right, no chain re-merge within a round") {
+    // aaa -> [aa, a] (leftmost wins; the fused 'aa' does not re-merge)
+    assert(applyOnWord("aaa", "a", "a") == Seq("aa", "a"))
+    assert(applyOnWord("aaaa", "a", "a") == Seq("aa", "aa"))
+    assert(applyOnWord("abab", "a", "b") == Seq("ab", "ab"))
+    // fused symbol never acts as lhs for the same round's pair
+    assert(applyOnWord("aab", "a", "b") == Seq("a", "ab"))
+    // no match at all
+    assert(applyOnWord("xyz", "a", "b") == Seq("x", "y", "z"))
+    // single-symbol word is untouched
+    assert(applyOnWord("a", "a", "a") == Seq("a"))
+  }
+
+  test("applyMerge matches the sequential reference on random-ish words") {
+    val words = Seq("banana", "aabbaabb", "mississippi", "zzzzzz", "ab")
+    for (w <- words; (l, r) <- Seq(("a", "b"), ("a", "a"), ("s", "s"),
+        ("z", "z"), ("a", "n"))) {
+      val got = applyOnWord(w, l, r)
+      val want = refApply(w.toList.map(_.toString), l, r)
+      assert(got == want, s"word=$w merge=($l,$r)")
+    }
+  }
+
+  test("learnMerges matches the sequential reference, ties broken (cnt DESC, lhs, rhs)") {
+    val texts = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "widest widest newest low lowest lowest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.learnMerges(df, 8)
+    val want = refLearn(texts, 8)
+    assert(got == want)
+  }
+
+  test("learnMerges stops early when every word is fully fused") {
+    // one word type of length 3 -> at most 2 merges exist
+    val df = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val got = Bpe.learnMerges(df, 10)
+    assert(got.size == 2)
+    assert(got == refLearn(Seq("abc abc abc"), 10))
+  }
+
+  test("tokenCount equals the exploded token stream's per-doc size; null/empty -> 0") {
+    val df = Seq(
+      (1L, "low lower newest"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "newest newest")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, 5)
+    val counts = df.select(col("doc_id"),
+      Bpe.tokenCount(col("text"), merges).as("n")).orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(counts(2L) == 0L && counts(3L) == 0L)
+    val exploded = Bpe.encodeTokens(df, merges)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(exploded == counts.filter(_._2 > 0))
+    // a learned merge actually compresses: fewer tokens than chars
+    val chars = "low lower newest".replace(" ", "").length
+    assert(counts(1L) < chars)
+  }
+
+  test("encodeWord replays the full merge list (word-type purity)") {
+    val df = Seq((1L, "newest newest widest")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, 6)
+    // encode of a word equals the reference vocab state after all merges
+    val got = Seq("newest").toDF("w")
+      .select(split(Bpe.encodeWord(col("w"), merges), Bpe.Sep))
+      .head.getSeq[String](0)
+    var syms = "newest".toList.map(_.toString)
+    merges.foreach(m => syms = refApply(syms, m.lhs, m.rhs))
+    assert(got == syms)
+  }
+}
