@@ -126,18 +126,111 @@ object DedupIndex {
       n, perms, bands, rowsPerBand, threshold)
   }
 
-  /** [[probe]] + commit: the kept rows' derived tables are appended to
-    * the index (one pass — the kept frame is persisted so probe and
-    * commit share the computation), and the kept rows are returned for
-    * the caller to land alongside. */
+  /**
+   * Commit ALREADY-LANDED kept rows to the index: their derived tables
+   * (and the ids replay guard) are appended, so the next probe dedups
+   * against them.
+   *
+   * LAND-BEFORE-COMMIT is the crash protocol — the production call
+   * sequence is
+   *   1. `kept = probe(batch, dir)`      (no mutation)
+   *   2. caller LANDS `kept` durably     (idempotently — per-batch
+   *      overwrite, [[graft.streaming.IdempotentSink]]'s shape)
+   *   3. `commit(kept, dir)`             (replay guard arms LAST)
+   * A crash between 2 and 3 replays as: probe re-keeps the same rows
+   * (their ids never armed), the idempotent land overwrites them in
+   * place, commit completes — nothing lost, nothing doubled. The
+   * PREVIOUS api (append committing before the caller landed) inverted
+   * the window: a crash after its commit dropped the batch on replay as
+   * "already indexed" — kept rows silently never landed anywhere.
+   *
+   * Idempotent: rows whose doc_id is already in the ids guard are
+   * skipped, so a crashed-and-retried land→commit pair never
+   * double-indexes (a commit torn MID-write still degrades conservative,
+   * never lossy — see [[writeTables]]'s ordering contract).
+   */
+  def commit(kept: DataFrame, dir: String): Unit = {
+    val spark = kept.sparkSession
+    val (n, perms, bands, rowsPerBand) = params(spark, dir)
+    // localCheckpoint CUTS the lineage before the writes: a lazy frame
+    // re-evaluated mid-commit would read the half-mutated index.
+    val fresh = kept.join(spark.read.parquet(s"$dir/ids"),
+      Seq("doc_id"), "left_anti").localCheckpoint(true)
+    if (!fresh.isEmpty)
+      writeTables(fresh, dir, n, perms, bands, rowsPerBand,
+        overwrite = false)
+  }
+
+  /** The five index tables, in [[writeTables]]'s crash-contract order. */
+  private val tables =
+    Seq("bands", "shingles", "sizes", "fingerprints", "ids")
+
+  /**
+   * Small-file compaction: every append lands one file set per table,
+   * so a year of daily appends turns each probe's equi-joins into
+   * hundreds of footer reads and tiny scan tasks — the file COUNT, not
+   * the bytes, becomes the cost. Rewrites each table to `targetFiles`
+   * files via [[graft.pipeline.Maintenance.compactDir]]'s double-rename
+   * swap (readers racing the swap see old or new, never a mix). Row
+   * content — and therefore every probe answer — is unchanged. Run it
+   * like any table maintenance job: on a schedule, not in the append
+   * path.
+   */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
+    tables.foreach(t =>
+      graft.pipeline.Maintenance.compactDir(spark, s"$dir/$t", targetFiles))
+
+  /**
+   * Index health — the dedup analog of [[IvfIndex.rebalanceCheck]]: one
+   * row per LSH band with its bucket-occupancy profile
+   * (`n_buckets`, `max_bucket`, `mean_bucket`, `skew` = max/mean), plus
+   * the global `docs_indexed` and `data_files` (small-file pressure
+   * across all five tables — the [[compact]] trigger; the append count
+   * since build is bounded below by `data_files / 5`). A hot bucket
+   * (skew ≫ 1) means many indexed docs share a band key, so every probe
+   * hitting it pays a quadratic candidate fan-out — the signal to
+   * rebuild with more bands/rows or to investigate a clone-heavy
+   * corpus. Reads only the long tables (band keys + ids), never text.
+   *
+   * An EMPTY index reports NULL mean/skew rather than 0/0's NaN, for
+   * the same alerting-rule reason as rebalanceCheck.
+   */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = spark.read.parquet(s"$dir/ids").count()
+    val nFiles = tables.map(t =>
+      graft.pipeline.Maintenance.dataFiles(spark, s"$dir/$t").size).sum
+    val buckets = spark.read.parquet(s"$dir/bands")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("occ"))
+    val guarded = when(col("mean_bucket") > 0, col("mean_bucket"))
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_bucket"),
+        avg(col("occ")).as("mean_bucket"))
+      .select(col("band"),
+        col("n_buckets"),
+        col("max_bucket"),
+        TextFunctions.fround(col("mean_bucket"), 4).as("mean_bucket"),
+        TextFunctions.fround(
+          col("max_bucket").cast("double") / guarded, 4).as("skew"),
+        lit(nDocs).as("docs_indexed"),
+        lit(nFiles.toLong).as("data_files"))
+      .orderBy(col("band"))
+  }
+
+  /** [[probe]] + [[commit]] in one call — the convenience path for
+    * callers whose landing step is transactional with the index (tests,
+    * notebooks). Production pipelines that land kept rows in a SEPARATE
+    * store must use the explicit probe → land → commit sequence instead:
+    * this wrapper arms the replay guard BEFORE the caller sees the kept
+    * rows, so a crash between return and landing drops the batch on
+    * replay. */
   def append(incoming: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val (n, perms, bands, rowsPerBand) = params(incoming.sparkSession, dir)
-    // localCheckpoint CUTS the lineage before the commit: a lazy `kept`
+    // localCheckpoint for the same reason as commit's: a lazy `kept`
     // re-evaluated after the index writes would probe against the
     // now-mutated index (every row its own exact dup ⇒ silently empty).
     val kept = probe(incoming, dir, threshold).localCheckpoint(true)
-    writeTables(kept, dir, n, perms, bands, rowsPerBand, overwrite = false)
+    commit(kept, dir)
     kept
   }
 }

@@ -54,6 +54,29 @@ object Maintenance {
   }
 
   /**
+   * Compact ONE flat parquet directory (an unpartitioned table that
+   * accretes small files across appends — e.g. the five
+   * [[graft.llm.DedupIndex]] tables) to `targetFiles` files, with the
+   * same tmp-write + double-rename swap as [[compactPartition]]: racing
+   * readers see the old or the new file set, never a mix, and a crash
+   * between the renames leaves `__graft_old` to roll back from. The
+   * rewrite changes LAYOUT only — row content is preserved exactly.
+   */
+  def compactDir(spark: SparkSession, dir: String,
+      targetFiles: Int = 1): Unit = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    require(f.exists(p), s"no such directory: $dir")
+    val tmp = new Path(dir + "__graft_tmp")
+    val old = new Path(dir + "__graft_old")
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(f.rename(p, old), s"rename $p -> $old failed")
+    require(f.rename(tmp, p), s"rename $tmp -> $p failed")
+    f.delete(old, true)
+  }
+
+  /**
    * Retention-window delete: remove every day-partition directory with
    * date < `cutoff` (yyyy-MM-dd). Pure directory metadata operations —
    * no data is read or rewritten. Returns the number of partitions

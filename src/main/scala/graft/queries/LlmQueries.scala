@@ -910,6 +910,60 @@ object LlmQueries {
   // dual-fingerprint CTEs with the q97 minhash/banding CTEs over the
   // corpus ∪ survivors union, restricting verified pairs to those
   // touching a survivor — exactly the operator's candidate contract.
+  /** The full incremental-keep oracle — rows of `incDef` surviving exact
+    * dual-fingerprint dedup (vs `exDef` and within-batch, min-id kept)
+    * then MinHash-banded near-dedup over the union, restricted to pairs
+    * touching a survivor — as ONE self-contained SELECT (its WITH
+    * RECURSIVE scopes to the statement), so lifecycle oracles can nest
+    * it as a derived table: q111 probes batch B against
+    * corpus ∪ keep(A) by hoisting a stage-1 instance into stage 2's
+    * `prelude` as a MATERIALIZED CTE. The MATERIALIZED is load-bearing:
+    * DuckDB inlines plain CTEs per reference, and `ex` is read three
+    * times (fex/unioned/oldreps) with `unioned` re-inlined again inside
+    * the shingle CTEs — an inline nested stage ran MINUTES where the
+    * materialized form runs ~2 s. Both defs must project
+    * (doc_id, text). */
+  private def incrementalKeepSql(incDef: String, exDef: String,
+      prelude: String = ""): String = {
+    val p48 = graft.functions.LlmExprs.P48.toString
+    s"""WITH RECURSIVE
+       |${prelude}inc AS ($incDef),
+       |ex AS ($exDef),
+       |fin AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS f1,
+       |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSqlMod("text", p48)} END AS f2
+       |  FROM inc WHERE text IS NOT NULL),
+       |fex AS (
+       |  SELECT
+       |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS f1,
+       |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSqlMod("text", p48)} END AS f2
+       |  FROM ex WHERE text IS NOT NULL),
+       |fresh AS (SELECT f.* FROM fin f WHERE NOT EXISTS
+       |  (SELECT 1 FROM fex e WHERE e.f1 = f.f1 AND e.f2 = f.f2)),
+       |keepx AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY f1, f2),
+       |surv AS (SELECT i.* FROM inc i JOIN keepx USING (doc_id)
+       |         UNION ALL SELECT i.* FROM inc i WHERE i.text IS NULL),
+       |unioned AS (SELECT doc_id, text FROM ex
+       |            UNION ALL SELECT doc_id, text FROM surv),
+       |${shingleCtesWithCap(None, "unioned")},
+       |$minhashCandCtes,
+       |prs AS (
+       |  SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+       |  WHERE j.jaccard >= 0.5
+       |    AND (c.id_a IN (SELECT doc_id FROM surv)
+       |      OR c.id_b IN (SELECT doc_id FROM surv))),
+       |$ccClosureCtes,
+       |oldreps AS (SELECT DISTINCT l.rep FROM labels l
+       |            JOIN ex ON ex.doc_id = l.doc_id)
+       |SELECT s.doc_id FROM surv s
+       |LEFT JOIN labels l ON l.doc_id = s.doc_id
+       |LEFT JOIN oldreps o ON o.rep = l.rep
+       |WHERE l.doc_id IS NULL OR (o.rep IS NULL AND l.rep = s.doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val q104 = Q(
     "q104_incremental_dedup",
     (s, d) => {
@@ -920,45 +974,9 @@ object LlmQueries {
         n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")
     },
-    Some {
-      val p48 = graft.functions.LlmExprs.P48.toString
-      s"""WITH RECURSIVE
-         |inc AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
-         |ex AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
-         |fin AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS f1,
-         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSqlMod("text", p48)} END AS f2
-         |  FROM inc WHERE text IS NOT NULL),
-         |fex AS (
-         |  SELECT
-         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSql("text")} END AS f1,
-         |    CASE WHEN length(text) = 0 THEN 0 ELSE ${polyHashSqlMod("text", p48)} END AS f2
-         |  FROM ex WHERE text IS NOT NULL),
-         |fresh AS (SELECT f.* FROM fin f WHERE NOT EXISTS
-         |  (SELECT 1 FROM fex e WHERE e.f1 = f.f1 AND e.f2 = f.f2)),
-         |keepx AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY f1, f2),
-         |surv AS (SELECT i.* FROM inc i JOIN keepx USING (doc_id)
-         |         UNION ALL SELECT i.* FROM inc i WHERE i.text IS NULL),
-         |unioned AS (SELECT doc_id, text FROM ex
-         |            UNION ALL SELECT doc_id, text FROM surv),
-         |${shingleCtesWithCap(None, "unioned")},
-         |$minhashCandCtes,
-         |prs AS (
-         |  SELECT c.id_a, c.id_b FROM cand c
-         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
-         |  WHERE j.jaccard >= 0.5
-         |    AND (c.id_a IN (SELECT doc_id FROM surv)
-         |      OR c.id_b IN (SELECT doc_id FROM surv))),
-         |$ccClosureCtes,
-         |oldreps AS (SELECT DISTINCT l.rep FROM labels l
-         |            JOIN ex ON ex.doc_id = l.doc_id)
-         |SELECT s.doc_id FROM surv s
-         |LEFT JOIN labels l ON l.doc_id = s.doc_id
-         |LEFT JOIN oldreps o ON o.rep = l.rep
-         |WHERE l.doc_id IS NULL OR (o.rep IS NULL AND l.rep = s.doc_id)
-         |ORDER BY s.doc_id""".stripMargin
-    })
+    Some(incrementalKeepSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0",
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0")))
 
   // q106 — the PERSISTED dedup-index serving path (DedupIndex): the
   // corpus's fingerprints/bands/shingles/sizes build ONCE per (JVM,
@@ -981,6 +999,46 @@ object LlmQueries {
       dedupIndexDir(s, d), threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id"),
     q104.oracle)
+
+  // q111 — the APPEND LIFECYCLE, hash-checked end-to-end (q106 checks
+  // probe only): build over corpus = doc_id % 4 ∈ {2,3}, run batch
+  // A = doc_id % 4 = 1 through the land-before-commit protocol
+  // (probe → land → commit), then probe batch B = doc_id % 4 = 0
+  // against corpus + committed-A. The oracle nests one
+  // incrementalKeepSql instance (keep(A) vs corpus) inside a second's
+  // `ex` definition — so the COMMIT path's effect on the next batch is
+  // what the hash compares, not just a single probe.
+  private def dedupLifecycleDir(s: SparkSession, d: String): String =
+    scratchDir("graft_dedup_lifecycle", d, "ids") { dir =>
+      val docs = Tables.documents(s, d)
+      graft.llm.DedupIndex.build(
+        docs.filter(col("doc_id") % 4 >= 2), dir,
+        n = 3, perms = 32, bands = 8, rowsPerBand = 4)
+      val kept = graft.llm.DedupIndex.probe(
+        docs.filter(col("doc_id") % 4 === 1), dir, threshold = 0.5)
+        .localCheckpoint(true)
+      // (the landing store is the caller's; here kept rows go straight
+      // to commit — the crash-window spec lives in CorpusOpsSpec)
+      graft.llm.DedupIndex.commit(kept, dir)
+    }
+  val q111 = Q(
+    "q111_dedup_index_lifecycle",
+    (s, d) => graft.llm.DedupIndex.probe(
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+      dedupLifecycleDir(s, d), threshold = 0.5)
+      .select(col("doc_id")).orderBy("doc_id"),
+    Some {
+      val stage1 = incrementalKeepSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 >= 2")
+      incrementalKeepSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0",
+        s"""SELECT doc_id, text FROM documents WHERE doc_id % 4 >= 2
+           |UNION ALL
+           |SELECT d.doc_id, d.text FROM documents d
+           |JOIN ka USING (doc_id)""".stripMargin,
+        prelude = s"ka AS MATERIALIZED ($stage1),\n")
+    })
 
   // q76 — the END-TO-END curation pipeline, composed from the operators
   // the registry checks individually: near-dup keep-list (q66/q73) →
@@ -2031,5 +2089,5 @@ object LlmQueries {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106, q107, q108, q109, q110)
+    q106, q107, q108, q109, q110, q111)
 }

@@ -228,10 +228,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 106 uniquely-named queries, 102 oracle-checked, qNN prefixes unique") {
+  test("registry: 111 uniquely-named queries, 107 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 106)
-    assert(all.count(_.oracle.isDefined) === 102)
+    assert(all.size === 111)
+    assert(all.count(_.oracle.isDefined) === 107)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -656,6 +656,91 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((12L, Option.empty[String])).toDF("doc_id", "text"), dir)
       .select("doc_id").as[Long].collect()
     assert(fresh === Array(12L))
+  }
+
+  test("DedupIndex: land-before-commit — the replay guard arms only at commit") {
+    val dir = s"$specTmp/dedup_idx_commit"
+    graft.llm.DedupIndex.build(
+      Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text"), dir)
+    val batch = Seq((10L, "kilo lima mike november oscar"),
+      (11L, "papa quebec romeo sierra tango")).toDF("doc_id", "text")
+    val kept = graft.llm.DedupIndex.probe(batch, dir).localCheckpoint(true)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(10L, 11L))
+    // CRASH WINDOW: probe ran, nothing landed, no commit. The replay
+    // must re-keep the identical rows — a guard armed at probe time
+    // would drop them here and the batch would never land anywhere.
+    val reprobe = graft.llm.DedupIndex.probe(batch, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(reprobe === Array(10L, 11L),
+      "replay before commit must re-keep the un-landed batch")
+    // caller lands kept (elsewhere, idempotently), THEN commits:
+    graft.llm.DedupIndex.commit(kept, dir)
+    assert(graft.llm.DedupIndex.probe(batch, dir).isEmpty,
+      "after commit the replay is a no-op")
+    // a retried commit (crash between land and commit-ack) is
+    // idempotent: no index row is written twice
+    val idsBefore = spark.read.parquet(s"$dir/ids").count()
+    val shBefore = spark.read.parquet(s"$dir/shingles").count()
+    graft.llm.DedupIndex.commit(kept, dir)
+    assert(spark.read.parquet(s"$dir/ids").count() === idsBefore)
+    assert(spark.read.parquet(s"$dir/shingles").count() === shBefore)
+  }
+
+  test("DedupIndex: compact collapses append file debris; probe answers are unchanged") {
+    val dir = s"$specTmp/dedup_idx_compact"
+    graft.llm.DedupIndex.build(
+      Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text"), dir)
+    // several appends, each landing its own file set per table
+    (0 until 3).foreach { i =>
+      graft.llm.DedupIndex.append(
+        Seq((10L + i, s"fresh document number $i with words w$i x$i y$i z$i"))
+          .toDF("doc_id", "text"), dir)
+    }
+    val probeBatch = Seq(
+      (50L, "fresh document number 0 with words w0 x0 y0 z0"), // clone of appended
+      (51L, "completely unrelated text about nothing at all")
+    ).toDF("doc_id", "text")
+    val before = graft.llm.DedupIndex.probe(probeBatch, dir)
+      .select("doc_id").as[Long].collect().sorted
+    val filesBefore = graft.pipeline.Maintenance
+      .dataFiles(spark, s"$dir/ids").size
+    assert(filesBefore >= 4, s"expected append debris, got $filesBefore files")
+    graft.llm.DedupIndex.compact(spark, dir)
+    assert(graft.pipeline.Maintenance.dataFiles(spark, s"$dir/ids").size === 1)
+    val after = graft.llm.DedupIndex.probe(probeBatch, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(after === before)
+    assert(after === Array(51L))
+  }
+
+  test("DedupIndex: healthCheck reports occupancy; a clone-heavy corpus flags a hot bucket") {
+    // diverse corpus: every band bucket holds one doc
+    val dDiv = s"$specTmp/dedup_idx_health_div"
+    graft.llm.DedupIndex.build(Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "golf hotel india juliet kilo lima"),
+      (3L, "mike november oscar papa quebec romeo")).toDF("doc_id", "text"), dDiv)
+    val div = graft.llm.DedupIndex.healthCheck(spark, dDiv)
+    assert(div.count() > 0)
+    assert(div.agg(max(col("max_bucket"))).head.getLong(0) === 1L)
+    assert(div.head.getLong(5) === 3L) // docs_indexed
+    // clone-heavy corpus (an index built WITHOUT curation): the clones
+    // share every band key, stacking one hot bucket per band while the
+    // diverse docs spread — max_bucket = clones, skew = max/mean > 1
+    val dHot = s"$specTmp/dedup_idx_health_hot"
+    val clone = "same text repeated verbatim in every document here"
+    val mixed = (1L to 5L).map(i => (i, clone)) ++ Seq(
+      (11L, "alpha bravo charlie delta echo foxtrot"),
+      (12L, "golf hotel india juliet kilo lima"),
+      (13L, "mike november oscar papa quebec romeo"),
+      (14L, "sierra tango uniform victor whiskey xray"),
+      (15L, "yankee zulu anchor bridge castle dragon"))
+    graft.llm.DedupIndex.build(mixed.toDF("doc_id", "text"), dHot)
+    val hot = graft.llm.DedupIndex.healthCheck(spark, dHot)
+    assert(hot.agg(max(col("max_bucket"))).head.getLong(0) === 5L,
+      "five clones must stack in one bucket per band")
+    // per band: occupancies {5, 1, 1, 1, 1, 1} -> mean 10/6, skew 3.0
+    assert(hot.agg(max(col("skew"))).head.getDouble(0) >= 2.5)
   }
 
   test("DedupIndex: probe without build names the missing index, not a schema error") {
