@@ -42,12 +42,17 @@ object DedupIndex {
 
   /** Build the index from an already-curated corpus (the output of
     * [[DedupOps.exactThenNearDedup]] or prior appends). */
+  /** `src` tag of rows written at build time (appends use their own
+    * non-negative batch id; see [[ingestBatch]]'s replay contract). */
+  val BuildSrc = -1L
+
   def build(corpus: DataFrame, dir: String, n: Int = 3, perms: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
     val spark = corpus.sparkSession
     import spark.implicits._
-    writeTables(corpus, dir, n, perms, bands, rowsPerBand, overwrite = true)
+    writeTables(corpus, dir, n, perms, bands, rowsPerBand, overwrite = true,
+      src = BuildSrc)
     Seq((n, perms, bands, rowsPerBand))
       .toDF("n", "perms", "bands", "rows_per_band")
       .write.mode("overwrite").parquet(s"$dir/params")
@@ -74,21 +79,22 @@ object DedupIndex {
    * itself — rows gone without ever being landed anywhere.
    */
   private def writeTables(docs: DataFrame, dir: String, n: Int, perms: Int,
-      bands: Int, rowsPerBand: Int, overwrite: Boolean): Unit = {
+      bands: Int, rowsPerBand: Int, overwrite: Boolean, src: Long): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
+    val tagged = (df: DataFrame) => df.withColumn("src", lit(src))
     val prepped = DedupOps.withShingleHashes(
       docs.select(col("doc_id"), col("text")), n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      DedupOps.bandedKeys(prepped, n, perms, bands, rowsPerBand)
+      tagged(DedupOps.bandedKeys(prepped, n, perms, bands, rowsPerBand))
         .write.mode(mode).parquet(s"$dir/bands")
-      DedupOps.shingleIndex(prepped, n)
+      tagged(DedupOps.shingleIndex(prepped, n))
         .write.mode(mode).parquet(s"$dir/shingles")
-      DedupOps.setSizes(prepped, n)
+      tagged(DedupOps.setSizes(prepped, n))
         .write.mode(mode).parquet(s"$dir/sizes")
-      DedupOps.dualFingerprints(prepped)
+      tagged(DedupOps.dualFingerprints(prepped))
         .write.mode(mode).parquet(s"$dir/fingerprints")
-      prepped.select("doc_id").write.mode(mode).parquet(s"$dir/ids")
+      tagged(prepped.select("doc_id")).write.mode(mode).parquet(s"$dir/ids")
     } finally prepped.unpersist(false)
   }
 
@@ -110,19 +116,26 @@ object DedupIndex {
     * the only guard that covers null-text rows (they have no fingerprint
     * to match, so without it every replay would re-keep and re-land
     * them — duplicate doc_ids in the corpus). */
-  def probe(incoming: DataFrame, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+  def probe(incoming: DataFrame, dir: String, threshold: Double = 0.5,
+      excludeSrc: Option[Long] = None): DataFrame = {
     val spark = incoming.sparkSession
     val (n, perms, bands, rowsPerBand) = params(spark, dir)
-    val unseen = incoming.join(spark.read.parquet(s"$dir/ids"),
-      Seq("doc_id"), "left_anti")
-    val fps = spark.read.parquet(s"$dir/fingerprints")
+    // excludeSrc drops THIS batch's own prior index rows from every
+    // table before any join — the replay determinism [[ingestBatch]]
+    // rests on (a replayed batch must not exact-match its own earlier
+    // commit, which would probe to empty and erase its landed output).
+    def tbl(name: String): DataFrame = {
+      val t = spark.read.parquet(s"$dir/$name")
+      excludeSrc.fold(t)(s => t.filter(col("src") =!= s)).drop("src")
+    }
+    val unseen = incoming.join(tbl("ids"), Seq("doc_id"), "left_anti")
+    val fps = tbl("fingerprints")
     DedupOps.incrementalKeep(
       DedupOps.exactSurvivors(fps.select("f1", "f2"), unseen),
       existingIds = fps.select("doc_id"),
-      exBands = spark.read.parquet(s"$dir/bands"),
-      exIndex = spark.read.parquet(s"$dir/shingles"),
-      exSizes = spark.read.parquet(s"$dir/sizes"),
+      exBands = tbl("bands"),
+      exIndex = tbl("shingles"),
+      exSizes = tbl("sizes"),
       n, perms, bands, rowsPerBand, threshold)
   }
 
@@ -149,7 +162,7 @@ object DedupIndex {
    * double-indexes (a commit torn MID-write still degrades conservative,
    * never lossy — see [[writeTables]]'s ordering contract).
    */
-  def commit(kept: DataFrame, dir: String): Unit = {
+  def commit(kept: DataFrame, dir: String, src: Long = BuildSrc): Unit = {
     val spark = kept.sparkSession
     val (n, perms, bands, rowsPerBand) = params(spark, dir)
     // localCheckpoint CUTS the lineage before the writes: a lazy frame
@@ -158,7 +171,7 @@ object DedupIndex {
       Seq("doc_id"), "left_anti").localCheckpoint(true)
     if (!fresh.isEmpty)
       writeTables(fresh, dir, n, perms, bands, rowsPerBand,
-        overwrite = false)
+        overwrite = false, src = src)
   }
 
   /** The five index tables, in [[writeTables]]'s crash-contract order. */
@@ -216,6 +229,50 @@ object DedupIndex {
         lit(nFiles.toLong).as("data_files"))
       .orderBy(col("band"))
   }
+
+  /**
+   * One micro-batch of the streaming ingest protocol: probe → land
+   * ([[graft.streaming.IdempotentSink.landBatch]]'s per-batch overwrite)
+   * → commit, with the index rows this batch commits tagged `src =
+   * batchId`. This is the reference's at-least-once "handle duplicates
+   * downstream" contract (README "Important Notice") upgraded to
+   * exactly-once INTO the landed table:
+   *
+   * Structured Streaming replays a failed batch under the SAME batchId
+   * with the same source offsets, so every crash window replays clean:
+   *  - before land: nothing observable happened;
+   *  - after land, before commit: the probe re-answers identically (its
+   *    own src rows aren't in the index yet), the overwrite replaces the
+   *    batch directory with the same rows, commit completes;
+   *  - after commit: the probe EXCLUDES this batch's own src rows —
+   *    without that exclusion the replay would exact-match its own
+   *    earlier commit, probe to empty, and the idempotent overwrite
+   *    would ERASE the landed batch — so it re-answers identically, the
+   *    overwrite is a no-op rewrite, and commit's ids guard skips every
+   *    row (no duplicate index rows).
+   * Exposed (curried) so the replay spec can drive the same function
+   * twice with one batchId.
+   */
+  def ingestBatch(dir: String, landDir: String, threshold: Double = 0.5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val kept = probe(batch, dir, threshold, excludeSrc = Some(batchId))
+      .localCheckpoint(true)
+    graft.streaming.IdempotentSink.landBatch(kept, landDir, batchId)
+    commit(kept, dir, src = batchId)
+  }
+
+  /** The checkpointed stream → probe → land → commit pipeline:
+    * [[ingestBatch]] under foreachBatch. The landed table accretes
+    * `batch=<id>` partitions of deduplicated rows; the index accretes
+    * their derived tables ([[compact]] folds both kinds of debris). */
+  def ingestStream(stream: DataFrame, dir: String, landDir: String,
+      checkpoint: String, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) =>
+        ingestBatch(dir, landDir, threshold)(df, id))
+      .start()
 
   /** [[probe]] + [[commit]] in one call — the convenience path for
     * callers whose landing step is transactional with the index (tests,

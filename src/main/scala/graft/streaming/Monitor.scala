@@ -91,4 +91,21 @@ object Monitor {
   def sinkSnapshot(name: String): Option[SinkStats] =
     Option(sinks.get(name)).map(m =>
       SinkStats(m.sent.value, m.retried.value, m.dropped.value))
+
+  /** Deregister a sink when its query terminates, returning the final
+    * counter snapshot (for a last scrape/log line). The registry is
+    * static so scrapers can reach it without plumbing; without this
+    * hook a long-lived driver cycling queries leaks one Metrics entry —
+    * and its backing accumulators — per restart, forever. */
+  def unregisterSink(name: String): Option[SinkStats] = {
+    val last = sinkSnapshot(name)
+    sinks.remove(name)
+    last
+  }
+
+  /** Remove a listener attached by [[attach]] — the companion bound for
+    * the listener-bus side: each attach registers driver-side state that
+    * outlives the queries it watched. */
+  def detach(spark: SparkSession, l: Listener): Unit =
+    spark.streams.removeListener(l)
 }

@@ -743,6 +743,76 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hot.agg(max(col("skew"))).head.getDouble(0) >= 2.5)
   }
 
+  test("DedupIndex: streaming ingest (probe->land->commit) equals the sequential batch protocol") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha bravo charlie delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    val freshX = "kilo lima mike november oscar papa quebec romeo"
+    val batchA = Seq(
+      (10L, freshX),
+      (11L, "alpha bravo charlie delta echo foxtrot")) // clone of corpus
+    val batchB = Seq(
+      (20L, freshX), //                                   clone of A's kept doc
+      (21L, "kilo lima mike november oscar papa quebec zulu"), // near-dup of it
+      (22L, "uniform victor whiskey xray yankee golfer hotelier indiana"))
+    val dirS = s"$specTmp/dedup_ingest_stream"
+    val dirB = s"$specTmp/dedup_ingest_batch"
+    graft.llm.DedupIndex.build(corpus, dirS)
+    graft.llm.DedupIndex.build(corpus, dirB)
+    // streaming side: two micro-batches through the checkpointed pipeline
+    val source = MemoryStream[(Long, String)]
+    val land = s"$specTmp/dedup_ingest_land"
+    val q = graft.llm.DedupIndex.ingestStream(
+      source.toDF().toDF("doc_id", "text"), dirS, land,
+      checkpoint = s"$specTmp/dedup_ingest_ckpt")
+    try {
+      source.addData(batchA: _*); q.processAllAvailable()
+      source.addData(batchB: _*); q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(land)
+      .select("doc_id").as[Long].collect().sorted
+    // batch side: the explicit probe -> (land elsewhere) -> commit, twice
+    val keptA = graft.llm.DedupIndex.probe(batchA.toDF("doc_id", "text"), dirB)
+      .localCheckpoint(true)
+    graft.llm.DedupIndex.commit(keptA, dirB, src = 0L)
+    val keptB = graft.llm.DedupIndex.probe(batchB.toDF("doc_id", "text"), dirB)
+      .localCheckpoint(true)
+    graft.llm.DedupIndex.commit(keptB, dirB, src = 1L)
+    val viaBatch = (keptA.select("doc_id").as[Long].collect() ++
+      keptB.select("doc_id").as[Long].collect()).sorted
+    assert(landed === viaBatch)
+    assert(landed === Array(10L, 22L),
+      "clone-of-corpus, clone-of-A and near-dup-of-A must all drop")
+  }
+
+  test("DedupIndex: a replayed ingest batch after full commit neither erases nor duplicates") {
+    val dir = s"$specTmp/dedup_ingest_replay"
+    val land = s"$specTmp/dedup_ingest_replay_land"
+    graft.llm.DedupIndex.build(
+      Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text"), dir)
+    val batch = Seq((10L, "kilo lima mike november oscar"),
+      (11L, "papa quebec romeo sierra tango")).toDF("doc_id", "text")
+    graft.llm.DedupIndex.ingestBatch(dir, land)(batch, 7L)
+    val landed1 = spark.read.parquet(land).select("doc_id")
+      .as[Long].collect().sorted
+    assert(landed1 === Array(10L, 11L))
+    val idsN = spark.read.parquet(s"$dir/ids").count()
+    // failure-recovery replay: same batchId, same offsets, AFTER the
+    // commit armed the guard. Without the src-exclusion the probe would
+    // answer empty and the idempotent overwrite would ERASE the batch.
+    graft.llm.DedupIndex.ingestBatch(dir, land)(batch, 7L)
+    val landed2 = spark.read.parquet(land).select("doc_id")
+      .as[Long].collect().sorted
+    assert(landed2 === landed1, "replay must not erase the landed batch")
+    assert(spark.read.parquet(s"$dir/ids").count() === idsN,
+      "replay must not duplicate index rows")
+    // and a LATER batch still dedups against the replayed one
+    val next = graft.llm.DedupIndex.probe(
+      Seq((20L, "kilo lima mike november oscar")).toDF("doc_id", "text"), dir)
+    assert(next.isEmpty)
+  }
+
   test("DedupIndex: probe without build names the missing index, not a schema error") {
     val e = intercept[IllegalStateException] {
       graft.llm.DedupIndex.probe(

@@ -482,5 +482,12 @@ class StreamingSpec extends SparkSpec {
     assert(snap === Some(Monitor.SinkStats(sent = 0L, retried = 4L, dropped = 2L)),
       s"got $snap")
     assert(Monitor.sinkSnapshot("unregistered").isEmpty)
+    // query done -> deregister: final counters come back for a last
+    // scrape, and the static registry stops holding the entry
+    val last = Monitor.unregisterSink("kafka_sink")
+    assert(last === snap)
+    assert(Monitor.sinkSnapshot("kafka_sink").isEmpty,
+      "unregistered sink must leave the registry")
+    assert(Monitor.unregisterSink("kafka_sink").isEmpty)
   }
 }
