@@ -2085,9 +2085,73 @@ object LlmQueries {
          |WHERE r.cum_tokens - r.n_tokens < q.quota
          |ORDER BY source, rnk""".stripMargin))
 
+  // q112 — learned quality-classifier gate (the fasttext-gate shape):
+  // nearest-centroid student distilled from the q37 heuristic teacher.
+  // Training is a closed-form single aggregate (per-class integer feature
+  // sums — deterministic, no SGD); classification compares
+  // cross-multiplied L1 distances in exact integer arithmetic
+  // (DECIMAL(38,0) ↔ HUGEINT), so the LEARNED model itself is
+  // hash-checked, not just a fixed-weight score.
+  val q112 = Q(
+    "q112_classifier_gate",
+    (s, d) => graft.llm.Classifier.qualityTeacherGate(
+      Tables.documents(s, d)).orderBy("doc_id"),
+    Some {
+      val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+      val absDist = (pfx: String, cnt: String) => (1 to 5).map(i =>
+        s"abs(CAST(f$i AS HUGEINT) * $cnt - $pfx$i)").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |         string_split(coalesce(text, ''), ' ') AS ws
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_raw,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS f1,
+         |    CAST(length(t) AS BIGINT) AS f2,
+         |    CAST(length(replace(t, ' ', '')) AS BIGINT) AS f5n
+         |  FROM w),
+         |feat AS (
+         |  SELECT doc_id, f1, f2,
+         |    n_distinct * 10000 // n_raw AS f3,
+         |    n_stop * 10000 // n_raw AS f4,
+         |    f5n * 10000 // greatest(f1, 1) AS f5,
+         |    CASE WHEN ${Det.frSql(
+        """least(CAST(n_raw AS DOUBLE) / 100.0, 1.0) * 0.4
+          |      + CAST(n_distinct AS DOUBLE) / n_raw * 0.3
+          |      + (1.0 - CAST(n_stop AS DOUBLE) / n_raw) * 0.3""".stripMargin,
+        4)} >= 0.5
+         |         THEN 1 ELSE 0 END AS label
+         |  FROM s),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_neg,
+         |    ${(1 to 5).map(i =>
+        s"CAST(sum(CASE WHEN label = 1 THEN f$i ELSE 0 END) AS HUGEINT) AS sp$i, " +
+          s"CAST(sum(CASE WHEN label = 0 THEN f$i ELSE 0 END) AS HUGEINT) AS sn$i")
+        .mkString(",\n    ")}
+         |  FROM feat)
+         |SELECT doc_id, label,
+         |  CASE WHEN c_pos = 0 THEN 0
+         |       WHEN c_neg = 0 THEN 1
+         |       WHEN CAST(c_neg AS HUGEINT) * (${absDist("sp", "c_pos")})
+         |         <= CAST(c_pos AS HUGEINT) * (${absDist("sn", "c_neg")})
+         |       THEN 1 ELSE 0 END AS pred,
+         |  CAST(label = (CASE WHEN c_pos = 0 THEN 0
+         |       WHEN c_neg = 0 THEN 1
+         |       WHEN CAST(c_neg AS HUGEINT) * (${absDist("sp", "c_pos")})
+         |         <= CAST(c_pos AS HUGEINT) * (${absDist("sn", "c_neg")})
+         |       THEN 1 ELSE 0 END) AS INT) AS agree
+         |FROM feat CROSS JOIN c
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106, q107, q108, q109, q110, q111)
+    q106, q107, q108, q109, q110, q111, q112)
 }

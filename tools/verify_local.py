@@ -10,6 +10,7 @@ Usage: verify_local.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -34,6 +35,14 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     failures = 0
     for name in sorted(oracles):
+        # A filtered graft.Verify run (SPARK_GRAFT_ONLY) dumps a subset;
+        # compare only what was dumped instead of spamming FAILs for the
+        # rest. A FULL run that silently failed a query still fails here,
+        # because Verify always mkdirs outDir before the loop and a
+        # successful write leaves the per-query dir present.
+        if os.environ.get("SPARK_GRAFT_ONLY") and not os.path.isdir(
+                f"{out_dir}/{name}"):
+            continue
         sql = oracles[name]
         try:
             rel = con.sql(sql)
