@@ -288,4 +288,134 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w))
   }
+
+  /** Adjacent word pairs of a token array column — the shared bigram
+    * explode of [[collocationsTopK]] and [[bigramSurprisal]]. Caller
+    * filters `size(ws) >= 2` first (sequence(0, -1) would DESCEND). */
+  private def adjacentPairs(ws: Column): Column =
+    explode(transform(sequence(lit(0), size(ws) - 2), i =>
+      struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
+
+  /**
+   * Bigram-LM surprisal scoring — the CCNet/KenLM quality-filter shape:
+   * train an add-one-smoothed bigram model on a reference slice, score
+   * every document by its mean per-bigram surprisal, and let the caller
+   * gate on the score (low surprisal ≈ reference-like prose; high ≈
+   * gibberish or out-of-domain). A document's bigram (x, y) costs
+   *
+   *   bits = bitlen(c(x) + V) − bitlen(c(x,y) + 1)
+   *
+   * — the integer bit-length gap of the add-one-smoothed conditional
+   * probability (q87's surprisal trick, `length(bin(n))` on both
+   * engines), so the per-doc sum is EXACT integer arithmetic and the
+   * mean is one IEEE division + fround. Counts absent from the model
+   * read 0 (the left joins' nulls), which IS the smoothing floor:
+   * an unseen continuation of an unseen word costs bitlen(V) − 1 bits.
+   *
+   * Output: one row per document — (doc_id, n_bigrams, surprisal_bits,
+   * avg_surprisal); docs with < 2 tokens emit (0, 0, 0.0) rather than
+   * vanishing (a junk class a quality gate must SEE).
+   *
+   * Scale shape: model counts are map-side-combined hash aggregates over
+   * the training slice; the doc-side probes are (w1, w2)- and w1-keyed
+   * equi-joins (AQE broadcasts the model when it is small — with a
+   * `minCount` prune a web-scale bigram table is exactly the "model
+   * fits in memory" artifact KenLM ships); V rides one broadcast row;
+   * the per-doc re-aggregation is an integer sum keyed on doc_id. Text
+   * bytes never shuffle — only exploded term pairs do.
+   */
+  def bigramSurprisal(docs: DataFrame, train: DataFrame,
+      minCount: Long = 1L): DataFrame = {
+    val toksOf = (d: DataFrame, cols: Seq[Column]) => d.select(
+      cols :+ filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "").as("ws"): _*)
+    val trainToks = toksOf(train, Seq.empty)
+    val uni = trainToks.select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_x"))
+    // V = |vocab| BEFORE the minCount prune: the smoothing denominator
+    // describes the event space, not the shipped artifact
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = trainToks.filter(size(col("ws")) >= 2)
+      .select(adjacentPairs(col("ws")).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uniKept = uni.filter(col("c_x") >= minCount)
+    val docBi = toksOf(docs, Seq(col("doc_id")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), adjacentPairs(col("ws")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = docBi
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uniKept, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("c_x"), lit(0L)) + col("v"))) -
+          length(bin(coalesce(col("c_xy"), lit(0L)) + lit(1L))))
+          .cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(col("n_bigrams") > 0,
+          TextFunctions.fround(col("surprisal_bits").cast("double") /
+            col("n_bigrams").cast("double"), 4))
+          .otherwise(lit(0.0)).as("avg_surprisal"))
+  }
+
+  /**
+   * Reciprocal-rank fusion of two ranked candidate lists — the standard
+   * hybrid-retrieval combiner (sparse BM25 ∪ dense cosine). Each list
+   * contributes floor(10⁹ / (kRrf + rank)) — the RRF term scaled to
+   * EXACT integer division (`div` / `//` on both engines), so the fused
+   * score is a BIGINT sum, never a float. Ids in only one list score
+   * with the other contribution 0 (their absent rank reads 0 in the
+   * output). Ties break on doc_id.
+   *
+   * Both inputs are top-k lists (≤ kCand rows), so the full-outer fuse
+   * join and the final rank window are trivially small no matter the
+   * corpus size — the heavy lifting happened in the upstream rankers.
+   */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    val contrib = expr(s"1000000000 div ($kRrf + rank)")
+    val a = sparse.select(col("doc_id"), col("rank").as("r_sparse"),
+      contrib.cast("long").as("c_a"))
+    val b = dense.select(col("doc_id"), col("rank").as("r_dense"),
+      contrib.cast("long").as("c_b"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(0)).cast("int").as("r_sparse"),
+        coalesce(col("r_dense"), lit(0)).cast("int").as("r_dense"),
+        (coalesce(col("c_a"), lit(0L)) + coalesce(col("c_b"), lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /**
+   * Hybrid top-`k` over a corpus carrying BOTH text and an embedding
+   * (documents ⋈ embeddings on doc_id = vec_id): BM25 candidates for the
+   * query terms, brute-force cosine candidates for the query vector,
+   * fused by [[rrfFuse]]. `kCand` bounds each candidate list (the usual
+   * 2–10× over-retrieve before fusion). The dense side is
+   * [[SimilaritySearch.bruteForceTopK]] — swap in the IVF/LSH variants
+   * at corpus scale; the fusion is ranker-agnostic by construction.
+   */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      kCand: Int = 20, kRrf: Int = 60): DataFrame = {
+    val sparse = bm25TopK(docs, queryTerms, kCand, k1 = 1.5, b = 0.75,
+      logIdf = false).select(col("doc_id"), col("rank"))
+    val corpus = embeddings.join(
+      docs.select(col("doc_id")),
+      embeddings("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    val dense = SimilaritySearch.bruteForceTopK(corpus, queryVec, kCand)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(sparse, dense, k, kRrf)
+  }
 }

@@ -538,6 +538,73 @@ object TextAnalysis {
   }
 
   /**
+   * Epoch-aware mixture UPSAMPLING — what [[mixtureSampleTokens]] does
+   * when a source's token quota EXCEEDS its size: instead of truncating
+   * at one pass, the source is repeated. Source s with token mass nₛ and
+   * quota qₛ (same α = 1/2 integer-scaled weights and DECIMAL(38,0)
+   * division as the subsampler) contributes
+   *
+   *   epochsₛ = min(qₛ div nₛ, maxEpochs)   full passes, plus
+   *   a fractional top-up of qₛ − epochsₛ·nₛ tokens (only below the cap)
+   *
+   * filled in the deterministic salted-hash order — the LLaMA/Pile
+   * "epochs per source" recipe, with `maxEpochs` as the standard
+   * repetition guard (repeating a small source beyond a few epochs is
+   * memorization, not signal). Emits one row per (document, epoch):
+   * (doc_id, group, n_tokens, epoch ∈ [0, occurrences), rnk), so
+   * downstream packing/shuffling sees each repetition as a row.
+   *
+   * Scale shape: identical to [[mixtureSampleTokensBy]] — one
+   * [[graft.ops.PrefixRank.keyedPrefix]] pass (bucketed ranks, never a
+   * per-source window), the per-source plan broadcast as one tiny table,
+   * and the repetition an `explode(sequence(...))` at scan stage (a doc
+   * row fans out to its epoch count with no extra shuffle). Zero-token
+   * sources (or an all-empty corpus) yield epochsₛ = 0 and no rows
+   * rather than a division error.
+   */
+  def epochMixtureTokens(docs: DataFrame, groupCol: String = "source",
+      tokenBudget: Long = 10000L, maxEpochs: Int = 4,
+      salt: String = "graft"): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val toks = docs.withColumn("n_tokens",
+      coalesce(size(filter(words(col("text")), w => w =!= "")).cast("long"),
+        lit(0L)))
+    val weights = toks.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("tok_grp"))
+      .withColumn("w",
+        floor(sqrt(col("tok_grp").cast("double")) * 10000d + lit(0.5)).cast("long"))
+    val tot = weights.agg(sum(col("w")).as("w_total"))
+    // Same DECIMAL(38,0) widening as the subsampler's quota; epochs and
+    // the remainder stay in exact integer arithmetic throughout.
+    val plan = weights.crossJoin(
+      org.apache.spark.sql.functions.broadcast(tot))
+      .select(col(groupCol), col("tok_grp"),
+        expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
+          .as("quota"))
+      .select(col(groupCol), col("tok_grp"), col("quota"),
+        when(col("tok_grp") > 0,
+          least(expr("quota div tok_grp"), lit(maxEpochs.toLong)))
+          .otherwise(lit(0L)).as("epochs"))
+      .select(col(groupCol), col("epochs"),
+        when(col("epochs") < maxEpochs,
+          col("quota") - col("epochs") * col("tok_grp"))
+          .otherwise(lit(0L)).as("rem"))
+    graft.ops.PrefixRank.keyedPrefix(toks, Seq(groupCol), saltedKey(salt),
+      P, col("doc_id"), sums = Seq((col("n_tokens"), "cum_tokens")))
+      .join(org.apache.spark.sql.functions.broadcast(plan), groupCol)
+      .withColumn("occurrences",
+        col("epochs") +
+          when(col("cum_tokens") - col("n_tokens") < col("rem"), 1L)
+            .otherwise(0L))
+      // sequence(0, -1) DESCENDS in Spark — guard before exploding
+      .filter(col("occurrences") >= 1L)
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("rnk"),
+        explode(sequence(lit(0L), col("occurrences") - 1L)).as("epoch"))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        col("epoch"), col("rnk"))
+  }
+
+  /**
    * Graded n-gram contamination against a benchmark set — the
    * finer-grained companion to [[decontaminated]]'s whole-document
    * fingerprint: a document that EMBEDS a benchmark item (quotes a test

@@ -2149,9 +2149,145 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  // q113 — bigram-LM surprisal scoring (the CCNet/KenLM quality-filter
+  // shape): add-one-smoothed bigram model trained on the doc_id % 4 = 0
+  // reference slice, every document scored by mean per-bigram surprisal.
+  // Surprisal is the integer bit-length gap bitlen(c_x + V) −
+  // bitlen(c_xy + 1) — q87's `length(bin(n))` trick — so the per-doc sum
+  // is exact integer arithmetic and the mean one division + fround.
+  val q113 = Q(
+    "q113_bigram_surprisal",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Retrieval.bigramSurprisal(docs,
+        docs.filter(col("doc_id") % 4 === 0)).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+         |           w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS surprisal_bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.surprisal_bits, 0) AS surprisal_bits,
+         |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |       THEN ${Det.frSql(
+               "CAST(sc.surprisal_bits AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)", 4)}
+         |       ELSE 0.0 END AS avg_surprisal
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q114 — epoch-aware mixture UPSAMPLING (the LLaMA/Pile "epochs per
+  // source" recipe): quota div source-mass full passes (capped at
+  // maxEpochs = 3) plus a salted-hash-prefix fractional top-up; one
+  // output row per (doc, epoch). Budget 70 000 ≈ 2.6× the sf0.01 corpus,
+  // so full epochs AND the repetition cap both bind.
+  val q114 = Q(
+    "q114_epoch_mixture",
+    (s, d) => TextAnalysis.epochMixtureTokens(Tables.documents(s, d), "source",
+      tokenBudget = 70000L, maxEpochs = 3).orderBy("source", "rnk", "epoch"),
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |      w -> w <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+         |        FROM toks GROUP BY 1),
+         |w AS (SELECT source, tok_grp,
+         |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |plan AS (SELECT source, tok_grp,
+         |           CAST((CAST(70000 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
+         |         FROM w CROSS JOIN tot),
+         |ep0 AS (SELECT source, tok_grp, quota,
+         |          CASE WHEN tok_grp > 0
+         |               THEN least(quota // tok_grp, CAST(3 AS BIGINT))
+         |               ELSE CAST(0 AS BIGINT) END AS epochs
+         |        FROM plan),
+         |ep AS (SELECT source, epochs,
+         |         CASE WHEN epochs < 3 THEN quota - epochs * tok_grp
+         |              ELSE CAST(0 AS BIGINT) END AS rem
+         |       FROM ep0),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM toks),
+         |occ AS (
+         |  SELECT r.doc_id, r.source, r.n_tokens, r.rnk,
+         |    e.epochs + CASE WHEN r.cum_tokens - r.n_tokens < e.rem
+         |                    THEN 1 ELSE 0 END AS occurrences
+         |  FROM ranked r JOIN ep e USING (source))
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(unnest(range(occurrences)) AS BIGINT) AS epoch, rnk
+         |FROM occ ORDER BY source, rnk, epoch""".stripMargin))
+
+  // q115 — hybrid retrieval with reciprocal-rank fusion: BM25 top-20
+  // (sparse) ∪ brute-force cosine top-20 for query vector 300 (dense,
+  // over the documents ⋈ embeddings on doc_id = vec_id corpus), fused by
+  // floor(10⁹/(60+rank)) integer RRF contributions — the fused score is
+  // a BIGINT sum, exact on both engines. Absent ranks read 0.
+  val q115 = Q(
+    "q115_hybrid_rrf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      graft.llm.Retrieval.hybridTopK(docs, emb, bmTerms,
+        emb.filter(col("vec_id") === 300), k = 10, kCand = 20)
+        .orderBy("rank")
+    },
+    Some(
+      s"""WITH ${bm25Ctes("documents")},
+         |sp AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM (SELECT doc_id, ${bmTerms.indices.map(i => s"s_$i").mkString(" + ")} AS score
+         |        FROM agg ORDER BY score DESC, doc_id LIMIT 20)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 300),
+         |cd AS (SELECT e.vec_id AS doc_id, ${cosineSql("e.embedding", "q.qe")} AS cos
+         |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |       CROSS JOIN q
+         |       WHERE e.vec_id <> 300),
+         |de AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank
+         |  FROM (SELECT * FROM cd ORDER BY cos DESC, doc_id LIMIT 20)),
+         |f AS (
+         |  SELECT doc_id,
+         |    coalesce(a.rank, 0) AS r_sparse, coalesce(b.rank, 0) AS r_dense,
+         |    CAST(coalesce(1000000000 // (60 + a.rank), 0) +
+         |         coalesce(1000000000 // (60 + b.rank), 0) AS BIGINT) AS rrf
+         |  FROM sp a FULL OUTER JOIN de b USING (doc_id))
+         |SELECT doc_id, r_sparse, r_dense, rrf,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
+         |ORDER BY rank""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
 }

@@ -226,12 +226,100 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === n)
   }
 
+  // ------------------------------------------------ q113 bigram surprisal
+
+  test("bigramSurprisal: in-domain prose scores below unseen gibberish") {
+    // enough training mass that a seen bigram's bit-gap drops below the
+    // unseen floor (at singleton counts the integer bit-length can't
+    // discriminate — bitlen granularity is the price of exactness)
+    val train = (100L to 107L).map((_, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the mat"), // every bigram seen in training
+      (2L, "zq xv qqj zzk wpl mmx"), //  nothing seen
+      (3L, "one"), //                    < 2 tokens: no bigrams
+      (4L, null.asInstanceOf[String]) // null text: no bigrams
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bigramSurprisal(score, train).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got(0)._2 === 5L && got(1)._2 === 5L)
+    assert(got(0)._4 < got(1)._4,
+      s"in-domain ${got(0)._4} must score below gibberish ${got(1)._4}")
+    assert(got(2) === ((3L, 0L, 0L, 0.0)))
+    assert(got(3) === ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("bigramSurprisal: unseen continuation costs bitlen(c_x+V) - 1 bits") {
+    // Model: one doc "a b", so V = 2, c(a) = 1, c(a,b) = 1.
+    val train = Seq((100L, "a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"), // seen bigram: bitlen(1+2) - bitlen(1+1) = 2 - 2 = 0
+      (2L, "a z"), // unseen continuation: bitlen(3) - bitlen(1) = 2 - 1 = 1
+      (3L, "z z")  // unseen head: bitlen(0+2) - bitlen(0+1) = 2 - 1 = 1
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bigramSurprisal(score, train).orderBy("doc_id")
+      .select("doc_id", "surprisal_bits").as[(Long, Long)].collect()
+    assert(got === Array((1L, 0L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ------------------------------------------------ q114 epoch upsampling
+
+  test("epochMixtureTokens: quota above source mass repeats full epochs + top-up") {
+    // One source, 2 docs x 2 tokens = 4 tokens; budget 10 -> quota 10:
+    // epochs = min(10 div 4, 3) = 2, rem = 10 - 8 = 2 -> the top-up
+    // admits exactly the first doc in salted-hash order a third time.
+    val corpus = Seq((1L, "s", "w1 w2"), (2L, "s", "w3 w4"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.epochMixtureTokens(corpus, "source",
+      tokenBudget = 10L, maxEpochs = 3)
+    assert(got.count() === 5L) // 2 docs x 2 epochs + 1 top-up row
+    val perDoc = got.groupBy("doc_id").count().orderBy("doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.values.toSeq.sorted === Seq(2L, 3L))
+    // epochs are 0-based and contiguous per doc
+    val eps = got.filter(col("doc_id") === perDoc.maxBy(_._2)._1)
+      .select("epoch").as[Long].collect().sorted
+    assert(eps === Array(0L, 1L, 2L))
+  }
+
+  test("epochMixtureTokens: maxEpochs caps repetition and zeroes the top-up") {
+    val corpus = Seq((1L, "s", "w1 w2")).toDF("doc_id", "source", "text")
+    // quota = 100 over mass 2 -> uncapped 50 epochs; cap at 3, rem = 0
+    val got = TextAnalysis.epochMixtureTokens(corpus, "source",
+      tokenBudget = 100L, maxEpochs = 3)
+    assert(got.count() === 3L)
+  }
+
+  test("epochMixtureTokens with epochs = 0 selects the subsampler's rows") {
+    // Budget below every source's mass -> 0 full epochs, top-up only:
+    // the selected (doc, source) set must equal mixtureSampleTokens'.
+    val up = TextAnalysis.epochMixtureTokens(docs, "source",
+      tokenBudget = 500L, maxEpochs = 3).select("doc_id", "source")
+    val sub = TextAnalysis.mixtureSampleTokens(docs, "source",
+      tokenBudget = 500L).select("doc_id", "source")
+    assert(up.exceptAll(sub).isEmpty && sub.exceptAll(up).isEmpty)
+  }
+
+  // ------------------------------------------------ q115 RRF hybrid fusion
+
+  test("rrfFuse: doc in both lists outranks single-list docs; exact contributions") {
+    val sparse = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
+    val dense = Seq((10L, 2), (30L, 1)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(sparse, dense, k = 3).orderBy("rank")
+      .select("doc_id", "r_sparse", "r_dense", "rrf")
+      .as[(Long, Int, Int, Long)].collect()
+    val c = (r: Int) => 1000000000L / (60L + r)
+    assert(got(0) === ((10L, 1, 2, c(1) + c(2)))) // present in both wins
+    assert(Set(got(1)._1, got(2)._1) === Set(20L, 30L))
+    assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse)
+  }
+
   // --------------------------------------------------- registry invariants
 
-  test("registry: 111 uniquely-named queries, 107 oracle-checked, qNN prefixes unique") {
+  test("registry: 115 uniquely-named queries, 111 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 111)
-    assert(all.count(_.oracle.isDefined) === 107)
+    assert(all.size === 115)
+    assert(all.count(_.oracle.isDefined) === 111)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
