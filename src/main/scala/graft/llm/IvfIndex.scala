@@ -47,10 +47,41 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
-  /** Assign new vectors against the frozen centroids and append. */
-  def append(vectors: DataFrame, dir: String): Unit =
-    SimilaritySearch.assignCells(vectors, centroids(vectors.sparkSession, dir))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  /** Assign new vectors against the frozen centroids and append —
+    * IDEMPOTENTLY: vec_ids already assigned are skipped, so an
+    * at-least-once caller (a replayed ingest batch) never double-indexes
+    * a vector. The guard is observable, not cosmetic — a duplicated
+    * vector surfaces as repeated neighbor rows in [[search]] output.
+    * The unseen set is checkpointed before the write so the anti-join's
+    * lazy scan can never list the directory it is appending to
+    * mid-write (the same lineage-cut reasoning as
+    * [[DedupIndex.commit]]). The anti-join reads ONE long column of the
+    * assignments table; at billion-vector scale run [[compact]] on a
+    * cadence so that read stays a few large files per cell. */
+  def append(vectors: DataFrame, dir: String): Unit = {
+    val spark = vectors.sparkSession
+    val unseen = vectors.join(
+      spark.read.parquet(s"$dir/assignments").select("vec_id"),
+      Seq("vec_id"), "left_anti").localCheckpoint(true)
+    if (!unseen.isEmpty)
+      SimilaritySearch.assignCells(unseen, centroids(spark, dir))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  /** Small-file compaction for the cell-partitioned tables ([[append]]
+    * lands one file set per touched cell per batch): rewrites
+    * `assignments` — and `pq_codes` when the PQ layout is present — to
+    * one file per cell via [[graft.pipeline.Maintenance
+    * .compactHivePartitioned]]'s table-level double-rename swap. Row
+    * content, and therefore every search answer, is unchanged.
+    * `centroids`/`pq_codebooks` are single-write tables and never need
+    * it. Run on a schedule, not in the append path. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    Seq("assignments", "pq_codes").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        graft.pipeline.Maintenance.compactHivePartitioned(spark, s"$dir/$t", "cell")
+    }
 
   /**
    * Cell-balance report for the rebuild-cadence decision [[append]]

@@ -77,6 +77,34 @@ object Maintenance {
   }
 
   /**
+   * Compact a WHOLE hive-partitioned table (e.g. [[graft.llm.IvfIndex]]'s
+   * cell-partitioned `assignments`/`pq_codes`, which accrete one file
+   * set per touched cell per append) in one job: read the table with its
+   * partition column, shuffle each partition's rows onto one task
+   * (`repartition(partCol)` — hash placement puts every row of a cell on
+   * a single task, so dynamic partitioning emits one file per cell), and
+   * swap at the TABLE level. Swapping the table root — not each
+   * `cell=N` directory — matters: a per-directory swap would leave
+   * `cell=N__graft_tmp` siblings that partition DISCOVERY parses as
+   * partition values, poisoning concurrent reads; the root-level rename
+   * pair keeps every intermediate state invisible to readers of `dir`.
+   */
+  def compactHivePartitioned(spark: SparkSession, dir: String,
+      partCol: String): Unit = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    require(f.exists(p), s"no such directory: $dir")
+    val tmp = new Path(dir + "__graft_tmp")
+    val old = new Path(dir + "__graft_old")
+    spark.read.parquet(dir)
+      .repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    require(f.rename(p, old), s"rename $p -> $old failed")
+    require(f.rename(tmp, p), s"rename $tmp -> $p failed")
+    f.delete(old, true)
+  }
+
+  /**
    * Retention-window delete: remove every day-partition directory with
    * date < `cutoff` (yyyy-MM-dd). Pure directory metadata operations —
    * no data is read or rewritten. Returns the number of partitions

@@ -1993,11 +1993,23 @@ object LlmQueries {
   // merges. Spark counts via the scan-stage nested-fold expression (no
   // join); the oracle equivalently joins the word-type token table —
   // equal because a word's encoding is a pure function of the word.
+  /** Learn-once merge cache per (JVM, sfDir) — the vocabulary IS a
+    * build artifact (exactly `ivfServeDir`'s reasoning): production
+    * learns it once and every encoder reuses it, so q108/q109/q110
+    * share one learn instead of re-paying K driver-round argmaxes each.
+    * Deterministic per corpus, so the cached value is the value a
+    * fresh learn would return. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeMergesFor(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeMergesCache.computeIfAbsent(d,
+      _ => Bpe.learnMerges(Tables.documents(s, d), bpeK))
+
   val q108 = Q(
     "q108_bpe_token_counts",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.learnMerges(docs, bpeK)
+      val merges = bpeMergesFor(s, d)
       docs.select(col("doc_id"),
         size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
           w => w =!= "")).cast("long").as("n_words"),
@@ -2019,7 +2031,7 @@ object LlmQueries {
     "q109_pack_bpe_tokens",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.learnMerges(docs, bpeK)
+      val merges = bpeMergesFor(s, d)
       TextAnalysis.packSequencesBy(docs, Bpe.tokenCount(col("text"), merges),
         packBudget, packShards)
         .groupBy("shard", "bin")
@@ -2050,7 +2062,7 @@ object LlmQueries {
     "q110_mixture_bpe_tokens",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = Bpe.learnMerges(docs, bpeK)
+      val merges = bpeMergesFor(s, d)
       TextAnalysis.mixtureSampleTokensBy(docs,
         Bpe.tokenCount(col("text"), merges), "source", tokenBudget = 5000L)
         .orderBy("source", "rnk")
@@ -2285,9 +2297,42 @@ object LlmQueries {
          |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
          |ORDER BY rank""".stripMargin))
 
+  // q116 — the IVF APPEND lifecycle, hash-checked end-to-end (q102
+  // checks build + serve): build on the even vec_ids, append the odd
+  // half against the frozen centroids, then search with every cell
+  // probed — the candidate universe is then the whole indexed corpus,
+  // so the oracle is the exact brute-force top-k over ALL embeddings.
+  // A dropped (or double-indexed) appended vector changes the result.
+  private def ivfAppendDir(s: SparkSession, d: String): String =
+    scratchDir("graft_ivf_append", d, "centroids") { dir =>
+      val e = Tables.embeddings(s, d)
+      graft.llm.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir,
+        nCells = ivfCells, iters = 2)
+      graft.llm.IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+    }
+  val q116 = Q(
+    "q116_ivf_append_search",
+    (s, d) => graft.llm.IvfIndex.search(
+      Tables.embeddings(s, d).filter(col("vec_id") % 250 === 7),
+      ivfAppendDir(s, d), k = 5, nprobe = ivfCells)
+      .orderBy("query_id", "rank"),
+    Some(
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 250 = 7),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }

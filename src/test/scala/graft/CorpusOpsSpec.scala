@@ -314,12 +314,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse)
   }
 
+  // ------------------------------------------- q116 IVF append lifecycle
+
+  test("IvfIndex.append is replay-idempotent; compact preserves answers") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_spec").toString
+    graft.llm.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir,
+      nCells = 4, iters = 1)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    graft.llm.IvfIndex.append(batch, dir)
+    val afterOnce = spark.read.parquet(s"$dir/assignments").count()
+    val queries = e.filter(col("vec_id") < 4)
+    val once = graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+    val onceRows = once.collect().toSet
+    // replayed batch: no new rows, identical answers
+    graft.llm.IvfIndex.append(batch, dir)
+    assert(spark.read.parquet(s"$dir/assignments").count() === afterOnce)
+    assert(graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+      .collect().toSet === onceRows)
+    // compaction collapses the append's file debris, answers unchanged
+    val before = graft.pipeline.Maintenance
+      .dataFiles(spark, s"$dir/assignments")
+      .flatMap(p => graft.pipeline.Maintenance
+        .dataFiles(spark, p.toString)).size
+    graft.llm.IvfIndex.compact(spark, dir)
+    val after = graft.pipeline.Maintenance
+      .dataFiles(spark, s"$dir/assignments")
+      .flatMap(p => graft.pipeline.Maintenance
+        .dataFiles(spark, p.toString)).size
+    assert(after < before, s"compact must shrink files ($before -> $after)")
+    assert(graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+      .collect().toSet === onceRows)
+  }
+
   // --------------------------------------------------- registry invariants
 
-  test("registry: 115 uniquely-named queries, 111 oracle-checked, qNN prefixes unique") {
+  test("registry: 116 uniquely-named queries, 112 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 115)
-    assert(all.count(_.oracle.isDefined) === 111)
+    assert(all.size === 116)
+    assert(all.count(_.oracle.isDefined) === 112)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
