@@ -111,17 +111,45 @@ object DedupOps {
    * shingles). Default off for exact ground-truth/oracle parity.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame = {
+      threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame =
+    withJaccard(intersections(cappedIndex(docs, n, maxDf)), docs, n)
+      .filter(col("jaccard") >= threshold)
+
+  /** [[shingleIndex]] with the optional df cap applied: df per shingle is
+    * a map-side-combined count on the already-keyed hash; the semi-join
+    * keeps index rows whose key survived the cap. */
+  private def cappedIndex(docs: DataFrame, n: Int,
+      maxDf: Option[Long]): DataFrame = {
     val index = shingleIndex(docs, n)
-    val capped = maxDf.fold(index) { k =>
-      // df per shingle is a map-side-combined count on the already-keyed
-      // hash; the semi-join keeps index rows whose key survived the cap.
+    maxDf.fold(index) { k =>
       val keep = index.groupBy(col("h"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= k).select(col("h"))
       index.join(keep, Seq("h"), "left_semi")
     }
-    withJaccard(intersections(capped), docs, n)
-      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Containment near-dup pairs: every pair whose SMALLER shingle set is
+   * >= `threshold` contained in the intersection — C = |A∩B| / min(|A|,
+   * |B|). The asymmetric companion to [[ngramJaccardPairs]]: a short
+   * document quoted verbatim inside a much longer one has containment
+   * ≈ 1 while its Jaccard ≈ |A|/|B| → 0, so a Jaccard threshold never
+   * fires — this is the standard "subset duplicate" detector (quoted
+   * posts, pages embedding a shared article, prompt+completion pairs).
+   * Same inverted-index shape and `maxDf` hot-key cap as the Jaccard
+   * variant; pair volume is bounded by real shingle overlap.
+   */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, maxDf: Option[Long] = None): DataFrame = {
+    val sizes = setSizes(docs, n)
+    intersections(cappedIndex(docs, n, maxDf))
+      .join(sizes.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(sizes.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("containment",
+        fround(col("inter").cast("double") /
+          least(col("ca.sz"), col("cb.sz")).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */

@@ -605,6 +605,44 @@ object TextAnalysis {
   }
 
   /**
+   * Per-stratum quality pruning — the FineWeb-style percentile gate:
+   * within each `groupCol` stratum, keep the top `keepPermille`/1000 of
+   * documents by [[qualityScore]]'s blended heuristic (rank DESC on the
+   * integer-scaled score, ties to the smaller doc_id). Pruning within
+   * the stratum rather than globally is the point: a global cut empties
+   * whole low-scoring domains, a per-stratum cut preserves the mixture
+   * while dropping each domain's own worst tail. Returns
+   * (doc_id, group, quality_scaled, rnk) for the kept rows.
+   *
+   * Scale shape: the score is a scan-stage expression; the per-stratum
+   * rank is [[graft.ops.PrefixRank.keyedPrefix]] over the bounded
+   * integer score space [0, 10000] (never `Window.partitionBy` — a
+   * web-crawl stratum can be most of the corpus); keep-counts ride one
+   * broadcast row per stratum. Null/token-less texts score 0 — ranked
+   * last, pruned first, never an error.
+   */
+  def qualityPrune(docs: DataFrame, groupCol: String = "source",
+      keepPermille: Long = 300L): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille must be in [0, 1000], got $keepPermille")
+    val scored = docs.join(
+      qualityScore(docs).select(col("doc_id"),
+        floor(col("quality") * 10000d + lit(0.5)).cast("long").as("qs")),
+      Seq("doc_id"), "left")
+      .withColumn("q_scaled", coalesce(col("qs"), lit(0L)))
+    val keeps = scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grp"))
+      .select(col(groupCol),
+        expr(s"CAST(n_grp * $keepPermille div 1000 AS BIGINT)").as("keep_cnt"))
+    graft.ops.PrefixRank.keyedPrefix(scored, Seq(groupCol),
+      lit(10000L) - col("q_scaled"), 10001L, col("doc_id"))
+      .join(org.apache.spark.sql.functions.broadcast(keeps), groupCol)
+      .filter(col("rnk") <= col("keep_cnt"))
+      .select(col("doc_id"), col(groupCol),
+        col("q_scaled").as("quality_scaled"), col("rnk"))
+  }
+
+  /**
    * Graded n-gram contamination against a benchmark set — the
    * finer-grained companion to [[decontaminated]]'s whole-document
    * fingerprint: a document that EMBEDS a benchmark item (quotes a test

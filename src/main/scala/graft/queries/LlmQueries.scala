@@ -2330,9 +2330,57 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  // q117 — containment near-dup pairs (C = |A∩B| / min(|A|,|B|)): the
+  // asymmetric subset-duplicate detector Jaccard misses — a short doc
+  // quoted inside a long one has C ≈ 1 but Jaccard ≈ |A|/|B|. Same
+  // inverted-index CTEs as q39; only the final ratio differs.
+  val q117 = Q(
+    "q117_containment_pairs",
+    (s, d) => DedupOps.containmentPairs(Tables.documents(s, d), n = 3,
+      threshold = 0.8).orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH $shingleCtes,
+         |cont AS (
+         |  SELECT id_a, id_b,
+         |    ${Det.frSql(
+               "CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)} AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, containment FROM cont
+         |WHERE containment >= 0.8 ORDER BY id_a, id_b""".stripMargin))
+
+  // q118 — per-stratum quality pruning (the FineWeb percentile gate):
+  // keep each source's top 30% by the q37 blended score, rank DESC on
+  // the integer-scaled score with doc_id ties. Pruning within the
+  // stratum preserves the mixture while cutting each domain's own tail.
+  val q118 = Q(
+    "q118_quality_prune",
+    (s, d) => TextAnalysis.qualityPrune(Tables.documents(s, d), "source",
+      keepPermille = 300L).orderBy("source", "rnk"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  $qualityCountsSql
+         |FROM w),
+         |q AS (SELECT doc_id, source,
+         |        coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0)
+         |          AS quality_scaled
+         |      FROM c),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grp FROM q GROUP BY 1),
+         |r AS (SELECT doc_id, source, quality_scaled,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY quality_scaled DESC, doc_id) AS BIGINT) AS rnk
+         |      FROM q)
+         |SELECT r.doc_id, r.source, r.quality_scaled, r.rnk
+         |FROM r JOIN n USING (source)
+         |WHERE rnk <= n_grp * 300 // 1000
+         |ORDER BY source, rnk""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }

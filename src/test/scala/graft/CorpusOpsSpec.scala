@@ -349,10 +349,47 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --------------------------------------------------- registry invariants
 
-  test("registry: 116 uniquely-named queries, 112 oracle-checked, qNN prefixes unique") {
+  // --------------------------------------- q117/q118 containment + prune
+
+  test("containmentPairs fires on quoted-subset docs where Jaccard stays silent") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ") // fully contained
+    val corpus = Seq((1L, long), (2L, short), (3L, "x y z q r s t u v w"))
+      .toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(corpus, n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(cont === Array((1L, 2L))) // the subset pair, nothing else
+    val jacc = DedupOps.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+    assert(jacc.isEmpty, "Jaccard must NOT fire on the subset pair") // 8/38
+  }
+
+  test("qualityPrune keeps each stratum's top slice, never crossing strata") {
+    val got = TextAnalysis.qualityPrune(docs, "source", keepPermille = 300L)
+    val perSrc = got.groupBy("source").agg(
+      count(lit(1)).as("kept"), max("rnk").as("max_rnk"))
+      .as[(String, Long, Long)].collect()
+    val totals = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    perSrc.foreach { case (src, kept, maxRnk) =>
+      val expect = totals(src) * 300 / 1000
+      assert(kept === expect, s"$src kept $kept, want $expect")
+      assert(maxRnk === expect, s"$src rank gap") // ranks are 1..kept
+    }
+    // kept rows' worst score >= dropped rows' best score within a stratum
+    val all = TextAnalysis.qualityPrune(docs, "source", keepPermille = 1000L)
+    val joined = all.as("a").join(got.as("k"),
+      col("a.doc_id") === col("k.doc_id"), "left_anti")
+      .groupBy(col("a.source").as("source"))
+      .agg(max(col("a.quality_scaled")).as("best_dropped"))
+      .join(got.groupBy("source")
+        .agg(min(col("quality_scaled")).as("worst_kept")), "source")
+    assert(joined.filter(col("best_dropped") > col("worst_kept")).isEmpty)
+  }
+
+  test("registry: 118 uniquely-named queries, 114 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 116)
-    assert(all.count(_.oracle.isDefined) === 112)
+    assert(all.size === 118)
+    assert(all.count(_.oracle.isDefined) === 114)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
