@@ -180,4 +180,40 @@ class PlanSpec extends SparkSpec {
     val shuffles = p.split("Exchange hashpartitioning").length - 1
     assert(shuffles <= 2, s"corpus assignment should not shuffle, saw $shuffles hash exchanges")
   }
+
+  test("q113: bigram-LM scoring joins on term keys — no cartesian, model joins hash") {
+    val p = planOf("q113_bigram_surprisal")
+    assert(!p.contains("CartesianProduct"),
+      "model probe must stay an equi-join")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"the (w1,w2)/w1 model joins should hash (AQE broadcasts a small model): $p")
+    // V rides one broadcast row onto the scorer, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "vocab-size scalar should broadcast")
+  }
+
+  test("q114: epoch upsampling ranks bucketed and explodes at scan stage") {
+    val p = planOf("q114_epoch_mixture")
+    assert(!p.contains("windowspecdefinition(source#"),
+      "per-source corpus window crept back into the epoch sampler")
+    assert(p.contains("windowspecdefinition(__graft_bkt"),
+      "lost the bucketed prefix rank")
+    // the epoch fan-out is a Generate over sequence(), not a join
+    assert(p.contains("Generate explode"), "epoch repetition should explode")
+  }
+
+  test("q115: RRF fusion joins two top-k lists — nothing corpus-sized shuffles twice") {
+    val p = planOf("q115_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), "fusion must not cross-join")
+    // both candidate lists end in per-partition top-k before fusing
+    assert(p.contains("TakeOrderedAndProject"),
+      "candidate lists should compile to per-partition top-k")
+  }
+
+  test("q116: append-lifecycle search scans cell partitions, pruned at plan time") {
+    val p = planOf("q116_ivf_append_search")
+    assert(p.contains("PartitionFilters"), "cell pruning filter missing")
+    assert(!p.contains("SortMergeJoin"),
+      s"assigned-corpus search must not sort-merge: $p")
+  }
 }
