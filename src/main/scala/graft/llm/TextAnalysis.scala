@@ -605,6 +605,41 @@ object TextAnalysis {
   }
 
   /**
+   * Global training order over an UPSAMPLED mixture: every (doc, epoch)
+   * row of [[epochMixtureTokens]] gets its own deterministic shuffle
+   * position, with the EPOCH folded into the salt — so a repeated
+   * document's occurrences land at independent positions across the run
+   * (interleaved epochs, the order a trainer actually wants) instead of
+   * back-to-back, which [[trainingOrder]] over an exploded mixture would
+   * produce (same text ⇒ same key ⇒ adjacent ranks). Returns
+   * (doc_id, group, n_tokens, epoch, order_key, ord) with `ord` a dense
+   * global 1..N.
+   *
+   * Scale shape: the mixture pass is [[epochMixtureTokens]]'s; the text
+   * re-join for the order key is doc_id-keyed; the global rank is the
+   * bucketed [[graft.ops.PrefixRank.keyedPrefix]] with no group — hash
+   * ranges spread the total order across all buckets (q100's shape).
+   * The tiebreaker packs (doc_id, epoch) into one long so the order
+   * stays total even under order-key collisions.
+   */
+  def epochTrainingOrder(docs: DataFrame, groupCol: String = "source",
+      tokenBudget: Long = 10000L, maxEpochs: Int = 4,
+      salt: String = "graft"): DataFrame = {
+    val mix = epochMixtureTokens(docs, groupCol, tokenBudget, maxEpochs, salt)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val key = polyHash(concat(lit(salt), lit("@e"), col("epoch").cast("string"),
+      lit("#"), coalesce(col("text"), lit(""))))
+    graft.ops.PrefixRank.keyedPrefix(
+      mix.select(col("doc_id"), col(groupCol), col("n_tokens"), col("epoch"),
+        key.as("order_key")),
+      groupCols = Nil, orderKey = col("order_key"), keyBound = P,
+      tieBreaker = col("doc_id") * lit(maxEpochs.toLong + 1L) + col("epoch"),
+      rankName = "ord")
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("epoch"),
+        col("order_key"), col("ord"))
+  }
+
+  /**
    * Per-stratum quality pruning — the FineWeb-style percentile gate:
    * within each `groupCol` stratum, keep the top `keepPermille`/1000 of
    * documents by [[qualityScore]]'s blended heuristic (rank DESC on the

@@ -2378,9 +2378,68 @@ object LlmQueries {
          |WHERE rnk <= n_grp * 300 // 1000
          |ORDER BY source, rnk""".stripMargin))
 
+  // q119 — the interleaved-epoch training order: every (doc, epoch) row
+  // of q114's upsampled mixture gets its own global shuffle position,
+  // epoch folded into the salt so repetitions decorrelate (q100 over an
+  // exploded mixture would rank a doc's epochs ADJACENT — same text,
+  // same key). Tiebreak packs (doc_id, epoch) into one long.
+  val q119 = Q(
+    "q119_epoch_training_order",
+    (s, d) => TextAnalysis.epochTrainingOrder(Tables.documents(s, d), "source",
+      tokenBudget = 70000L, maxEpochs = 3).orderBy("ord"),
+    Some {
+      val okey = polyHashSql(
+        "'graft@e' || CAST(epoch AS VARCHAR) || '#' || coalesce(text, '')")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |      w -> w <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+         |        FROM toks GROUP BY 1),
+         |w AS (SELECT source, tok_grp,
+         |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |plan AS (SELECT source, tok_grp,
+         |           CAST((CAST(70000 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
+         |         FROM w CROSS JOIN tot),
+         |ep0 AS (SELECT source, tok_grp, quota,
+         |          CASE WHEN tok_grp > 0
+         |               THEN least(quota // tok_grp, CAST(3 AS BIGINT))
+         |               ELSE CAST(0 AS BIGINT) END AS epochs
+         |        FROM plan),
+         |ep AS (SELECT source, epochs,
+         |         CASE WHEN epochs < 3 THEN quota - epochs * tok_grp
+         |              ELSE CAST(0 AS BIGINT) END AS rem
+         |       FROM ep0),
+         |ranked AS (
+         |  SELECT doc_id, source, text, n_tokens,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM toks),
+         |occ AS (
+         |  SELECT r.doc_id, r.source, r.text, r.n_tokens,
+         |    e.epochs + CASE WHEN r.cum_tokens - r.n_tokens < e.rem
+         |                    THEN 1 ELSE 0 END AS occurrences
+         |  FROM ranked r JOIN ep e USING (source)),
+         |expanded AS (
+         |  SELECT doc_id, source, text, n_tokens,
+         |    CAST(unnest(range(occurrences)) AS BIGINT) AS epoch
+         |  FROM occ)
+         |SELECT doc_id, source, n_tokens, epoch,
+         |  $okey AS order_key,
+         |  CAST(row_number() OVER (
+         |    ORDER BY $okey, doc_id * 4 + epoch) AS BIGINT) AS ord
+         |FROM expanded ORDER BY ord""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
+    q119)
 }

@@ -386,10 +386,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(joined.filter(col("best_dropped") > col("worst_kept")).isEmpty)
   }
 
-  test("registry: 118 uniquely-named queries, 114 oracle-checked, qNN prefixes unique") {
+  test("epochTrainingOrder interleaves repetitions instead of ranking them adjacent") {
+    // 40 docs x 2 tokens, one source, budget = 2x mass -> 2 epochs each.
+    val corpus = (1L to 40L).map(i => (i, "s", s"alpha$i beta$i"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.epochTrainingOrder(corpus, "source",
+      tokenBudget = 160L, maxEpochs = 3)
+    assert(got.count() === 80L)
+    // dense global rank 1..N
+    assert(got.agg(min("ord"), max("ord"), countDistinct("ord"))
+      .as[(Long, Long, Long)].head() === ((1L, 80L, 80L)))
+    // with the epoch in the salt, a doc's two occurrences decorrelate:
+    // under same-salt ordering EVERY pair would be adjacent (same text
+    // => same key); here essentially none should be
+    val ords = got.select("doc_id", "ord").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val adjacent = ords.values.count(v => v(1) - v(0) === 1L)
+    assert(adjacent < 5, s"$adjacent of 40 repetition pairs rank adjacent")
+  }
+
+  test("registry: 119 uniquely-named queries, 115 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 118)
-    assert(all.count(_.oracle.isDefined) === 114)
+    assert(all.size === 119)
+    assert(all.count(_.oracle.isDefined) === 115)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
