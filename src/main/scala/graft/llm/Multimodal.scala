@@ -75,7 +75,8 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => StubDecoder.decode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        StubDecoder.decode(id, if (bytes == null) Array.emptyByteArray else bytes) })
   }
 
   /** One sampled "frame": the payload byte at an evenly-spaced offset —
@@ -95,7 +96,8 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val n = bytes.length
         if (n == 0) Iterator.empty
         else (0 until k).iterator.map { i =>
@@ -121,7 +123,8 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val n = bytes.length
         if (n == 0) Iterator.empty
         else (0 until k).iterator.map { b =>
@@ -133,5 +136,73 @@ object Multimodal {
           ResizedBucket(id, b, s, (hi - lo).toLong)
         }
       })
+  }
+
+  /**
+   * Average-hash (aHash) of each payload — the classic perceptual image
+   * fingerprint: downsample to `k` spans ([[resize]] — the stubbed
+   * decode; a real pipeline hashes the decoded thumbnail), then bit b =
+   * 1 iff span b's mean byte exceeds the payload's mean. The comparison
+   * is the EXACT integer cross-multiply sum_b·n_total > total·n_b (no
+   * division, no float), and the hash packs as Σ bit·2^b — a k ≤ 62-bit
+   * BIGINT on both engines. Empty payloads emit no hash (nothing to
+   * perceive); spans past the payload's end contribute 0-bits.
+   * Payloads beyond ~190 MB would overflow the cross-multiply — raise
+   * loudly rather than mis-hash.
+   */
+  def aHash(media: DataFrame, k: Int = 48)(
+      implicit spark: SparkSession): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    val r = resize(media, k).toDF()
+    val tot = r.groupBy("doc_id").agg(
+      sum(col("sum_bytes")).as("total"), sum(col("n_in_bucket")).as("n_total"))
+    r.join(tot, "doc_id")
+      .select(col("doc_id"),
+        // 255·n² must stay under 2⁶³: n ≤ ⌊√(2⁶³/255)⌋ = 190 M bytes
+        when(col("n_total") > lit(190000000L),
+          raise_error(lit("aHash: payload too large for exact cross-multiply")))
+          .otherwise(lit(0L)).as("guard"),
+        when(col("sum_bytes") * col("n_total") > col("total") * col("n_in_bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("doc_id").agg(sum(col("bit") + col("guard")).as("ahash"))
+  }
+
+  /**
+   * Perceptual near-dup pairs over the payload column — the image-dedup
+   * step of a multimodal curation stack: [[aHash]] fingerprints, banded
+   * LSH candidates (hamming ≤ maxHamming ⇒ pigeonhole: some band of
+   * bands = maxHamming+1 is EQUAL, so candidate generation is an
+   * equi-join on (band, key) — never an all-pairs scan), then the exact
+   * `bit_count(xor)` verify on candidates only. Same sub-quadratic
+   * shape as the SimHash text family; only the fingerprint source
+   * differs (payload spans, not token shingles). Returns
+   * (id_a, id_b, hamming) for verified pairs.
+   */
+  def aHashPairs(media: DataFrame, k: Int = 48, maxHamming: Int = 2)(
+      implicit spark: SparkSession): DataFrame = {
+    val bands = maxHamming + 1
+    val bandBits = k / bands
+    require(bandBits >= 1, s"need >= 1 bit per band ($bands bands over $k bits)")
+    // the LAST band takes the remainder bits — every bit must live in
+    // SOME band or the pigeonhole guarantee silently breaks (a pair
+    // differing only in uncovered bits would never become a candidate)
+    val widthOf = (b: Int) => if (b == bands - 1) k - b * bandBits else bandBits
+    val h = aHash(media, k)
+    val banded = h.select(col("doc_id"), col("ahash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(ahash >> ${b * bandBits}) & ${(1L << widthOf(b)) - 1}")
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

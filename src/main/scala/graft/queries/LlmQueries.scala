@@ -2436,10 +2436,53 @@ object LlmQueries {
          |FROM expanded ORDER BY ord""".stripMargin
     })
 
+  // q120 — perceptual near-dup pairs over the multimodal payload column
+  // (the image-dedup step): 48-bit average-hash from the stubbed resize
+  // spans (exact integer cross-multiply — no division), 7-band LSH
+  // candidates (six 6-bit + one 12-bit remainder band — pigeonhole
+  // covers hamming <= 6), bit_count(xor) verify on candidates only.
+  // Text bytes stand in for encoded payloads exactly as q45/q68/q69.
+  val q120 = Q(
+    "q120_phash_pairs",
+    (s, d) => {
+      implicit val spark = s
+      Multimodal.aHashPairs(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+        k = 48, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      s"""WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents
+         |           WHERE length(text) > 0),
+         |rb AS (SELECT doc_id,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |           range((b * n) // 48, ((b + 1) * n) // 48),
+         |           p -> CAST(unicode(substr(text, CAST(p AS INTEGER) + 1, 1)) AS BIGINT))),
+         |           (a, x) -> a + x) AS BIGINT) AS sum_bytes,
+         |         CAST(((b + 1) * n) // 48 - (b * n) // 48 AS BIGINT) AS n_in, b
+         |       FROM m, (SELECT unnest(range(48)) AS b) bs),
+         |tot AS (SELECT doc_id, CAST(sum(sum_bytes) AS BIGINT) AS total,
+         |               CAST(sum(n_in) AS BIGINT) AS n_total FROM rb GROUP BY 1),
+         |ah AS (SELECT rb.doc_id,
+         |         CAST(sum(CASE WHEN rb.sum_bytes * t.n_total > t.total * rb.n_in
+         |                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+         |           AS BIGINT) AS ahash
+         |       FROM rb JOIN tot t USING (doc_id) GROUP BY 1),
+         |bk AS (SELECT doc_id, ahash, bb AS band,
+         |         CASE WHEN bb = 6 THEN (ahash >> 36) & 4095
+         |              ELSE (ahash >> (bb * 6)) & 63 END AS key
+         |       FROM ah, (SELECT unnest(range(7)) AS bb) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                a.ahash AS ha, b.ahash AS hb
+         |         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+         |              AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY id_a, id_b""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119)
+    q119, q120)
 }

@@ -405,10 +405,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(adjacent < 5, s"$adjacent of 40 repetition pairs rank adjacent")
   }
 
-  test("registry: 119 uniquely-named queries, 115 oracle-checked, qNN prefixes unique") {
+  test("aHashPairs: byte-identical payloads pair at hamming 0; disjoint ones don't") {
+    implicit val s = spark
+    val base = (1 to 96).map(i => ('a' + i % 26).toChar).mkString
+    val corpus = Seq(
+      (1L, base), (2L, base), //                clone pair: hamming 0
+      (3L, "9081726354" * 10), //               different byte profile
+      (4L, null.asInstanceOf[String]), (5L, "") // no payload: no hash
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Multimodal.aHashPairs(
+      graft.llm.Multimodal.mediaFromDocuments(corpus), k = 48, maxHamming = 2)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(got.contains((1L, 2L, 0L)), s"clone pair missing: ${got.toSeq}")
+    assert(!got.exists(p => p._1 === 3L || p._2 === 3L),
+      s"doc 3 must not pair: ${got.toSeq}")
+    assert(!got.exists(p => Set(p._1, p._2).intersect(Set(4L, 5L)).nonEmpty),
+      "empty payloads must emit no hash")
+  }
+
+  test("registry: 120 uniquely-named queries, 116 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 119)
-    assert(all.count(_.oracle.isDefined) === 115)
+    assert(all.size === 120)
+    assert(all.count(_.oracle.isDefined) === 116)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
