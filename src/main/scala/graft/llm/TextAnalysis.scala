@@ -640,6 +640,48 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source corpus report card — the one table an operator watches
+   * over a curation run: per stratum, document and token counts, the
+   * exact-duplicate count (fingerprint collisions within the stratum),
+   * label-language spread, and mean quality. Everything deterministic:
+   * counts are exact integer aggregates, the quality mean is one
+   * division over the integer-scaled sum (never a float fold), and the
+   * duplicate count derives from a fingerprint sub-aggregate rather
+   * than a multi-distinct (no Expand row-multiplication — q103's
+   * lesson applied to a profiling query that runs per-ingest).
+   *
+   * Scale: three map-side-combined aggregates keyed on (source[, fp |
+   * lang]) joined on the tiny per-source frame. Null text fingerprints
+   * as the empty string — unknown-content docs count as duplicates of
+   * each other, which is what an ingest monitor wants to SEE, not hide.
+   */
+  def corpusReport(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val base = docs.select(col(groupCol), col("doc_id"), col("lang"),
+      size(filter(words(coalesce(col("text"), lit(""))), w => w =!= ""))
+        .cast("long").as("n_tokens"),
+      polyHash(coalesce(col("text"), lit(""))).as("fp"))
+      .join(qualityScore(docs).select(col("doc_id"),
+        coalesce(floor(col("quality") * 10000d + lit(0.5)).cast("long"), lit(0L))
+          .as("qs")), Seq("doc_id"), "left")
+    val perSrc = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("qs")).as("q_sum"))
+    val dups = base.groupBy(col(groupCol), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c") - 1L).as("n_dup_docs"))
+    val langs = base.groupBy(col(groupCol), col("lang"))
+      .agg(count(lit(1)).as("lc"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_langs"))
+    perSrc.join(dups, groupCol).join(langs, groupCol)
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"), col("n_langs"),
+        fround(col("q_sum").cast("double") /
+          (col("n_docs").cast("double") * 10000d), 4).as("mean_quality"))
+  }
+
+  /**
    * Per-stratum quality pruning — the FineWeb-style percentile gate:
    * within each `groupCol` stratum, keep the top `keepPermille`/1000 of
    * documents by [[qualityScore]]'s blended heuristic (rank DESC on the

@@ -2479,10 +2479,48 @@ object LlmQueries {
          |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY id_a, id_b""".stripMargin))
 
+  // q121 — the per-source corpus report card: docs/tokens/exact-dup/
+  // language-spread/mean-quality per stratum in three map-side-combined
+  // aggregates (dup count via a fingerprint sub-aggregate, NOT a
+  // multi-distinct — no Expand; q103's lesson applied to the profiling
+  // query an ingest pipeline runs every batch).
+  val q121 = Q(
+    "q121_corpus_report",
+    (s, d) => TextAnalysis.corpusReport(Tables.documents(s, d), "source")
+      .orderBy("source"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, source, lang, text,
+         |             string_split(text, ' ') AS ws
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM w),
+         |q AS (SELECT doc_id, source, lang,
+         |        CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |          x -> x <> '')) AS BIGINT) AS n_toks,
+         |        coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |        CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |             ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |      FROM c),
+         |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |             CAST(sum(qs) AS BIGINT) AS q_sum
+         |      FROM q GROUP BY 1),
+         |d AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |      FROM (SELECT source, fp, count(*) AS c FROM q GROUP BY 1, 2)
+         |      GROUP BY 1),
+         |l AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |      FROM (SELECT DISTINCT source, lang FROM q) GROUP BY 1)
+         |SELECT p.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM p JOIN d USING (source) JOIN l USING (source)
+         |ORDER BY source""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120)
+    q119, q120, q121)
 }

@@ -423,10 +423,27 @@ class CorpusOpsSpec extends SparkSpec {
       "empty payloads must emit no hash")
   }
 
-  test("registry: 120 uniquely-named queries, 116 oracle-checked, qNN prefixes unique") {
+  test("corpusReport counts exact dups per stratum and never Expands") {
+    val corpus = Seq(
+      (1L, "a", "en", "same text here"),
+      (2L, "a", "en", "same text here"), //  dup of 1
+      (3L, "a", "fr", "different text"),
+      (4L, "b", "en", "same text here"), //  NOT a dup — other stratum
+      (5L, "b", "en", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = TextAnalysis.corpusReport(corpus, "source").orderBy("source")
+      .select("source", "n_docs", "n_tokens", "n_dup_docs", "n_langs")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(("a", 3L, 8L, 1L, 2L), ("b", 2L, 3L, 0L, 1L)))
+    val plan = TextAnalysis.corpusReport(corpus, "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "report must not multi-distinct Expand")
+  }
+
+  test("registry: 121 uniquely-named queries, 117 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 120)
-    assert(all.count(_.oracle.isDefined) === 116)
+    assert(all.size === 121)
+    assert(all.count(_.oracle.isDefined) === 117)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
