@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/**
+ * Persisted decontamination index — the third index lifecycle beside
+ * [[DedupIndex]] (near-dup) and [[IvfIndex]] (ANN): benchmark/eval
+ * suites change rarely but are probed by EVERY ingest batch, so their
+ * derived artifacts are computed once and stored as parquet longs:
+ *
+ *  - `fingerprints` (fp) — distinct normalized whole-text hashes, the
+ *    exact verbatim-copy gate ([[TextAnalysis.decontaminated]]'s
+ *    benchmark side);
+ *  - `grams` (gh)        — distinct n-gram hashes, the fuzzy
+ *    partial-quote gate ([[TextAnalysis.contaminationOverlap]]'s
+ *    benchmark side);
+ *  - `params`            — one row (n): probe geometry derives from the
+ *    INDEX, never the caller (a wrong repeated n would silently gram
+ *    the corpus against incompatible hashes — [[DedupIndex]]'s rule).
+ *
+ * [[probe]]/[[probeFuzzy]] are pure reads; [[append]] accretes NEW
+ * benchmark items idempotently (only values absent from the stored
+ * tables land, so an at-least-once replay appends nothing — and the
+ * tables stay distinct-by-construction, which the probes rely on for
+ * their counts). A 100 TB corpus never ships anywhere: both probes read
+ * a few-MB long table (AQE broadcasts it) against a scan of the corpus.
+ */
+object DeconIndex {
+
+  /** The shared normalized whole-text fingerprint (single-sourced from
+    * [[TextAnalysis.decontaminated]]'s normalization). */
+  private def normFp(c: Column): Column =
+    polyHash(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", ""), " +", " "))
+
+  private def benchFps(benchmark: DataFrame): DataFrame =
+    benchmark.select(normFp(col("text")).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
+
+  private def benchGrams(benchmark: DataFrame, n: Int): DataFrame =
+    benchmark.select(
+      explode(array_distinct(shingleHashList(col("text"), n))).as("gh"))
+      .distinct()
+
+  def build(benchmark: DataFrame, dir: String, n: Int = 5): Unit = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    benchFps(benchmark).write.mode("overwrite").parquet(s"$dir/fingerprints")
+    benchGrams(benchmark, n).write.mode("overwrite").parquet(s"$dir/grams")
+    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def gramN(spark: SparkSession, dir: String): Int =
+    try spark.read.parquet(s"$dir/params").head().getInt(0)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"probe: no decon index at '$dir' — the params table is missing; " +
+            "run build() first", e)
+    }
+
+  /** Accrete NEW benchmark items — idempotent: only fingerprints/grams
+    * absent from the stored tables land, so replays append nothing and
+    * the tables stay distinct (the checkpoint cuts lineage before the
+    * append, [[DedupIndex.commit]]'s reasoning). */
+  def append(benchmark: DataFrame, dir: String): Unit = {
+    val spark = benchmark.sparkSession
+    val n = gramN(spark, dir)
+    val newFps = benchFps(benchmark)
+      .join(spark.read.parquet(s"$dir/fingerprints"), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    if (!newFps.isEmpty)
+      newFps.write.mode("append").parquet(s"$dir/fingerprints")
+    val newGrams = benchGrams(benchmark, n)
+      .join(spark.read.parquet(s"$dir/grams"), Seq("gh"), "left_anti")
+      .localCheckpoint(true)
+    if (!newGrams.isEmpty)
+      newGrams.write.mode("append").parquet(s"$dir/grams")
+  }
+
+  /** Exact decontamination against the stored fingerprints — row-identical
+    * to [[TextAnalysis.decontaminated]] over the indexed benchmark (null
+    * text never matches: its fingerprint is null, the anti-join keeps it). */
+  def probe(corpus: DataFrame, dir: String): DataFrame = {
+    val fps = corpus.sparkSession.read.parquet(s"$dir/fingerprints")
+    corpus.join(fps, normFp(col("text")) === col("fp"), "left_anti")
+  }
+
+  /** Graded n-gram overlap against the stored gram table — identical to
+    * [[TextAnalysis.contaminationOverlap]] over the indexed benchmark;
+    * `n` comes from the stored params. */
+  def overlap(corpus: DataFrame, dir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = gramN(spark, dir)
+    val bench = spark.read.parquet(s"$dir/grams").withColumn("hit", lit(1L))
+    corpus.select(col("doc_id"),
+        explode_outer(array_distinct(shingleHashList(col("text"), n))).as("gh"))
+      .join(broadcast(bench), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("gh")).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        when(col("n_grams") > 0,
+          fround(col("n_hit").cast("double") / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+
+  /** Fuzzy decontamination through the index — [[TextAnalysis
+    * .fuzzyDecontaminated]]'s gate over [[overlap]]'s stored-gram scores. */
+  def probeFuzzy(corpus: DataFrame, dir: String,
+      maxOverlap: Double = 0.5): DataFrame = {
+    require(maxOverlap > 0.0, "maxOverlap must be positive (0 would drop everything)")
+    val dropped = overlap(corpus, dir)
+      .filter(col("contamination") >= maxOverlap).select(col("doc_id"))
+    corpus.join(dropped, Seq("doc_id"), "left_anti")
+  }
+}

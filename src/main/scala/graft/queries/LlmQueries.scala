@@ -2517,10 +2517,66 @@ object LlmQueries {
          |FROM p JOIN d USING (source) JOIN l USING (source)
          |ORDER BY source""".stripMargin))
 
+  // q122/q123 — the persisted DECONTAMINATION index lifecycle (the third
+  // index triad member beside DedupIndex q106/q111 and IvfIndex
+  // q102/q116): benchmark artifacts build ONCE into a scratch dir — and
+  // the APPEND path is inside the hash-checked build (benchmark % 41 = 3
+  // lands as build(% 82 = 3) + append(% 82 = 44)) — then the exact and
+  // fuzzy probes run as pure reads. Oracles are the q58/q99 shapes over
+  // the unioned benchmark, so a dropped or double-appended benchmark
+  // item changes the result.
+  private def deconIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_decon_idx", d, "params") { dir =>
+      val docs = Tables.documents(s, d)
+      graft.llm.DeconIndex.build(
+        docs.filter(col("doc_id") % 82 === 3), dir, n = contamN)
+      graft.llm.DeconIndex.append(
+        docs.filter(col("doc_id") % 82 === 44), dir)
+    }
+  val q122 = Q(
+    "q122_decon_index_probe",
+    (s, d) => graft.llm.DeconIndex.probe(
+      Tables.documents(s, d), deconIndexDir(s, d))
+      .select(col("doc_id")).orderBy("doc_id"),
+    Some(
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) = 0 THEN 0
+         |         ELSE ${polyHashSql("norm")} END AS f
+         |  FROM (SELECT doc_id,
+         |          regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                         ' +', ' ', 'g') AS norm
+         |        FROM documents))
+         |SELECT doc_id FROM fp
+         |WHERE f IS NULL
+         |   OR f NOT IN (SELECT f FROM fp WHERE doc_id % 41 = 3 AND f IS NOT NULL)
+         |ORDER BY doc_id""".stripMargin))
+  val q123 = Q(
+    "q123_decon_index_fuzzy",
+    (s, d) => graft.llm.DeconIndex.probeFuzzy(
+      Tables.documents(s, d), deconIndexDir(s, d), maxOverlap = 0.5)
+      .select(col("doc_id")).orderBy("doc_id"),
+    Some(
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |        i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
+         |      FROM ws),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 41 = 3),
+         |cg AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gh) AS n_hit
+         |         FROM cg LEFT JOIN bench b ON b.gh = cg.gh GROUP BY 1),
+         |dropped AS (
+         |  SELECT doc_id FROM hits
+         |  WHERE ${Det.frSql("CAST(n_hit AS DOUBLE) / n_grams", 4)} >= 0.5)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN dropped x ON x.doc_id = d.doc_id
+         |WHERE x.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121)
+    q119, q120, q121, q122, q123)
 }

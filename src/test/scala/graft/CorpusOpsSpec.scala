@@ -440,10 +440,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Expand"), "report must not multi-distinct Expand")
   }
 
-  test("registry: 121 uniquely-named queries, 117 oracle-checked, qNN prefixes unique") {
+  // ------------------------------------------ q122/q123 decon index
+
+  test("DeconIndex: probe ≡ inline decontaminate; append is replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("decon_idx_spec").toString
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    graft.llm.DeconIndex.build(bench, dir, n = 5)
+    val viaIndex = graft.llm.DeconIndex.probe(docs, dir)
+      .select("doc_id").as[Long].collect().sorted
+    val inline = TextAnalysis.decontaminated(docs, bench)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaIndex === inline)
+    val fuzzyIdx = graft.llm.DeconIndex.probeFuzzy(docs, dir, maxOverlap = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val fuzzyInline = TextAnalysis.fuzzyDecontaminated(docs, bench, n = 5,
+      maxOverlap = 0.5).select("doc_id").as[Long].collect().sorted
+    assert(fuzzyIdx === fuzzyInline)
+    // replayed append of the SAME benchmark adds nothing
+    val fpsBefore = spark.read.parquet(s"$dir/fingerprints").count()
+    val ghBefore = spark.read.parquet(s"$dir/grams").count()
+    graft.llm.DeconIndex.append(bench, dir)
+    assert(spark.read.parquet(s"$dir/fingerprints").count() === fpsBefore)
+    assert(spark.read.parquet(s"$dir/grams").count() === ghBefore)
+    // a genuinely new item lands once and is then caught by the probe
+    val extra = Seq((999999L, "totally new benchmark item text"))
+      .toDF("doc_id", "text")
+    graft.llm.DeconIndex.append(extra, dir)
+    assert(graft.llm.DeconIndex.probe(extra, dir).isEmpty)
+  }
+
+  test("registry: 123 uniquely-named queries, 119 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 121)
-    assert(all.count(_.oracle.isDefined) === 117)
+    assert(all.size === 123)
+    assert(all.count(_.oracle.isDefined) === 119)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
