@@ -39,6 +39,48 @@ object LlmExprs {
   /** Static entry for PolyHashExpr codegen. */
   def polyHash(s: UTF8String): Long = hashChars(s.toString)
 
+  /** Static entry for BpeCountExpr: total token count of `text` under
+    * the ordered merges. One greedy in-place pass per (word, merge) —
+    * fusing overwrites the accumulator's last symbol, mirroring the
+    * packed-string fold symbol-for-symbol (symbols are Sep-free by the
+    * learn-time assertion, so last-symbol equality IS the
+    * `endsWith(Sep + lhs)` check). */
+  def bpeCount(text: UTF8String, lhs: Array[String], rhs: Array[String]): Long = {
+    val s = text.toString
+    val n = s.length
+    var count = 0L
+    var i = 0
+    while (i <= n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) { // non-empty word
+        var syms = new Array[String](j - i)
+        var k = 0
+        while (k < syms.length) { syms(k) = String.valueOf(s.charAt(i + k)); k += 1 }
+        var len = syms.length
+        var m = 0
+        while (m < lhs.length) {
+          val l = lhs(m)
+          val r = rhs(m)
+          var out = 0
+          var p = 0
+          while (p < len) {
+            val x = syms(p)
+            if (out > 0 && x == r && syms(out - 1) == l)
+              syms(out - 1) = l + x
+            else { syms(out) = x; out += 1 }
+            p += 1
+          }
+          len = out
+          m += 1
+        }
+        count += len
+      }
+      i = j + 1
+    }
+    count
+  }
+
   /** Modulus-parameterized [[polyHash]] (mod = P48 for wide keys; with
     * h < 2^48 the fold's products stay < 2^53 — exact in int64 and in
     * the oracle's arithmetic). */
@@ -277,6 +319,32 @@ case class DeflateLenExpr(child: Expression) extends UnaryExpression {
     LlmExprs.deflateLen(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.deflateLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native BPE token counter — the scan-stage encode of
+  * [[graft.llm.Bpe.tokenCount]] as one tight loop instead of K nested
+  * interpreted HOF folds (measured: the K = 10 HOF tree costs ~4 s per
+  * sf0.1 evaluation; this runs the identical greedy merges in
+  * milliseconds). Semantics are EXACTLY the packed-string fold's:
+  * per word (single-space split, empties skipped), symbols start as
+  * UTF-16 code units and each merge makes one greedy left-to-right
+  * pass fusing (lhs, rhs) — a just-fused symbol never re-merges within
+  * the pass (lhs+rhs ≠ lhs, rhs non-empty). BpeSpec pins ≡ the HOF
+  * formulation; the oracle replays the same fold in SQL. */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.bpeCount(input.asInstanceOf[UTF8String], lhsArr, rhsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLhs", lhsArr, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeRhs", rhsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeCount($c, $l, $r)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -152,8 +152,21 @@ object Bpe {
     merges.foldLeft(charToks(word)) { (t, m) => applyMerge(t, m.lhs, m.rhs) }
 
   /** Real token count of a document under the learned merges — a pure
-    * per-row expression (outer fold over words, inner folds per merge). */
-  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    * per-row expression, evaluated by the native
+    * [[graft.functions.BpeCountExpr]] (one tight codegen'd loop; the
+    * K-nested HOF formulation costs ~4 s per sf0.1 evaluation — it was
+    * the entire q109/q110 budget-pass cost). [[tokenCountHof]] keeps the
+    * fold formulation for the ≡ spec pin. */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
+    ofExpr(graft.functions.BpeCountExpr(
+      exprOf(coalesce(text, lit(""))), merges.map(m => (m.lhs, m.rhs))))
+  }
+
+  /** The higher-order-function formulation of [[tokenCount]] (outer fold
+    * over words, inner folds per merge) — semantically identical,
+    * BpeSpec-pinned ≡ the native expression. */
+  private[graft] def tokenCountHof(text: Column, merges: Seq[Merge]): Column =
     aggregate(wordsNonEmpty(coalesce(text, lit(""))), lit(0L),
       (acc, w) => acc +
         size(split(encodeWord(w, merges), Sep)).cast("long"))

@@ -1,5 +1,6 @@
 package graft
 
+import graft.model.Tables
 import graft.llm.Bpe
 import graft.llm.Bpe.Merge
 import org.apache.spark.sql.functions._
@@ -121,6 +122,16 @@ class BpeSpec extends SparkSpec {
     // a learned merge actually compresses: fewer tokens than chars
     val chars = "low lower newest".replace(" ", "").length
     assert(counts(1L) < chars)
+  }
+
+  test("native BpeCountExpr == the HOF fold formulation on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.learnMerges(docs, 10)
+    val diff = docs.select(
+      Bpe.tokenCount(col("text"), merges).as("native"),
+      Bpe.tokenCountHof(col("text"), merges).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, "native and HOF token counts diverge")
   }
 
   test("encodeWord replays the full merge list (word-type purity)") {

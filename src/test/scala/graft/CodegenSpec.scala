@@ -30,7 +30,10 @@ class CodegenSpec extends SparkSpec {
       deflateLen(col("text")).as("dl"),
       shingleHashes(col("text")).as("sh"),
       minhashSig(shingleHashes(col("text")), 32).as("mh"),
-      simhashOfHashes(shingleHashList(col("text"), 3, P), 32).as("simh"))
+      simhashOfHashes(shingleHashList(col("text"), 3, P), 32).as("simh"),
+      org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.BpeCountExpr(
+        org.apache.spark.sql.GraftColumnBridge.exprOf(coalesce(col("text"), lit(""))),
+        Seq(("a", "b"), ("ab", "c")))).as("bpec"))
       .count() > 0)
     assert(embs.select(
       dotProduct(col("embedding"), col("embedding")).as("dot"),
