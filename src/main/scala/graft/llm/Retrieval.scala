@@ -367,6 +367,54 @@ object Retrieval {
   }
 
   /**
+   * Vocabulary drift report — the term-distribution companion to
+   * [[TextAnalysis.corpusDiff]]: the top-`k` terms whose add-one-
+   * smoothed relative frequency shifted most between two corpus
+   * versions, scored by the RATIONAL ratio
+   *
+   *   drift = max(p_a / p_b, p_b / p_a),
+   *   p_x = (cnt_x + 1) / (tot_x + 1)
+   *
+   * (q105's monotone-rational recipe: no logs, exact integer inputs,
+   * correctly-rounded double division, ONE fround at the end — the
+   * ranking is identical to |log-ratio| ordering). A term absent from a
+   * side reads count 0 through the smoothing, so newly-appeared and
+   * vanished vocabulary rank highest — the signal a corpus-QA pass
+   * wants first.
+   *
+   * Scale shape: two map-side-combined term aggregates, a term-keyed
+   * full-outer join, totals as one broadcast row each; the global top-k
+   * compiles to TakeOrderedAndProject (per-partition heaps). `minCount`
+   * prunes the long tail on the MAX side before ranking (a singleton
+   * typo in a 10¹³-token corpus is noise, not drift).
+   */
+  def vocabDrift(oldCorpus: DataFrame, newCorpus: DataFrame, k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    val countsOf = (d: DataFrame, name: String) =>
+      termCounts(d).groupBy("term").agg(sum(col("tf")).as(name))
+    val a = countsOf(oldCorpus, "cnt_a")
+    val b = countsOf(newCorpus, "cnt_b")
+    val tots = a.agg(sum(col("cnt_a")).as("tot_a"))
+      .crossJoin(b.agg(sum(col("cnt_b")).as("tot_b")))
+    val joined = a.join(b, Seq("term"), "full_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
+        col("tot_a"), col("tot_b"))
+      .filter(greatest(col("cnt_a"), col("cnt_b")) >= minCount)
+    val pa = (col("cnt_a").cast("double") + lit(1.0)) /
+      (col("tot_a").cast("double") + lit(1.0))
+    val pb = (col("cnt_b").cast("double") + lit(1.0)) /
+      (col("tot_b").cast("double") + lit(1.0))
+    val scored = joined.select(col("term"), col("cnt_a"), col("cnt_b"),
+      TextFunctions.fround(greatest(pa / pb, pb / pa), 4).as("drift"))
+    val top = scored.orderBy(col("drift").desc, col("term")).limit(k)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("drift").desc, col("term"))))
+  }
+
+  /**
    * Reciprocal-rank fusion of two ranked candidate lists — the standard
    * hybrid-retrieval combiner (sparse BM25 ∪ dense cosine). Each list
    * contributes floor(10⁹ / (kRrf + rank)) — the RRF term scaled to

@@ -682,6 +682,34 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-version diff — the dataset-iteration QA step: given two
+   * versions of a corpus, emit one row per CHANGED document —
+   * (doc_id, status ∈ added | removed | changed) — where `changed`
+   * means the doc_id survives but its content fingerprint differs.
+   * Unchanged documents (the overwhelming majority of any real
+   * iteration) are deliberately NOT emitted: the diff is the small
+   * output, and a reviewer reads it directly.
+   *
+   * Scale shape: both sides reduce to (doc_id, fp) longs at scan stage
+   * (text never shuffles); the full-outer join moves 16-byte rows keyed
+   * on doc_id. Null text fingerprints as the empty string, so a
+   * null ↔ null revision is unchanged and a null ↔ text revision is
+   * changed — content comparisons never silently pass on unknowns.
+   */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val fpOf = (d: DataFrame, name: String) => d.select(col("doc_id"),
+      polyHash(coalesce(col("text"), lit(""))).as(name))
+    fpOf(oldCorpus, "fp_old")
+      .join(fpOf(newCorpus, "fp_new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
+  /**
    * Per-stratum quality pruning — the FineWeb-style percentile gate:
    * within each `groupCol` stratum, keep the top `keepPermille`/1000 of
    * documents by [[qualityScore]]'s blended heuristic (rank DESC on the

@@ -2573,10 +2573,86 @@ object LlmQueries {
          |WHERE x.doc_id IS NULL
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q124 — corpus-version diff (the dataset-iteration QA step): old =
+  // % 10 ≠ 7, new = % 10 ≠ 2 with the % 17 = 5 slice's text revised —
+  // so all three statuses (added / removed / changed) appear; unchanged
+  // docs are deliberately absent (the diff IS the small output).
+  val q124 = Q(
+    "q124_corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % 10 =!= 7)
+      val newV = docs.filter(col("doc_id") % 10 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 5, upper(col("text")))
+            .otherwise(col("text")))
+      TextAnalysis.corpusDiff(oldV, newV).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH o AS (SELECT doc_id, coalesce(text, '') AS t
+         |           FROM documents WHERE doc_id % 10 <> 7),
+         |n AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 17 = 5 THEN upper(coalesce(text, ''))
+         |             ELSE coalesce(text, '') END AS t
+         |      FROM documents WHERE doc_id % 10 <> 2),
+         |fo AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN 0
+         |              ELSE ${polyHashSql("t")} END AS f FROM o),
+         |fn AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN 0
+         |              ELSE ${polyHashSql("t")} END AS f FROM n),
+         |d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN fo.f IS NULL THEN 'added'
+         |         WHEN fn.f IS NULL THEN 'removed'
+         |         WHEN fo.f <> fn.f THEN 'changed' END AS status
+         |  FROM fo FULL OUTER JOIN fn USING (doc_id))
+         |SELECT doc_id, status FROM d WHERE status IS NOT NULL
+         |ORDER BY doc_id""".stripMargin))
+
+  // q125 — vocabulary drift between two corpus versions: top-20 terms by
+  // the rational max(p_a/p_b, p_b/p_a) ratio of add-one-smoothed
+  // relative frequencies (q105's no-log recipe — ranking ≡ |log ratio|),
+  // min-count 5 pruning the singleton tail before ranking.
+  val q125 = Q(
+    "q125_vocab_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Retrieval.vocabDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), k = 20, minCount = 5L)
+        .orderBy("rank")
+    },
+    Some(
+      s"""WITH ta AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt_a
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+         |        FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+         |tb AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt_b
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+         |        FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+         |tots AS (SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM ta) AS tot_a,
+         |                (SELECT CAST(sum(cnt_b) AS BIGINT) FROM tb) AS tot_b),
+         |j AS (SELECT term, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |      FROM ta FULL OUTER JOIN tb USING (term)),
+         |f AS (
+         |  SELECT term, cnt_a, cnt_b,
+         |    ${Det.frSql(
+             """greatest(
+               |      ((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0)) /
+               |      ((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0)),
+               |      ((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0)) /
+               |      ((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0)))""".stripMargin, 4)} AS drift
+         |  FROM j CROSS JOIN tots
+         |  WHERE greatest(cnt_a, cnt_b) >= 5)
+         |SELECT term, cnt_a, cnt_b, drift,
+         |  CAST(row_number() OVER (ORDER BY drift DESC, term) AS INT) AS rank
+         |FROM (SELECT * FROM f ORDER BY drift DESC, term LIMIT 20)
+         |ORDER BY rank""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123)
+    q119, q120, q121, q122, q123, q124, q125)
 }

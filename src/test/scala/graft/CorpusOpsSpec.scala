@@ -469,10 +469,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.llm.DeconIndex.probe(extra, dir).isEmpty)
   }
 
-  test("registry: 123 uniquely-named queries, 119 oracle-checked, qNN prefixes unique") {
+  // -------------------------------------- q124/q125 version QA operators
+
+  test("corpusDiff emits exactly the added/removed/changed rows") {
+    val oldV = Seq((1L, "same"), (2L, "gone"), (3L, "before"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (3L, "after"), (6L, "fresh"),
+      (4L, null.asInstanceOf[String]), (5L, "now has text"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDiff(oldV, newV).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    // 1: unchanged (absent); 4: null -> null unchanged (absent)
+    assert(got === Array((2L, "removed"), (3L, "changed"),
+      (5L, "changed"), (6L, "added")))
+  }
+
+  test("vocabDrift ranks one-sided vocabulary above shared vocabulary") {
+    val oldV = Seq.tabulate(10)(i => (i.toLong, "common only_old")).toDF("doc_id", "text")
+    val newV = Seq.tabulate(10)(i => (100L + i, "common only_new")).toDF("doc_id", "text")
+    val got = Retrieval.vocabDrift(oldV, newV, k = 3, minCount = 5L)
+      .select("term", "drift").as[(String, Double)].collect().toMap
+    assert(got.keySet === Set("common", "only_old", "only_new"))
+    assert(got("only_old") > got("common") && got("only_new") > got("common"))
+    assert(got("common") === 1.0) // identical relative frequency
+  }
+
+  test("registry: 125 uniquely-named queries, 121 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 123)
-    assert(all.count(_.oracle.isDefined) === 119)
+    assert(all.size === 125)
+    assert(all.count(_.oracle.isDefined) === 121)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
