@@ -57,6 +57,33 @@ object SimilaritySearch {
       .withColumn("cos", fround(col("cos"), 4))
   }
 
+  /**
+   * Hard-negative mining for contrastive training: per query, the `k`
+   * most-similar corpus vectors AFTER excluding the presumed positives —
+   * both by RANK (`skip` nearest neighbors: the retrieval-positive set a
+   * contrastive batch must not use as negatives) and by SCORE (rounded
+   * cosine ≥ `dupCeiling`: near-duplicates however deep they rank).
+   * Returns (query_id, neighbor_id, cos, rank) with rank ∈ (skip,
+   * skip + k] over the ceiling-filtered candidates. The gate compares
+   * the ROUNDED cosine (fround 4), keeping the keep/drop decision
+   * engine-exact — q99's rounded-threshold recipe.
+   *
+   * Same plan shape as [[bruteForceTopK]] (broadcast queries, one
+   * window keyed per query); swap the scorer for the IVF/LSH candidate
+   * generators at corpus scale exactly as with the plain top-k.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      skip: Int = 1, dupCeiling: Double = 0.95): DataFrame = {
+    require(skip >= 0 && k >= 1, s"need skip >= 0, k >= 1 (got $skip, $k)")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored(corpus, queries)
+      .withColumn("cos", fround(col("cos"), 4))
+      .filter(col("cos") < dupCeiling)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") > skip && col("rank") <= skip + k)
+  }
+
   /** (vec_id, table, bucket) LSH assignment: `tables` independent
     * hyperplane tables of `nbits` bits each, hyperplane weights generated
     * deterministically (TextFunctions.hyperplaneBucket). */

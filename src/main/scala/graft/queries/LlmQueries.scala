@@ -2649,10 +2649,40 @@ object LlmQueries {
          |FROM (SELECT * FROM f ORDER BY drift DESC, term LIMIT 20)
          |ORDER BY rank""".stripMargin))
 
+  // q126 — hard-negative mining (the contrastive-training batch
+  // construction step): per query, the k most-similar vectors AFTER
+  // excluding presumed positives both by rank (skip = 2 nearest) and by
+  // rounded-cosine ceiling (≥ 0.45 — the planted near-dup regime at
+  // these SFs). Gate compares the ROUNDED score (q99's recipe).
+  val q126 = Q(
+    "q126_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5,
+        skip = 2, dupCeiling = 0.45)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         FLOOR((${cosineSql("q.embedding", "c.embedding")}) * 10000.0 + 0.5)
+         |           / 10000.0 AS cos
+         |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+         |f AS (SELECT * FROM scored WHERE cos < 0.45),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM f)
+         |SELECT query_id, neighbor_id, cos, rank
+         |FROM ranked WHERE rank > 2 AND rank <= 7
+         |ORDER BY query_id, rank""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125)
+    q119, q120, q121, q122, q123, q124, q125, q126)
 }

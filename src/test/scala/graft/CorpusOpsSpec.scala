@@ -495,10 +495,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("common") === 1.0) // identical relative frequency
   }
 
-  test("registry: 125 uniquely-named queries, 121 oracle-checked, qNN prefixes unique") {
+  test("hardNegatives skips the rank-positives and ceilings out near-dups") {
+    implicit val s = spark
+    // orthogonal-ish basis + a near-duplicate of the query direction
+    val mk = (id: Long, hot: Int, v: Float) =>
+      (id, Array.tabulate(64)(i => if (i == hot) v else 0.001f))
+    val corpus = Seq(
+      mk(1L, 0, 1f), //   near-dup of the query (cos ~1) -> ceiling-excluded
+      mk(2L, 1, 1f), mk(3L, 2, 1f), mk(4L, 3, 1f), mk(5L, 4, 1f)
+    ).toDF("vec_id", "embedding")
+    val query = Seq(mk(100L, 0, 1f)).toDF("vec_id", "embedding")
+    val got = graft.llm.SimilaritySearch.hardNegatives(corpus, query,
+      k = 2, skip = 1, dupCeiling = 0.95)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    // vec 1 is gone via the ceiling; the best survivor (rank 1) is the
+    // skipped positive; ranks 2..3 are the returned hard negatives
+    assert(!got.contains(1L), "near-dup must be ceiling-excluded")
+    assert(got.size === 2 && got.values.toSeq.sorted === Seq(2, 3))
+  }
+
+  test("registry: 126 uniquely-named queries, 122 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 125)
-    assert(all.count(_.oracle.isDefined) === 121)
+    assert(all.size === 126)
+    assert(all.count(_.oracle.isDefined) === 122)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
