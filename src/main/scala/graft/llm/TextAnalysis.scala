@@ -710,6 +710,28 @@ object TextAnalysis {
   }
 
   /**
+   * Training-shard export manifest — the WebDataset-style index a
+   * trainer consumes: [[epochTrainingOrder]]'s interleaved global order
+   * cut into fixed-size shards (shard = (ord−1) div shardSize), one row
+   * per shard with its row count, token mass, and [start_ord, end_ord]
+   * span. The manifest is what a 1000-GPU data loader reads to assign
+   * shards to ranks; writing the documents themselves is one
+   * `partitionBy("shard")` over the same frame. The shard agg is keyed
+   * on the derived shard id — map-side combined, output rows =
+   * corpus/shardSize.
+   */
+  def shardManifest(docs: DataFrame, groupCol: String = "source",
+      tokenBudget: Long = 10000L, maxEpochs: Int = 4, shardSize: Long = 100L,
+      salt: String = "graft"): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    epochTrainingOrder(docs, groupCol, tokenBudget, maxEpochs, salt)
+      .withColumn("shard", expr(s"CAST((ord - 1) div $shardSize AS BIGINT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("ord")).as("start_ord"), max(col("ord")).as("end_ord"))
+  }
+
+  /**
    * Per-stratum quality pruning — the FineWeb-style percentile gate:
    * within each `groupCol` stratum, keep the top `keepPermille`/1000 of
    * documents by [[qualityScore]]'s blended heuristic (rank DESC on the

@@ -2383,14 +2383,13 @@ object LlmQueries {
   // epoch folded into the salt so repetitions decorrelate (q100 over an
   // exploded mixture would rank a doc's epochs ADJACENT — same text,
   // same key). Tiebreak packs (doc_id, epoch) into one long.
-  val q119 = Q(
-    "q119_epoch_training_order",
-    (s, d) => TextAnalysis.epochTrainingOrder(Tables.documents(s, d), "source",
-      tokenBudget = 70000L, maxEpochs = 3).orderBy("ord"),
-    Some {
-      val okey = polyHashSql(
-        "'graft@e' || CAST(epoch AS VARCHAR) || '#' || coalesce(text, '')")
-      s"""WITH toks AS (
+  /** The q114 upsampled-mixture expansion + q119 interleaved order key,
+    * shared by the order (q119) and shard-manifest (q127) oracles. */
+  private val epochOrderKeySql: String = polyHashSql(
+    "'graft@e' || CAST(epoch AS VARCHAR) || '#' || coalesce(text, '')")
+  private val epochOrderCtes: String = {
+      val okey = epochOrderKeySql
+      s"""toks AS (
          |  SELECT doc_id, source, text,
          |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
          |      w -> w <> '')) AS BIGINT) AS n_tokens
@@ -2428,13 +2427,23 @@ object LlmQueries {
          |expanded AS (
          |  SELECT doc_id, source, text, n_tokens,
          |    CAST(unnest(range(occurrences)) AS BIGINT) AS epoch
-         |  FROM occ)
-         |SELECT doc_id, source, n_tokens, epoch,
-         |  $okey AS order_key,
-         |  CAST(row_number() OVER (
-         |    ORDER BY $okey, doc_id * 4 + epoch) AS BIGINT) AS ord
-         |FROM expanded ORDER BY ord""".stripMargin
-    })
+         |  FROM occ),
+         |ordered AS (
+         |  SELECT doc_id, source, n_tokens, epoch,
+         |    $okey AS order_key,
+         |    CAST(row_number() OVER (
+         |      ORDER BY $okey, doc_id * 4 + epoch) AS BIGINT) AS ord
+         |  FROM expanded)""".stripMargin
+  }
+
+  val q119 = Q(
+    "q119_epoch_training_order",
+    (s, d) => TextAnalysis.epochTrainingOrder(Tables.documents(s, d), "source",
+      tokenBudget = 70000L, maxEpochs = 3).orderBy("ord"),
+    Some(
+      s"""WITH $epochOrderCtes
+         |SELECT doc_id, source, n_tokens, epoch, order_key, ord
+         |FROM ordered ORDER BY ord""".stripMargin))
 
   // q120 — perceptual near-dup pairs over the multimodal payload column
   // (the image-dedup step): 48-bit average-hash from the stubbed resize
@@ -2679,10 +2688,28 @@ object LlmQueries {
          |FROM ranked WHERE rank > 2 AND rank <= 7
          |ORDER BY query_id, rank""".stripMargin))
 
+  // q127 — the training-shard export manifest: q119's interleaved order
+  // cut into 100-row shards, one row per shard with row count, token
+  // mass and ord span — the WebDataset-style index a distributed data
+  // loader assigns to ranks.
+  val q127 = Q(
+    "q127_shard_manifest",
+    (s, d) => TextAnalysis.shardManifest(Tables.documents(s, d), "source",
+      tokenBudget = 70000L, maxEpochs = 3, shardSize = 100L)
+      .orderBy("shard"),
+    Some(
+      s"""WITH $epochOrderCtes
+         |SELECT CAST((ord - 1) // 100 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(min(ord) AS BIGINT) AS start_ord,
+         |  CAST(max(ord) AS BIGINT) AS end_ord
+         |FROM ordered GROUP BY 1 ORDER BY shard""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125, q126)
+    q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }

@@ -514,10 +514,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.size === 2 && got.values.toSeq.sorted === Seq(2, 3))
   }
 
-  test("registry: 126 uniquely-named queries, 122 oracle-checked, qNN prefixes unique") {
+  test("shardManifest tiles the global order exactly: spans abut, counts sum") {
+    val got = TextAnalysis.shardManifest(docs, "source",
+      tokenBudget = 70000L, maxEpochs = 3, shardSize = 100L)
+      .orderBy("shard")
+      .select("shard", "n_rows", "start_ord", "end_ord")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = TextAnalysis.epochTrainingOrder(docs, "source",
+      tokenBudget = 70000L, maxEpochs = 3).count()
+    assert(got.map(_._2).sum === total)
+    got.zipWithIndex.foreach { case ((shard, n, lo, hi), i) =>
+      assert(shard === i.toLong, "shard ids dense from 0")
+      assert(lo === i * 100L + 1 && hi === lo + n - 1, s"span of shard $i")
+      assert(n === 100L || i === got.length - 1, "only the last shard is short")
+    }
+  }
+
+  test("registry: 127 uniquely-named queries, 123 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 126)
-    assert(all.count(_.oracle.isDefined) === 122)
+    assert(all.size === 127)
+    assert(all.count(_.oracle.isDefined) === 123)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
