@@ -92,6 +92,76 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: containment pairs match the sequential min-set reference") {
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      val got = DedupOps.containmentPairs(
+        corpus.toDF("doc_id", "text"), n = 3, threshold = 0.6)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+        .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+      val sets = corpus.map { case (id, t) => id -> gramHashes(t, 3).toSet }.toMap
+      val ids = corpus.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        inter = (sets(a) intersect sets(b)).size if inter > 0
+        cont = inter.toDouble / math.min(sets(a).size, sets(b).size)
+        if fround4(cont) >= 0.6
+      } yield (a, b) -> fround4(cont)).toMap
+      assert(got === want, s"seed $seed")
+      assert(want.nonEmpty, s"seed $seed produced a vacuous corpus")
+      // the detector's reason to exist: some containment pair must NOT
+      // be a Jaccard pair at the same threshold (subset regime)
+      val jacc = exactPairsRef(corpus, 3, 0.6, None)
+      assert((want.keySet -- jacc.keySet).nonEmpty,
+        s"seed $seed: containment never exceeded Jaccard")
+    }
+  }
+
+  test("fuzz: banded aHash pairs equal the all-pairs Hamming reference (remainder band covered)") {
+    implicit val s2 = spark
+    def refAHash(text: String, k: Int): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val sums = (0 until k).map { b =>
+        val (lo, hi) = ((b * n) / k, ((b + 1) * n) / k)
+        (lo until hi).map(bytes(_) & 0xff).sum.toLong
+      }
+      val total = sums.sum
+      sums.zipWithIndex.foldLeft(0L) { case (h, (sb, b)) =>
+        val nIn = (((b + 1) * n) / k - (b * n) / k).toLong
+        if (sb * n > total * nIn) h | (1L << b) else h
+      }
+    }
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      def word(len: Int) = Vector.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      val base = (0 until 20).map(i => (i.toLong, word(60 + rnd.nextInt(40))))
+      // plant clones and 1-char perturbations — the near-dup regime
+      val planted = base.take(6).zipWithIndex.map { case ((id, t), j) =>
+        val mutated =
+          if (j % 2 == 0) t
+          else t.updated(rnd.nextInt(t.length), ('a' + rnd.nextInt(26)).toChar)
+        (100L + id, mutated)
+      }
+      val corpus = base ++ planted
+      // maxHamming = 6 forces the NON-TILING 7-band split (six 6-bit +
+      // one 12-bit remainder) — a band layout missing the top bits
+      // would silently lose pairs differing only there
+      val got = graft.llm.Multimodal.aHashPairs(
+        graft.llm.Multimodal.mediaFromDocuments(corpus.toDF("doc_id", "text")),
+        k = 48, maxHamming = 6)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+        .collect().map { case (a, b, h) => (a, b) -> h }.toMap
+      val hashes = corpus.map { case (id, t) => id -> refAHash(t, 48) }
+      val want = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        h = java.lang.Long.bitCount(ha ^ hb) if h <= 6
+      } yield (a, b) -> h.toLong).toMap
+      assert(got === want, s"seed $seed")
+      assert(want.nonEmpty, s"seed $seed planted no catchable pair")
+    }
+  }
+
   test("fuzz: MinHash+LSH pairs are a subset of exact pairs with identical Jaccard") {
     for (seed <- seeds) {
       // larger vocab: MinHash banding needs genuine near-dups, so plant
