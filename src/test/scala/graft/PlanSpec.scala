@@ -216,4 +216,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"assigned-corpus search must not sort-merge: $p")
   }
+
+  test("q118/q119: prune and epoch order rank bucketed — no stratum/global window") {
+    for (q <- Seq("q118_quality_prune", "q119_epoch_training_order")) {
+      val p = planOf(q)
+      assert(!p.contains("windowspecdefinition(source#"),
+        s"$q ranks through a per-source corpus window")
+      assert(p.contains("windowspecdefinition(__graft_bkt"),
+        s"$q lost the bucketed rank")
+    }
+  }
+
+  test("q120/q117: perceptual and containment pairing stay equi-joins") {
+    for (q <- Seq("q120_phash_pairs", "q117_containment_pairs")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q candidate generation must be an equi-join, not all-pairs")
+    }
+  }
+
+  test("q121: report card is Expand-free (no multi-distinct row multiplication)") {
+    assert(!planOf("q121_corpus_report").contains("Expand"))
+  }
+
+  test("q124/q125: version QA ops join narrow derived keys, never cartesian") {
+    for (q <- Seq("q124_corpus_diff", "q125_vocab_drift")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan an unbroadcast cross product")
+    }
+    // drift's top-k compiles to per-partition heaps
+    assert(planOf("q125_vocab_drift").contains("TakeOrderedAndProject"))
+  }
 }
