@@ -530,6 +530,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("DeconIndex.probe composes with a document stream (ingest-time scrub)") {
+    // The persisted-index form of the ingest-time decontamination guard:
+    // probe's anti-join is stream-static legal, so the SAME stored
+    // benchmark artifact scrubs batch corpora and the ingest stream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("decon_stream_spec").toString
+    graft.llm.DeconIndex.build(
+      Seq((100L, "the exact benchmark question")).toDF("doc_id", "text"), dir)
+    val source = MemoryStream[(Long, String)]
+    val q = graft.llm.DeconIndex.probe(source.toDF().toDF("doc_id", "text"), dir)
+      .writeStream.format("memory").queryName("decon_idx_out")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "the exact benchmark question"), (2L, "clean doc"),
+        (3L, "the exact  benchmark question!!"), (4L, "another clean doc"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_idx_out").select("doc_id").as[Long]
+        .collect().sorted
+      assert(kept === Array(2L, 4L))
+    } finally q.stop()
+  }
+
   test("registry: 128 uniquely-named queries, 124 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
     assert(all.size === 128)

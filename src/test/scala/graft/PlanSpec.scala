@@ -248,4 +248,20 @@ class PlanSpec extends SparkSpec {
     // drift's top-k compiles to per-partition heaps
     assert(planOf("q125_vocab_drift").contains("TakeOrderedAndProject"))
   }
+
+  test("q122/q123: decon-index probes anti-join the stored tables, no cartesian") {
+    for (q <- Seq("q122_decon_index_probe", "q123_decon_index_fuzzy")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cross product")
+      assert(p.contains("LeftAnti"), s"$q lost the anti-join gate")
+    }
+  }
+
+  test("q126/q128: hard negatives broadcast the query side; v2 pipeline has no nested loop") {
+    assert(planOf("q126_hard_negatives").contains("BroadcastNestedLoopJoin"),
+      "query side should broadcast like bruteForceTopK")
+    val p = planOf("q128_curation_v2")
+    assert(!p.contains("CartesianProduct"), "v2 pipeline planned a cross product")
+    assert(!p.contains("Expand"), "v2 report stage must stay Expand-free")
+  }
 }
