@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure unit tests for the bench contention sentinel — synthetic timing
+  * series only, no Spark. The round-12 series (judge-adjudicated
+  * contaminated yet self-labeled clean) is replayed verbatim as the
+  * regression anchor. */
+class BenchSentinelSpec extends AnyFunSuite {
+
+  // ---- probe spike rule -------------------------------------------------
+
+  test("round-12 probe series fires: final probe 4.609 vs min 0.526") {
+    // The actual driver probe series from BENCH_r12.json (chronological).
+    val r12 = Seq(0.526, 0.590, 0.570, 0.561, 0.552, 0.533, 0.558, 0.645, 0.526, 4.609)
+    assert(BenchSentinel.spikedProbes(r12) === Set(9))
+    assert(BenchSentinel.contended(r12))
+  }
+
+  test("clean probe series stays silent") {
+    val clean = Seq(0.55, 0.60, 0.52, 0.58, 0.61, 0.54)
+    assert(BenchSentinel.spikedProbes(clean).isEmpty)
+    assert(!BenchSentinel.contended(clean))
+  }
+
+  test("fast-host jitter under the 0.25 s floor does not flag") {
+    // 0.05 -> 0.14 is 2.8x but only +0.09 s — scheduler jitter, not load.
+    val jitter = Seq(0.05, 0.14, 0.06, 0.07)
+    assert(BenchSentinel.spikedProbes(jitter).isEmpty)
+    assert(!BenchSentinel.contended(jitter))
+  }
+
+  test("whole-window drift still fires via the median rule") {
+    // r8's failure mode: every probe elevated, no single spike vs min.
+    // 1.2 > 2 * 0.5 median rule fires even though 1.3/0.5 = 2.6 is the
+    // only single-spike candidate.
+    val drifted = Seq(0.5, 1.2, 1.25, 1.3, 1.2)
+    assert(BenchSentinel.contended(drifted))
+  }
+
+  test("failed probes (-1) are ignored for min and never spike") {
+    val withFail = Seq(-1.0, 0.5, 0.52, -1.0, 0.55)
+    assert(BenchSentinel.spikedProbes(withFail).isEmpty)
+    assert(!BenchSentinel.contended(withFail))
+    // and a real spike is still detected at its raw index
+    assert(BenchSentinel.spikedProbes(Seq(-1.0, 0.5, 3.0)) === Set(2))
+  }
+
+  test("multiple spikes all reported") {
+    val multi = Seq(0.5, 2.0, 0.52, 0.51, 4.0)
+    assert(BenchSentinel.spikedProbes(multi) === Set(1, 4))
+  }
+
+  // ---- window flagging --------------------------------------------------
+
+  test("queries bracketed by a spiked probe are flagged, others are not") {
+    // probes p0 p1 p2 p3; q in interval k is bracketed by p_k and p_{k+1}.
+    val intervals = Seq("qa" -> 0, "qb" -> 0, "qc" -> 1, "qd" -> 2, "qe" -> 2)
+    // p2 spiked -> interval 1 (right bracket) and interval 2 (left bracket)
+    assert(BenchSentinel.windowFlagged(intervals, Set(2)) === Seq("qc", "qd", "qe"))
+    // p0 spiked -> only interval 0 (p0 is its left bracket; interval -1 empty)
+    assert(BenchSentinel.windowFlagged(intervals, Set(0)) === Seq("qa", "qb"))
+    // no spikes -> nothing
+    assert(BenchSentinel.windowFlagged(intervals, Set.empty) === Nil)
+  }
+
+  test("round-12 shape: FINAL probe spike implicates the last interval") {
+    // 10 probes (indices 0..9), final spiked; queries in the last
+    // interval (8) are bracketed by probes 8 and 9 -> flagged. This is
+    // exactly the r12 q98/q99/q105 neighborhood the old rules missed.
+    val intervals = Seq("q97" -> 7, "q98" -> 8, "q99" -> 8, "q105" -> 8)
+    assert(BenchSentinel.windowFlagged(intervals, Set(9)) === Seq("q98", "q99", "q105"))
+  }
+
+  // ---- regression diff --------------------------------------------------
+
+  test("3x move vs previous artifact flags; new and small moves do not") {
+    val prev = Map("q01" -> 0.5, "q02" -> 0.1, "q03" -> 2.0)
+    val cur = Seq(
+      "q01" -> 1.9,  // 3.8x and +1.4 s -> flag
+      "q02" -> 0.25, // 2.5x -> no (under 3x); also only +0.15 s
+      "q03" -> 2.2,  // small move -> no
+      "q04" -> 9.9)  // new query -> no baseline -> no
+    assert(BenchSentinel.regressionFlagged(cur, prev) === Seq("q01"))
+  }
+
+  test("failed timings never flag as regression") {
+    assert(BenchSentinel.regressionFlagged(Seq("q01" -> -1.0), Map("q01" -> 0.2)) === Nil)
+  }
+
+  test("sub-floor absolute moves never flag even at high ratio") {
+    // 0.01 -> 0.15 is 15x but +0.14 s < 0.2 s floor.
+    assert(BenchSentinel.regressionFlagged(Seq("q01" -> 0.15), Map("q01" -> 0.01)) === Nil)
+  }
+
+  // ---- previous-artifact parsing ----------------------------------------
+
+  test("parsePrevQueries extracts the queries map from a bench_out.json") {
+    val json =
+      """{"metric":"total","value":77.5,"unit":"sec","queries":{"q01_daily_counts":0.426,"q98_dedup_stack":1.480},"queries_min":{"q01_daily_counts":0.4},"errors":{},"flagged":[],"probe":[0.5],"contended":false,"sf":"/root/testdata/sf0.1"}"""
+    val m = BenchSentinel.parsePrevQueries(json)
+    assert(m === Map("q01_daily_counts" -> 0.426, "q98_dedup_stack" -> 1.480))
+  }
+
+  test("parsePrevQueries tolerates garbage and absence") {
+    assert(BenchSentinel.parsePrevQueries("") === Map.empty)
+    assert(BenchSentinel.parsePrevQueries("{\"no_queries\":1}") === Map.empty)
+    assert(BenchSentinel.parsePrevQueries("{\"queries\":{broken") === Map.empty)
+  }
+}
