@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted BPE vocabulary — the fourth index lifecycle beside
+ * [[DedupIndex]] (near-dup), [[IvfIndex]] (ANN) and [[DeconIndex]]
+ * (benchmark gates). The tokenizer is the one derived artifact EVERY
+ * production job shares: token budgeting ([[TextAnalysis.packSequencesBy]],
+ * [[TextAnalysis.mixtureSampleTokensBy]]), surprisal filters and encoder
+ * exports all replay the same ordered merge list, and a vocabulary that
+ * silently drifted between jobs would make their token counts mutually
+ * inconsistent. So the merges are learned ONCE ([[Bpe.learnMerges]] —
+ * K driver-round argmaxes over the word-type histogram) and stored as a
+ * tiny parquet artifact; every later job [[load]]s the list (a few-KB
+ * read) and bakes it into scan-stage expression literals
+ * ([[Bpe.tokenCount]]'s native [[graft.functions.BpeCountExpr]]) — no
+ * relearn, no join, a 1000-executor scan stays a scan.
+ *
+ * Layout (the [[DeconIndex]] shape):
+ *  - `merges` — (rank, lhs, rhs, merged, cnt), the ordered vocabulary;
+ *  - `params` — one row (k, sep): encode geometry derives from the
+ *    INDEX, never the caller — a separator that mismatched the learned
+ *    merges would silently mis-tokenize every word ([[DedupIndex]]'s
+ *    wrong-param rule), so [[load]] validates it against [[Bpe.Sep]].
+ *
+ * Reference behavior: the reference has no tokenizer (payload-size
+ * histograms only, `server/metrics/metrics.go:35`); this persists the
+ * engine's own training-data vocabulary with the same lifecycle
+ * discipline as the other three indexes.
+ *
+ * Single-writer: [[build]] overwrites atomically per-table; concurrent
+ * builders race benignly (last full write wins, both are valid learned
+ * artifacts of their input). There is no append — BPE merges are
+ * order-sensitive, so vocabulary evolution is a rebuild, not an
+ * accretion (appending merges learned against a different corpus state
+ * would change the greedy replay semantics of EARLIER ranks' output).
+ */
+object BpeIndex {
+
+  /** Learn `k` merges from `docs` and persist them under `dir`. */
+  def build(docs: DataFrame, dir: String, k: Int): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = Bpe.learnMerges(docs, k)
+    spark.createDataFrame(ms)
+      .select(col("rank"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    // params record the ACTUAL learned count (learnMerges stops early on
+    // a fully-fused corpus), so the load-side torn-index check compares
+    // against what this build really stored.
+    Seq((ms.size, Bpe.Sep)).toDF("k", "sep")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The stored vocabulary table (rank, lhs, rhs, merged, cnt) — the
+    * registry-facing roundtrip read; errors if the index is absent. */
+  def loadVocab(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    spark.read.parquet(s"$dir/merges")
+  }
+
+  /** The ordered merge list, ready to bake into [[Bpe.tokenCount]] /
+    * [[Bpe.encodeTokens]] literals. Driver-side by design: the artifact
+    * is k rows (k ≪ data volume — it IS the vocabulary size knob), and
+    * literals are the scan-stage plan. Validates the stored separator
+    * against this build's [[Bpe.Sep]]. */
+  def load(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    val (k, sep) = requireIndex(spark, dir)
+    require(sep == Bpe.Sep,
+      s"BPE index at '$dir' was built with separator '$sep' but this " +
+        s"build uses '${Bpe.Sep}' — encoding would silently diverge")
+    val ms = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt")))
+      .toSeq
+    require(ms.size == k,
+      s"BPE index at '$dir' is torn: params say k=$k but ${ms.size} " +
+        "merges are stored — rebuild")
+    ms
+  }
+
+  private def requireIndex(spark: SparkSession, dir: String): (Int, String) =
+    try {
+      val row = spark.read.parquet(s"$dir/params").head()
+      (row.getAs[Int]("k"), row.getAs[String]("sep"))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"load: no BPE index at '$dir' — the params table is missing; " +
+            "run build() first", e)
+    }
+}

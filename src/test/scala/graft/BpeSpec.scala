@@ -145,4 +145,61 @@ class BpeSpec extends SparkSpec {
     merges.foreach(m => syms = refApply(syms, m.lhs, m.rhs))
     assert(got == syms)
   }
+
+  // ------------------------------------------------- persisted BpeIndex
+
+  import graft.llm.BpeIndex
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("BpeIndex: build->load roundtrips the learned merge list exactly") {
+    val docs = Seq((1L, "low lower lowest low low"),
+      (2L, "new newer newest new"), (3L, "wide wider widest")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_rt")
+    BpeIndex.build(docs, dir, k = 8)
+    val loaded = BpeIndex.load(spark, dir)
+    assert(loaded == Bpe.learnMerges(docs, 8))
+    // and the stored vocab table carries the same rows as learnBpe
+    val stored = BpeIndex.loadVocab(spark, dir)
+      .orderBy("rank").collect().map(_.toSeq)
+    val learned = Bpe.learnBpe(docs, 8).orderBy("rank").collect().map(_.toSeq)
+    assert(stored.toSeq == learned.toSeq)
+  }
+
+  test("BpeIndex: token counts through the loaded vocabulary == inline learn") {
+    val docs = Seq((1L, "aa ab aa b"), (2L, "ab aa ab")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_tc")
+    BpeIndex.build(docs, dir, k = 4)
+    val viaIndex = docs.select(col("doc_id"),
+      Bpe.tokenCount(col("text"), BpeIndex.load(spark, dir)).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val inline = docs.select(col("doc_id"),
+      Bpe.tokenCount(col("text"), Bpe.learnMerges(docs, 4)).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(viaIndex == inline)
+  }
+
+  test("BpeIndex: load on a missing index raises, naming the dir") {
+    val dir = tmpDir("bpe_idx_missing")
+    val e = intercept[IllegalStateException] { BpeIndex.load(spark, dir) }
+    assert(e.getMessage.contains(dir) && e.getMessage.contains("build()"))
+    intercept[IllegalStateException] { BpeIndex.loadVocab(spark, dir) }
+  }
+
+  test("BpeIndex: a separator mismatch or torn merges table refuses to load") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_torn")
+    BpeIndex.build(docs, dir, k = 2)
+    // separator drift: params claim a different sep than this build's
+    Seq((2, "|")).toDF("k", "sep")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val e1 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
+    assert(e1.getMessage.contains("separator"))
+    // torn artifact: params' k disagrees with the stored merge count
+    Seq((5, Bpe.Sep)).toDF("k", "sep")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val e2 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
+    assert(e2.getMessage.contains("torn"))
+  }
 }

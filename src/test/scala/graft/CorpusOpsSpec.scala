@@ -553,10 +553,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 128 uniquely-named queries, 124 oracle-checked, qNN prefixes unique") {
+  test("registry: 129 uniquely-named queries, 125 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 128)
-    assert(all.count(_.oracle.isDefined) === 124)
+    assert(all.size === 129)
+    assert(all.count(_.oracle.isDefined) === 125)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
