@@ -679,6 +679,61 @@ object DedupOps {
         array_join(kept, " ").as("text_clean"))
   }
 
+  /**
+   * Maximal duplicate-RUN extents — the readout [[spanDedupStats]]'s
+   * per-doc counts cannot show: ADJACENT corpus-duplicated width-`width`
+   * spans merged into maximal runs, one row per verbatim block —
+   * (doc_id, start_word, len_words, n_spans, n_removed). A 5-span
+   * boilerplate header shows up as ONE 40-word run at its position, not
+   * as "5 dup spans somewhere in the doc" — which is what a curation
+   * operator actually reads when deciding whether a block is a
+   * removable template or load-bearing text (C4-style accounting stops
+   * at counts; the extents are the actionable artifact).
+   *
+   * Scale shape: the only per-doc state is the duplicated-span index
+   * list (already the [[spanDedupApply]] removal-set shape — bounded by
+   * n_words/width, far below the 2^20 idx guard), and the
+   * gap-and-islands merge is ONE scan-stage fold over that sorted
+   * array — no window over spans, no second shuffle beyond the
+   * groupBy(doc_id) that collects the list. `n_removed` counts the
+   * run's non-first-occurrence instances (keep-first policy), so a
+   * run that is boilerplate everywhere EXCEPT its canonical first
+   * occurrence reads rm = n_spans, while the canonical block itself
+   * reads rm < n_spans.
+   */
+  def spanDupRuns(docs: DataFrame, width: Int = 8): DataFrame = {
+    val (_, flagged) = spanFlags(docs, width)
+    val dup = flagged.filter(col("cnt") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("idx"),
+        when(col("k") =!= col("first_k"), 1).otherwise(0).as("rm")))).as("ds"))
+    // Gap-and-islands as one left fold: extend the last run while the
+    // next duplicated span index is contiguous, else open a new run.
+    // acc is a bound lambda variable, so the multiple references stay
+    // one node each (unlike real child expressions — Bpe.applyMerge's
+    // 4^K lesson does not apply here).
+    val runs = aggregate(col("ds"),
+      array().cast("array<struct<start:int,n:int,rm:int>>"),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 &&
+            last.getField("start") + last.getField("n") === x.getField("idx"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("start").as("start"),
+              (last.getField("n") + 1).as("n"),
+              (last.getField("rm") + x.getField("rm")).as("rm")))))
+          .otherwise(concat(acc, array(struct(
+            x.getField("idx").as("start"), lit(1).as("n"),
+            x.getField("rm").as("rm")))))
+      })
+    dup.select(col("doc_id"), explode(runs).as("r"))
+      .select(col("doc_id"),
+        (col("r.start").cast("long") * width).as("start_word"),
+        (col("r.n").cast("long") * width).as("len_words"),
+        col("r.n").cast("long").as("n_spans"),
+        col("r.rm").cast("long").as("n_removed"))
+  }
+
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
       bits: Int = 32, featureMod: Long = TextFunctions.P): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal bands")

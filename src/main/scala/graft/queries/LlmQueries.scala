@@ -2814,10 +2814,51 @@ object LlmQueries {
       .orderBy("rank"),
     Some(bpeVocabOracle))
 
+  // q130 — maximal duplicate-run extents: q86's corpus-duplicated
+  // width-8 spans merged into maximal ADJACENT runs, one row per
+  // verbatim block — (doc_id, start_word, len_words, n_spans,
+  // n_removed). Spark merges with one scan-stage fold over the per-doc
+  // sorted duplicated-span list; the oracle replays the classic
+  // gap-and-islands window (idx − row_number() groups contiguous runs)
+  // over the same span/grp CTEs as q86.
+  val q130 = Q(
+    "q130_span_dup_runs",
+    (s, d) => graft.llm.DedupOps.spanDupRuns(Tables.documents(s, d), width = 8)
+      .orderBy("doc_id", "start_word"),
+    Some(
+      s"""WITH base AS (
+         |  SELECT doc_id, ws
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |        FROM documents)),
+         |sp AS (SELECT doc_id, unnest(range(len(ws) // 8)) AS idx, ws FROM base),
+         |spans AS (
+         |  SELECT doc_id, idx,
+         |    ${polyHashSql("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')")} AS h,
+         |    ${polyHashSqlMod("array_to_string(list_slice(ws, idx*8+1, idx*8+8), ' ')",
+               graft.functions.LlmExprs.P48.toString)} AS h2
+         |  FROM sp),
+         |grp AS (SELECT h, h2, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
+         |        FROM spans GROUP BY h, h2),
+         |dup AS (
+         |  SELECT s.doc_id, s.idx,
+         |    CASE WHEN s.doc_id * 1048576 + s.idx <> g.first_k THEN 1 ELSE 0 END AS rm
+         |  FROM spans s JOIN grp g USING (h, h2) WHERE g.cnt > 1),
+         |isl AS (
+         |  SELECT doc_id, idx, rm,
+         |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grpk
+         |  FROM dup)
+         |SELECT doc_id,
+         |  CAST(min(idx) * 8 AS BIGINT) AS start_word,
+         |  CAST(count(*) * 8 AS BIGINT) AS len_words,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(rm) AS BIGINT) AS n_removed
+         |FROM isl GROUP BY doc_id, grpk
+         |ORDER BY doc_id, start_word""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

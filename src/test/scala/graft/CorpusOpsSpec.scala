@@ -65,6 +65,49 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, "plain text with no duplicate spans at all")))
   }
 
+  test("spanDupRuns: adjacent duplicated spans merge into maximal extents") {
+    def w(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val block16 = w("b", 16) // two adjacent width-8 spans of boilerplate
+    val lone8 = w("c", 8) //    a separate single duplicated span
+    val corpus = Seq(
+      // doc 1: unique span + 16-word block + unique span + lone span
+      (1L, s"${w("u", 8)} $block16 ${w("v", 8)} $lone8"),
+      // doc 2: the block, then a unique gap span, then the lone span —
+      // the gap keeps them two separate runs
+      (2L, s"$block16 ${w("x", 8)} $lone8"),
+      // doc 3: nothing duplicated
+      (3L, w("z", 8))).toDF("doc_id", "text")
+    val got = DedupOps.spanDupRuns(corpus, width = 8)
+      .orderBy("doc_id", "start_word")
+      .select("doc_id", "start_word", "len_words", "n_spans", "n_removed")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      // doc 1 holds the first occurrences: the 2-span block reads as ONE
+      // 16-word run (not two 8-word rows), rm = 0
+      (1L, 8L, 16L, 2L, 0L),
+      (1L, 32L, 8L, 1L, 0L),
+      // doc 2's copies: both runs fully removable (rm = n_spans)
+      (2L, 0L, 16L, 2L, 2L),
+      (2L, 24L, 8L, 1L, 1L)))
+    // doc 3 emits no rows — the extents table IS the small output
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("spanDupRuns: contiguous duplicated spans of DIFFERENT blocks still merge") {
+    def w(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val a8 = w("a", 8); val b8 = w("b", 8)
+    // doc 2 carries a8 immediately followed by b8 — duplicated spans
+    // back-to-back, so the maximal run spans both source blocks.
+    val corpus = Seq(
+      (1L, s"$a8 ${w("x", 8)} $b8"),
+      (2L, s"$a8 $b8")).toDF("doc_id", "text")
+    val got = DedupOps.spanDupRuns(corpus, width = 8)
+      .filter(col("doc_id") === 2L)
+      .select("start_word", "len_words", "n_spans", "n_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((0L, 16L, 2L, 2L)))
+  }
+
   test("spanDedupApply token counts agree with spanDedupStats accounting") {
     val a = DedupOps.spanDedupApply(docs, width = 8)
       .select("doc_id", "n_tokens_kept").as[(Long, Long)].collect().toMap
@@ -553,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 129 uniquely-named queries, 125 oracle-checked, qNN prefixes unique") {
+  test("registry: 130 uniquely-named queries, 126 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 129)
-    assert(all.count(_.oracle.isDefined) === 125)
+    assert(all.size === 130)
+    assert(all.count(_.oracle.isDefined) === 126)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
