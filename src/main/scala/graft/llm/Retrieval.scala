@@ -466,4 +466,35 @@ object Retrieval {
       .select(col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(sparse, dense, k, kRrf)
   }
+
+  /**
+   * [[hybridTopK]] at corpus scale: the dense candidate list comes from
+   * a persisted [[IvfIndex]] ([[IvfIndex.searchPqRefined]] — ADC over
+   * 8-byte codes in the probed cells, exact-cosine refinement of the
+   * top-`refine`) instead of a brute-force scan, so per query only
+   * `refine` full-precision vectors are ever touched and the embedding
+   * read is partition-pruned to the probed cells. The sparse side and
+   * the integer-RRF fusion are unchanged — [[rrfFuse]] is
+   * ranker-agnostic, which is exactly why the swap is safe.
+   *
+   * Exactness dial: at nprobe = nCells and refine ≥ corpus size the
+   * candidate pool is complete, so the dense ranking equals
+   * [[SimilaritySearch.bruteForceTopK]]'s (same full-precision cosine
+   * ordering, same neighbor-id tie-break, self-hit excluded by the ADC
+   * ranker) and the fused output is value-identical to [[hybridTopK]] —
+   * the q102 serve-equals-inline pattern, hash-checked by q131 against
+   * q115's oracle. Production dials nprobe/refine down and trades
+   * recall for a scan that never leaves the probed cells.
+   */
+  def hybridTopKIvf(docs: DataFrame, indexDir: String,
+      queryTerms: Seq[String], queryVec: DataFrame, k: Int,
+      kCand: Int = 20, kRrf: Int = 60, nprobe: Int = 4,
+      refine: Int = 64): DataFrame = {
+    val sparse = bm25TopK(docs, queryTerms, kCand, k1 = 1.5, b = 0.75,
+      logIdf = false).select(col("doc_id"), col("rank"))
+    val dense = IvfIndex.searchPqRefined(queryVec, indexDir,
+      k = kCand, nprobe = nprobe, refine = math.max(refine, kCand))
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(sparse, dense, k, kRrf)
+  }
 }

@@ -2272,17 +2272,12 @@ object LlmQueries {
   // over the documents ⋈ embeddings on doc_id = vec_id corpus), fused by
   // floor(10⁹/(60+rank)) integer RRF contributions — the fused score is
   // a BIGINT sum, exact on both engines. Absent ranks read 0.
-  val q115 = Q(
-    "q115_hybrid_rrf",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val emb = Tables.embeddings(s, d)
-      graft.llm.Retrieval.hybridTopK(docs, emb, bmTerms,
-        emb.filter(col("vec_id") === 300), k = 10, kCand = 20)
-        .orderBy("rank")
-    },
-    Some(
-      s"""WITH ${bm25Ctes("documents")},
+  /** The fused-output oracle shared by q115 (brute-force dense side) and
+    * q131 (persisted IVF-PQ dense side at full probes + refine): the two
+    * compositions are value-identical by construction when the candidate
+    * pool is complete, so one ground truth checks both. */
+  private val hybridRrfOracle: String =
+    s"""WITH ${bm25Ctes("documents")},
          |sp AS (
          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
          |  FROM (SELECT doc_id, ${bmTerms.indices.map(i => s"s_$i").mkString(" + ")} AS score
@@ -2304,7 +2299,18 @@ object LlmQueries {
          |SELECT doc_id, r_sparse, r_dense, rrf,
          |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
          |FROM (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
-         |ORDER BY rank""".stripMargin))
+         |ORDER BY rank""".stripMargin
+
+  val q115 = Q(
+    "q115_hybrid_rrf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      graft.llm.Retrieval.hybridTopK(docs, emb, bmTerms,
+        emb.filter(col("vec_id") === 300), k = 10, kCand = 20)
+        .orderBy("rank")
+    },
+    Some(hybridRrfOracle))
 
   // q116 — the IVF APPEND lifecycle, hash-checked end-to-end (q102
   // checks build + serve): build on the even vec_ids, append the odd
@@ -2855,10 +2861,37 @@ object LlmQueries {
          |FROM isl GROUP BY doc_id, grpk
          |ORDER BY doc_id, start_word""".stripMargin))
 
+  // q131 — hybrid retrieval AT SCALE: q115's composition with the dense
+  // side swapped from bruteForceTopK to the persisted IVF-PQ index
+  // (IvfIndex.searchPqRefined over a build-once scratch index of the
+  // documents ⋈ embeddings corpus). Registered at full probes + full
+  // refine, where the candidate pool is complete and the fused output is
+  // value-identical to q115 — so it shares q115's oracle, and a dense
+  // candidate the index dropped or mis-ranked fails the hash. The
+  // nprobe < nCells pruning regime (embeddings read only from probed
+  // cells) is CorpusOpsSpec-pinned on the same operator.
+  private def hybridIvfDir(s: SparkSession, d: String): String =
+    scratchDir("graft_hybrid_ivf", d, "pq_codebooks") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.join(Tables.documents(s, d).select(col("doc_id")),
+        emb("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"))
+      graft.llm.IvfIndex.buildPq(corpus, dir, nCells = ivfCells, iters = 2,
+        dim = dim, subspaces = pqSubspaces, nCodes = ivfCells)
+    }
+  val q131 = Q(
+    "q131_hybrid_rrf_ivf",
+    (s, d) => graft.llm.Retrieval.hybridTopKIvf(
+      Tables.documents(s, d), hybridIvfDir(s, d), bmTerms,
+      Tables.embeddings(s, d).filter(col("vec_id") === 300),
+      k = 10, kCand = 20, nprobe = ivfCells, refine = Int.MaxValue)
+      .orderBy("rank"),
+    Some(hybridRrfOracle))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 }

@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 130 uniquely-named queries, 126 oracle-checked, qNN prefixes unique") {
+  test("registry: 131 uniquely-named queries, 127 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 130)
-    assert(all.count(_.oracle.isDefined) === 126)
+    assert(all.size === 131)
+    assert(all.count(_.oracle.isDefined) === 127)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -858,6 +858,32 @@ class CorpusOpsSpec extends SparkSpec {
       .filter(l => l.contains("ReadSchema") && l.contains("codes")).mkString
     assert(codesScan.nonEmpty && !codesScan.contains("embedding"),
       s"the code scan must not read embeddings: $codesScan")
+  }
+
+  test("hybridTopKIvf at full probes+refine == hybridTopK (brute-force dense)") {
+    val d = s"$specTmp/hybrid_ivf"
+    val corpus = embeddings.join(docs.select(col("doc_id")),
+      embeddings("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    graft.llm.IvfIndex.buildPq(corpus, d, nCells = 16, iters = 2)
+    val q = embeddings.filter(col("vec_id") === 300)
+    val terms = Seq("spark", "merge", "filter")
+    val viaIvf = Retrieval.hybridTopKIvf(docs, d, terms, q, k = 10,
+      kCand = 20, nprobe = 16, refine = Int.MaxValue)
+      .orderBy("rank").as[(Long, Int, Int, Long, Int)].collect()
+    val viaBrute = Retrieval.hybridTopK(docs, embeddings, terms, q, k = 10,
+      kCand = 20).orderBy("rank").as[(Long, Int, Int, Long, Int)].collect()
+    assert(viaIvf === viaBrute)
+    assert(viaIvf.nonEmpty)
+  }
+
+  test("hybridTopKIvf: dense side reads embeddings only from probed cells") {
+    val q = embeddings.filter(col("vec_id") === 7)
+    val res = Retrieval.hybridTopKIvf(docs, ivfPqDir, Seq("spark"), q,
+      k = 5, kCand = 5, nprobe = 2, refine = 8)
+    res.count()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(hasCellPartitionFilter(plan), s"no cell partition pruning: $plan")
   }
 
   test("IvfIndex: append makes new vectors searchable without a rebuild") {
