@@ -166,6 +166,35 @@ object TextAnalysis {
         regexp_replace(col("text"), "[^a-z0-9 ]", ""),
         " +", " "))
 
+  /** [[normalized]]'s unicode-aware sibling: case-folded, any \p{L}\p{N}
+    * kept, whitespace classes collapsed ([[TextFunctions
+    * .normalizeUnicode]]) — the variant a multilingual corpus needs,
+    * because the ASCII strip maps non-Latin text to the empty string. */
+  def normalizedUnicode(docs: DataFrame): DataFrame =
+    docs.withColumn("text_norm",
+      TextFunctions.normalizeUnicode(coalesce(col("text"), lit(""))))
+
+  /**
+   * Case/punctuation-insensitive exact duplicate groups over the
+   * unicode-normalized text: (doc_id, rep, grp_size) — rep is the
+   * minimum doc_id sharing the normalized fingerprint, grp_size the
+   * clone count. The multilingual analog of [[fingerprint]]-keyed exact
+   * dedup: "Привет, мир!" and "привет мир" land in one group, where the
+   * ASCII normalizer would have emptied (and thus spuriously merged)
+   * every non-Latin document. One scan + one hash-keyed aggregate +
+   * a broadcast-sized join back — no text shuffles, exact-dedup's
+   * 100 TB shape.
+   */
+  def unicodeDupGroups(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      polyHash(TextFunctions.normalizeUnicode(coalesce(col("text"), lit(""))))
+        .as("ufp"))
+    val grp = fp.groupBy("ufp")
+      .agg(count(lit(1)).as("grp_size"), min(col("doc_id")).as("rep"))
+    fp.join(grp, Seq("ufp"))
+      .select(col("doc_id"), col("rep"), col("grp_size"))
+  }
+
   /**
    * Stratified hash sampling — the data-MIXING primitive: each stratum
    * (language, source, quality tier) gets its own keep rate in permille,

@@ -46,6 +46,38 @@ object TextFunctions {
   def isAscii(text: Column): Column = octet_length(text) === length(text)
 
   /**
+   * Unicode-aware normalization — the multilingual on-ramp to the
+   * tokenize/fingerprint surface. The ASCII normalizer
+   * ([[TextAnalysis.normalized]]'s `[^a-z0-9 ]` strip) maps a Russian or
+   * CJK document to the EMPTY string — every such doc would fingerprint
+   * identically and "dedup" into one cluster. This variant case-folds
+   * and keeps any Unicode letter/number:
+   *
+   *   lower → drop [^\p{L}\p{N}\s] → collapse \s+ to one space → trim
+   *
+   * Scan-stage regexp chain (codegen'd), like the ASCII form.
+   *
+   * Cross-engine contract: on ASCII text the replay is engine-portable
+   * (both Java regex and DuckDB's RE2 agree on these classes, and the
+   * oracle checks exactly that corpus). On non-ASCII text the NORMALIZED
+   * string is engine-portable but the downstream [[polyHash]] folds
+   * UTF-16 code units while a DuckDB replay folds codepoints — identical
+   * through the BMP, divergent on supplementary planes — so multilingual
+   * fingerprints are deterministic WITHIN the engine (the dedup use
+   * case; spec-pinned on non-ASCII fixtures) while hash-parity oracles
+   * stay on the ASCII corpus ([[isAscii]]'s documented boundary).
+   */
+  def normalizeUnicode(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+
+  /** Whitespace tokens of the unicode-normalized text — non-empty by
+    * construction except for the all-symbol document (one empty token). */
+  def unicodeWords(text: Column): Column =
+    split(normalizeUnicode(text), " ")
+
+  /**
    * Deterministic cross-engine rounding: explicit `floor(x·10^dp + 0.5) /
    * 10^dp`. Engine `round()` is NOT portable at half boundaries — Spark
    * rounds the decimal expansion HALF_UP while DuckDB rounds the scaled

@@ -2888,10 +2888,37 @@ object LlmQueries {
       .orderBy("rank"),
     Some(hybridRrfOracle))
 
+  // q132 — unicode-aware dedup groups: case/punctuation-insensitive
+  // exact duplicate clusters over TextFunctions.normalizeUnicode
+  // (lower → keep \p{L}\p{N}\s → collapse \s+ → trim). The oracle runs
+  // on the ASCII corpus, where Java regex and DuckDB's RE2 agree on the
+  // classes and code-unit/codepoint hashing coincide; the multilingual
+  // behavior (non-ASCII doc fingerprints non-empty, dedups against its
+  // clone) is UnicodeTextSpec-pinned — the documented engine boundary.
+  val q132 = Q(
+    "q132_unicode_dedup",
+    (s, d) => graft.llm.TextAnalysis.unicodeDupGroups(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH nf AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |fp AS (SELECT doc_id,
+         |         CASE WHEN length(norm) = 0 THEN 0
+         |              ELSE ${polyHashSql("norm")} END AS ufp
+         |       FROM nf),
+         |g AS (SELECT ufp, CAST(count(*) AS BIGINT) AS grp_size,
+         |             min(doc_id) AS rep
+         |      FROM fp GROUP BY 1)
+         |SELECT f.doc_id, g.rep, g.grp_size
+         |FROM fp f JOIN g USING (ufp) ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }

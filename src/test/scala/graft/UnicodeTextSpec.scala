@@ -1,0 +1,82 @@
+package graft
+
+import graft.llm.{TextAnalysis, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/**
+ * The multilingual contract of the unicode-aware text surface
+ * (TextFunctions.normalizeUnicode / unicodeWords,
+ * TextAnalysis.normalizedUnicode / unicodeDupGroups) — pinned on
+ * NON-ASCII fixtures, which the DuckDB oracle (q132, ASCII corpus by
+ * design) cannot see. The load-bearing claims: a non-Latin document
+ * normalizes non-empty (the ASCII strip would empty it and spuriously
+ * merge every such doc), it dedups against its own case/punctuation
+ * clone, and DISTINCT non-ASCII texts do not collide.
+ */
+class UnicodeTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String): String =
+    Seq(s).toDF("text")
+      .select(TextFunctions.normalizeUnicode(col("text"))).head.getString(0)
+
+  test("normalizeUnicode: case-folds, strips symbols, collapses whitespace") {
+    assert(norm("Hello,  World!") === "hello world")
+    assert(norm("  a\t\tb\nc  ") === "a b c")
+    assert(norm("Café CAFÉ") === "café café")
+    assert(norm("Привет, МИР!") === "привет мир")
+    assert(norm("你好，世界！") === "你好世界")
+    assert(norm("¡Señor número 1!") === "señor número 1")
+    // all-symbol text normalizes to empty, not a crash
+    assert(norm("!!! ??? ---") === "")
+  }
+
+  test("non-ASCII docs fingerprint non-empty and distinct texts do not collide") {
+    val fps = Seq((1L, "Привет, мир!"), (2L, "你好，世界"), (3L, "Grüße aus Köln"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.polyHash(
+        TextFunctions.normalizeUnicode(col("text"))).as("fp"))
+      .as[Long].collect()
+    // none collapsed to the empty-string hash (0), all mutually distinct
+    assert(fps.forall(_ != 0L))
+    assert(fps.distinct.length === 3)
+  }
+
+  test("unicodeDupGroups: a non-ASCII doc dedups against its case/punct clone") {
+    val corpus = Seq(
+      (1L, "Привет, мир!"),
+      (2L, "привет мир"), //      clone of 1 modulo case + punctuation
+      (3L, "ПРИВЕТ   МИР"), //    clone of 1 modulo case + whitespace runs
+      (4L, "Прощай, мир!"), //    different text — must NOT join the group
+      (5L, "你好，世界"),
+      (6L, "你好、世界！") //      CJK clone modulo punctuation (deleting
+      //                         punctuation glues symbols — a SPACED
+      //                         variant is a different normalized string
+      //                         by design, same as the ASCII normalizer)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unicodeDupGroups(corpus)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L),
+      (5L, 5L, 2L), (6L, 5L, 2L)))
+  }
+
+  test("unicodeWords tokenizes non-Latin text; the ASCII strip would not") {
+    val toks = Seq("Привет, мир!").toDF("text")
+      .select(TextFunctions.unicodeWords(col("text"))).head.getSeq[String](0)
+    assert(toks === Seq("привет", "мир"))
+    // the ASCII normalizer's documented failure mode on the same text
+    val ascii = TextAnalysis.normalized(Seq((1L, "Привет, мир!")).toDF("doc_id", "text"))
+      .select("text_norm").head.getString(0)
+    assert(ascii.trim === "")
+  }
+
+  test("normalizedUnicode: null text normalizes to empty string, row kept") {
+    val got = TextAnalysis.normalizedUnicode(
+      Seq((1L, null: String), (2L, "Ok!")).toDF("doc_id", "text"))
+      .orderBy("doc_id").select("text_norm").as[String].collect()
+    assert(got === Array("", "ok"))
+  }
+}
