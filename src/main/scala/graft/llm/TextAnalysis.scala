@@ -684,14 +684,35 @@ object TextAnalysis {
    * as the empty string — unknown-content docs count as duplicates of
    * each other, which is what an ingest monitor wants to SEE, not hide.
    */
-  def corpusReport(docs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val base = docs.select(col(groupCol), col("doc_id"), col("lang"),
+  /** The per-row feature base of the report card — ONE select (token
+    * count, fingerprint, integer-scaled quality inlined from
+    * [[qualityScore]]'s expressions), shared by the batch
+    * [[corpusReport]] and the streaming
+    * [[graft.streaming.StreamReport]]: no join, so the streaming side
+    * never needs a stream-stream join, and the batch plan drops the
+    * former qualityScore self-join for free. */
+  private[graft] def reportFeatures(docs: DataFrame,
+      groupCol: String): DataFrame = {
+    val ws = words(col("text"))
+    val allStops = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
+    val nT = size(ws).cast("long")
+    val nD = size(array_distinct(ws)).cast("long")
+    val nS = size(filter(ws, w => array_contains(allStops, w))).cast("long")
+    val quality = fround(
+      least(nT.cast("double") / 100.0, lit(1.0)) * 0.4
+        + (nD.cast("double") / nT) * 0.3
+        + (lit(1.0) - nS.cast("double") / nT) * 0.3,
+      4)
+    docs.select(col(groupCol), col("doc_id"), col("lang"),
       size(filter(words(coalesce(col("text"), lit(""))), w => w =!= ""))
         .cast("long").as("n_tokens"),
-      polyHash(coalesce(col("text"), lit(""))).as("fp"))
-      .join(qualityScore(docs).select(col("doc_id"),
-        coalesce(floor(col("quality") * 10000d + lit(0.5)).cast("long"), lit(0L))
-          .as("qs")), Seq("doc_id"), "left")
+      polyHash(coalesce(col("text"), lit(""))).as("fp"),
+      coalesce(floor(quality * 10000d + lit(0.5)).cast("long"), lit(0L))
+        .as("qs"))
+  }
+
+  def corpusReport(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val base = reportFeatures(docs, groupCol)
     val perSrc = base.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),

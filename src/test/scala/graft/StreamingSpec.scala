@@ -152,6 +152,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus report card accumulates across batches == batch report on the union") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+    import s2.implicits._
+    val mon = graft.streaming.Monitor.attach(s2)
+    val source = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.StreamReport.streamingReport(
+      source.toDF().toDF("doc_id", "source", "lang", "text"))
+      .writeStream.format("memory").queryName("stream_report_out")
+      .outputMode("update").start()
+    val b1 = Seq(
+      (1L, "web", "en", "the quick brown fox"),
+      (2L, "web", "en", "the quick brown fox"), // exact dup of 1
+      (3L, "web", "de", "ganz anderes dokument"),
+      (4L, "books", "en", "call me ishmael"))
+    val b2 = Seq(
+      (5L, "web", "en", "the quick brown fox"), // CROSS-batch dup of 1
+      (6L, "web", "fr", "tout nouveau texte"), //  new lang, batch 2
+      (7L, "books", "en", "call me ishmael"), //   cross-batch dup of 4
+      (8L, "books", "en", "a genuinely new book"))
+    try {
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      source.addData(b2: _*)
+      q.processAllAvailable()
+      // memory sink in update mode appends each batch's emission; the
+      // LAST row per source is the running report
+      val streamed = s2.table("stream_report_out")
+        .groupBy("source").agg(last("n_docs").as("n_docs"),
+          last("n_tokens").as("n_tokens"), last("n_dup_docs").as("n_dup_docs"),
+          last("n_langs").as("n_langs"), last("mean_quality").as("mean_quality"))
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+      val batch = graft.llm.TextAnalysis.corpusReport(
+        (b1 ++ b2).toDF("doc_id", "source", "lang", "text"), "source")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+      assert(streamed === batch)
+      // the cross-batch duplicates were actually seen as duplicates
+      assert(streamed.map(_._1).toSet === Set("books", "web"))
+      assert(batch.find(_._1 == "web").get._4 === 2L) //  docs 2 and 5
+      assert(batch.find(_._1 == "books").get._4 === 1L) // doc 7
+      // wired through Monitor: the listener tracked this named query
+      assert(mon.snapshot("stream_report_out").exists(s =>
+        s.batches >= 2 && s.inputRows === (b1.size + b2.size)))
+    } finally q.stop()
+  }
+
   test("B7 checkpoint restart: a new query resumes exactly-once from the same checkpoint") {
     import graft.streaming.IdempotentSink
     val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
