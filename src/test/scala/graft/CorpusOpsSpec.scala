@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 132 uniquely-named queries, 128 oracle-checked, qNN prefixes unique") {
+  test("registry: 133 uniquely-named queries, 129 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 132)
-    assert(all.count(_.oracle.isDefined) === 128)
+    assert(all.size === 133)
+    assert(all.count(_.oracle.isDefined) === 129)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
