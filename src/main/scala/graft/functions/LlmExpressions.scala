@@ -44,7 +44,12 @@ object LlmExprs {
     * fusing overwrites the accumulator's last symbol, mirroring the
     * packed-string fold symbol-for-symbol (symbols are Sep-free by the
     * learn-time assertion, so last-symbol equality IS the
-    * `endsWith(Sep + lhs)` check). */
+    * `endsWith(Sep + lhs)` check). Initial symbols are CODE POINTS, not
+    * UTF-16 code units: the learn path's `split(word, "")` and the
+    * HOF fold both split on code points, so a supplementary-plane char
+    * (one surrogate pair) must start as ONE symbol here too — charAt
+    * iteration would split it in two and the spec-pinned ≡ would hold
+    * only on the ASCII corpus. */
   def bpeCount(text: UTF8String, lhs: Array[String], rhs: Array[String]): Long = {
     val s = text.toString
     val n = s.length
@@ -54,9 +59,15 @@ object LlmExprs {
       var j = s.indexOf(' ', i)
       if (j < 0) j = n
       if (j > i) { // non-empty word
-        var syms = new Array[String](j - i)
+        var syms = new Array[String](s.codePointCount(i, j))
         var k = 0
-        while (k < syms.length) { syms(k) = String.valueOf(s.charAt(i + k)); k += 1 }
+        var cp = i
+        while (cp < j) {
+          val cc = Character.charCount(s.codePointAt(cp))
+          syms(k) = s.substring(cp, cp + cc)
+          k += 1
+          cp += cc
+        }
         var len = syms.length
         var m = 0
         while (m < lhs.length) {
@@ -329,7 +340,8 @@ case class DeflateLenExpr(child: Expression) extends UnaryExpression {
   * sf0.1 evaluation; this runs the identical greedy merges in
   * milliseconds). Semantics are EXACTLY the packed-string fold's:
   * per word (single-space split, empties skipped), symbols start as
-  * UTF-16 code units and each merge makes one greedy left-to-right
+  * code points (surrogate pairs stay whole, matching the learn path's
+  * code-point split) and each merge makes one greedy left-to-right
   * pass fusing (lhs, rhs) — a just-fused symbol never re-merges within
   * the pass (lhs+rhs ≠ lhs, rhs non-empty). BpeSpec pins ≡ the HOF
   * formulation; the oracle replays the same fold in SQL. */

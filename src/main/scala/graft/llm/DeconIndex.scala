@@ -64,7 +64,15 @@ object DeconIndex {
   /** Accrete NEW benchmark items — idempotent: only fingerprints/grams
     * absent from the stored tables land, so replays append nothing and
     * the tables stay distinct (the checkpoint cuts lineage before the
-    * append, [[DedupIndex.commit]]'s reasoning). */
+    * append, [[DedupIndex.commit]]'s reasoning).
+    *
+    * SINGLE WRITER per index: distinct-by-construction holds because
+    * each append anti-joins the PRE-write snapshot — two concurrent
+    * appends with overlapping items would both see the values as absent
+    * and double-insert them, and duplicate `gh` rows fan out
+    * [[overlap]]'s left join (inflated n_grams/n_hit). Benchmark suites
+    * change rarely and through one curation process; serialize appends
+    * there (the same contract as [[IvfIndex.append]]). */
   def append(benchmark: DataFrame, dir: String): Unit = {
     val spark = benchmark.sparkSession
     val n = gramN(spark, dir)

@@ -57,7 +57,15 @@ object IvfIndex {
     * mid-write (the same lineage-cut reasoning as
     * [[DedupIndex.commit]]). The anti-join reads ONE long column of the
     * assignments table; at billion-vector scale run [[compact]] on a
-    * cadence so that read stays a few large files per cell. */
+    * cadence so that read stays a few large files per cell.
+    *
+    * SINGLE WRITER per index: the idempotence anti-join reads the
+    * pre-write snapshot, so two CONCURRENT appends carrying overlapping
+    * batches would each see the other's rows as absent and both insert
+    * them — duplicated vec_ids, visible as repeated neighbor rows. The
+    * ingest lifecycle that owns an index must serialize its appends
+    * (the same contract as [[DeconIndex.append]]); replays are safe
+    * BECAUSE they are sequential. */
   def append(vectors: DataFrame, dir: String): Unit = {
     val spark = vectors.sparkSession
     val unseen = vectors.join(

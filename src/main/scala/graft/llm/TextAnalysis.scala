@@ -552,10 +552,13 @@ object TextAnalysis {
     // 10¹³-token budget) the long product overflows 2⁶³ and would wrap to
     // a negative quota, silently zeroing the source's contribution. `div`
     // on decimals is exact integral division on both engines.
+    // w_total = 0 (EVERY source all-empty text) would make the integral
+    // division raise under ANSI mode — an all-empty corpus should sample
+    // to zero rows, not error (same guard as the epochs term below).
     val quotas = weights.crossJoin(
       org.apache.spark.sql.functions.broadcast(tot))
       .select(col(groupCol),
-        expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
+        expr(s"CAST(CASE WHEN w_total > 0 THEN CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total ELSE 0 END AS BIGINT)")
           .as("quota"))
     // Long rnk for the same reason as mixtureSample's.
     graft.ops.PrefixRank.keyedPrefix(toks, Seq(groupCol), saltedKey(salt),
@@ -605,10 +608,14 @@ object TextAnalysis {
     val tot = weights.agg(sum(col("w")).as("w_total"))
     // Same DECIMAL(38,0) widening as the subsampler's quota; epochs and
     // the remainder stay in exact integer arithmetic throughout.
+    // w_total = 0 (EVERY source all-empty text) would make the integral
+    // division raise under ANSI mode — the docstring's "no rows rather
+    // than a division error" needs this guard, not just the per-source
+    // epochs one below.
     val plan = weights.crossJoin(
       org.apache.spark.sql.functions.broadcast(tot))
       .select(col(groupCol), col("tok_grp"),
-        expr(s"CAST(CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total AS BIGINT)")
+        expr(s"CAST(CASE WHEN w_total > 0 THEN CAST($tokenBudget AS DECIMAL(38,0)) * w div w_total ELSE 0 END AS BIGINT)")
           .as("quota"))
       .select(col(groupCol), col("tok_grp"), col("quota"),
         when(col("tok_grp") > 0,

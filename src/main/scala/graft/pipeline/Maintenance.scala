@@ -58,12 +58,19 @@ object Maintenance {
    * accretes small files across appends — e.g. the five
    * [[graft.llm.DedupIndex]] tables) to `targetFiles` files, with the
    * same tmp-write + double-rename swap as [[compactPartition]]: racing
-   * readers see the old or the new file set, never a mix, and a crash
-   * between the renames leaves `__graft_old` to roll back from. The
-   * rewrite changes LAYOUT only — row content is preserved exactly.
+   * readers see the old or the new file set, never a MIX — but the swap
+   * is not fully atomic: between rename(dir → old) and rename(tmp → dir)
+   * the table root does not exist, so a concurrent reader can observe a
+   * transient not-found (retry-once is the reader contract), and a crash
+   * inside that window strands the data under `__graft_old` with nothing
+   * at `dir`. [[recoverCompaction]] repairs exactly that state; both
+   * compaction entry points run it first, and a service hosting these
+   * tables should run it at startup. The rewrite changes LAYOUT only —
+   * row content is preserved exactly.
    */
   def compactDir(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
+    recoverCompaction(spark, dir)
     val p = new Path(dir)
     val f = fs(spark, p)
     require(f.exists(p), s"no such directory: $dir")
@@ -77,6 +84,29 @@ object Maintenance {
   }
 
   /**
+   * Startup/pre-compaction recovery for an interrupted swap. The swap's
+   * crash states and their repairs:
+   *  - crash during/after the tmp write, before any rename: stale
+   *    `__graft_tmp` beside an intact `dir` — drop the tmp;
+   *  - crash BETWEEN the renames: `dir` missing, full pre-compaction
+   *    data at `__graft_old` — rename it back (the data-loss window the
+   *    compaction docs call out);
+   *  - crash after the second rename, before the cleanup delete: both
+   *    `dir` (new layout) and `__graft_old` present — finish the delete.
+   * Idempotent; returns true iff a rollback (rename old → dir) ran.
+   */
+  def recoverCompaction(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = fs(spark, p)
+    val tmp = new Path(dir + "__graft_tmp")
+    val old = new Path(dir + "__graft_old")
+    val rolledBack = !f.exists(p) && f.exists(old) && f.rename(old, p)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(p) && f.exists(old)) f.delete(old, true)
+    rolledBack
+  }
+
+  /**
    * Compact a WHOLE hive-partitioned table (e.g. [[graft.llm.IvfIndex]]'s
    * cell-partitioned `assignments`/`pq_codes`, which accrete one file
    * set per touched cell per append) in one job: read the table with its
@@ -87,10 +117,14 @@ object Maintenance {
    * `cell=N` directory — matters: a per-directory swap would leave
    * `cell=N__graft_tmp` siblings that partition DISCOVERY parses as
    * partition values, poisoning concurrent reads; the root-level rename
-   * pair keeps every intermediate state invisible to readers of `dir`.
+   * pair keeps every intermediate FILE-SET state invisible to readers of
+   * `dir` — with [[compactDir]]'s same caveat: the instant between the
+   * two renames has no table root at all (transient not-found for a
+   * racing reader; [[recoverCompaction]] repairs a crash there).
    */
   def compactHivePartitioned(spark: SparkSession, dir: String,
       partCol: String): Unit = {
+    recoverCompaction(spark, dir)
     val p = new Path(dir)
     val f = fs(spark, p)
     require(f.exists(p), s"no such directory: $dir")

@@ -146,6 +146,25 @@ class BpeSpec extends SparkSpec {
     assert(got == syms)
   }
 
+  test("native BpeCountExpr == HOF on supplementary-plane text (code points, not code units)") {
+    // 😀 (U+1F600) is one code point = two UTF-16 units; split(word, "")
+    // keeps it whole, so the native encoder must too. Learn merges on an
+    // emoji-bearing corpus and compare both formulations per doc.
+    val docs = Seq((1L, "😀😀 a😀b 😀😀"), (2L, "a😀b a😀b x"),
+      (3L, "😀 plain ascii words 😀😀")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, 5)
+    val diff = docs.select(
+      Bpe.tokenCount(col("text"), merges).as("native"),
+      Bpe.tokenCountHof(col("text"), merges).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, "native and HOF diverge on non-BMP text")
+    // and the count is code-point sensible: "😀😀" with the (😀,😀)
+    // merge learned collapses below 2 symbols-per-word
+    val n = docs.filter(col("doc_id") === 1L)
+      .select(Bpe.tokenCount(col("text"), merges)).head.getLong(0)
+    assert(n > 0L && n <= 6L)
+  }
+
   // ------------------------------------------------- persisted BpeIndex
 
   import graft.llm.BpeIndex

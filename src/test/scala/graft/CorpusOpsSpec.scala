@@ -614,6 +614,15 @@ class CorpusOpsSpec extends SparkSpec {
       s"unexpected rows-only queries: $rowsOnly")
   }
 
+  test("token samplers: an all-empty corpus yields no rows, not a division error") {
+    // every source at zero tokens makes w_total = 0; the quota division
+    // must be guarded (ANSI mode would raise), and both samplers should
+    // simply emit nothing
+    val empty = Seq((1L, "web", ""), (2L, "books", "")).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.mixtureSampleTokens(empty, "source", tokenBudget = 100L).isEmpty)
+    assert(TextAnalysis.epochMixtureTokens(empty, "source", tokenBudget = 100L).isEmpty)
+  }
+
   test("mixtureSampleTokens fills each source's token quota, overshooting at most one doc") {
     val got = TextAnalysis.mixtureSampleTokens(docs, "source", tokenBudget = 2000L)
       .as[(Long, String, Long, Long, Long)].collect()

@@ -179,4 +179,35 @@ class PipelineSpec extends SparkSpec {
     assert(h.count === 7L)
     assert(h.sum === 5.0 + 10.0 + 10.1 + 29.0 + 51.0 + 1000.0 + 45.0)
   }
+
+  test("S6 recoverCompaction repairs every crash state of the swap") {
+    import graft.pipeline.Maintenance
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recover").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + "__graft_old")
+    val tmp = new java.io.File(dir + "__graft_tmp")
+
+    // crash BETWEEN the renames: dir gone, data stranded at __graft_old
+    assert(f.renameTo(old))
+    assert(Maintenance.recoverCompaction(spark, dir))
+    assert(f.exists() && !old.exists())
+    assert(spark.read.parquet(dir).count() === 2)
+
+    // crash before any rename: stale tmp beside an intact dir
+    Seq((9L, "junk")).toDF("id", "v").write.parquet(tmp.toString)
+    assert(!Maintenance.recoverCompaction(spark, dir)) // no rollback needed
+    assert(!tmp.exists() && f.exists())
+    assert(spark.read.parquet(dir).count() === 2)
+
+    // crash after the second rename, before cleanup: dir + leftover old
+    Seq((3L, "c")).toDF("id", "v").write.parquet(old.toString)
+    assert(!Maintenance.recoverCompaction(spark, dir))
+    assert(f.exists() && !old.exists())
+
+    // and a compaction after recovery runs clean
+    Maintenance.compactDir(spark, dir, targetFiles = 1)
+    assert(spark.read.parquet(dir).count() === 2)
+  }
 }
