@@ -152,6 +152,33 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /**
+   * Jaccard ∪ containment clustering edges off ONE shared inverted-index
+   * pass — the curation-v3 pair front. Running [[ngramJaccardPairs]] and
+   * [[containmentPairs]] separately pays the index build and the
+   * intersections shuffle (the pair stage's dominant cost) TWICE for the
+   * same candidate set; both ratios are per-pair arithmetic over the
+   * identical (inter, |A|, |B|) triple, so one filtered disjunction
+   * yields exactly `jaccardPairs(t_j) ∪ containmentPairs(t_c)` — the set
+   * the q133 oracle's `prs` CTE unions. Same `maxDf` hot-key semantics.
+   */
+  def dupEdges(docs: DataFrame, n: Int = 3, jaccThreshold: Double = 0.5,
+      contThreshold: Double = 0.8, maxDf: Option[Long] = None): DataFrame = {
+    val sizes = setSizes(docs, n)
+    intersections(cappedIndex(docs, n, maxDf))
+      .join(sizes.as("ea"), col("id_a") === col("ea.doc_id"))
+      .join(sizes.as("eb"), col("id_b") === col("eb.doc_id"))
+      .withColumn("jaccard",
+        fround(col("inter").cast("double") /
+          (col("ea.sz") + col("eb.sz") - col("inter")).cast("double"), 4))
+      .withColumn("containment",
+        fround(col("inter").cast("double") /
+          least(col("ea.sz"), col("eb.sz")).cast("double"), 4))
+      .filter(col("jaccard") >= jaccThreshold ||
+        col("containment") >= contThreshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
     docs.select(col("doc_id"),

@@ -286,6 +286,54 @@ object TextAnalysis {
   }
 
   /**
+   * Document-SPANNING sequence packing — the GPT-style "concatenate the
+   * corpus in training order and cut every `seqLen` tokens" layout,
+   * where a document may straddle a sequence boundary (unlike
+   * [[packSequencesBy]], whose bins are whole-document greedy fills).
+   * Emits the (sequence ↔ document-slice) map a loader materializes
+   * batches from: one row per (doc, sequence it overlaps) —
+   *
+   *   (seq_id, doc_id, doc_off, seq_off, n_toks)
+   *
+   * with `doc_off` the slice's first token within the document,
+   * `seq_off` its first position within the sequence, and per-sequence
+   * `n_toks` summing to exactly `seqLen` (the final partial sequence
+   * excepted), per-document slices summing to the doc's token count.
+   *
+   * Scale shape: the global concatenation order is the salted-hash
+   * [[trainingOrder]] key via ONE groupless [[graft.ops.PrefixRank]]
+   * pass (rank + inclusive token prefix-sum; no single-partition
+   * window), and the boundary-straddle fan-out is a scan-stage
+   * `explode(sequence(first_seq, last_seq))` — a document emits
+   * 1 + ⌈n/seqLen⌉-ish rows, no join, no second shuffle. All arithmetic
+   * is exact integer division on both engines. Zero-token docs emit no
+   * rows (nothing to place).
+   */
+  def packSpanning(docs: DataFrame, nTokens: Column, seqLen: Long,
+      salt: String = "graft"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1 (got $seqLen)")
+    val toks = docs.withColumn("n_tokens",
+      coalesce(nTokens.cast("long"), lit(0L)))
+    val ranked = graft.ops.PrefixRank.keyedPrefix(
+      toks.select(col("doc_id"), col("text"), col("n_tokens")),
+      Nil, saltedKey(salt), P, col("doc_id"),
+      sums = Seq((col("n_tokens"), "cum_tokens")))
+      .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
+    val first = expr(s"cum_before div $seqLen")
+    val last = expr(s"(cum_before + n_tokens - 1) div $seqLen")
+    val start = greatest(col("cum_before"), col("seq_id") * seqLen)
+    val end = least(col("cum_before") + col("n_tokens"),
+      (col("seq_id") + 1) * seqLen)
+    ranked.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("cum_before"), col("n_tokens"),
+        explode(sequence(first, last)).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (start - col("cum_before")).as("doc_off"),
+        (start - col("seq_id") * seqLen).as("seq_off"),
+        (end - start).as("n_toks"))
+  }
+
+  /**
    * Pattern redaction — the PII-scrub pass of a training-data pipeline
    * (emails, URLs, phone numbers in production; the pattern is a
    * parameter). Emits the match count per document alongside the
@@ -348,6 +396,25 @@ object TextAnalysis {
     val bench = benchmark.select(normFp(col("text")).as("bench_fp")).distinct()
     corpus.join(org.apache.spark.sql.functions.broadcast(bench),
       normFp(col("text")) === col("bench_fp"), "left_anti")
+  }
+
+  /**
+   * [[decontaminated]] through the unicode-aware normalizer
+   * ([[TextFunctions.normalizeUnicode]]): the exact gate becomes CASE-
+   * and punctuation-insensitive and multilingual — an uppercased or
+   * re-punctuated copy of a benchmark item slips the ASCII gate (whose
+   * `[^a-z0-9 ]` strip is case-SENSITIVE: capitals are deleted, not
+   * folded), and a non-Latin benchmark normalizes to "" there, matching
+   * nothing. Same broadcast anti-join shape; null corpus text never
+   * matches (null fingerprint, anti-join keeps it).
+   */
+  def unicodeDecontaminated(corpus: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    def ufp(c: Column): Column = polyHash(TextFunctions.normalizeUnicode(c))
+    val bench = benchmark.select(ufp(col("text")).as("bench_fp"))
+      .filter(col("bench_fp").isNotNull).distinct()
+    corpus.join(org.apache.spark.sql.functions.broadcast(bench),
+      ufp(col("text")) === col("bench_fp"), "left_anti")
   }
 
   /**

@@ -2927,12 +2927,12 @@ object LlmQueries {
     "q133_curation_v3",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val jacc = DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
-        maxDf = Some(DedupDfCap)).select(col("id_a"), col("id_b"))
-      val cont = DedupOps.containmentPairs(docs, n = 3, threshold = 0.8,
-        maxDf = Some(DedupDfCap)).select(col("id_a"), col("id_b"))
+      // ONE shared inverted-index pass yields both edge families
+      // (dupEdges ≡ jaccardPairs(0.5) ∪ containmentPairs(0.8))
+      val edges = DedupOps.dupEdges(docs, n = 3, jaccThreshold = 0.5,
+        contThreshold = 0.8, maxDf = Some(DedupDfCap))
       val kept = DedupOps.dedupedCorpus(docs,
-        DedupOps.duplicateClusters(jacc.union(cont).distinct()))
+        DedupOps.duplicateClusters(edges))
       val prunedIds = TextAnalysis.qualityPrune(kept, "source",
         keepPermille = 500L).select(col("doc_id"))
       val pruned = kept.join(prunedIds, Seq("doc_id"), "left_semi")
@@ -3004,8 +3004,8 @@ object LlmQueries {
          |  SELECT doc_id FROM hits
          |  WHERE ${Det.frSql("CAST(n_hit AS DOUBLE) / n_grams", 4)} >= 0.5),
          |fclean AS (SELECT c.doc_id, c.source, c.lang, c.text FROM clean c
-         |           LEFT JOIN fdropped x ON x.doc_id = c.doc_id
-         |           WHERE x.doc_id IS NULL),
+         |           LEFT JOIN fdropped xx ON xx.doc_id = c.doc_id
+         |           WHERE xx.doc_id IS NULL),
          |rw AS (SELECT doc_id, source, lang, text,
          |         string_split(text, ' ') AS ws FROM fclean),
          |rc AS (SELECT doc_id, source, lang, text,
@@ -3033,10 +3033,106 @@ object LlmQueries {
          |FROM rp JOIN rd USING (source) JOIN rl USING (source)
          |ORDER BY rp.source""".stripMargin))
 
+  // q134 — document-SPANNING sequence packing (the GPT-style concat-and-
+  // cut layout): the corpus in salted-hash training order, cut every 512
+  // tokens, one row per (sequence, document slice) with both offsets.
+  // One groupless PrefixRank pass + a scan-stage explode over the
+  // straddled sequence ids; the oracle replays the cut with a window
+  // cumsum + range() fan-out — all exact integer division.
+  val q134 = Q(
+    "q134_pack_spanning",
+    (s, d) => TextAnalysis.packSpanning(Tables.documents(s, d),
+      size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "")).cast("long"),
+      seqLen = 512L)
+      .orderBy("seq_id", "seq_off"),
+    Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |      w -> w <> '')) AS BIGINT) AS n
+         |  FROM documents),
+         |k AS (SELECT doc_id, n,
+         |        ${polyHashSql("'graft#' || coalesce(text, '')")} AS okey
+         |      FROM t),
+         |c AS (SELECT doc_id, n,
+         |        CAST(coalesce(SUM(n) OVER (ORDER BY okey, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |      FROM k),
+         |e AS (SELECT doc_id, n, cb,
+         |        unnest(range(cb // 512, (cb + n - 1) // 512 + 1)) AS seq_id
+         |      FROM c WHERE n > 0)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(greatest(cb, seq_id * 512) - cb AS BIGINT) AS doc_off,
+         |  CAST(greatest(cb, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+         |  CAST(least(cb + n, (seq_id + 1) * 512)
+         |       - greatest(cb, seq_id * 512) AS BIGINT) AS n_toks
+         |FROM e ORDER BY seq_id, seq_off""".stripMargin))
+
+  // q135 — unicode decontamination: the exact gate through
+  // normalizeUnicode, so it is case/punctuation-insensitive. The
+  // benchmark is the % 59 = 7 slice UPPERCASED — a case-variant copy
+  // the ASCII gate cannot drop (its [^a-z0-9 ] strip deletes capitals
+  // rather than folding them), so the drops in this result are exactly
+  // the unicode gate's distinctive power. The oracle needs no upper():
+  // lower() absorbs it, which IS the point.
+  val q135 = Q(
+    "q135_unicode_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.unicodeDecontaminated(docs,
+        docs.filter(col("doc_id") % 59 === 7)
+          .withColumn("text", upper(col("text"))))
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH nf AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |fp AS (SELECT doc_id,
+         |         CASE WHEN length(norm) = 0 THEN 0
+         |              ELSE ${polyHashSql("norm")} END AS f
+         |       FROM nf),
+         |b AS (SELECT DISTINCT f FROM fp WHERE doc_id % 59 = 7 AND f IS NOT NULL)
+         |SELECT doc_id FROM fp
+         |WHERE f IS NULL OR f NOT IN (SELECT f FROM b)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q136 — the BPE ENCODER's long-format output: (doc_id, pos, token)
+  // token stream under the PERSISTED vocabulary (BpeIndex.load — the
+  // artifact q129 roundtrips), the export a downstream featurizer
+  // actually consumes. The oracle rebuilds each word's tokenization from
+  // the merge-round CTEs (a word's encoding is a pure function of the
+  // word), fans words out by position, prefix-sums the per-word token
+  // counts, and unnests each token list at its document offset.
+  val q136 = Q(
+    "q136_bpe_token_stream",
+    (s, d) => Bpe.encodeTokens(Tables.documents(s, d), bpeMergesFor(s, d))
+      .orderBy("doc_id", "pos"),
+    Some(
+      s"""WITH $bpeChainCtes,
+         |wt AS (SELECT word, string_split(toks, '$bpeSep') AS tl FROM bt$bpeK),
+         |dws AS (SELECT doc_id,
+         |          list_filter(string_split(coalesce(text, ''), ' '),
+         |            x -> x <> '') AS ws
+         |        FROM documents),
+         |dwo AS (SELECT doc_id, unnest(range(len(ws))) AS o, ws FROM dws),
+         |dw AS (SELECT doc_id, o, ws[o + 1] AS word FROM dwo),
+         |p AS (SELECT doc_id, o, wt.tl,
+         |        coalesce(SUM(len(wt.tl)) OVER (PARTITION BY doc_id ORDER BY o
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |      FROM dw JOIN wt USING (word)),
+         |x AS (SELECT doc_id, bef, tl, unnest(range(len(tl))) AS ti FROM p)
+         |SELECT doc_id, CAST(bef + ti AS INT) AS pos, tl[ti + 1] AS token
+         |FROM x ORDER BY doc_id, pos""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
-    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+    q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
+    q132, q133, q134, q135, q136)
 }

@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 133 uniquely-named queries, 129 oracle-checked, qNN prefixes unique") {
+  test("registry: 136 uniquely-named queries, 132 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 133)
-    assert(all.count(_.oracle.isDefined) === 129)
+    assert(all.size === 136)
+    assert(all.count(_.oracle.isDefined) === 132)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -612,6 +612,75 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rowsOnly === Vector("q103_profile_approx", "q13_approx_distinct",
       "q59_approx_percentiles", "q94_compression_ratio"),
       s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("dupEdges == jaccardPairs(0.5) ∪ containmentPairs(0.8) off one shared pass") {
+    val jacc = DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+      maxDf = Some(64L)).select("id_a", "id_b")
+    val cont = DedupOps.containmentPairs(docs, n = 3, threshold = 0.8,
+      maxDf = Some(64L)).select("id_a", "id_b")
+    val expect = jacc.union(cont).distinct()
+      .as[(Long, Long)].collect().toSet
+    val got = DedupOps.dupEdges(docs, n = 3, jaccThreshold = 0.5,
+      contThreshold = 0.8, maxDf = Some(64L))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("packSpanning: sequences fill to exactly L, docs straddle boundaries, slices tile") {
+    // token counts 5, 6, 4 at L = 8: whatever the salted order, the
+    // concatenation is 15 tokens => seq 0 holds exactly 8, seq 1 the
+    // remaining 7; some doc MUST straddle the boundary.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5"),
+      (2L, "b1 b2 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4"),
+      (4L, "")).toDF("doc_id", "text") // zero tokens: no rows
+    val nTok = size(filter(graft.llm.TextFunctions.words(coalesce(col("text"), lit(""))),
+      w => w =!= "")).cast("long")
+    val got = TextAnalysis.packSpanning(docs, nTok, seqLen = 8L)
+      .orderBy("seq_id", "seq_off")
+      .select("seq_id", "doc_id", "doc_off", "seq_off", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // per-sequence totals: full L except the last
+    val bySeq = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq === Map(0L -> 8L, 1L -> 7L))
+    // per-document slices reassemble the document exactly
+    val byDoc = got.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._5).sum, rs.map(_._3).min)).toMap
+    assert(byDoc === Map(1L -> ((5L, 0L)), 2L -> ((6L, 0L)), 3L -> ((4L, 0L))))
+    assert(!got.exists(_._2 == 4L))
+    // within each sequence, slices tile without gap or overlap
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 === b._4)
+        case _ => ()
+      }
+    }
+    // at least one document straddles (appears in both sequences)
+    assert(got.groupBy(_._2).exists(_._2.map(_._1).distinct.length > 1))
+  }
+
+  test("packSpanning: slice offsets are consistent with the doc's own token range") {
+    val nTok = size(filter(graft.llm.TextFunctions.words(coalesce(col("text"), lit(""))),
+      w => w =!= "")).cast("long")
+    val got = TextAnalysis.packSpanning(docs.limit(50), nTok, seqLen = 64L)
+      .select("seq_id", "doc_id", "doc_off", "seq_off", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc_off starts at 0 per doc and advances by the slice sizes
+    got.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._5 === b._3)
+          assert(b._1 === a._1 + 1) // consecutive slices = consecutive seqs
+        case _ => ()
+      }
+    }
   }
 
   test("token samplers: an all-empty corpus yields no rows, not a division error") {

@@ -73,6 +73,28 @@ class UnicodeTextSpec extends SparkSpec {
     assert(ascii.trim === "")
   }
 
+  test("unicodeDecontaminated drops case-variant benchmark copies the ASCII gate keeps") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "totally innocent document"),
+      (3L, "Привет, мир!")).toDF("doc_id", "text")
+    // benchmark carries an UPPERCASED copy of doc 1 and a re-punctuated
+    // copy of the non-ASCII doc 3
+    val bench = Seq((100L, "THE QUICK BROWN FOX"), (101L, "привет мир"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.unicodeDecontaminated(corpus, bench)
+      .select("doc_id").as[Long].collect().sorted
+    assert(uni === Array(2L)) // both contaminated docs dropped
+    // the ASCII gate keeps BOTH: capitals are deleted (not folded), so
+    // "THE QUICK BROWN FOX" normalizes to spaces-only, and the Russian
+    // text normalizes to "" on both sides but doc 3's own side too —
+    // matching everything empty — which is exactly why the unicode gate
+    // exists. Pin only the case-variant miss here (doc 1 kept).
+    val ascii = TextAnalysis.decontaminated(corpus, bench)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ascii.contains(1L))
+  }
+
   test("normalizedUnicode: null text normalizes to empty string, row kept") {
     val got = TextAnalysis.normalizedUnicode(
       Seq((1L, null: String), (2L, "Ok!")).toDF("doc_id", "text"))
