@@ -264,4 +264,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "v2 pipeline planned a cross product")
     assert(!p.contains("Expand"), "v2 report stage must stay Expand-free")
   }
+
+  test("q131: hybrid IVF dense side prunes cell partitions, never sort-merges the corpus") {
+    val p = planOf("q131_hybrid_rrf_ivf")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "dense candidate read lost its cell partition pruning")
+    assert(!p.contains("CartesianProduct"), "hybrid fusion planned a cross product")
+  }
+
+  test("q133: v3 pipeline — one shared pair pass, no nested loop, Expand-free report") {
+    val p = planOf("q133_curation_v3")
+    assert(!p.contains("CartesianProduct"), "v3 pipeline planned a cross product")
+    assert(!p.contains("Expand"), "v3 report stage must stay Expand-free")
+  }
+
+  test("q134: spanning pack ranks bucketed and fans out at scan stage — no global corpus window") {
+    val p = planOf("q134_pack_spanning")
+    // the concatenation order must come from the bucketed PrefixRank,
+    // never a windowspec over the whole corpus keyed on the order hash
+    assert(p.contains("windowspecdefinition(__graft_bkt"),
+      "spanning pack lost the bucketed rank")
+    assert(p.contains("Generate explode"),
+      "sequence-id fan-out should be a scan-stage explode")
+  }
+
+  test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
+    val p135 = planOf("q135_unicode_decontaminate")
+    assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
+    assert(!p135.contains("SortMergeJoin"),
+      "benchmark side must broadcast, not sort-merge")
+    assert(!planOf("q132_unicode_dedup").contains("CartesianProduct"))
+  }
 }
