@@ -50,6 +50,42 @@ object LlmExprs {
     * (one surrogate pair) must start as ONE symbol here too — charAt
     * iteration would split it in two and the spec-pinned ≡ would hold
     * only on the ASCII corpus. */
+  /** Encode one word s[i, j): initial code-point symbols, then one
+    * greedy in-place pass per merge. Returns the symbol buffer and its
+    * live length (the buffer's tail past `len` is garbage). Shared by
+    * the counting ([[bpeCount]]) and collecting ([[bpeTokens]]) entries
+    * so the two can never drift. */
+  private def encodeSyms(s: String, i: Int, j: Int,
+      lhs: Array[String], rhs: Array[String]): (Array[String], Int) = {
+    val syms = new Array[String](s.codePointCount(i, j))
+    var k = 0
+    var cp = i
+    while (cp < j) {
+      val cc = Character.charCount(s.codePointAt(cp))
+      syms(k) = s.substring(cp, cp + cc)
+      k += 1
+      cp += cc
+    }
+    var len = syms.length
+    var m = 0
+    while (m < lhs.length) {
+      val l = lhs(m)
+      val r = rhs(m)
+      var out = 0
+      var p = 0
+      while (p < len) {
+        val x = syms(p)
+        if (out > 0 && x == r && syms(out - 1) == l)
+          syms(out - 1) = l + x
+        else { syms(out) = x; out += 1 }
+        p += 1
+      }
+      len = out
+      m += 1
+    }
+    (syms, len)
+  }
+
   def bpeCount(text: UTF8String, lhs: Array[String], rhs: Array[String]): Long = {
     val s = text.toString
     val n = s.length
@@ -58,38 +94,34 @@ object LlmExprs {
     while (i <= n) {
       var j = s.indexOf(' ', i)
       if (j < 0) j = n
-      if (j > i) { // non-empty word
-        var syms = new Array[String](s.codePointCount(i, j))
-        var k = 0
-        var cp = i
-        while (cp < j) {
-          val cc = Character.charCount(s.codePointAt(cp))
-          syms(k) = s.substring(cp, cp + cc)
-          k += 1
-          cp += cc
-        }
-        var len = syms.length
-        var m = 0
-        while (m < lhs.length) {
-          val l = lhs(m)
-          val r = rhs(m)
-          var out = 0
-          var p = 0
-          while (p < len) {
-            val x = syms(p)
-            if (out > 0 && x == r && syms(out - 1) == l)
-              syms(out - 1) = l + x
-            else { syms(out) = x; out += 1 }
-            p += 1
-          }
-          len = out
-          m += 1
-        }
-        count += len
-      }
+      if (j > i) count += encodeSyms(s, i, j, lhs, rhs)._2
       i = j + 1
     }
     count
+  }
+
+  /** Static entry for BpeTokensExpr: the document's FULL token stream
+    * (document order, multiplicity kept) under the ordered merges — the
+    * array the encoder export explodes. Same per-word loop as
+    * [[bpeCount]] via [[encodeSyms]]; the K-nested HOF formulation this
+    * replaces evaluated interpreted at ~4.5 s per sf0.1 pass (q136). */
+  def bpeTokens(text: UTF8String, lhs: Array[String],
+      rhs: Array[String]): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i <= n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) {
+        val (syms, len) = encodeSyms(s, i, j, lhs, rhs)
+        var k = 0
+        while (k < len) { out += UTF8String.fromString(syms(k)); k += 1 }
+      }
+      i = j + 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Modulus-parameterized [[polyHash]] (mod = P48 for wide keys; with
@@ -356,6 +388,27 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
     val l = ctx.addReferenceObj("bpeLhs", lhsArr, "java.lang.String[]")
     val r = ctx.addReferenceObj("bpeRhs", rhsArr, "java.lang.String[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeCount($c, $l, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The BPE encoder's token STREAM as a native array expression —
+  * [[BpeCountExpr]]'s collecting sibling (both route through one shared
+  * per-word loop, so count and stream can never disagree). Backs
+  * [[graft.llm.Bpe.tokens]]/`encodeTokens`; the HOF formulation is
+  * retained as `encodeTokensHof` and BpeSpec-pinned ≡. */
+case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.bpeTokens(input.asInstanceOf[UTF8String], lhsArr, rhsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLhs", lhsArr, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeRhs", rhsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeTokens($c, $l, $r)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

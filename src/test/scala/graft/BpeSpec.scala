@@ -165,6 +165,23 @@ class BpeSpec extends SparkSpec {
     assert(n > 0L && n <= 6L)
   }
 
+  test("native encodeTokens == HOF token stream (real corpus + non-BMP fixture)") {
+    val corpus = Tables.documents(spark, sfDir).limit(200)
+    val merges = Bpe.learnMerges(corpus, 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "pos").as[(Long, Int, String)].collect().toSeq
+    assert(rows(Bpe.encodeTokens(corpus, merges)) ===
+      rows(Bpe.encodeTokensHof(corpus, merges)))
+    // and on supplementary-plane text
+    val emoji = Seq((1L, "😀😀 a😀b"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val em = Bpe.learnMerges(emoji, 3)
+    assert(rows(Bpe.encodeTokens(emoji, em)) ===
+      rows(Bpe.encodeTokensHof(emoji, em)))
+    // null/empty docs emit no tokens
+    assert(!rows(Bpe.encodeTokens(emoji, em)).exists(r => r._1 == 2L || r._1 == 3L))
+  }
+
   // ------------------------------------------------- persisted BpeIndex
 
   import graft.llm.BpeIndex

@@ -33,7 +33,10 @@ class CodegenSpec extends SparkSpec {
       simhashOfHashes(shingleHashList(col("text"), 3, P), 32).as("simh"),
       org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.BpeCountExpr(
         org.apache.spark.sql.GraftColumnBridge.exprOf(coalesce(col("text"), lit(""))),
-        Seq(("a", "b"), ("ab", "c")))).as("bpec"))
+        Seq(("a", "b"), ("ab", "c")))).as("bpec"),
+      org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.BpeTokensExpr(
+        org.apache.spark.sql.GraftColumnBridge.exprOf(coalesce(col("text"), lit(""))),
+        Seq(("a", "b"), ("ab", "c")))).as("bpet"))
       .count() > 0)
     assert(embs.select(
       dotProduct(col("embedding"), col("embedding")).as("dot"),
