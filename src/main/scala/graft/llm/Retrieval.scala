@@ -415,6 +415,42 @@ object Retrieval {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2019,
+   * arXiv:1911.00359 §4.3): rank every document by its [[bigramSurprisal]]
+   * against an in-domain reference and cut the corpus into head / middle
+   * / tail thirds — head = lowest surprisal (most reference-like), the
+   * slice CCNet keeps outright; tail = the candidate-discard slice. The
+   * bucket is then a MIXING key (sample head-heavy) rather than a hard
+   * filter.
+   *
+   * Determinism: the rank key is the exact integer
+   * `surprisal_bits·10⁴ div n_bigrams` (bounded by 64·10⁴ — bits per
+   * bigram never exceed a long's bit length), tie-broken by doc_id;
+   * bucket cuts compare `rnk·3` against `n_total` — no division, no
+   * percentile estimation. Scale shape: one groupless
+   * [[graft.ops.PrefixRank]] pass over (score, doc_id) — never a global
+   * window — plus one broadcast count row; the model-probe joins are
+   * [[bigramSurprisal]]'s own term-keyed equi-joins.
+   */
+  def surprisalBuckets(docs: DataFrame, train: DataFrame,
+      minCount: Long = 1L): DataFrame = {
+    val scored = bigramSurprisal(docs, train, minCount)
+      .withColumn("s_scaled",
+        expr("CAST(surprisal_bits * 10000 AS BIGINT) div greatest(n_bigrams, 1)"))
+    val ranked = graft.ops.PrefixRank.keyedPrefix(
+      scored.select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        col("s_scaled")),
+      Nil, col("s_scaled"), 1L << 20, col("doc_id"))
+    val tot = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        col("s_scaled"), col("rnk"),
+        when(col("rnk") * 3 <= col("n_total"), "head")
+          .when(col("rnk") * 3 <= col("n_total") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /**
    * Reciprocal-rank fusion of two ranked candidate lists — the standard
    * hybrid-retrieval combiner (sparse BM25 ∪ dense cosine). Each list
    * contributes floor(10⁹ / (kRrf + rank)) — the RRF term scaled to

@@ -334,6 +334,68 @@ object TextAnalysis {
   }
 
   /**
+   * The Gopher quality-rule bundle (Rae et al. 2021, arXiv:2112.11446
+   * §A1.1) as per-document rule BOOLEANS plus the conjunction — the
+   * standard pre-training document filter, kept per-rule so a curation
+   * run can audit WHICH gate fails before committing to the drop (the
+   * pass/fail mix is the tuning signal):
+   *
+   *  - word count within [minWords, maxWords];
+   *  - mean word length within [3, 10] — compared as the integer
+   *    cross-multiply 3·n ≤ Σlen ≤ 10·n, no division;
+   *  - symbol-to-word ratio ('#' and '...' occurrences) ≤ 0.1 —
+   *    10·symbols ≤ n;
+   *  - ≥ 80% of words contain an alphabetic character — 5·n_alpha ≥ 4·n;
+   *  - at least `minRequiredHits` DISTINCT words from `requiredWords`
+   *    (the C4/Gopher "must look like language" stopword gate).
+   *
+   * Every comparison is exact integer arithmetic (BIGINT on both
+   * engines — no rounding anywhere), and everything is one scan-stage
+   * select over per-row array expressions: no shuffle, no join, the
+   * 100 TB filter shape. Line-based Gopher rules (bullet-start /
+   * ellipsis-end line fractions, duplicate-line fraction) are N/A on
+   * this corpus's single-line documents and intentionally absent.
+   */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits: Int = 2): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val ws = filter(words(t), w => w =!= "")
+    val n = size(ws).cast("long")
+    val sumLen = coalesce(
+      aggregate(ws, lit(0L), (a, x) => a + length(x).cast("long")), lit(0L))
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val req = array(requiredWords.map(lit): _*)
+    val nReq = size(filter(array_distinct(ws), w => array_contains(req, w)))
+      .cast("long")
+    docs.select(col("doc_id"), n.as("n_words"), sumLen.as("sum_word_len"),
+        (nHash + nEll).as("n_symbols"), nAlpha.as("n_alpha"),
+        nReq.as("n_required"))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_word_len",
+        col("n_words") > 0 &&
+          col("sum_word_len") >= lit(3L) * col("n_words") &&
+          col("sum_word_len") <= lit(10L) * col("n_words"))
+      .withColumn("ok_symbol_ratio",
+        col("n_words") > 0 &&
+          lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_alpha_words",
+        col("n_words") > 0 &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+      .withColumn("ok_required_words",
+        col("n_required") >= minRequiredHits.toLong)
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words") &&
+          col("ok_required_words"))
+  }
+
+  /**
    * Pattern redaction — the PII-scrub pass of a training-data pipeline
    * (emails, URLs, phone numbers in production; the pattern is a
    * parameter). Emits the match count per document alongside the

@@ -3128,11 +3128,101 @@ object LlmQueries {
          |SELECT doc_id, CAST(bef + ti AS INT) AS pos, tl[ti + 1] AS token
          |FROM x ORDER BY doc_id, pos""".stripMargin))
 
+  // q137 — the Gopher quality-rule bundle: per-document rule booleans +
+  // the keep conjunction, every comparison exact integer arithmetic
+  // (cross-multiplied ratios, no rounding). minWords = 30 so the word-
+  // count gate actually discriminates on this corpus; required words
+  // from the corpus's own function-word set.
+  val q137 = Q(
+    "q137_gopher_rules",
+    (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d),
+      minWords = 30L, maxWords = 100000L,
+      requiredWords = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits = 2).orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM w)
+         |SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha, n_required,
+         |  (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+         |  (n_words > 0 AND sum_word_len >= 3 * n_words
+         |     AND sum_word_len <= 10 * n_words) AS ok_mean_word_len,
+         |  (n_words > 0 AND 10 * n_symbols <= n_words) AS ok_symbol_ratio,
+         |  (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+         |  (n_required >= 2) AS ok_required_words,
+         |  ((n_words >= 30 AND n_words <= 100000)
+         |    AND (n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words)
+         |    AND (n_words > 0 AND 10 * n_symbols <= n_words)
+         |    AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+         |    AND (n_required >= 2)) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin))
+
+  // q138 — CCNet perplexity buckets: every doc ranked by the exact
+  // integer surprisal_bits·10⁴ div n_bigrams against the % 4 = 0
+  // reference slice (q113's model), cut into head/middle/tail thirds by
+  // rnk·3 vs n_total — no division, no percentile estimate. head =
+  // most reference-like (the slice CCNet keeps).
+  val q138 = Q(
+    "q138_surprisal_buckets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Retrieval.surprisalBuckets(docs,
+        docs.filter(col("doc_id") % 4 === 0)).orderBy("rnk")
+    },
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+         |           w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS surprisal_bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |f AS (SELECT d.doc_id,
+         |        coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |        coalesce(sc.surprisal_bits, 0) AS surprisal_bits,
+         |        CAST(coalesce(sc.surprisal_bits, 0) * 10000
+         |          // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS s_scaled
+         |      FROM documents d LEFT JOIN sc USING (doc_id)),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY s_scaled, doc_id) AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER () AS BIGINT) AS n_total
+         |      FROM f)
+         |SELECT doc_id, n_bigrams, surprisal_bits, s_scaled, rnk,
+         |  CASE WHEN rnk * 3 <= n_total THEN 'head'
+         |       WHEN rnk * 3 <= n_total * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY rnk""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136)
+    q132, q133, q134, q135, q136, q137, q138)
 }

@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 136 uniquely-named queries, 132 oracle-checked, qNN prefixes unique") {
+  test("registry: 138 uniquely-named queries, 134 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 136)
-    assert(all.count(_.oracle.isDefined) === 132)
+    assert(all.size === 138)
+    assert(all.count(_.oracle.isDefined) === 134)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -612,6 +612,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rowsOnly === Vector("q103_profile_approx", "q13_approx_distinct",
       "q59_approx_percentiles", "q94_compression_ratio"),
       s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("gopherRules: each gate trips on its own planted violation, exactly at the boundary") {
+    val corpus = Seq(
+      // passes everything: 6 words in [5,100], mean len 3..10, no
+      // symbols, all alphabetic, two required hits
+      (1L, "the quick brown foxes and hounds"),
+      (2L, "the cat"), //                      too few words (min 5)
+      (3L, "a a a a of"), //                   mean word len 7/5 < 3
+      (4L, "the #tag # work and more stuff"), // 2 symbols in 7 words > 10%
+      (5L, "the 99 88 77 66 55 44 and"), //    2/8 alphabetic < 80%
+      (6L, "just some random words here now")  // zero required hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(corpus, minWords = 5L,
+      maxWords = 100L, requiredWords = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_alpha_words", "ok_required_words", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(got(0) === ((1L, true, true, true, true, true, true)))
+    assert(!got(1)._2 && !got(1)._7) //  word count
+    assert(!got(2)._3 && !got(2)._7) //  mean word length
+    assert(!got(3)._4 && !got(3)._7) //  symbol ratio
+    assert(!got(4)._5 && !got(4)._7) //  alpha fraction
+    assert(!got(5)._6 && !got(5)._7) //  required words
+    // null text: every positive gate false, keep false, no crash
+    val nullRow = TextAnalysis.gopherRules(
+      Seq((9L, null: String)).toDF("doc_id", "text"), minWords = 1L)
+      .select("keep").as[Boolean].head()
+    assert(!nullRow)
+  }
+
+  test("surprisalBuckets: thirds are exact, head holds the lowest surprisal, all docs present") {
+    val got = Retrieval.surprisalBuckets(docs,
+      docs.filter(col("doc_id") % 4 === 0))
+      .select("doc_id", "s_scaled", "rnk", "bucket")
+      .as[(Long, Long, Long, String)].collect()
+    val n = docs.count()
+    assert(got.length === n)
+    val byBucket = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byBucket("head") === n / 3)
+    assert(byBucket("head") + byBucket("middle") === 2 * n / 3)
+    // bucket order respects the score order: max(head) <= min(tail)
+    val headMax = got.filter(_._4 == "head").map(_._2).max
+    val tailMin = got.filter(_._4 == "tail").map(_._2).min
+    assert(headMax <= tailMin)
+    // rnk is a dense 1..n total order
+    assert(got.map(_._3).sorted.toSeq === (1L to n).toSeq)
   }
 
   test("dupEdges == jaccardPairs(0.5) ∪ containmentPairs(0.8) off one shared pass") {

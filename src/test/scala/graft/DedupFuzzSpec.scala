@@ -303,6 +303,55 @@ class DedupFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: spanDupRuns matches a sequential gap-and-islands over string spans") {
+    val width = 4
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      // sequential reference over STRINGS: duplicated = span text occurs
+      // more than once corpus-wide; runs = maximal blocks of contiguous
+      // duplicated span indices per doc; rm counts non-first instances
+      // under the packed-key keep-first rule.
+      val insts = corpus.flatMap { case (id, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).grouped(width).zipWithIndex
+          .collect { case (g, i) if g.length == width => (id, i, g.mkString(" ")) }
+      }
+      val byText = insts.groupBy(_._3)
+      val dupInsts = byText.values.filter(_.size > 1).flatten
+        .map { case (id, i, text) =>
+          val first = byText(text).minBy(s => s._1 * 1048576L + s._2)
+          (id, i, if ((id, i) == ((first._1, first._2))) 0L else 1L)
+        }.toSeq
+      val expect = dupInsts.groupBy(_._1).flatMap { case (id, spans) =>
+        val sorted = spans.sortBy(_._2)
+        // fold into maximal runs of contiguous idx
+        sorted.foldLeft(List.empty[(Int, Int, Long)]) {
+          case (acc, (_, idx, rm)) => acc match {
+            case (s0, n0, r0) :: tail if s0 + n0 == idx =>
+              (s0, n0 + 1, r0 + rm) :: tail
+            case _ => (idx, 1, rm) :: acc
+          }
+        }.reverse.map { case (s0, n0, r0) =>
+          (id, s0.toLong * width, n0.toLong * width, n0.toLong, r0)
+        }
+      }.toSet
+      val got = DedupOps.spanDupRuns(corpus.toDF("doc_id", "text"), width)
+        .select("doc_id", "start_word", "len_words", "n_spans", "n_removed")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expect, s"seed $seed")
+      assert(expect.nonEmpty, s"seed $seed produced a vacuous corpus")
+      // at least one genuinely merged (multi-span) run across the seeds
+      // is asserted corpus-wide below via the aggregate
+    }
+    // dense vocab guarantees some adjacent duplicated spans somewhere:
+    // check a multi-span run exists for at least one seed
+    val anyMerged = seeds.exists { seed =>
+      val corpus = randomCorpus(seed, 40, denseVocab, 25)
+      DedupOps.spanDupRuns(corpus.toDF("doc_id", "text"), width)
+        .filter(col("n_spans") > 1).limit(1).count() > 0
+    }
+    assert(anyMerged, "no seed produced a merged multi-span run — fixture too sparse")
+  }
+
   test("fuzz: streaming dedup replay over micro-batches == batch simhashPairs on the union") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s2 = spark.newSession()
