@@ -396,6 +396,50 @@ object TextAnalysis {
   }
 
   /**
+   * Filter-funnel report over the [[gopherRules]] gates: one row per
+   * rule IN ORDER with (n_checked, n_failed, n_surviving) where each
+   * rule is evaluated only on the survivors of the previous ones — the
+   * funnel a curation run reads to see where its volume goes (a rule
+   * that fails 40% of the corpus FIRST hides what later rules would
+   * have caught; the ordered funnel makes the attribution explicit).
+   * Implementation: the per-rule booleans are one scan (q137's select);
+   * the funnel is ONE aggregate over conjunction flags — rule k's
+   * survivor count = Σ(rule₁ ∧ … ∧ ruleₖ) — so the report costs one
+   * map-side-combined pass regardless of rule count, never k passes.
+   */
+  def filterFunnel(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits: Int = 2): DataFrame = {
+    val rules = Seq("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_alpha_words", "ok_required_words")
+    val flags = gopherRules(docs, minWords, maxWords, requiredWords,
+      minRequiredHits)
+    // cum_k = 1 iff rules 1..k all pass — computed as columns, so the
+    // whole funnel is one aggregate row
+    val cums = rules.scanLeft(lit(true)) { (acc, r) => acc && col(r) }.tail
+    val aggCols = cums.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"surv_$i")
+    } :+ count(lit(1)).as("n_docs")
+    val row = flags.agg(aggCols.head, aggCols.tail: _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val order = rules.zipWithIndex.toDF("rule", "rule_no")
+    def pick(f: Int => Column): Column =
+      rules.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+        when(col("rule_no") === i, f(i)).otherwise(acc)
+      }
+    order.crossJoin(broadcast(row))
+      .select(col("rule_no").cast("int").as("rule_no"), col("rule"),
+        pick(i => if (i == 0) col("n_docs") else col(s"surv_${i - 1}"))
+          .cast("long").as("n_checked"),
+        pick(i => col(s"surv_$i")).cast("long").as("n_surviving"))
+      .withColumn("n_failed", col("n_checked") - col("n_surviving"))
+      .select(col("rule_no"), col("rule"), col("n_checked"),
+        col("n_failed"), col("n_surviving"))
+  }
+
+  /**
    * Pattern redaction — the PII-scrub pass of a training-data pipeline
    * (emails, URLs, phone numbers in production; the pattern is a
    * parameter). Emits the match count per document alongside the

@@ -3218,11 +3218,60 @@ object LlmQueries {
          |       ELSE 'tail' END AS bucket
          |FROM r ORDER BY rnk""".stripMargin))
 
+  // q139 — the gopher-rule filter FUNNEL: each rule evaluated on the
+  // survivors of the previous ones, one row per rule with
+  // (n_checked, n_failed, n_surviving) — the volume-attribution table a
+  // curation run actually reads. ONE aggregate pass over conjunction
+  // flags regardless of rule count.
+  val q139 = Q(
+    "q139_filter_funnel",
+    (s, d) => TextAnalysis.filterFunnel(Tables.documents(s, d),
+      minWords = 30L, maxWords = 100000L,
+      requiredWords = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits = 2).orderBy("rule_no"),
+    Some(
+      s"""WITH w AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM w),
+         |r AS (SELECT
+         |        (n_words >= 30 AND n_words <= 100000) AS r0,
+         |        (n_words > 0 AND sum_word_len >= 3 * n_words
+         |          AND sum_word_len <= 10 * n_words) AS r1,
+         |        (n_words > 0 AND 10 * n_symbols <= n_words) AS r2,
+         |        (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS r3,
+         |        (n_required >= 2) AS r4
+         |      FROM m),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+         |        CAST(sum(CASE WHEN r0 AND r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |        CAST(sum(CASE WHEN r0 AND r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |        CAST(sum(CASE WHEN r0 AND r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |        CAST(sum(CASE WHEN r0 AND r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |      FROM r)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS rule_no, 'ok_word_count' AS rule,
+         |         n_docs AS n_checked, n_docs - s0 AS n_failed, s0 AS n_surviving FROM c
+         |  UNION ALL SELECT CAST(1 AS INT), 'ok_mean_word_len', s0, s0 - s1, s1 FROM c
+         |  UNION ALL SELECT CAST(2 AS INT), 'ok_symbol_ratio', s1, s1 - s2, s2 FROM c
+         |  UNION ALL SELECT CAST(3 AS INT), 'ok_alpha_words', s2, s2 - s3, s3 FROM c
+         |  UNION ALL SELECT CAST(4 AS INT), 'ok_required_words', s3, s3 - s4, s4 FROM c)
+         |ORDER BY rule_no""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136, q137, q138)
+    q132, q133, q134, q135, q136, q137, q138, q139)
 }

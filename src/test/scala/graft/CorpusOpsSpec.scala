@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 138 uniquely-named queries, 134 oracle-checked, qNN prefixes unique") {
+  test("registry: 139 uniquely-named queries, 135 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 138)
-    assert(all.count(_.oracle.isDefined) === 134)
+    assert(all.size === 139)
+    assert(all.count(_.oracle.isDefined) === 135)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -644,6 +644,31 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((9L, null: String)).toDF("doc_id", "text"), minWords = 1L)
       .select("keep").as[Boolean].head()
     assert(!nullRow)
+  }
+
+  test("filterFunnel: checked counts chain, failures attribute to the FIRST failing rule") {
+    val corpus = Seq(
+      (1L, "the quick brown foxes and hounds run"), // passes all
+      (2L, "the cat"), //                              fails rule 0 (word count)
+      (3L, "a a a a a of men"), //                     fails rule 1 (mean len)
+      (4L, "just some random other words here now")   // fails rule 4 only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterFunnel(corpus, minWords = 5L, maxWords = 100L)
+      .orderBy("rule_no")
+      .select("rule", "n_checked", "n_failed", "n_surviving")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq("ok_word_count", "ok_mean_word_len",
+      "ok_symbol_ratio", "ok_alpha_words", "ok_required_words"))
+    // funnel chains: each rule checks exactly the previous survivors
+    assert(got.head._2 === 4L)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 === a._4)
+      case _ => ()
+    }
+    assert(got.forall(r => r._2 === r._3 + r._4))
+    // doc 3's mean-len failure lands on rule 1, doc 4's on rule 4
+    assert(got(0)._3 === 1L && got(1)._3 === 1L && got(4)._3 === 1L)
+    assert(got(4)._4 === 1L) // only doc 1 survives the whole funnel
   }
 
   test("surprisalBuckets: thirds are exact, head holds the lowest surprisal, all docs present") {

@@ -288,6 +288,25 @@ class PlanSpec extends SparkSpec {
       "sequence-id fan-out should be a scan-stage explode")
   }
 
+  test("q137: gopher rules are ONE scan — no exchange anywhere in the plan") {
+    // per-row integer rules must not shuffle; the whole query is
+    // scan -> project (+ the orderBy the registry adds for the dump)
+    val df = Registry.byName("q137_gopher_rules").fn(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"rule evaluation introduced a shuffle beyond the output sort: $p")
+    assert(!p.contains("hashpartitioning"),
+      "rule evaluation must not hash-shuffle")
+  }
+
+  test("q139: the filter funnel is one aggregate pass, not one per rule") {
+    val p = planOf("q139_filter_funnel")
+    // one partial+final aggregate pair over the flags — five rules must
+    // NOT become five scans of the corpus
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"funnel rescans the corpus per rule ($scans scans): $p")
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
