@@ -3267,11 +3267,155 @@ object LlmQueries {
          |  UNION ALL SELECT CAST(4 AS INT), 'ok_required_words', s3, s3 - s4, s4 FROM c)
          |ORDER BY rule_no""".stripMargin))
 
+  // q140 — curation pipeline v4: the Gopher quality-rule gate (q137)
+  // now FRONTS the composition — gate → cluster dedup on the shared
+  // Jaccard∪containment edge pass (q133's front) → per-stratum 50%
+  // prune → exact decon → fuzzy decon → report card. The rule gate
+  // first is the production order: per-row integer rules cost one scan
+  // and shrink every downstream shuffle (pair stage, rank, gram probe).
+  // Benchmarks stay RAW documents (a contaminated doc must be dropped
+  // even if the benchmark copy itself would fail a quality rule). ONE
+  // Catalyst job; oracle replays all six stages as CTEs.
+  val q140 = Q(
+    "q140_curation_v4",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs.join(
+        TextAnalysis.gopherRules(docs, minWords = 30L, maxWords = 100000L,
+          requiredWords = Seq("the", "a", "and", "of", "to"),
+          minRequiredHits = 2)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val edges = DedupOps.dupEdges(gated, n = 3, jaccThreshold = 0.5,
+        contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      val kept = DedupOps.dedupedCorpus(gated,
+        DedupOps.duplicateClusters(edges))
+      val prunedIds = TextAnalysis.qualityPrune(kept, "source",
+        keepPermille = 500L).select(col("doc_id"))
+      val pruned = kept.join(prunedIds, Seq("doc_id"), "left_semi")
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val clean = TextAnalysis.decontaminated(pruned, bench)
+      val fclean = TextAnalysis.fuzzyDecontaminated(clean, bench,
+        n = contamN, maxOverlap = 0.5)
+      TextAnalysis.corpusReport(fclean, "source").orderBy("source")
+    },
+    Some(
+      s"""WITH RECURSIVE gw AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM gw),
+         |gk AS (SELECT doc_id FROM gm
+         |       WHERE n_words >= 30 AND n_words <= 100000
+         |         AND n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words
+         |         AND 10 * n_symbols <= n_words
+         |         AND 5 * n_alpha >= 4 * n_words
+         |         AND n_required >= 2),
+         |gdocs AS (SELECT d.* FROM documents d JOIN gk USING (doc_id)),
+         |${shingleCtesWithCap(Some(DedupDfCap), "gdocs")},
+         |cpairs AS (
+         |  SELECT id_a, id_b,
+         |    ${Det.frSql(
+               "CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)} AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b),
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5
+         |        UNION SELECT id_a, id_b FROM cpairs WHERE containment >= 0.8),
+         |$ccClosureCtes,
+         |kept AS (SELECT d.* FROM gdocs d
+         |         LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |         WHERE l.doc_id IS NULL OR l.rep = d.doc_id),
+         |kw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM kept),
+         |kc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM kw),
+         |kq AS (SELECT doc_id, source, lang, text,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qsc
+         |       FROM kc),
+         |kn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grp FROM kq GROUP BY 1),
+         |kr AS (SELECT doc_id, source, lang, text, qsc,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY qsc DESC, doc_id) AS BIGINT) AS rnk
+         |       FROM kq),
+         |pruned AS (SELECT kr.doc_id, kr.source, kr.lang, kr.text
+         |           FROM kr JOIN kn USING (source)
+         |           WHERE rnk <= n_grp * 500 // 1000),
+         |pf AS (SELECT doc_id, source, lang, text,
+         |         CASE WHEN length(norm) = 0 THEN 0
+         |              ELSE ${polyHashSql("norm")} END AS f
+         |       FROM (SELECT doc_id, source, lang, text,
+         |               regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                              ' +', ' ', 'g') AS norm
+         |             FROM pruned)),
+         |bfp AS (SELECT CASE WHEN length(norm) = 0 THEN 0
+         |               ELSE ${polyHashSql("norm")} END AS f
+         |        FROM (SELECT regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                       ' +', ' ', 'g') AS norm
+         |              FROM documents WHERE doc_id % 41 = 3)),
+         |clean AS (SELECT doc_id, source, lang, text FROM pf
+         |          WHERE f IS NULL
+         |             OR f NOT IN (SELECT f FROM bfp WHERE f IS NOT NULL)),
+         |fws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM clean),
+         |fg AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |         i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
+         |       FROM fws),
+         |bws AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE doc_id % 41 = 3),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |         i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")}))) AS gh
+         |       FROM bws),
+         |cg AS (SELECT doc_id, unnest(grams) AS gh FROM fg),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gh) AS n_hit
+         |         FROM cg LEFT JOIN bg b ON b.gh = cg.gh GROUP BY 1),
+         |fdropped AS (
+         |  SELECT doc_id FROM hits
+         |  WHERE ${Det.frSql("CAST(n_hit AS DOUBLE) / n_grams", 4)} >= 0.5),
+         |fclean AS (SELECT c.doc_id, c.source, c.lang, c.text FROM clean c
+         |           LEFT JOIN fdropped xx ON xx.doc_id = c.doc_id
+         |           WHERE xx.doc_id IS NULL),
+         |rw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM fclean),
+         |rc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, source, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT source, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT source, lang FROM rq) GROUP BY 1)
+         |SELECT rp.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (source) JOIN rl USING (source)
+         |ORDER BY rp.source""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136, q137, q138, q139)
+    q132, q133, q134, q135, q136, q137, q138, q139, q140)
 }

@@ -307,6 +307,12 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"funnel rescans the corpus per rule ($scans scans): $p")
   }
 
+  test("q140: v4 pipeline — gate first, no nested loop, Expand-free report") {
+    val p = planOf("q140_curation_v4")
+    assert(!p.contains("CartesianProduct"), "v4 pipeline planned a cross product")
+    assert(!p.contains("Expand"), "v4 report stage must stay Expand-free")
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
