@@ -153,6 +153,25 @@ object DedupOps {
   }
 
   /**
+   * Cluster-size histogram over a [[duplicateClusters]] labeling —
+   * (cluster_size, n_clusters, n_docs): how much of the corpus sits in
+   * pairs, how much in k-way boilerplate families, and whether a
+   * giant component exists (the one row an operator checks before
+   * trusting a keep-list: a size-10⁵ cluster usually means a too-loose
+   * threshold or a stop-shingle leak, not 10⁵ real duplicates).
+   * Two tiny hash aggregates over the (doc_id, cluster_rep) labels —
+   * the corpus itself is never touched.
+   */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  /**
    * Jaccard ∪ containment clustering edges off ONE shared inverted-index
    * pass — the curation-v3 pair front. Running [[ngramJaccardPairs]] and
    * [[containmentPairs]] separately pays the index build and the

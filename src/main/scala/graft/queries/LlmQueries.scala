@@ -3411,11 +3411,33 @@ object LlmQueries {
          |FROM rp JOIN rd USING (source) JOIN rl USING (source)
          |ORDER BY rp.source""".stripMargin))
 
+  // q141 — dedup cluster-size histogram: the sanity table an operator
+  // reads before trusting a keep-list (a giant component = threshold or
+  // stop-shingle leak, not real duplicates). Two label-table aggregates;
+  // the corpus never re-shuffles. Oracle = the q66 CC closure + the
+  // same two group-bys.
+  val q141 = Q(
+    "q141_cluster_sizes",
+    (s, d) => DedupOps.clusterSizeHistogram(
+      DedupOps.duplicateClusters(
+        DedupOps.ngramJaccardPairs(Tables.documents(s, d), n = 3,
+          threshold = 0.5, maxDf = Some(DedupDfCap))))
+      .orderBy("cluster_size"),
+    Some(
+      s"""WITH RECURSIVE $cappedShingleCtes,
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |$ccClosureCtes,
+         |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM labels GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136, q137, q138, q139, q140)
+    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }
