@@ -356,10 +356,12 @@ object TextAnalysis {
    * ellipsis-end line fractions, duplicate-line fraction) are N/A on
    * this corpus's single-line documents and intentionally absent.
    */
-  def gopherRules(docs: DataFrame, minWords: Long = 50L,
-      maxWords: Long = 100000L,
-      requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
-      minRequiredHits: Int = 2): DataFrame = {
+  /** The gopher measure columns (n_words, sum_word_len, n_symbols,
+    * n_alpha, n_required) as pure per-row expressions over `text` —
+    * single-sourced so the audit table ([[gopherRules]]) and the
+    * stream-safe gate ([[gopherFilter]]) can never drift. */
+  private def gopherMeasures(
+      requiredWords: Seq[String]): (Column, Column, Column, Column, Column) = {
     val t = coalesce(col("text"), lit(""))
     val ws = filter(words(t), w => w =!= "")
     val n = size(ws).cast("long")
@@ -372,9 +374,27 @@ object TextAnalysis {
     val req = array(requiredWords.map(lit): _*)
     val nReq = size(filter(array_distinct(ws), w => array_contains(req, w)))
       .cast("long")
+    (n, sumLen, nHash + nEll, nAlpha, nReq)
+  }
+
+  /** The five rule booleans over the measure expressions, in funnel
+    * order. */
+  private def gopherBooleans(minWords: Long, maxWords: Long,
+      minRequiredHits: Int, n: Column, sumLen: Column, nSym: Column,
+      nAlpha: Column, nReq: Column): Seq[Column] = Seq(
+    n >= minWords && n <= maxWords,
+    n > 0 && sumLen >= lit(3L) * n && sumLen <= lit(10L) * n,
+    n > 0 && lit(10L) * nSym <= n,
+    n > 0 && lit(5L) * nAlpha >= lit(4L) * n,
+    nReq >= minRequiredHits.toLong)
+
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits: Int = 2): DataFrame = {
+    val (n, sumLen, nSym, nAlpha, nReq) = gopherMeasures(requiredWords)
     docs.select(col("doc_id"), n.as("n_words"), sumLen.as("sum_word_len"),
-        (nHash + nEll).as("n_symbols"), nAlpha.as("n_alpha"),
-        nReq.as("n_required"))
+        nSym.as("n_symbols"), nAlpha.as("n_alpha"), nReq.as("n_required"))
       .withColumn("ok_word_count",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("ok_mean_word_len",
@@ -393,6 +413,21 @@ object TextAnalysis {
         col("ok_word_count") && col("ok_mean_word_len") &&
           col("ok_symbol_ratio") && col("ok_alpha_words") &&
           col("ok_required_words"))
+  }
+
+  /** [[gopherRules]]'s keep conjunction as a pure FILTER on the input —
+    * the STREAM-safe gate (a docs ⋈ gopherRules(docs) semi-join is a
+    * stream-stream join Structured Streaming rejects in update mode;
+    * the rules are per-row, so no join was ever needed). Row-identical
+    * to semi-joining on `keep` (spec-pinned); composes in front of any
+    * batch or streaming stage at zero shuffle cost. */
+  def gopherFilter(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits: Int = 2): DataFrame = {
+    val (n, sumLen, nSym, nAlpha, nReq) = gopherMeasures(requiredWords)
+    docs.filter(gopherBooleans(minWords, maxWords, minRequiredHits,
+      n, sumLen, nSym, nAlpha, nReq).reduce(_ && _))
   }
 
   /**

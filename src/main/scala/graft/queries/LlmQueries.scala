@@ -3280,12 +3280,12 @@ object LlmQueries {
     "q140_curation_v4",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val gated = docs.join(
-        TextAnalysis.gopherRules(docs, minWords = 30L, maxWords = 100000L,
-          requiredWords = Seq("the", "a", "and", "of", "to"),
-          minRequiredHits = 2)
-          .filter(col("keep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // pure scan-stage filter — no semi-join, the same gate a stream
+      // runs (gopherFilter ≡ keep semi-join, spec-pinned)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
       val edges = DedupOps.dupEdges(gated, n = 3, jaccThreshold = 0.5,
         contThreshold = 0.8, maxDf = Some(DedupDfCap))
       val kept = DedupOps.dedupedCorpus(gated,

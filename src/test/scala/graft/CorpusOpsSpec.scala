@@ -646,6 +646,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!nullRow)
   }
 
+  test("gopherFilter == semi-join on gopherRules.keep (the stream-safe gate)") {
+    val viaFilter = TextAnalysis.gopherFilter(docs, minWords = 30L)
+      .select("doc_id").as[Long].collect().sorted
+    val viaJoin = docs.join(
+      TextAnalysis.gopherRules(docs, minWords = 30L)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaFilter === viaJoin)
+    assert(viaFilter.nonEmpty && viaFilter.length < docs.count())
+  }
+
   test("filterFunnel: checked counts chain, failures attribute to the FIRST failing rule") {
     val corpus = Seq(
       (1L, "the quick brown foxes and hounds run"), // passes all

@@ -203,6 +203,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher gate composes onto the streaming report: gated stream == batch report on gated union") {
+    // the rule gate is a stateless scan-stage filter, so it applies to a
+    // stream unchanged — the production ingest shape is gate -> report
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+    import s2.implicits._
+    val source = MemoryStream[(Long, String, String, String)]
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.gopherFilter(df, minWords = 4L)
+    val q = graft.streaming.StreamReport.streamingReport(
+      gate(source.toDF().toDF("doc_id", "source", "lang", "text")))
+      .writeStream.format("memory").queryName("gated_report_out")
+      .outputMode("update").start()
+    val b1 = Seq(
+      (1L, "web", "en", "the quick brown fox jumps a lot"),
+      (2L, "web", "en", "the cat"), //       fails the word-count gate
+      (3L, "web", "en", "a fine and proper document here"))
+    val b2 = Seq(
+      (4L, "web", "de", "the quick brown fox jumps a lot"), // dup of 1, new lang
+      (5L, "web", "en", "nope")) //           gated out
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      val streamed = s2.table("gated_report_out")
+        .groupBy("source").agg(last("n_docs").as("n_docs"),
+          last("n_tokens").as("n_tokens"), last("n_dup_docs").as("n_dup_docs"),
+          last("n_langs").as("n_langs"), last("mean_quality").as("mean_quality"))
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+      val batch = graft.llm.TextAnalysis.corpusReport(
+        gate((b1 ++ b2).toDF("doc_id", "source", "lang", "text")), "source")
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+      assert(streamed === batch)
+      // the gate actually dropped docs 2 and 5 before they reached state
+      assert(batch.head._2 === 3L)
+    } finally q.stop()
+  }
+
   test("B7 checkpoint restart: a new query resumes exactly-once from the same checkpoint") {
     import graft.streaming.IdempotentSink
     val src = java.nio.file.Files.createTempDirectory("graft_restart_src").toString
