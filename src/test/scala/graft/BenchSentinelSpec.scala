@@ -51,6 +51,18 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(BenchSentinel.spikedProbes(multi) === Set(1, 4))
   }
 
+  test("cold first probe is never a spike candidate (r13 warm-up shape)") {
+    // r13's clean committed run: probe[0] = 2.11x min from JVM warm-up
+    // alone. Scaled slightly worse (2.7x) it must STILL not flag — the
+    // first probe always runs cold and is excluded from candidacy.
+    val warmup = Seq(1.49, 0.57, 0.55, 0.58, 0.60, 0.57)
+    assert(BenchSentinel.spikedProbes(warmup).isEmpty)
+    assert(!BenchSentinel.contended(warmup))
+    // ...but the same 2.7x value at any LATER index fires as before.
+    val later = Seq(0.57, 0.55, 1.49, 0.58, 0.60, 0.57)
+    assert(BenchSentinel.spikedProbes(later) === Set(2))
+  }
+
   // ---- window flagging --------------------------------------------------
 
   test("queries bracketed by a spiked probe are flagged, others are not") {
@@ -91,6 +103,67 @@ class BenchSentinelSpec extends AnyFunSuite {
   test("sub-floor absolute moves never flag even at high ratio") {
     // 0.01 -> 0.15 is 15x but +0.14 s < 0.2 s floor.
     assert(BenchSentinel.regressionFlagged(Seq("q01" -> 0.15), Map("q01" -> 0.01)) === Nil)
+  }
+
+  // ---- baseline ratchet --------------------------------------------------
+
+  test("mergeBaseline takes the element-wise min and never ratchets up") {
+    val prev = Map("q01" -> 0.5, "q02" -> 1.0, "q03" -> 2.0)
+    val cur = Seq(
+      "q01" -> 0.4,  // faster -> ratchets down
+      "q02" -> 3.0,  // drifted driver run -> baseline keeps 1.0
+      "q04" -> 0.7,  // new query -> enters at first reading
+      "q05" -> -1.0) // failed -> never enters
+    assert(BenchSentinel.mergeBaseline(prev, cur) ===
+      Map("q01" -> 0.4, "q02" -> 1.0, "q03" -> 2.0, "q04" -> 0.7))
+  }
+
+  test("mergeBaseline drops invalid previous entries and handles empties") {
+    assert(BenchSentinel.mergeBaseline(Map("q01" -> -1.0), Seq("q01" -> 0.3)) ===
+      Map("q01" -> 0.3))
+    assert(BenchSentinel.mergeBaseline(Map.empty, Nil) === Map.empty)
+  }
+
+  // ---- stdout line budget -------------------------------------------------
+
+  test("cs renders integer centiseconds, -1 for failures") {
+    assert(BenchSentinel.cs(0.574) === "57")
+    assert(BenchSentinel.cs(12.345) === "1235")  // rounds, not truncates
+    assert(BenchSentinel.cs(0.0) === "0")
+    assert(BenchSentinel.cs(-1.0) === "-1")
+  }
+
+  test("a 160-query stdout line fits the driver's 2000-char tail capture") {
+    // Synthetic registry one growth spurt PAST today's 141 queries, with
+    // realistic values (most sub-second, a tail of multi-second ones) and
+    // a full probe ladder. Must stay under 1900 chars — 100 chars of
+    // slack for the driver's pre-JSON log lines inside its 2000 capture.
+    val queries = (1 to 160).map(i => (f"q$i%03d", if (i % 13 == 0) 6.38 else 0.57))
+    val probes = Seq.fill(20)(0.58)
+    val line = BenchSentinel.stdoutLine(
+      total = "118.4", queries = queries, queriesMin = Nil, errors = Nil,
+      flagged = Nil, probes = probes, spiked = Set.empty, regressed = Nil,
+      isContended = false, sf = "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"stdout line is ${line.length} chars")
+    // and it is well-formed enough for the judge's reader: key fields present
+    assert(line.startsWith("""{"metric":"total","value":118.4,"unit":"sec""""))
+    assert(line.contains(""""q_unit":"cs""""))
+    assert(line.contains(""""q012":57"""))
+    assert(line.contains(""""q156":638"""))
+    assert(line.endsWith(""""sf":"/root/testdata/sf0.1"}"""))
+  }
+
+  test("stdoutLine escapes error payloads and carries sentinel fields") {
+    val line = BenchSentinel.stdoutLine(
+      total = "1.2", queries = Seq(("q01", 0.5)), queriesMin = Seq(("q02", 0.3)),
+      errors = Seq(("q02", "Boom: \"quoted\"\npath\\x")),
+      flagged = Seq("q02"), probes = Seq(0.5, 1.6), spiked = Set(1),
+      regressed = Seq("q03"), isContended = true, sf = "sf")
+    assert(line.contains(""""errors":{"q02":"Boom: \"quoted\" path\\x"}"""))
+    assert(line.contains(""""probe_cs":[50,160]"""))
+    assert(line.contains(""""probe_spiked":[1]"""))
+    assert(line.contains(""""regressed":["q03"]"""))
+    assert(line.contains(""""contended":true"""))
   }
 
   // ---- previous-artifact parsing ----------------------------------------
