@@ -39,6 +39,30 @@ import org.apache.spark.sql.functions._
  */
 object BpeIndex {
 
+  /** Content signature of an ordered merge list — FNV-1a over every
+    * field of every merge in rank order. Stamped into params at [[build]]
+    * and recomputed from the stored merges at [[load]]: build writes
+    * merges then params as two non-atomic overwrites, so a crash (or two
+    * builders interleaving) between them can leave NEW params over OLD
+    * merges; when both vocabularies share k and sep, the k/sep torn-index
+    * checks pass and a silently MIXED artifact loads. The signature ties
+    * params to the exact merge rows it was written with. Hand-rolled
+    * FNV-1a (not JVM hashCode) so the stamp is stable across JVM/Scala
+    * versions — it lives in a persisted artifact. */
+  def signature(ms: Seq[Bpe.Merge]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1e; h *= 0x100000001b3L // field separator
+    }
+    ms.foreach { m =>
+      mix(m.rank.toString); mix(m.lhs); mix(m.rhs); mix(m.merged)
+      mix(m.cnt.toString)
+    }
+    h
+  }
+
   /** Learn `k` merges from `docs` and persist them under `dir`. */
   def build(docs: DataFrame, dir: String, k: Int): Unit = {
     val spark = docs.sparkSession
@@ -48,9 +72,10 @@ object BpeIndex {
       .select(col("rank"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
       .write.mode("overwrite").parquet(s"$dir/merges")
     // params record the ACTUAL learned count (learnMerges stops early on
-    // a fully-fused corpus), so the load-side torn-index check compares
-    // against what this build really stored.
-    Seq((ms.size, Bpe.Sep)).toDF("k", "sep")
+    // a fully-fused corpus) plus the merge-list content signature, so the
+    // load-side torn-index check compares against what this build really
+    // stored — not just its shape.
+    Seq((ms.size, Bpe.Sep, signature(ms))).toDF("k", "sep", "sig")
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -67,7 +92,7 @@ object BpeIndex {
     * literals are the scan-stage plan. Validates the stored separator
     * against this build's [[Bpe.Sep]]. */
   def load(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
-    val (k, sep) = requireIndex(spark, dir)
+    val (k, sep, sig) = requireIndex(spark, dir)
     require(sep == Bpe.Sep,
       s"BPE index at '$dir' was built with separator '$sep' but this " +
         s"build uses '${Bpe.Sep}' — encoding would silently diverge")
@@ -80,13 +105,16 @@ object BpeIndex {
     require(ms.size == k,
       s"BPE index at '$dir' is torn: params say k=$k but ${ms.size} " +
         "merges are stored — rebuild")
+    require(signature(ms) == sig,
+      s"BPE index at '$dir' is torn: the stored merges do not match the " +
+        "params content signature (interleaved or partial build) — rebuild")
     ms
   }
 
-  private def requireIndex(spark: SparkSession, dir: String): (Int, String) =
+  private def requireIndex(spark: SparkSession, dir: String): (Int, String, Long) =
     try {
       val row = spark.read.parquet(s"$dir/params").head()
-      (row.getAs[Int]("k"), row.getAs[String]("sep"))
+      (row.getAs[Int]("k"), row.getAs[String]("sep"), row.getAs[Long]("sig"))
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(

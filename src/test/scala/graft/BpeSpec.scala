@@ -227,15 +227,25 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     val dir = tmpDir("bpe_idx_torn")
     BpeIndex.build(docs, dir, k = 2)
+    val stored = BpeIndex.load(spark, dir)
+    val goodSig = BpeIndex.signature(stored)
+    val realK = stored.size
     // separator drift: params claim a different sep than this build's
-    Seq((2, "|")).toDF("k", "sep")
+    Seq((realK, "|", goodSig)).toDF("k", "sep", "sig")
       .write.mode("overwrite").parquet(s"$dir/params")
     val e1 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e1.getMessage.contains("separator"))
     // torn artifact: params' k disagrees with the stored merge count
-    Seq((5, Bpe.Sep)).toDF("k", "sep")
+    Seq((5, Bpe.Sep, goodSig)).toDF("k", "sep", "sig")
       .write.mode("overwrite").parquet(s"$dir/params")
     val e2 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e2.getMessage.contains("torn"))
+    // interleaved builders: k and sep both match the stored merges but
+    // the params row belongs to a DIFFERENT build — only the content
+    // signature catches the mix
+    Seq((realK, Bpe.Sep, goodSig ^ 0x5aL)).toDF("k", "sep", "sig")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val e3 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
+    assert(e3.getMessage.contains("signature"))
   }
 }

@@ -181,11 +181,15 @@ class StreamingSpec extends SparkSpec {
       source.addData(b2: _*)
       q.processAllAvailable()
       // memory sink in update mode appends each batch's emission; the
-      // LAST row per source is the running report
+      // FINAL running report per source is the row with max n_docs
+      // (monotone in this stream) — Spark's last() over an unordered
+      // groupBy is non-deterministic, so ordering by the monotone field
+      // keeps the comparison flake-free regardless of sink scan order
       val streamed = s2.table("stream_report_out")
-        .groupBy("source").agg(last("n_docs").as("n_docs"),
-          last("n_tokens").as("n_tokens"), last("n_dup_docs").as("n_dup_docs"),
-          last("n_langs").as("n_langs"), last("mean_quality").as("mean_quality"))
+        .groupBy("source").agg(max(struct("n_docs", "n_tokens",
+          "n_dup_docs", "n_langs", "mean_quality")).as("r"))
+        .select(col("source"), col("r.n_docs"), col("r.n_tokens"),
+          col("r.n_dup_docs"), col("r.n_langs"), col("r.mean_quality"))
         .orderBy("source")
         .as[(String, Long, Long, Long, Long, Double)].collect()
       val batch = graft.llm.TextAnalysis.corpusReport(
@@ -230,9 +234,10 @@ class StreamingSpec extends SparkSpec {
       source.addData(b1: _*); q.processAllAvailable()
       source.addData(b2: _*); q.processAllAvailable()
       val streamed = s2.table("gated_report_out")
-        .groupBy("source").agg(last("n_docs").as("n_docs"),
-          last("n_tokens").as("n_tokens"), last("n_dup_docs").as("n_dup_docs"),
-          last("n_langs").as("n_langs"), last("mean_quality").as("mean_quality"))
+        .groupBy("source").agg(max(struct("n_docs", "n_tokens",
+          "n_dup_docs", "n_langs", "mean_quality")).as("r"))
+        .select(col("source"), col("r.n_docs"), col("r.n_tokens"),
+          col("r.n_dup_docs"), col("r.n_langs"), col("r.mean_quality"))
         .as[(String, Long, Long, Long, Long, Double)].collect()
       val batch = graft.llm.TextAnalysis.corpusReport(
         gate((b1 ++ b2).toDF("doc_id", "source", "lang", "text")), "source")
