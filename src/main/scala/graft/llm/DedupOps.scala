@@ -23,17 +23,53 @@ import TextFunctions._
  */
 object DedupOps {
 
-  /** Column-metadata key recording the shingle width a precomputed
-    * `shingle_hashes` column was built with. */
+  /**
+   * Tokenization strategy for the shingle surface — HOW `text` becomes
+   * the word stream every near-dup family shingles over. The shingling
+   * expressions split on single spaces, so a tokenizer is a scan-stage
+   * TEXT PREPROCESSOR (still codegen'd, still zero-shuffle):
+   *
+   *  - [[Tokenizer.Ascii]] — the raw text as-is (split-on-space). The
+   *    historical default; every pre-round-14 oracle hash is over this
+   *    surface, so it stays the parameter default.
+   *  - [[Tokenizer.Unicode]] — [[TextFunctions.normalizeUnicode]] first
+   *    (case-fold → keep \p{L}\p{N}\s → collapse whitespace). The
+   *    multilingual on-ramp: under the ASCII tokenizer a CJK/Cyrillic
+   *    document shingles to the EMPTY set, so Jaccard/containment/
+   *    MinHash/SimHash silently find no near-dups at all on non-Latin
+   *    corpora (UnicodeTextSpec pins that the Unicode tokenizer pairs
+   *    exactly those clones). Non-ASCII hashing is deterministic WITHIN
+   *    the engine (code-unit vs codepoint folding diverges off-BMP —
+   *    TextFunctions.normalizeUnicode scaladoc); cross-engine oracles
+   *    run on ASCII corpora where the two tokenizers provably coincide
+   *    post-normalization.
+   *
+   * The span-dedup family (spanDedupStats/Apply/DupRuns) intentionally
+   * stays on the raw surface: its REWRITE path reconstructs documents
+   * from their word stream, which must round-trip the original text —
+   * a normalized rewrite would alter the corpus it is cleaning.
+   */
+  final case class Tokenizer(name: String,
+      prep: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+  object Tokenizer {
+    val Ascii = Tokenizer("ascii", identity)
+    val Unicode = Tokenizer("unicode", TextFunctions.normalizeUnicode)
+  }
+
+  /** Column-metadata keys recording the shingle width and tokenizer a
+    * precomputed `shingle_hashes` column was built with. */
   private val ShingleNKey = "graft.shingle.n"
+  private val ShingleTokKey = "graft.shingle.tok"
 
   /** The per-doc distinct shingle-hash array: the precomputed
     * `shingle_hashes` column when the caller materialized one (see
     * [[withShingleHashes]]), else computed inline from `text`. A
-    * precomputed column carrying a different shingle width than the
-    * operator's `n` is rejected — silently returning n=3 results from an
-    * n=4 call was the trap. */
-  private def shingleArr(docs: DataFrame, n: Int) =
+    * precomputed column carrying a different shingle width or tokenizer
+    * than the operator call's is rejected — silently returning n=3
+    * results from an n=4 call (or ASCII shingles from a Unicode call)
+    * was the trap. */
+  private def shingleArr(docs: DataFrame, n: Int,
+      tok: Tokenizer = Tokenizer.Ascii) =
     if (docs.columns.contains("shingle_hashes")) {
       val meta = docs.schema("shingle_hashes").metadata
       if (meta.contains(ShingleNKey)) {
@@ -42,8 +78,16 @@ object DedupOps {
           s"precomputed shingle_hashes was built with n=$built but the " +
             s"operator was called with n=$n — re-run withShingleHashes(docs, $n)")
       }
+      // absent key = column predates the tokenizer knob = ASCII build
+      val builtTok =
+        if (meta.contains(ShingleTokKey)) meta.getString(ShingleTokKey)
+        else Tokenizer.Ascii.name
+      require(builtTok == tok.name,
+        s"precomputed shingle_hashes was built with the '$builtTok' " +
+          s"tokenizer but the operator was called with '${tok.name}' — " +
+          s"re-run withShingleHashes with the matching tokenizer")
       col("shingle_hashes")
-    } else shingleHashes(col("text"), n)
+    } else shingleHashes(tok.prep(col("text")), n)
 
   /**
    * Precompute the per-doc distinct shingle-hash arrays ONCE, so a
@@ -55,24 +99,28 @@ object DedupOps {
    * operator call with a mismatched `n` fails instead of silently using
    * the wrong width.
    */
-  def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+  def withShingleHashes(docs: DataFrame, n: Int = 3,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(ShingleNKey, n.toLong).build()
+      .putLong(ShingleNKey, n.toLong)
+      .putString(ShingleTokKey, tok.name).build()
     docs.withColumn("shingle_hashes",
-      shingleHashes(col("text"), n).as("shingle_hashes", meta))
+      shingleHashes(tok.prep(col("text")), n).as("shingle_hashes", meta))
   }
 
   /** Exploded (doc_id, shingle-hash) inverted index — the shared substrate
     * for Jaccard and MinHash verification. Distinct hashes per doc. */
-  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArr(docs, n)).as("h"))
+  def shingleIndex(docs: DataFrame, n: Int = 3,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArr(docs, n, tok)).as("h"))
 
   /** Per-doc shingle-set sizes — computed per row from the array length
     * (size of the distinct-hash array), NOT by re-aggregating the
     * exploded index: one scan-stage projection, zero shuffle. */
-  private[llm] def setSizes(docs: DataFrame, n: Int): DataFrame =
+  private[llm] def setSizes(docs: DataFrame, n: Int,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     docs.select(col("doc_id"),
-      size(shingleArr(docs, n)).cast("long").as("sz"))
+      size(shingleArr(docs, n, tok)).cast("long").as("sz"))
 
   /** All pairs sharing >= 1 shingle, with intersection counts — the
     * inverted-index join: shuffle keyed on the shingle hash, pair volume
@@ -85,8 +133,9 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
 
   /** Attach exact Jaccard = |A∩B| / |A∪B| to a pair table. */
-  private def withJaccard(pairs: DataFrame, docs: DataFrame, n: Int): DataFrame = {
-    val sizes = setSizes(docs, n)
+  private def withJaccard(pairs: DataFrame, docs: DataFrame, n: Int,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val sizes = setSizes(docs, n, tok)
     pairs
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -111,16 +160,17 @@ object DedupOps {
    * shingles). Default off for exact ground-truth/oracle parity.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxDf: Option[Long] = None): DataFrame =
-    withJaccard(intersections(cappedIndex(docs, n, maxDf)), docs, n)
+      threshold: Double = 0.5, maxDf: Option[Long] = None,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
+    withJaccard(intersections(cappedIndex(docs, n, maxDf, tok)), docs, n, tok)
       .filter(col("jaccard") >= threshold)
 
   /** [[shingleIndex]] with the optional df cap applied: df per shingle is
     * a map-side-combined count on the already-keyed hash; the semi-join
     * keeps index rows whose key survived the cap. */
   private def cappedIndex(docs: DataFrame, n: Int,
-      maxDf: Option[Long]): DataFrame = {
-    val index = shingleIndex(docs, n)
+      maxDf: Option[Long], tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val index = shingleIndex(docs, n, tok)
     maxDf.fold(index) { k =>
       val keep = index.groupBy(col("h"))
         .agg(count(lit(1)).as("df")).filter(col("df") <= k).select(col("h"))
@@ -140,9 +190,10 @@ object DedupOps {
    * variant; pair volume is bounded by real shingle overlap.
    */
   def containmentPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.8, maxDf: Option[Long] = None): DataFrame = {
-    val sizes = setSizes(docs, n)
-    intersections(cappedIndex(docs, n, maxDf))
+      threshold: Double = 0.8, maxDf: Option[Long] = None,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val sizes = setSizes(docs, n, tok)
+    intersections(cappedIndex(docs, n, maxDf, tok))
       .join(sizes.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(sizes.as("cb"), col("id_b") === col("cb.doc_id"))
       .withColumn("containment",
@@ -182,9 +233,10 @@ object DedupOps {
    * the q133 oracle's `prs` CTE unions. Same `maxDf` hot-key semantics.
    */
   def dupEdges(docs: DataFrame, n: Int = 3, jaccThreshold: Double = 0.5,
-      contThreshold: Double = 0.8, maxDf: Option[Long] = None): DataFrame = {
-    val sizes = setSizes(docs, n)
-    intersections(cappedIndex(docs, n, maxDf))
+      contThreshold: Double = 0.8, maxDf: Option[Long] = None,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val sizes = setSizes(docs, n, tok)
+    intersections(cappedIndex(docs, n, maxDf, tok))
       .join(sizes.as("ea"), col("id_a") === col("ea.doc_id"))
       .join(sizes.as("eb"), col("id_b") === col("eb.doc_id"))
       .withColumn("jaccard",
@@ -199,9 +251,10 @@ object DedupOps {
   }
 
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32): DataFrame =
+  def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     docs.select(col("doc_id"),
-      minhashSig(shingleArr(docs, n), perms).as("sig"))
+      minhashSig(shingleArr(docs, n, tok), perms).as("sig"))
 
   /**
    * MinHash + LSH: band the signature (`bands` x `rowsPerBand`), emit one
@@ -215,8 +268,8 @@ object DedupOps {
     * probe. Null-text docs emit null keys, which match nothing in an
     * equi-join — they can never pair. */
   private[llm] def bandedKeys(docs: DataFrame, n: Int, perms: Int, bands: Int,
-      rowsPerBand: Int): DataFrame =
-    minhashSignatures(docs, n, perms).select(col("doc_id"),
+      rowsPerBand: Int, tok: Tokenizer = Tokenizer.Ascii): DataFrame =
+    minhashSignatures(docs, n, perms, tok).select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           bandKey(col("sig"), b * rowsPerBand, rowsPerBand).as("key"))): _*))
@@ -225,9 +278,9 @@ object DedupOps {
 
   def minhashLshPairs(docs: DataFrame, n: Int = 3, perms: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
-    val banded = bandedKeys(docs, n, perms, bands, rowsPerBand)
+    val banded = bandedKeys(docs, n, perms, bands, rowsPerBand, tok)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -241,13 +294,13 @@ object DedupOps {
     // enumerates ALL co-occurring pairs: exactly the q39 cost the banding
     // exists to avoid, quadratic on a hot shingle). The candidate subtree
     // is also referenced exactly once, so nothing is recomputed.
-    val index = shingleIndex(docs, n)
+    val index = shingleIndex(docs, n, tok)
     val inter = cand
       .join(index.as("ia"), col("id_a") === col("ia.doc_id"))
       .join(index.as("ib"),
         col("id_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    withJaccard(inter, docs, n)
+    withJaccard(inter, docs, n, tok)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -274,11 +327,11 @@ object DedupOps {
    * maxHamming <= 3, same operator shape as [[simhashPairs]].
    */
   def simhashPairs64(docs: DataFrame, n: Int = 3,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val sims = docs
       .select(col("doc_id"),
-        shingleHashList(col("text"), n, ModLo).as("flo"),
-        shingleHashList(col("text"), n, ModHi).as("fhi"))
+        shingleHashList(tok.prep(col("text")), n, ModLo).as("flo"),
+        shingleHashList(tok.prep(col("text")), n, ModHi).as("fhi"))
       .filter(size(col("flo")) > 0)
       .select(col("doc_id"),
         simhashOfHashes(col("flo"), 32).as("sh_lo"),
@@ -585,9 +638,10 @@ object DedupOps {
     * variant saturates on small vocabularies; shingles keep the feature
     * space large enough for Hamming distance to mean something. */
   def simhashes(docs: DataFrame, n: Int = 3, bits: Int = 32,
-      featureMod: Long = TextFunctions.P): DataFrame =
+      featureMod: Long = TextFunctions.P,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     docs.select(col("doc_id"),
-      shingleHashList(col("text"), n, featureMod).as("feats"))
+      shingleHashList(tok.prep(col("text")), n, featureMod).as("feats"))
       // Docs with no features have no meaningful SimHash (all-zero votes
       // would spuriously pair every degenerate doc with every other);
       // they are excluded, matching the oracle's per-feature-row shape.
@@ -781,11 +835,12 @@ object DedupOps {
   }
 
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,
-      bits: Int = 32, featureMod: Long = TextFunctions.P): DataFrame = {
+      bits: Int = 32, featureMod: Long = TextFunctions.P,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(bits % 4 == 0, "bits must split into 4 equal bands")
     val bandWidth = bits / 4
     val bandSize = 1L << bandWidth
-    val sims = simhashes(docs, n, bits, featureMod)
+    val sims = simhashes(docs, n, bits, featureMod, tok)
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),

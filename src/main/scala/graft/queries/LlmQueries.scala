@@ -3433,11 +3433,52 @@ object LlmQueries {
          |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin))
 
+  // q142 — the MULTILINGUAL MinHash keep-list: q97's exact pipeline
+  // (signatures → banded candidates → exact-Jaccard verify → CC →
+  // min-id keep-list) under DedupOps.Tokenizer.Unicode, which
+  // normalizes text (case-fold → keep \p{L}\p{N}\s → collapse ws)
+  // BEFORE shingling. Under the ASCII tokenizer a CJK/Cyrillic corpus
+  // shingles to empty sets and near-dup detection silently finds
+  // NOTHING — this variant is the non-Latin production path, and on any
+  // corpus it also pairs case/punctuation-variant near-dups the raw
+  // surface misses. Oracle: the q97 CTE chain over a normalized-docs
+  // relation (DuckDB RE2 ≡ Java regex on these classes — q132's
+  // pattern); the non-ASCII pairing behavior itself is pinned in
+  // UnicodeTextSpec (the documented engine hash boundary).
+  val q142 = Q(
+    "q142_multilingual_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.dedupedCorpus(docs,
+        DedupOps.duplicateClusters(
+          DedupOps.minhashLshPairs(docs, n = 3, perms = 32, bands = 8,
+            rowsPerBand = 4, threshold = 0.5,
+            tok = DedupOps.Tokenizer.Unicode)))
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE ndocs AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |${shingleCtesWithCap(None, "ndocs")},
+         |$minhashCandCtes,
+         |prs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5),
+         |$ccClosureCtes
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

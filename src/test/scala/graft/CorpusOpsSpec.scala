@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 141 uniquely-named queries, 137 oracle-checked, qNN prefixes unique") {
+  test("registry: 142 uniquely-named queries, 138 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 141)
-    assert(all.count(_.oracle.isDefined) === 137)
+    assert(all.size === 142)
+    assert(all.count(_.oracle.isDefined) === 138)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

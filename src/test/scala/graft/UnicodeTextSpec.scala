@@ -95,6 +95,65 @@ class UnicodeTextSpec extends SparkSpec {
     assert(ascii.contains(1L))
   }
 
+  test("near-dup shingle family: non-ASCII clones PAIR under the Unicode tokenizer, never under ASCII") {
+    import graft.llm.DedupOps
+    // Russian and CJK near-clone pairs (case/punctuation variants), plus
+    // an unrelated doc. On the raw (ASCII-tokenizer) surface the clones
+    // share too few 3-shingles to reach any threshold — the Russian pair
+    // differs in case+punctuation on the boundary tokens (raw Jaccard
+    // 4/10 = 0.4), the CJK pair punctuates every token (raw Jaccard 0) —
+    // while the Unicode tokenizer normalizes both pairs to IDENTICAL
+    // word streams (Jaccard 1.0).
+    val docs = Seq(
+      (1L, "Привет мир это тестовый документ про оленей и снег"),
+      (2L, "привет, мир! это тестовый документ про оленей и снег."),
+      (3L, "这是 一个 关于 鹿 和 雪 的 测试 文档 内容 很长"),
+      (4L, "这是。 一个。 关于。 鹿。 和。 雪。 的。 测试。 文档。 内容。 很长。"),
+      (5L, "totally unrelated english filler document right here"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Unicode tokenizer: both clone pairs fire across the whole family
+    val uniJacc = ids(DedupOps.ngramJaccardPairs(docs, n = 3,
+      threshold = 0.5, tok = DedupOps.Tokenizer.Unicode))
+    assert(uniJacc === Set((1L, 2L), (3L, 4L)))
+    val uniMh = ids(DedupOps.minhashLshPairs(docs, n = 3, perms = 32,
+      bands = 8, rowsPerBand = 4, threshold = 0.5,
+      tok = DedupOps.Tokenizer.Unicode))
+    assert(uniMh === Set((1L, 2L), (3L, 4L)))
+    val uniCont = ids(DedupOps.containmentPairs(docs, n = 3,
+      threshold = 0.8, tok = DedupOps.Tokenizer.Unicode))
+    assert(uniCont === Set((1L, 2L), (3L, 4L)))
+    // ASCII tokenizer: the same clones silently never match
+    assert(ids(DedupOps.ngramJaccardPairs(docs, n = 3,
+      threshold = 0.5)).isEmpty)
+    assert(ids(DedupOps.minhashLshPairs(docs, n = 3, perms = 32,
+      bands = 8, rowsPerBand = 4, threshold = 0.5)).isEmpty)
+    // and the keep-list composition keeps only the min-id representative
+    // of each unicode clone cluster
+    val kept = DedupOps.dedupedCorpus(docs,
+      DedupOps.duplicateClusters(uniMh.toSeq.toDF("id_a", "id_b")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 5L))
+  }
+
+  test("withShingleHashes stamps the tokenizer; a mismatched operator call fails loudly") {
+    import graft.llm.DedupOps
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val pre = DedupOps.withShingleHashes(docs, n = 3,
+      tok = DedupOps.Tokenizer.Unicode)
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.shingleIndex(pre, n = 3).collect() // default = Ascii
+    }
+    assert(e.getMessage.contains("tokenizer"))
+    // matching tokenizer passes and equals the inline computation
+    val viaPre = DedupOps.shingleIndex(pre, n = 3,
+      tok = DedupOps.Tokenizer.Unicode).as[(Long, Long)].collect().sorted
+    val inline = DedupOps.shingleIndex(docs, n = 3,
+      tok = DedupOps.Tokenizer.Unicode).as[(Long, Long)].collect().sorted
+    assert(viaPre === inline)
+  }
+
   test("normalizedUnicode: null text normalizes to empty string, row kept") {
     val got = TextAnalysis.normalizedUnicode(
       Seq((1L, null: String), (2L, "Ok!")).toDF("doc_id", "text"))
