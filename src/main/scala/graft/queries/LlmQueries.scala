@@ -3474,11 +3474,158 @@ object LlmQueries {
          |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q143 — curation pipeline v5: the LEARNED quality filter joins the
+  // flagship. v4's hand-rule prune is replaced by CCNet's architecture:
+  // a bigram LM trained on an in-domain reference corpus scores every
+  // surviving doc's surprisal, the corpus is cut into exact integer
+  // thirds, and only head+middle (the reference-like two-thirds) go on
+  // to decontamination — the tail = the perplexity-outlier discard
+  // slice. Order: Gopher gate (scan-stage, shrinks everything) → dedup
+  // on the shared Jaccard∪containment edge pass → surprisal-bucket
+  // selection (learned) → exact decon → report card. Still ONE Catalyst
+  // job; the LM "model" is two term-keyed count tables joined by
+  // equi-join (the q113 shape) + one broadcast total row — no
+  // transcendentals, no percentile estimation, no corpus-wide window
+  // (groupless PrefixRank). Oracle replays all five stages as CTEs.
+  val q143 = Q(
+    "q143_curation_v5",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      val edges = DedupOps.dupEdges(gated, n = 3, jaccThreshold = 0.5,
+        contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      val kept = DedupOps.dedupedCorpus(gated,
+        DedupOps.duplicateClusters(edges))
+      // the LM reference stays the RAW %4 slice (an external in-domain
+      // corpus is not gated by the pipeline it steers)
+      val train = docs.filter(col("doc_id") % 4 === 0)
+      val buckets = graft.llm.Retrieval.surprisalBuckets(kept, train)
+      val selIds = buckets.filter(col("bucket") =!= "tail")
+        .select(col("doc_id"))
+      val selected = kept.join(selIds, Seq("doc_id"), "left_semi")
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val clean = TextAnalysis.decontaminated(selected, bench)
+      TextAnalysis.corpusReport(clean, "source").orderBy("source")
+    },
+    Some(
+      s"""WITH RECURSIVE gw AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM gw),
+         |gk AS (SELECT doc_id FROM gm
+         |       WHERE n_words >= 30 AND n_words <= 100000
+         |         AND n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words
+         |         AND 10 * n_symbols <= n_words
+         |         AND 5 * n_alpha >= 4 * n_words
+         |         AND n_required >= 2),
+         |gdocs AS (SELECT d.* FROM documents d JOIN gk USING (doc_id)),
+         |${shingleCtesWithCap(Some(DedupDfCap), "gdocs")},
+         |cpairs AS (
+         |  SELECT id_a, id_b,
+         |    ${Det.frSql(
+               "CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)} AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b),
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5
+         |        UNION SELECT id_a, id_b FROM cpairs WHERE containment >= 0.8),
+         |$ccClosureCtes,
+         |kept AS (SELECT d.* FROM gdocs d
+         |         LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |         WHERE l.doc_id IS NULL OR l.rep = d.doc_id),
+         |kdw AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+         |          w -> w <> '') AS ws
+         |        FROM kept),
+         |tr AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+         |          w -> w <> '') AS ws
+         |       FROM documents WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM kdw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS surprisal_bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |sf AS (SELECT k.doc_id,
+         |        CAST(coalesce(sc.surprisal_bits, 0) * 10000
+         |          // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS s_scaled
+         |      FROM kept k LEFT JOIN sc ON k.doc_id = sc.doc_id),
+         |sr AS (SELECT *, CAST(row_number() OVER (ORDER BY s_scaled, doc_id) AS BIGINT) AS rnk,
+         |        CAST(count(*) OVER () AS BIGINT) AS n_total
+         |      FROM sf),
+         |selected AS (SELECT k.doc_id, k.source, k.lang, k.text
+         |             FROM kept k JOIN sr USING (doc_id)
+         |             WHERE sr.rnk * 3 <= sr.n_total * 2),
+         |pf AS (SELECT doc_id, source, lang, text,
+         |         CASE WHEN length(norm) = 0 THEN 0
+         |              ELSE ${polyHashSql("norm")} END AS f
+         |       FROM (SELECT doc_id, source, lang, text,
+         |               regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                              ' +', ' ', 'g') AS norm
+         |             FROM selected)),
+         |bfp AS (SELECT CASE WHEN length(norm) = 0 THEN 0
+         |               ELSE ${polyHashSql("norm")} END AS f
+         |        FROM (SELECT regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                       ' +', ' ', 'g') AS norm
+         |              FROM documents WHERE doc_id % 41 = 3)),
+         |clean AS (SELECT doc_id, source, lang, text FROM pf
+         |          WHERE f IS NULL
+         |             OR f NOT IN (SELECT f FROM bfp WHERE f IS NOT NULL)),
+         |rw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM clean),
+         |rc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, source, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT source, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT source, lang FROM rq) GROUP BY 1)
+         |SELECT rp.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (source) JOIN rl USING (source)
+         |ORDER BY rp.source""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }

@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 142 uniquely-named queries, 138 oracle-checked, qNN prefixes unique") {
+  test("registry: 143 uniquely-named queries, 139 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 142)
-    assert(all.count(_.oracle.isDefined) === 138)
+    assert(all.size === 143)
+    assert(all.count(_.oracle.isDefined) === 139)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -313,6 +313,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "v4 report stage must stay Expand-free")
   }
 
+  test("q143: v5 pipeline — learned-filter joins broadcast, no nested loop, Expand-free report") {
+    val p = planOf("q143_curation_v5")
+    assert(!p.contains("CartesianProduct"), "v5 pipeline planned a cross product")
+    assert(!p.contains("Expand"), "v5 report stage must stay Expand-free")
+    // the LM "model" sides (vocab total, corpus total) are 1-row frames
+    // and must reach the plan as broadcasts, never a sort-merge side
+    assert(p.contains("BroadcastExchange"),
+      "surprisal totals lost their broadcast")
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
