@@ -199,4 +199,28 @@ object Bpe {
         wordsNonEmpty(coalesce(col("text"), lit(""))),
         w => split(encodeWord(w, merges), Sep)))))
       .toDF("doc_id", "pos", "token")
+
+  /** Per-word packed tokenizations in document order — the
+    * boundary-PRESERVING encoder output that [[decode]] inverts. The
+    * flat stream ([[tokens]] / [[encodeTokens]]) deliberately drops word
+    * boundaries (downstream featurizers consume a token sequence, the
+    * standard export shape); this form keeps each word's packed
+    * `[[Sep]]`-separated tokenization as one element, so the document is
+    * reconstructible. Scan-stage like every encode path. */
+  def encodeWords(text: Column, merges: Seq[Merge]): Column =
+    transform(wordsNonEmpty(coalesce(text, lit(""))),
+      w => encodeWord(w, merges))
+
+  /** Inverse of [[encodeWords]]: strip each word's intra-word
+    * separators, re-join words with single spaces. `decode ∘
+    * encodeWords ≡` the document's space-joined non-empty words — the
+    * tokenizer roundtrip. Merge application only MOVES separators
+    * (never characters), so any failure of this identity localizes to
+    * the artifact boundary: a drifted/torn stored vocabulary, or a
+    * native-expression encode loop that dropped or reordered content —
+    * exactly what the q144 registry check and the BpeSpec roundtrip pin
+    * (incl. non-BMP text) watch for. [[Sep]] is a single char, so the
+    * strip is a codegen'd `translate`. */
+  def decode(encoded: Column): Column =
+    array_join(transform(encoded, p => translate(p, Sep, "")), " ")
 }

@@ -3621,11 +3621,55 @@ object LlmQueries {
          |FROM rp JOIN rd USING (source) JOIN rl USING (source)
          |ORDER BY rp.source""".stripMargin))
 
+  // q144 — the tokenizer ROUNDTRIP: decode ∘ encode under the PERSISTED
+  // vocabulary reproduces every document's space-joined word stream.
+  // q136 exports the token stream but nothing proved the stream still
+  // concatenates to its input — a drifted/torn stored vocabulary or a
+  // content-dropping encode loop would ship silently. One scan-stage
+  // pass (encodeWords + decode are per-row expressions over the loaded
+  // merge literals; the equality is a per-row comparison); the oracle
+  // replays the merge chain (q136's CTEs), strips separators per word
+  // type, and re-joins per document in word order.
+  val q144 = Q(
+    "q144_bpe_decode_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeMergesFor(s, d)
+      val orig = array_join(
+        filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+          w => w =!= ""), " ")
+      docs.select(col("doc_id"),
+        Bpe.decode(Bpe.encodeWords(col("text"), merges)).as("decoded"),
+        orig.as("orig"))
+        .select(col("doc_id"), col("decoded"),
+          (col("decoded") === col("orig")).cast("boolean").as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |wt AS (SELECT word, replace(toks, '$bpeSep', '') AS dec FROM bt$bpeK),
+         |dws AS (SELECT doc_id,
+         |          list_filter(string_split(coalesce(text, ''), ' '),
+         |            x -> x <> '') AS ws
+         |        FROM documents),
+         |dwo AS (SELECT doc_id, unnest(range(len(ws))) AS o, ws FROM dws),
+         |dw AS (SELECT doc_id, o, ws[o + 1] AS word FROM dwo),
+         |dd AS (SELECT dw.doc_id,
+         |         string_agg(wt.dec, ' ' ORDER BY dw.o) AS decoded
+         |       FROM dw JOIN wt USING (word) GROUP BY dw.doc_id),
+         |og AS (SELECT doc_id, array_to_string(ws, ' ') AS orig FROM dws)
+         |SELECT d.doc_id, coalesce(dd.decoded, '') AS decoded,
+         |       coalesce(dd.decoded, '') = og.orig AS roundtrip
+         |FROM documents d
+         |LEFT JOIN dd USING (doc_id) JOIN og USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q104, q105,
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
+    q144)
 }

@@ -182,6 +182,40 @@ class BpeSpec extends SparkSpec {
     assert(!rows(Bpe.encodeTokens(emoji, em)).exists(r => r._1 == 2L || r._1 == 3L))
   }
 
+  test("decode ∘ encodeWords roundtrips the real corpus and non-BMP text") {
+    // the tokenizer roundtrip: boundary-preserving encode, strip
+    // separators, re-join with spaces == the doc's space-joined
+    // non-empty words — on the real corpus under real learned merges
+    val corpus = Tables.documents(spark, sfDir).limit(300)
+    val merges = Bpe.learnMerges(corpus, 6)
+    def check(df: org.apache.spark.sql.DataFrame, ms: Seq[Merge]): Unit = {
+      val bad = df.select(col("doc_id"),
+        Bpe.decode(Bpe.encodeWords(col("text"), ms)).as("dec"),
+        array_join(filter(split(coalesce(col("text"), lit("")), " "),
+          w => w =!= ""), " ").as("orig"))
+        .filter(col("dec") =!= col("orig"))
+        .count()
+      assert(bad === 0L, "decode(encodeWords(text)) diverged from the word stream")
+    }
+    check(corpus, merges)
+    // supplementary-plane text (emoji = 2 UTF-16 units) and null/empty
+    val emoji = Seq((1L, "😀😀 a😀b words here"), (2L, null: String),
+      (3L, ""), (4L, "  double  spaced  ")).toDF("doc_id", "text")
+    check(emoji, Bpe.learnMerges(emoji, 4))
+    // the FLAT native stream concatenates to the same content (spaces
+    // dropped) — ties BpeTokensExpr's per-word loop into the roundtrip
+    val streamCat = Bpe.encodeTokens(emoji, Bpe.learnMerges(emoji, 4))
+      .groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"),
+        col("token")))).getField("token")).as("cat"))
+    val wordCat = emoji.select(col("doc_id"),
+      concat_ws("", filter(split(coalesce(col("text"), lit("")), " "),
+        w => w =!= "")).as("wcat"))
+    val mism = streamCat.join(wordCat, "doc_id")
+      .filter(col("cat") =!= col("wcat")).count()
+    assert(mism === 0L, "flat token stream no longer concatenates to its input")
+  }
+
   // ------------------------------------------------- persisted BpeIndex
 
   import graft.llm.BpeIndex

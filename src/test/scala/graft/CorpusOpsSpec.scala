@@ -596,10 +596,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 143 uniquely-named queries, 139 oracle-checked, qNN prefixes unique") {
+  test("registry: 144 uniquely-named queries, 140 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 143)
-    assert(all.count(_.oracle.isDefined) === 139)
+    assert(all.size === 144)
+    assert(all.count(_.oracle.isDefined) === 140)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
