@@ -111,6 +111,43 @@ object BpeIndex {
     ms
   }
 
+  /**
+   * Operational health report — [[DedupIndex.healthCheck]]'s parity for
+   * the vocabulary lifecycle: a scheduled job's cheap validity check
+   * WITHOUT encoding anything. One row, computed from params + the
+   * k-row merges table (both tiny):
+   *
+   *  - `sep_ok` — stored separator matches this build's [[Bpe.Sep]];
+   *  - `k_ok` — stored merge count matches params' k (torn overwrite);
+   *  - `sig_ok` — merge rows hash to params' content signature
+   *    (interleaved-builder mix, the [[signature]] scaladoc's case);
+   *  - `ranks_ok` — ranks are exactly 1..k with no gaps or dupes (a
+   *    partially-written merges table can pass a bare count);
+   *  - `healthy` — the conjunction a monitoring rule alerts on.
+   *
+   * Unlike [[load]] (which throws — a consumer must not encode under a
+   * bad vocabulary), this REPORTS: the scheduled check wants one row
+   * per index in a table, not an exception per degraded artifact.
+   * Throws only on an absent index (params missing), like every loader. */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (k, sep, sig) = requireIndex(spark, dir)
+    val ms = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt")))
+      .toSeq
+    val sepOk = sep == Bpe.Sep
+    val kOk = ms.size == k
+    val sigOk = signature(ms) == sig
+    val ranksOk = ms.map(_.rank) == (1 to ms.size)
+    Seq((k, ms.size.toLong, sepOk, kOk, sigOk, ranksOk,
+      sepOk && kOk && sigOk && ranksOk))
+      .toDF("k", "n_merges", "sep_ok", "k_ok", "sig_ok", "ranks_ok",
+        "healthy")
+  }
+
   private def requireIndex(spark: SparkSession, dir: String): (Int, String, Long) =
     try {
       val row = spark.read.parquet(s"$dir/params").head()

@@ -124,4 +124,43 @@ object DeconIndex {
       .filter(col("contamination") >= maxOverlap).select(col("doc_id"))
     corpus.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  /**
+   * Operational health report — [[DedupIndex.healthCheck]]'s parity for
+   * this lifecycle: the cheap check a scheduled job runs WITHOUT probing
+   * a corpus. One row over the index's own small tables (longs only,
+   * a few MB; the corpus is never touched):
+   *
+   *  - `n` + row counts — is the artifact present and plausibly sized
+   *    for its benchmark suite;
+   *  - `fp_dup_rows` / `gram_dup_rows` — distinct-by-construction
+   *    VIOLATIONS. Both probes rely on the stored tables being distinct
+   *    ([[overlap]]'s left join fans out per duplicate `gh`, inflating
+   *    n_hit); a nonzero count is the fingerprint of two interleaved
+   *    [[append]]s (the documented single-writer breach) and means
+   *    rebuild — this is exactly the corruption the probes themselves
+   *    cannot see (they'd just return wrong numbers);
+   *  - `data_files` — small-file pressure from many appends, the
+   *    compaction trigger.
+   *
+   * Throws on an absent index (params missing), like every loader here:
+   * an unbuilt index is a config error, not a health state. */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    val n = gramN(spark, dir)
+    val nFiles = Seq("fingerprints", "grams", "params").map(t =>
+      graft.pipeline.Maintenance.dataFiles(spark, s"$dir/$t").size).sum
+    val fps = spark.read.parquet(s"$dir/fingerprints")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        count_distinct(col("fp")).as("fp_distinct"))
+    val gs = spark.read.parquet(s"$dir/grams")
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("gh")).as("gram_distinct"))
+    fps.crossJoin(gs).select(
+      lit(n).as("n"),
+      col("n_fingerprints"),
+      (col("n_fingerprints") - col("fp_distinct")).as("fp_dup_rows"),
+      col("n_grams"),
+      (col("n_grams") - col("gram_distinct")).as("gram_dup_rows"),
+      lit(nFiles.toLong).as("data_files"))
+  }
 }

@@ -512,6 +512,60 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.llm.DeconIndex.probe(extra, dir).isEmpty)
   }
 
+  test("DeconIndex.healthCheck: healthy index reports zero violations; an interleaved append shows dup rows") {
+    val dir = java.nio.file.Files.createTempDirectory("decon_idx_health").toString
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    graft.llm.DeconIndex.build(bench, dir, n = 5)
+    val h = graft.llm.DeconIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Int]("n") === 5)
+    assert(h.getAs[Long]("n_fingerprints") > 0L)
+    assert(h.getAs[Long]("n_grams") > 0L)
+    assert(h.getAs[Long]("fp_dup_rows") === 0L)
+    assert(h.getAs[Long]("gram_dup_rows") === 0L)
+    assert(h.getAs[Long]("data_files") >= 3L)
+    // simulate the single-writer breach: a second writer re-appends rows
+    // the anti-join snapshot didn't see — duplicate longs land
+    spark.read.parquet(s"$dir/fingerprints").limit(3)
+      .write.mode("append").parquet(s"$dir/fingerprints")
+    val h2 = graft.llm.DeconIndex.healthCheck(spark, dir).head()
+    assert(h2.getAs[Long]("fp_dup_rows") === 3L,
+      "duplicate fingerprints must surface as violations")
+    // absent index throws, like every loader
+    intercept[IllegalStateException] {
+      graft.llm.DeconIndex.healthCheck(spark,
+        java.nio.file.Files.createTempDirectory("decon_idx_absent").toString)
+    }
+  }
+
+  test("BpeIndex.healthCheck: healthy vocabulary; torn and mixed artifacts report unhealthy") {
+    import graft.llm.{Bpe, BpeIndex}
+    val corpus = Seq((1L, "low lower lowest low low"),
+      (2L, "new newer newest new")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_idx_health").toString
+    BpeIndex.build(corpus, dir, k = 6)
+    val h = BpeIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Boolean]("healthy"))
+    assert(h.getAs[Boolean]("sep_ok") && h.getAs[Boolean]("k_ok") &&
+      h.getAs[Boolean]("sig_ok") && h.getAs[Boolean]("ranks_ok"))
+    assert(h.getAs[Long]("n_merges") === h.getAs[Int]("k").toLong)
+    // mixed artifact: params from a DIFFERENT build over old merges —
+    // k and sep match, only the signature catches it; healthCheck
+    // REPORTS (a monitoring row) where load throws
+    val stored = BpeIndex.load(spark, dir)
+    Seq((stored.size, Bpe.Sep, BpeIndex.signature(stored) ^ 0x77L))
+      .toDF("k", "sep", "sig")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val hMixed = BpeIndex.healthCheck(spark, dir).head()
+    assert(!hMixed.getAs[Boolean]("healthy") && !hMixed.getAs[Boolean]("sig_ok"))
+    assert(hMixed.getAs[Boolean]("k_ok") && hMixed.getAs[Boolean]("sep_ok"))
+    // torn artifact: params' k disagrees with the stored merge count
+    Seq((stored.size + 2, Bpe.Sep, BpeIndex.signature(stored)))
+      .toDF("k", "sep", "sig")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val hTorn = BpeIndex.healthCheck(spark, dir).head()
+    assert(!hTorn.getAs[Boolean]("healthy") && !hTorn.getAs[Boolean]("k_ok"))
+  }
+
   // -------------------------------------- q124/q125 version QA operators
 
   test("corpusDiff emits exactly the added/removed/changed rows") {
