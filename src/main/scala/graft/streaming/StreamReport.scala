@@ -22,8 +22,13 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
  * source, RocksDB-backed); that is the right trade for the per-ingest
  * monitor, which is bounded by the ingest window — the batch report
  * stays the full-corpus path, and a years-running deployment bounds the
- * map with the same TTL lever as [[TwsCounters]] if approximate dup
- * counts are acceptable after expiry.
+ * map with the `fpTtl` lever ([[TwsCounters]]' TTL pattern): expired
+ * fingerprints make a re-seen document count as first-seen, so dup
+ * counts degrade CONSERVATIVELY (undercount, never crash, never
+ * overcount — StreamingSpec pins this), while the scalar totals and the
+ * language set keep TTL NONE and stay exact forever (they are O(1) and
+ * O(langs) per key; expiring them would corrupt running totals, not
+ * bound anything worth bounding).
  *
  * Determinism: counts are exact integers; mean_quality replays the
  * batch side's exact IEEE ops (floor(x·10⁴ + 0.5)/10⁴ over
@@ -42,7 +47,7 @@ object StreamReport {
   final case class ReportRow(source: String, n_docs: Long, n_tokens: Long,
       n_dup_docs: Long, n_langs: Long, mean_quality: Double)
 
-  final class ReportProcessor
+  final class ReportProcessor(fpTtl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, DocFeat, ReportRow] {
     @transient private var nDocs: ValueState[Long] = _
     @transient private var nToks: ValueState[Long] = _
@@ -59,8 +64,10 @@ object StreamReport {
       qSum = getHandle.getValueState[Long]("qSum", Encoders.scalaLong, none)
       nDup = getHandle.getValueState[Long]("nDup", Encoders.scalaLong, none)
       nLangs = getHandle.getValueState[Long]("nLangs", Encoders.scalaLong, none)
+      // the ONE unbounded cell gets the TTL; expiry only weakens dup
+      // detection (conservatively), never the running totals
       fps = getHandle.getMapState[Long, Long]("fps",
-        Encoders.scalaLong, Encoders.scalaLong, none)
+        Encoders.scalaLong, Encoders.scalaLong, fpTtl)
       langs = getHandle.getMapState[String, Long]("langs",
         Encoders.STRING, Encoders.scalaLong, none)
     }
@@ -91,16 +98,22 @@ object StreamReport {
 
   /** Update-mode running report per `groupCol`; input is any (streaming)
     * docs frame with (doc_id, groupCol, lang, text). RocksDB state store
-    * required (transformWithState's provider contract). */
-  def streamingReport(docs: DataFrame, groupCol: String = "source")(
+    * required (transformWithState's provider contract). `fpTtl` bounds
+    * the fingerprint map for years-running deployments (state TTL needs
+    * processing-time semantics, so a non-NONE TTL switches the TimeMode
+    * accordingly; everything else is time-independent). */
+  def streamingReport(docs: DataFrame, groupCol: String = "source",
+      fpTtl: TTLConfig = TTLConfig.NONE)(
       implicit spark: SparkSession): Dataset[ReportRow] = {
     import spark.implicits._
+    val timeMode =
+      if (fpTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     graft.llm.TextAnalysis.reportFeatures(docs, groupCol)
       .select(col(groupCol).as("grp"),
         coalesce(col("lang"), lit(NullLang)).as("lang"),
         col("n_tokens"), col("fp"), col("qs")).as[DocFeat]
       .groupByKey(_.grp)
-      .transformWithState(new ReportProcessor, TimeMode.None(),
+      .transformWithState(new ReportProcessor(fpTtl), timeMode,
         OutputMode.Update())
   }
 }

@@ -207,6 +207,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming report fpTtl: expired fingerprints undercount dups conservatively, totals stay exact") {
+    // A non-NONE fpTtl switches the query to TimeMode.ProcessingTime,
+    // where the engine triggers batches CONTINUOUSLY to advance the
+    // clock — processAllAvailable never idles, so these cases poll the
+    // memory sink instead. Timing is kept out of the assertions: the
+    // in-TTL scenario uses a 1-hour TTL (cannot expire mid-test), the
+    // expiry scenario a 1 ms TTL plus a 2 s sleep (cannot survive).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val s2i: org.apache.spark.sql.SparkSession = s2
+    implicit val sqlCtx2 = s2.sqlContext
+    import s2.implicits._
+    // --- in-TTL: cross-batch clone IS a dup under an unexpirable TTL ---
+    val srcA = MemoryStream[(Long, String, String, String)]
+    val qA = graft.streaming.StreamReport.streamingReport(
+      srcA.toDF().toDF("doc_id", "source", "lang", "text"),
+      fpTtl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("ttl_report_in")
+      .outputMode("update").start()
+    def awaitOn(q: org.apache.spark.sql.streaming.StreamingQuery,
+        table: String)(pred: org.apache.spark.sql.DataFrame => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        q.exception.foreach(e => throw e)
+        ok = pred(s2.table(table))
+        if (!ok) Thread.sleep(200)
+      }
+      assert(ok, s"timed out waiting on $table")
+    }
+    try {
+      // same-batch clone: dup detection inside one handleInputRows call
+      srcA.addData((1L, "web", "en", "the quick brown fox"),
+        (2L, "web", "en", "the quick brown fox"))
+      awaitOn(qA, "ttl_report_in")(df => !df.filter("n_docs = 2").isEmpty)
+      // cross-batch clone, TTL nowhere near expiry: still a dup
+      srcA.addData((3L, "web", "en", "the quick brown fox"))
+      awaitOn(qA, "ttl_report_in")(df => !df.filter("n_docs = 3").isEmpty)
+      val rows = s2.table("ttl_report_in").orderBy("n_docs")
+        .as[(String, Long, Long, Long, Long, Double)].collect()
+      assert(rows.map(r => (r._2, r._4)).toSeq === Seq((2L, 1L), (3L, 2L)),
+        "dups inside the TTL must count, same-batch and cross-batch")
+    } finally qA.stop()
+    // --- post-expiry: clone counts as first-seen; totals exact; no crash ---
+    val srcB = MemoryStream[(Long, String, String, String)]
+    val qB = graft.streaming.StreamReport.streamingReport(
+      srcB.toDF().toDF("doc_id", "source", "lang", "text"),
+      fpTtl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(1)))
+      .writeStream.format("memory").queryName("ttl_report_exp")
+      .outputMode("update").start()
+    try {
+      srcB.addData((1L, "web", "en", "the quick brown fox"))
+      awaitOn(qB, "ttl_report_exp")(df => !df.filter("n_docs = 1").isEmpty)
+      Thread.sleep(2000) // 1 ms TTL: the fingerprint is long gone
+      srcB.addData((2L, "web", "en", "the quick brown fox"))
+      awaitOn(qB, "ttl_report_exp")(df => !df.filter("n_docs = 2").isEmpty)
+      val last = s2.table("ttl_report_exp").filter("n_docs = 2")
+        .as[(String, Long, Long, Long, Long, Double)].head()
+      // conservative degradation: undercounted dup, exact totals
+      assert(last._4 === 0L, "expired fingerprint must not re-count as dup")
+      assert(last._3 === 8L, "token totals stay exact across expiry")
+      assert(last._5 === 1L, "lang set keeps TTL NONE and stays exact")
+    } finally qB.stop()
+  }
+
   test("gopher gate composes onto the streaming report: gated stream == batch report on gated union") {
     // the rule gate is a stateless scan-stage filter, so it applies to a
     // stream unchanged — the production ingest shape is gate -> report
