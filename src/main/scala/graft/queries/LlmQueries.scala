@@ -3664,6 +3664,91 @@ object LlmQueries {
          |LEFT JOIN dd USING (doc_id) JOIN og USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q145 — ANN recall@10 as a HASH-CHECKED quality metric: the recall
+  // ladder (IVF by nprobe vs exact brute force) previously lived only in
+  // SCALE.md / CorpusOpsSpec, so the driver's gate guarded plan
+  // validity but not retrieval QUALITY — an IVF assignment bug that
+  // still returned k well-formed rows would ship. Everything is exact
+  // integers (match counts and `matches·1000 div |truth|` — Det
+  // discipline, no float recall), so the hash locks the exact recall
+  // curve, including its monotonicity in nprobe. The corpus-side
+  // assignment CTEs are shared across ladder steps; per-query cost is
+  // the same banded IVF probe as q54.
+  val q145 = Q(
+    "q145_ann_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 8)
+      val truth = SimilaritySearch.bruteForceTopK(e, qs, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(1, 2, 4).map { np =>
+        SimilaritySearch.ivfTopK(e, qs, k = 10, nCells = ivfCells,
+          nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_matches"))
+          .select(lit(np).as("nprobe"), col("n_matches"))
+      }.reduce(_.unionAll(_))
+        .crossJoin(broadcast(truthCnt))
+        .select(col("nprobe"), col("n_matches"), col("n_truth"),
+          expr("n_matches * 1000 div n_truth").as("recall_permille"))
+        .orderBy("nprobe")
+    },
+    Some {
+      def ladderCtes(np: Int): String =
+        s"""p$np AS (
+           |  SELECT vec_id AS query_id, embedding AS qe, cell_id AS cell FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, cell_id) AS rn FROM asg WHERE vec_id < 8)
+           |  WHERE rn <= $np),
+           |s$np AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |         ${cosineSql("p.qe", "a.embedding")} AS cos
+           |  FROM p$np p JOIN assigned a ON a.cell = p.cell
+           |  WHERE a.vec_id <> p.query_id),
+           |r$np AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM s$np) WHERE rank <= 10),
+           |m$np AS (
+           |  SELECT CAST($np AS INT) AS nprobe,
+           |         CAST(count(*) AS BIGINT) AS n_matches
+           |  FROM r$np JOIN truth USING (query_id, neighbor_id))""".stripMargin
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < $ivfCells),
+         |asg AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |         ${cosineSql("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM asg)
+         |  WHERE rn = 1),
+         |tq AS (SELECT * FROM embeddings WHERE vec_id < 8),
+         |tsc AS (
+         |  SELECT tq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("tq.embedding", "c.embedding")} AS cos
+         |  FROM embeddings c, tq WHERE tq.vec_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM tsc) WHERE rank <= 10),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |${ladderCtes(1)},
+         |${ladderCtes(2)},
+         |${ladderCtes(4)}
+         |SELECT nprobe, n_matches, n_truth,
+         |       CAST(n_matches * 1000 // n_truth AS BIGINT) AS recall_permille
+         |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |      UNION ALL SELECT * FROM m4) u
+         |CROSS JOIN tc ORDER BY nprobe""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -3671,5 +3756,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144)
+    q144, q145)
 }
