@@ -488,23 +488,25 @@ object DedupOps {
    */
   def exactThenNearDedup(docs: DataFrame, n: Int = 3, perms: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     // Exact identity is the PAIR of independent polynomial hashes (mod P
     // ≈ 2³⁰ and mod P48 ≈ 2⁴⁸) — same reasoning as spanFlags: dropping a
     // doc is destructive and a single ~30-bit hash birthday-collides at
     // corpus scale (~n²/2e9 false merges: hundreds at 1M docs). A
     // simultaneous collision in both moduli is ~2⁻⁷⁸ per pair.
+    // The tokenizer reshapes BOTH stages consistently: under
+    // Tokenizer.Unicode "exact" means normalized-identical (q132's
+    // unicodeDupGroups semantics — case/punctuation variants collapse
+    // here, in one hash aggregate, before any pair generation).
     val nonNull = docs.filter(col("text").isNotNull)
-    val fp = nonNull.select(col("doc_id"),
-      TextFunctions.polyHash(col("text")).as("f1"),
-      TextFunctions.polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("f2"))
+    val fp = dualFingerprints(nonNull, tok)
     val fpKept = nonNull.join(
       fp.groupBy(col("f1"), col("f2")).agg(min(col("doc_id")).as("doc_id")),
       Seq("doc_id"), "left_semi")
       .unionByName(docs.filter(col("text").isNull))
     dedupedCorpus(fpKept,
       duplicateClusters(
-        minhashLshPairs(fpKept, n, perms, bands, rowsPerBand, threshold)))
+        minhashLshPairs(fpKept, n, perms, bands, rowsPerBand, threshold, tok)))
   }
 
   /**
@@ -541,7 +543,7 @@ object DedupOps {
    */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame, n: Int = 3,
       perms: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     // One shared prepped frame feeds every existing-side projection
     // (fingerprints once — round 9 computed dualFingerprints twice —
     // plus bands, shingles, sizes). Deliberately NOT persisted: round 11
@@ -552,32 +554,34 @@ object DedupOps {
     // it saves. At real scale the right cache is [[DedupIndex]], which
     // lands these projections as parquet tables once.
     val exPrepped = withShingleHashes(
-      existing.select(col("doc_id"), col("text")), n)
-    val exFps = dualFingerprints(exPrepped)
+      existing.select(col("doc_id"), col("text")), n, tok)
+    val exFps = dualFingerprints(exPrepped, tok)
     incrementalKeep(
-      exactSurvivors(exFps.select("f1", "f2"), incoming),
+      exactSurvivors(exFps.select("f1", "f2"), incoming, tok),
       existingIds = exFps.select("doc_id"),
-      exBands = bandedKeys(exPrepped, n, perms, bands, rowsPerBand),
-      exIndex = shingleIndex(exPrepped, n),
-      exSizes = setSizes(exPrepped, n),
-      n, perms, bands, rowsPerBand, threshold)
+      exBands = bandedKeys(exPrepped, n, perms, bands, rowsPerBand, tok),
+      exIndex = shingleIndex(exPrepped, n, tok),
+      exSizes = setSizes(exPrepped, n, tok),
+      n, perms, bands, rowsPerBand, threshold, tok)
   }
 
   /** (doc_id, f1, f2) dual-hash exact identity of the non-null-text rows
     * — the 16-bytes-per-doc projection the incremental exact stage
     * anti-joins on (and [[DedupIndex]] persists). */
-  private[llm] def dualFingerprints(df: DataFrame): DataFrame =
+  private[llm] def dualFingerprints(df: DataFrame,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     df.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        TextFunctions.polyHash(col("text")).as("f1"),
-        TextFunctions.polyHashMod(col("text"), graft.functions.LlmExprs.P48).as("f2"))
+        TextFunctions.polyHash(tok.prep(col("text"))).as("f1"),
+        TextFunctions.polyHashMod(tok.prep(col("text")),
+          graft.functions.LlmExprs.P48).as("f2"))
 
   /** Exact stage of the incremental pipeline: incoming minus corpus
     * fingerprint matches, within-batch clones collapsed to min id,
     * null-text rows routed around. */
   private[llm] def exactSurvivors(existingFps: DataFrame,
-      incoming: DataFrame): DataFrame = {
-    val fresh = dualFingerprints(incoming)
+      incoming: DataFrame, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val fresh = dualFingerprints(incoming, tok)
       .join(existingFps.distinct(), Seq("f1", "f2"), "left_anti")
     val keepExact = fresh.groupBy(col("f1"), col("f2"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -593,9 +597,9 @@ object DedupOps {
   private[llm] def incrementalKeep(survivors: DataFrame,
       existingIds: DataFrame, exBands: DataFrame, exIndex: DataFrame,
       exSizes: DataFrame, n: Int, perms: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
-    val newBands = bandedKeys(survivors, n, perms, bands, rowsPerBand)
+    val newBands = bandedKeys(survivors, n, perms, bands, rowsPerBand, tok)
     val allBands = exBands.unionByName(newBands)
     // normalize to (min, max) so a new-new pair (seen from both sides)
     // and a new-old pair (seen once) land in one orientation
@@ -606,13 +610,13 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
       .distinct()
-    val allIndex = exIndex.unionByName(shingleIndex(survivors, n))
+    val allIndex = exIndex.unionByName(shingleIndex(survivors, n, tok))
     val inter = cand
       .join(allIndex.as("ia"), col("id_a") === col("ia.doc_id"))
       .join(allIndex.as("ib"),
         col("id_b") === col("ib.doc_id") && col("ia.h") === col("ib.h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    val allSizes = exSizes.unionByName(setSizes(survivors, n))
+    val allSizes = exSizes.unionByName(setSizes(survivors, n, tok))
     val pairs = inter
       .join(allSizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(allSizes.as("sb"), col("id_b") === col("sb.doc_id"))

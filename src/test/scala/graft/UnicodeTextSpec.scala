@@ -137,6 +137,44 @@ class UnicodeTextSpec extends SparkSpec {
     assert(kept === Array(1L, 3L, 5L))
   }
 
+  test("production dedup stack under the Unicode tokenizer: exact stage collapses case variants, near stage pairs punctuation variants") {
+    import graft.llm.DedupOps
+    val docs = Seq(
+      // exact under Unicode (normalized-identical), NOT exact raw
+      (1L, "Привет мир это тестовый документ про оленей и снег"),
+      (2L, "ПРИВЕТ МИР ЭТО ТЕСТОВЫЙ ДОКУМЕНТ ПРО ОЛЕНЕЙ И СНЕГ"),
+      // near-dup under Unicode (boundary punctuation), below raw thresholds
+      (3L, "привет, мир! это тестовый документ про оленей и снег."),
+      (4L, "totally unrelated english filler document right here"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val uni = DedupOps.exactThenNearDedup(docs, n = 3, perms = 32,
+      bands = 8, rowsPerBand = 4, threshold = 0.5,
+      tok = DedupOps.Tokenizer.Unicode)
+      .select("doc_id").as[Long].collect().sorted
+    // 2 collapses into 1 at the exact stage, 3 clusters with 1 at the
+    // near stage; the null-text row bypasses both
+    assert(uni === Array(1L, 4L, 5L))
+    // the ASCII stack keeps all three variants — the documented gap
+    val ascii = DedupOps.exactThenNearDedup(docs, n = 3, perms = 32,
+      bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ascii === Array(1L, 2L, 3L, 4L, 5L))
+    // incremental append: a case-variant clone of an EXISTING corpus doc
+    // is dropped under Unicode, kept under Ascii
+    val existing = docs.filter(col("doc_id") === 1L)
+    val incoming = Seq(
+      (10L, "ПРИВЕТ МИР ЭТО ТЕСТОВЫЙ ДОКУМЕНТ ПРО ОЛЕНЕЙ И СНЕГ"),
+      (11L, "genuinely new incoming document")).toDF("doc_id", "text")
+    val incUni = DedupOps.incrementalDedup(existing, incoming,
+      tok = DedupOps.Tokenizer.Unicode)
+      .select("doc_id").as[Long].collect().sorted
+    assert(incUni === Array(11L))
+    val incAscii = DedupOps.incrementalDedup(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted
+    assert(incAscii === Array(10L, 11L))
+  }
+
   test("withShingleHashes stamps the tokenizer; a mismatched operator call fails loudly") {
     import graft.llm.DedupOps
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
