@@ -3749,6 +3749,54 @@ object LlmQueries {
          |CROSS JOIN tc ORDER BY nprobe""".stripMargin
     })
 
+  // q146 — the PRODUCTION dedup stack under the Unicode tokenizer:
+  // q98's exact→near composition with both stages on the normalized
+  // surface — "exact" = normalized-identical (case/punctuation variants
+  // collapse in ONE hash aggregate before any pair generation, q132's
+  // semantics), then MinHash-banded near-dup over normalized shingles.
+  // The multilingual counterpart of q98 and the end-to-end check of the
+  // tokenizer threading: oracle = q98's CTE chain with a normalization
+  // front (all-empty-normalized docs share fingerprint 0 and collapse,
+  // exactly as unicodeDupGroups groups them).
+  val q146 = Q(
+    "q146_multilingual_dedup_stack",
+    (s, d) => DedupOps.exactThenNearDedup(Tables.documents(s, d),
+      n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      tok = DedupOps.Tokenizer.Unicode)
+      .select(col("doc_id")).orderBy("doc_id"),
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH RECURSIVE norm0 AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS ntext
+         |  FROM documents),
+         |fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(ntext) = 0 THEN 0
+         |         ELSE ${polyHashSql("ntext")} END AS f1,
+         |    CASE WHEN length(ntext) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("ntext", p48)} END AS f2
+         |  FROM norm0 WHERE text IS NOT NULL),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY f1, f2),
+         |kept0 AS (SELECT n.doc_id, n.ntext AS text
+         |          FROM norm0 n JOIN keepid USING (doc_id)
+         |          UNION ALL
+         |          SELECT doc_id, CAST(NULL AS VARCHAR)
+         |          FROM documents WHERE text IS NULL),
+         |${shingleCtesWithCap(None, "kept0")},
+         |$minhashCandCtes,
+         |prs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5),
+         |$ccClosureCtes
+         |SELECT d.doc_id FROM kept0 d
+         |LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.rep = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -3756,5 +3804,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145)
+    q144, q145, q146)
 }
