@@ -450,6 +450,101 @@ object Retrieval {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Hashed-bigram feature stream for [[dsirScores]]: each adjacent word
+    * pair maps to `polyHash("w1 w2") mod buckets` — DSIR's hashed n-gram
+    * feature space. Scan-stage explode, no shuffle. */
+  private def hashedBigramBuckets(d: DataFrame, buckets: Int,
+      withId: Boolean): DataFrame = {
+    val idCols = if (withId) Seq(col("doc_id")) else Seq.empty[Column]
+    val toks = d.select(idCols :+
+      filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "").as("ws"): _*)
+    toks.filter(size(col("ws")) >= 2)
+      .select(idCols :+ adjacentPairs(col("ws")).as("bg"): _*)
+      .select(idCols :+
+        (TextFunctions.polyHash(
+          concat(col("bg.w1"), lit(" "), col("bg.w2"))) %
+          lit(buckets.toLong)).as("b"): _*)
+  }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — Data
+   * Selection via Importance Resampling): score every document in the
+   * raw `pool` by how target-like its hashed-bigram feature distribution
+   * is. Each adjacent word pair hashes into one of `buckets` feature
+   * bins; bin counts over the `target` corpus estimate p̂_target and bin
+   * counts over the pool itself estimate p̂_raw; a document's importance
+   * weight is its features' summed log-probability ratio. The engine's
+   * deterministic analog replaces `log` with the integer bit length
+   * (q87/q113's `length(bin(n))` trick): a feature in bin `b` scores
+   *
+   *   t = bitlen(c_target(b) + 1) − bitlen(c_raw(b) + 1)
+   *
+   * (add-one smoothing; c_raw ≥ 1 by construction since the pool defines
+   * its own bins). The per-doc LENGTH-NORMALIZED weight is the exact
+   * integer `(lr_bits + 64·n_feats) · 10⁴ div n_feats`: the +64-bits-
+   * per-feature offset keeps the dividend non-negative (each t ≥ −63),
+   * so Spark's truncating `div` and DuckDB's flooring `//` agree — the
+   * offset is a constant shift, order-preserving. Documents with < 2
+   * words carry weight 0 (no features — the junk class ranks last).
+   *
+   * Scale shape: both count tables have ≤ `buckets` rows (the point of
+   * feature hashing — the "model" is a fixed-size array no matter the
+   * corpus), so they broadcast to the pool's scan-stage feature stream;
+   * the per-doc sum is one map-side-combined aggregate keyed on doc_id.
+   * Text bytes never shuffle; only (doc_id, bin) pairs do.
+   *
+   * Output: (doc_id, n_feats, lr_bits, lr_scaled) — one row per pool doc.
+   */
+  def dsirScores(pool: DataFrame, target: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    val pb = hashedBigramBuckets(pool, buckets, withId = true)
+    val tb = hashedBigramBuckets(target, buckets, withId = false)
+    val ct = tb.groupBy("b").agg(count(lit(1)).as("c_t"))
+    val cr = pb.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val scored = pb
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"))
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("c_t"), lit(0L)) + lit(1L))) -
+          length(bin(col("c_r") + lit(1L)))).cast("long").as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("t")).as("lr_bits"))
+    pool.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("lr_bits"), lit(0L)).as("lr_bits"))
+      .withColumn("lr_scaled",
+        when(col("n_feats") > 0,
+          expr("CAST((lr_bits + 64 * n_feats) * 10000 AS BIGINT) div n_feats"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
+   * DSIR selection: keep the `keepPermille`‰ most target-like pool
+   * documents by [[dsirScores]] weight. Deterministic top-slice — the
+   * paper's Gumbel resampling trades determinism for diversity; the
+   * hash-gated engine takes the exact-rank cut (rank · 1000 ≤
+   * n_total · keepPermille, no division) and leaves diversity to the
+   * mixture samplers (q89/q110), which the kept slice feeds. Ranking is
+   * a groupless [[graft.ops.PrefixRank]] over the descending weight
+   * (key = 2²¹−1−lr_scaled; lr_scaled ≤ 128·10⁴ < 2²¹), never a global
+   * window; the total rides one broadcast row.
+   */
+  def dsirSelect(pool: DataFrame, target: DataFrame, buckets: Int = 1024,
+      keepPermille: Long = 500L): DataFrame = {
+    val bound = 1L << 21
+    val ranked = graft.ops.PrefixRank.keyedPrefix(
+      dsirScores(pool, target, buckets),
+      Nil, lit(bound - 1L) - col("lr_scaled"), bound, col("doc_id"))
+    val tot = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rnk") * 1000 <= col("n_total") * keepPermille)
+      .select(col("doc_id"), col("n_feats"), col("lr_bits"),
+        col("lr_scaled"), col("rnk"))
+  }
+
   /**
    * Reciprocal-rank fusion of two ranked candidate lists — the standard
    * hybrid-retrieval combiner (sparse BM25 ∪ dense cosine). Each list

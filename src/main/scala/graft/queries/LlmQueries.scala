@@ -3797,6 +3797,102 @@ object LlmQueries {
          |ORDER BY d.doc_id""".stripMargin
     })
 
+  // q147 — DSIR data selection (Xie et al. 2023): keep the 50% of the
+  // corpus whose hashed-bigram distribution is most like the %4 = 0
+  // in-domain slice, scored by integer bit-length log-ratio importance
+  // weights over 1024 feature bins (see Retrieval.dsirScores for the
+  // determinism contract — the +64·n_feats offset keeps `div` ≡ `//`).
+  // Complements q138's surprisal buckets: CCNet ranks by an in-domain
+  // LM's perplexity; DSIR ranks by the target/raw probability RATIO, so
+  // features merely common everywhere don't inflate the score.
+  val q147 = Q(
+    "q147_dsir_selection",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Retrieval.dsirSelect(docs,
+        docs.filter(col("doc_id") % 4 === 0),
+        buckets = 1024, keepPermille = 500L)
+        .orderBy("rnk")
+    },
+    Some(
+      s"""WITH pw AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |pb AS (
+         |  SELECT doc_id,
+         |    ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
+         |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |        FROM pw WHERE len(ws) >= 2)),
+         |tb AS (
+         |  SELECT ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
+         |  FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |        FROM (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+         |                w -> w <> '') AS ws
+         |              FROM documents WHERE doc_id % 4 = 0)
+         |        WHERE len(ws) >= 2)),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1),
+         |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM pb GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(length(bin(coalesce(c_t, 0) + 1)) -
+         |             length(bin(c_r + 1))) AS BIGINT) AS lr_bits
+         |  FROM pb LEFT JOIN ct USING (b) JOIN cr USING (b)
+         |  GROUP BY 1),
+         |sf AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+         |    CAST(coalesce(sc.lr_bits, 0) AS BIGINT) AS lr_bits
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |ss AS (
+         |  SELECT doc_id, n_feats, lr_bits,
+         |    CASE WHEN n_feats > 0
+         |         THEN CAST((lr_bits + 64 * n_feats) * 10000 // n_feats AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS lr_scaled
+         |  FROM sf),
+         |sr AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (ORDER BY lr_scaled DESC, doc_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_total
+         |  FROM ss)
+         |SELECT doc_id, n_feats, lr_bits, lr_scaled, rnk
+         |FROM sr WHERE rnk * 1000 <= n_total * 500
+         |ORDER BY rnk""".stripMargin))
+
+  // q148 — exact integer covariance sufficient statistics over the
+  // embedding corpus (the whitening/PCA front): ONE map-side-combined
+  // CovStatsAggregator pass folds every vector into 1+d+d(d+1)/2 longs,
+  // unpacked against a broadcast index table — n, per-dim sums, and the
+  // upper-triangle second moments with cov_num = n·sxy − s_i·s_j, all
+  // BIGINT. The oracle replays the quantization and the moments by
+  // exploding (vec_id, dim) pairs — the form that would shuffle d²·N
+  // rows at scale and exists here only as the checker.
+  val q148 = Q(
+    "q148_embed_covariance",
+    (s, d) => graft.llm.EmbeddingOps.covarianceStats(
+      Tables.embeddings(s, d), d = 64, scale = 10000L)
+      .orderBy("i", "j"),
+    Some(
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, i, qv[i+1] AS v
+         |  FROM (SELECT vec_id, qv, unnest(range(len(qv))) AS i FROM q)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2)
+         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+         |  nn.n AS n, si.s AS s_i, sj.s AS s_j, p.sxy AS sxy,
+         |  CAST(nn.n * p.sxy - si.s * sj.s AS BIGINT) AS cov_num
+         |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+         |CROSS JOIN nn
+         |ORDER BY i, j""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -3804,5 +3900,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146)
+    q144, q145, q146, q147, q148)
 }

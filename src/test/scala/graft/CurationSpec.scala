@@ -162,4 +162,47 @@ class CurationSpec extends SparkSpec {
       .filter(col("n_chunks") =!= ceil(col("n") / 24.0).cast("long"))
     assert(counts.count() === 0)
   }
+
+  // ------------------------------------------------------------ DSIR
+
+  test("dsirScores ranks a target-overlapping doc above a disjoint one; no-feature doc scores 0") {
+    val target = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta"),   // every bigram in target
+      (2L, "zulu yankee xray whiskey"), // no target bigrams
+      (3L, "solo"),                     // < 2 words — zero features
+      (4L, null.asInstanceOf[String])   // null text — zero features
+    ).toDF("doc_id", "text")
+    val sc = Retrieval.dsirScores(pool, target)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sc.size === 4, "one row per pool doc, zero-feature docs included")
+    val (nf1, _, s1) = sc(1L)
+    val (nf2, lr2, s2) = sc(2L)
+    assert(nf1 === 3L && nf2 === 3L)
+    assert(s1 > s2, s"target-like doc must outscore disjoint doc ($s1 vs $s2)")
+    // disjoint doc: every feature has c_t = 0, c_r = 1 (each of its
+    // bigrams occurs once in the pool) -> t = bitlen(1) - bitlen(2) = -1
+    assert(lr2 === -3L)
+    assert(sc(3L) === ((0L, 0L, 0L)) && sc(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("dsirSelect keeps the exact top slice with contiguous ranks") {
+    val target = docs.filter(col("doc_id") % 4 === 0)
+    val kept = Retrieval.dsirSelect(docs, target, keepPermille = 250L)
+      .select("doc_id", "lr_scaled", "rnk")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val n = docs.count()
+    assert(kept.length === (n * 250L / 1000L).toInt)
+    assert(kept.map(_._3).toSeq === (1L to kept.length.toLong).toSeq,
+      "ranks are contiguous from 1")
+    // the kept slice's minimum weight dominates every dropped doc's
+    val keptIds = kept.map(_._1).toSet
+    val minKept = kept.map(_._2).min
+    val maxDropped = Retrieval.dsirScores(docs, target)
+      .filter(!col("doc_id").isInCollection(keptIds))
+      .agg(max(col("lr_scaled"))).as[Long].head()
+    assert(maxDropped <= minKept)
+  }
 }

@@ -375,4 +375,62 @@ class LlmSpec extends SparkSpec {
       .filter(col("n_bytes") =!= length(col("text")).cast("long"))
     assert(joined.count() === 0)
   }
+
+  // -------------------------------------------- covariance / PCA front
+
+  test("covarianceStats equals brute force on a tiny synthetic corpus") {
+    import spark.implicits._
+    val vecs = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 5.0f), Seq(-2.0f, 0.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // scale 1: q = floor(x + 0.5) = the integer values themselves
+    val got = graft.llm.EmbeddingOps.covarianceStats(df, d = 2, scale = 1L)
+      .select("i", "j", "n", "s_i", "s_j", "sxy", "cov_num")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val q = vecs.map(_.map(x => math.floor(x + 0.5).toLong))
+    val n = q.size.toLong
+    def s(i: Int) = q.map(_(i)).sum
+    def sxy(i: Int, j: Int) = q.map(v => v(i) * v(j)).sum
+    for (i <- 0 until 2; j <- i until 2) {
+      val exp = (i.toLong, j.toLong, n, s(i), s(j), sxy(i, j),
+        n * sxy(i, j) - s(i) * s(j))
+      assert(got((i.toLong, j.toLong)) === exp, s"cell ($i,$j)")
+    }
+    assert(got.size === 3)
+  }
+
+  test("covarianceStats on the real corpus: full triangle, non-negative diagonal") {
+    import spark.implicits._
+    val stats = graft.llm.EmbeddingOps.covarianceStats(embs, d = 64)
+    val rows = stats.select("i", "j", "n", "cov_num")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === 64 * 65 / 2)
+    val n = embs.count()
+    assert(rows.forall(_._3 == n))
+    // diagonal cells are n²·Var ≥ 0
+    assert(rows.filter(r => r._1 == r._2).forall(_._4 >= 0L))
+  }
+
+  test("principalDirection recovers a planted dominant axis; projection is the exact dot") {
+    import spark.implicits._
+    // variance concentrated on axis 1; small independent signal on axis 0
+    val vecs = (0 until 40).map { t =>
+      (t.toLong, Seq(((t % 3) - 1).toFloat * 0.01f, (t - 20).toFloat, 0.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val stats = graft.llm.EmbeddingOps.covarianceStats(df, d = 3)
+    val dir = graft.llm.EmbeddingOps.principalDirection(stats, d = 3)
+    assert(math.abs(math.sqrt(dir.map(x => x * x).sum) - 1.0) < 1e-12,
+      "unit norm")
+    assert(math.abs(dir(1)) > 0.9999, s"dominant axis: ${dir.toSeq}")
+    assert(dir(1) > 0.0, "sign convention: leading component positive")
+    // projection onto e1 reproduces the raw coordinate exactly
+    val proj = graft.llm.EmbeddingOps
+      .projectedOnto(df, Array(0.0, 1.0, 0.0))
+      .select(col("vec_id"),
+        col("proj") - element_at(col("embedding"), 2).cast("double"))
+      .as[(Long, Double)].collect()
+    assert(proj.forall(_._2 == 0.0))
+  }
 }
