@@ -498,15 +498,30 @@ object DedupOps {
     // Tokenizer.Unicode "exact" means normalized-identical (q132's
     // unicodeDupGroups semantics — case/punctuation variants collapse
     // here, in one hash aggregate, before any pair generation).
-    val nonNull = docs.filter(col("text").isNotNull)
-    val fp = dualFingerprints(nonNull, tok)
-    val fpKept = nonNull.join(
-      fp.groupBy(col("f1"), col("f2")).agg(min(col("doc_id")).as("doc_id")),
-      Seq("doc_id"), "left_semi")
-      .unionByName(docs.filter(col("text").isNull))
+    val fpKept = exactDedup(docs, tok)
     dedupedCorpus(fpKept,
       duplicateClusters(
         minhashLshPairs(fpKept, n, perms, bands, rowsPerBand, threshold, tok)))
+  }
+
+  /**
+   * Standalone exact-fingerprint dedup — the exact stage of
+   * [[exactThenNearDedup]] as its own operator: verbatim clones (under
+   * the tokenizer — normalized-identical for `Unicode`) collapse to
+   * their min-id row via the dual (mod P, mod P48) fingerprint pair;
+   * null-text rows route around untouched. One hash aggregate over
+   * 16-byte fingerprints — the cheapest dedup rung, the right one when
+   * a pipeline stage only needs verbatim-clone removal (e.g. between a
+   * selection filter and an n-gram decontamination pass).
+   */
+  def exactDedup(docs: DataFrame,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val nonNull = docs.filter(col("text").isNotNull)
+    val fp = dualFingerprints(nonNull, tok)
+    nonNull.join(
+      fp.groupBy(col("f1"), col("f2")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .unionByName(docs.filter(col("text").isNull))
   }
 
   /**

@@ -3805,6 +3805,53 @@ object LlmQueries {
   // Complements q138's surprisal buckets: CCNet ranks by an in-domain
   // LM's perplexity; DSIR ranks by the target/raw probability RATIO, so
   // features merely common everywhere don't inflate the score.
+  /** DSIR importance-weight chain over `documents` (target = the %4 = 0
+    * in-domain slice, 1024 hashed-bigram bins) ending in the ranked
+    * table `sr` (doc_id, n_feats, lr_bits, lr_scaled, rnk, n_total) —
+    * shared by q147 (the selector itself) and q149 (curation v6's
+    * selection front). */
+  private def dsirCtes: String =
+    s"""pw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |pb AS (
+       |  SELECT doc_id,
+       |    ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
+       |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+       |        FROM pw WHERE len(ws) >= 2)),
+       |tb AS (
+       |  SELECT ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
+       |  FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+       |        FROM (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+       |                w -> w <> '') AS ws
+       |              FROM documents WHERE doc_id % 4 = 0)
+       |        WHERE len(ws) >= 2)),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1),
+       |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM pb GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(length(bin(coalesce(c_t, 0) + 1)) -
+       |             length(bin(c_r + 1))) AS BIGINT) AS lr_bits
+       |  FROM pb LEFT JOIN ct USING (b) JOIN cr USING (b)
+       |  GROUP BY 1),
+       |sf AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       |    CAST(coalesce(sc.lr_bits, 0) AS BIGINT) AS lr_bits
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |ss AS (
+       |  SELECT doc_id, n_feats, lr_bits,
+       |    CASE WHEN n_feats > 0
+       |         THEN CAST((lr_bits + 64 * n_feats) * 10000 // n_feats AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS lr_scaled
+       |  FROM sf),
+       |sr AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY lr_scaled DESC, doc_id) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_total
+       |  FROM ss)""".stripMargin
+
   val q147 = Q(
     "q147_dsir_selection",
     (s, d) => {
@@ -3815,46 +3862,7 @@ object LlmQueries {
         .orderBy("rnk")
     },
     Some(
-      s"""WITH pw AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
-         |  FROM documents),
-         |pb AS (
-         |  SELECT doc_id,
-         |    ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
-         |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
-         |        FROM pw WHERE len(ws) >= 2)),
-         |tb AS (
-         |  SELECT ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
-         |  FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
-         |        FROM (SELECT list_filter(string_split(coalesce(text, ''), ' '),
-         |                w -> w <> '') AS ws
-         |              FROM documents WHERE doc_id % 4 = 0)
-         |        WHERE len(ws) >= 2)),
-         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM tb GROUP BY 1),
-         |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM pb GROUP BY 1),
-         |sc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |    CAST(sum(length(bin(coalesce(c_t, 0) + 1)) -
-         |             length(bin(c_r + 1))) AS BIGINT) AS lr_bits
-         |  FROM pb LEFT JOIN ct USING (b) JOIN cr USING (b)
-         |  GROUP BY 1),
-         |sf AS (
-         |  SELECT d.doc_id,
-         |    CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
-         |    CAST(coalesce(sc.lr_bits, 0) AS BIGINT) AS lr_bits
-         |  FROM documents d LEFT JOIN sc USING (doc_id)),
-         |ss AS (
-         |  SELECT doc_id, n_feats, lr_bits,
-         |    CASE WHEN n_feats > 0
-         |         THEN CAST((lr_bits + 64 * n_feats) * 10000 // n_feats AS BIGINT)
-         |         ELSE CAST(0 AS BIGINT) END AS lr_scaled
-         |  FROM sf),
-         |sr AS (
-         |  SELECT *,
-         |    CAST(row_number() OVER (ORDER BY lr_scaled DESC, doc_id) AS BIGINT) AS rnk,
-         |    CAST(count(*) OVER () AS BIGINT) AS n_total
-         |  FROM ss)
+      s"""WITH $dsirCtes
          |SELECT doc_id, n_feats, lr_bits, lr_scaled, rnk
          |FROM sr WHERE rnk * 1000 <= n_total * 500
          |ORDER BY rnk""".stripMargin))
@@ -3893,6 +3901,92 @@ object LlmQueries {
          |CROSS JOIN nn
          |ORDER BY i, j""".stripMargin))
 
+  // q149 — curation pipeline v6: the TRAINING-EXPORT flagship. Where
+  // v5 (q143) ends in a report card, v6 ends in the artifact a trainer
+  // actually loads: DSIR selection (q147's learned target-ratio filter,
+  // keep the reference-like half) → exact-fingerprint dedup (the
+  // cheapest rung — near-dup composition is v3–v5's pinned territory)
+  // → fuzzy n-gram decontamination (q99's gate, the one whole-doc
+  // fingerprints miss) → sequence packing budgeted on REAL BPE tokens
+  // under the persisted BpeIndex (q109's bins) → the (shard, bin)
+  // manifest with document and token mass. Every stage reuses the
+  // operator + oracle fragment its own registry entry pinned; the
+  // composition is the new claim. Scale: selection/dedup/decon shrink
+  // the corpus before any token is BPE-encoded; the pack windows
+  // partition by shard, never the corpus.
+  val q149 = Q(
+    "q149_curation_v6",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val selIds = graft.llm.Retrieval.dsirSelect(docs,
+        docs.filter(col("doc_id") % 4 === 0),
+        buckets = 1024, keepPermille = 500L).select("doc_id")
+      val selected = docs.join(selIds, Seq("doc_id"), "left_semi")
+      val deduped = DedupOps.exactDedup(selected)
+      val clean = TextAnalysis.fuzzyDecontaminated(deduped,
+        docs.filter(col("doc_id") % 50 === 0), n = contamN,
+        maxOverlap = 0.5)
+      val merges = bpeMergesFor(s, d)
+      TextAnalysis.packSequencesBy(clean,
+        Bpe.tokenCount(col("text"), merges), packBudget, packShards)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("shard", "bin")
+    },
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH $dsirCtes,
+         |dsel AS (SELECT doc_id FROM sr WHERE rnk * 1000 <= n_total * 500),
+         |sdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN dsel USING (doc_id)),
+         |fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("text", p48)} END AS f2
+         |  FROM sdocs),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0
+         |           WHERE f1 IS NOT NULL GROUP BY f1, f2),
+         |kept0 AS (SELECT s.* FROM sdocs s JOIN keepid USING (doc_id)
+         |          UNION ALL
+         |          SELECT s.* FROM sdocs s WHERE s.text IS NULL),
+         |ws2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept0),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |        i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
+         |      FROM ws2),
+         |wsb AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE doc_id % 50 = 0),
+         |gb AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |        i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
+         |      FROM wsb),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gh FROM gb),
+         |cg AS (SELECT doc_id, unnest(grams) AS gh FROM g),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(b.gh) AS n_hit
+         |         FROM cg LEFT JOIN bench b ON b.gh = cg.gh GROUP BY 1),
+         |dropped AS (
+         |  SELECT doc_id FROM hits
+         |  WHERE ${Det.frSql("CAST(n_hit AS DOUBLE) / n_grams", 4)} >= 0.5),
+         |clean AS (SELECT k.doc_id, k.text FROM kept0 k
+         |          LEFT JOIN dropped x ON x.doc_id = k.doc_id
+         |          WHERE x.doc_id IS NULL),
+         |$bpeChainCtes,
+         |$bpeDocTokCtes,
+         |t AS (
+         |  SELECT c.doc_id,
+         |    (CASE WHEN length(text) = 0 THEN 0
+         |          ELSE ${polyHashSql("text")} END) % $packShards AS shard,
+         |    COALESCE(dt.n_tokens, 0) AS n_tokens
+         |  FROM clean c LEFT JOIN dt USING (doc_id)),
+         |cum AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cum_before
+         |  FROM t)
+         |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -3900,5 +3994,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148)
+    q144, q145, q146, q147, q148, q149)
 }

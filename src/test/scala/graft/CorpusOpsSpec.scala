@@ -650,10 +650,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 148 uniquely-named queries, 144 oracle-checked, qNN prefixes unique") {
+  test("registry: 149 uniquely-named queries, 145 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 148)
-    assert(all.count(_.oracle.isDefined) === 144)
+    assert(all.size === 149)
+    assert(all.count(_.oracle.isDefined) === 145)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

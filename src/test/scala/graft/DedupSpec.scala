@@ -35,4 +35,17 @@ class DedupSpec extends SparkSpec {
     val doubled = events.unionAll(events)
     assert(Dedup.exact(doubled).count() === events.count())
   }
+
+  test("DedupOps.exactDedup: min-id representative per verbatim clone group, nulls routed around") {
+    val docs = Seq(
+      (5L, "a b c"), (2L, "a b c"),            // clones -> keep 2
+      (3L, "x y z"),                           // singleton
+      (7L, null.asInstanceOf[String]),         // null text kept as-is
+      (8L, null.asInstanceOf[String]),         // both nulls survive
+      (9L, "")                                 // empty string is its own group
+    ).toDF("doc_id", "text")
+    val kept = graft.llm.DedupOps.exactDedup(docs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L, 7L, 8L, 9L))
+  }
 }

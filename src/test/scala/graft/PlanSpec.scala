@@ -323,6 +323,28 @@ class PlanSpec extends SparkSpec {
       "surprisal totals lost their broadcast")
   }
 
+  test("q147: DSIR count-table probes broadcast; ranking never windows the corpus") {
+    val p = planOf("q147_dsir_selection")
+    assert(!p.contains("CartesianProduct"), "DSIR planned a cross product")
+    // the ≤1024-row bucket count tables join the scan-stage feature
+    // stream as broadcasts — a sort-merge there shuffles every feature
+    assert(p.contains("BroadcastExchange"), "count tables lost the broadcast")
+    // PrefixRank's corpus-side window must be bucket-partitioned; the
+    // only unpartitioned window allowed is the one over the cell table
+    val globalWin = "Window.*__graft_bkt".r
+    assert(globalWin.findFirstIn(p).isDefined,
+      "ranking window lost its hash-range bucket partitioning")
+  }
+
+  test("q149: v6 export — no cross product, pack windows partition by shard") {
+    val p = planOf("q149_curation_v6")
+    assert(!p.contains("CartesianProduct"), "v6 pipeline planned a cross product")
+    // the packing prefix sums must stay per-shard (8-way), never a
+    // corpus-wide unpartitioned window
+    assert(p.contains("windowspecdefinition(shard#"),
+      "pack window lost its shard partitioning")
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
