@@ -463,4 +463,47 @@ class DedupFuzzSpec extends SparkSpec {
       assert(want.values.toSet.size < members.size, s"seed $seed: no non-trivial cluster")
     }
   }
+
+  test("fuzz: DSIR scores and top-slice match the sequential reference (bin collisions forced)") {
+    // 9th family: hashed-bigram importance weights. buckets = 16 forces
+    // heavy bin collisions — the regime where a wrong bucket join or a
+    // missed add-one smoothing would diverge from the reference.
+    val buckets = 16
+    def feats(t: String): Seq[Long] = {
+      val w = t.split(" ", -1).filter(_.nonEmpty)
+      if (w.length < 2) Seq.empty
+      else (0 until w.length - 1).map(i => polyHash(w(i) + " " + w(i + 1)) % buckets)
+    }
+    def bitlen(x: Long): Long = (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    for (seed <- seeds) {
+      val pool = randomCorpus(seed, 40, denseVocab, 25)
+      val target = randomCorpus(seed + 1000, 15, denseVocab, 25)
+      val cr = pool.flatMap(d => feats(d._2)).groupBy(identity)
+        .map { case (b, o) => b -> o.size.toLong }
+      val ct = target.flatMap(d => feats(d._2)).groupBy(identity)
+        .map { case (b, o) => b -> o.size.toLong }
+      val want = pool.map { case (id, t) =>
+        val fs = feats(t)
+        val n = fs.size.toLong
+        val lr = fs.map(b => bitlen(ct.getOrElse(b, 0L) + 1) - bitlen(cr(b) + 1)).sum
+        val scaled = if (n > 0) (lr + 64 * n) * 10000 / n else 0L
+        id -> ((n, lr, scaled))
+      }.toMap
+      val got = graft.llm.Retrieval.dsirScores(pool.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), buckets)
+        .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === want, s"seed $seed")
+      assert(want.values.exists(_._2 != 0L), s"seed $seed: vacuous weights")
+      // the selector keeps exactly the reference's top-⌊n/2⌋ under
+      // (weight desc, id asc)
+      val refOrder = pool.map(_._1).sortBy(id => (-want(id)._3, id))
+      val refKept = refOrder.take(pool.size * 500 / 1000).toSet
+      val gotKept = graft.llm.Retrieval.dsirSelect(pool.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), buckets, keepPermille = 500L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotKept === refKept, s"seed $seed")
+    }
+  }
 }
