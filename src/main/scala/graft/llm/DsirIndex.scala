@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted DSIR selection model — the fifth index lifecycle beside
+ * [[DedupIndex]] (near-dup), [[IvfIndex]] (ANN), [[DeconIndex]]
+ * (benchmark gates) and [[BpeIndex]] (vocabulary). DSIR's "model" is the
+ * pair of hashed-bigram bin-count tables ([[Retrieval.dsirScores]]'s
+ * target and raw histograms): production trains it ONCE on a curated
+ * in-domain target plus a raw-pool snapshot, then scores every incoming
+ * crawl batch against the SAME stored distributions — retraining the
+ * raw histogram per batch would let the selection threshold drift with
+ * whatever junk the batch happens to contain. The artifact is ≤ 2·
+ * `buckets` rows (the point of feature hashing — fixed-size no matter
+ * the corpus), so [[score]] broadcasts it onto the batch's scan-stage
+ * feature stream; text never shuffles.
+ *
+ * Layout (the [[BpeIndex]] shape):
+ *  - `target_counts` — (b, c_t) bin counts of the target corpus;
+ *  - `raw_counts` — (b, c_r) bin counts of the training-time raw pool;
+ *  - `params` — one row (buckets, n_target_bins, n_raw_bins, sig): the
+ *    feature-space geometry derives from the INDEX, never the caller
+ *    (a buckets mismatch would silently hash every feature into the
+ *    wrong bin), and `sig` is the content signature tying params to the
+ *    exact count rows it was written with (the two-table overwrite is
+ *    non-atomic — [[BpeIndex.signature]]'s torn/interleaved case).
+ *
+ * Scoring a batch under the stored model: bins the batch never saw at
+ * train time read c_r = 0 through the left join — the add-one smoothing
+ * floor (bitlen(1) = 1 bit), same as an unseen target bin. Single-
+ * writer overwrite semantics; model evolution is a rebuild (counts are
+ * a snapshot of a training corpus, not an accretion).
+ */
+object DsirIndex {
+
+  /** Content signature over both count tables in bin order — hand-rolled
+    * FNV-1a (stable across JVMs; it lives in a persisted artifact). */
+  def signature(ct: Seq[(Long, Long)], cr: Seq[(Long, Long)]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1e; h *= 0x100000001b3L // field separator
+    }
+    ct.foreach { case (b, c) => mix(b.toString); mix(c.toString) }
+    mix("|") // table separator: ([],[x]) must not collide with ([x],[])
+    cr.foreach { case (b, c) => mix(b.toString); mix(c.toString) }
+    h
+  }
+
+  private def countRows(df: DataFrame, cName: String): Seq[(Long, Long)] =
+    df.orderBy("b").collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long](cName))).toSeq
+
+  /** Train the model: bin-count `target` and `pool` under `buckets`
+    * hashed-bigram bins and persist both tables + params under `dir`. */
+  def build(pool: DataFrame, target: DataFrame, dir: String,
+      buckets: Int = 1024): Unit = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val ct = Retrieval.dsirBinCounts(target, buckets, "c_t")
+    val cr = Retrieval.dsirBinCounts(pool, buckets, "c_r")
+    ct.write.mode("overwrite").parquet(s"$dir/target_counts")
+    cr.write.mode("overwrite").parquet(s"$dir/raw_counts")
+    val ctRows = countRows(spark.read.parquet(s"$dir/target_counts"), "c_t")
+    val crRows = countRows(spark.read.parquet(s"$dir/raw_counts"), "c_r")
+    Seq((buckets, ctRows.size.toLong, crRows.size.toLong,
+      signature(ctRows, crRows)))
+      .toDF("buckets", "n_target_bins", "n_raw_bins", "sig")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Score a batch under the STORED model — identical arithmetic to
+    * [[Retrieval.dsirScores]], with the count tables read from the
+    * artifact instead of recomputed. Validates the signature first (a
+    * torn model must not silently steer selection). */
+  def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val (buckets, _, _, _) = requireValid(spark, dir)
+    val ct = spark.read.parquet(s"$dir/target_counts")
+    val cr = spark.read.parquet(s"$dir/raw_counts")
+    Retrieval.dsirScoreAgainst(docs, ct, cr, buckets)
+  }
+
+  /**
+   * Operational health report ([[BpeIndex.healthCheck]]'s parity): one
+   * row from params + the two tiny count tables, REPORTING where
+   * [[score]] throws —
+   *  - `bins_ok` — stored row counts match params (torn overwrite);
+   *  - `range_ok` — every bin id in [0, buckets) with positive count
+   *    (a count table from a different buckets geometry shows here);
+   *  - `sig_ok` — rows hash to params' content signature (interleaved
+   *    builders — both per-table checks can pass on a MIXED artifact);
+   *  - `healthy` — the conjunction a monitoring rule alerts on.
+   * Throws only on an absent index (params missing), like every loader.
+   */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (buckets, nT, nR, sig) = readParams(spark, dir)
+    val ctRows = countRows(spark.read.parquet(s"$dir/target_counts"), "c_t")
+    val crRows = countRows(spark.read.parquet(s"$dir/raw_counts"), "c_r")
+    val binsOk = ctRows.size.toLong == nT && crRows.size.toLong == nR
+    val all = ctRows ++ crRows
+    val rangeOk = all.forall { case (b, c) => b >= 0 && b < buckets && c > 0 }
+    val sigOk = signature(ctRows, crRows) == sig
+    Seq((buckets, ctRows.size.toLong, crRows.size.toLong, binsOk, rangeOk,
+      sigOk, binsOk && rangeOk && sigOk))
+      .toDF("buckets", "n_target_bins", "n_raw_bins", "bins_ok", "range_ok",
+        "sig_ok", "healthy")
+  }
+
+  private def requireValid(spark: SparkSession,
+      dir: String): (Int, Long, Long, Long) = {
+    val p @ (_, nT, nR, sig) = readParams(spark, dir)
+    val ctRows = countRows(spark.read.parquet(s"$dir/target_counts"), "c_t")
+    val crRows = countRows(spark.read.parquet(s"$dir/raw_counts"), "c_r")
+    require(ctRows.size.toLong == nT && crRows.size.toLong == nR,
+      s"DSIR index at '$dir' is torn: params say ($nT, $nR) bins but " +
+        s"(${ctRows.size}, ${crRows.size}) are stored — rebuild")
+    require(signature(ctRows, crRows) == sig,
+      s"DSIR index at '$dir' is torn: stored counts do not match the " +
+        "params content signature (interleaved or partial build) — rebuild")
+    p
+  }
+
+  private def readParams(spark: SparkSession,
+      dir: String): (Int, Long, Long, Long) =
+    try {
+      val row = spark.read.parquet(s"$dir/params").head()
+      (row.getAs[Int]("buckets"), row.getAs[Long]("n_target_bins"),
+        row.getAs[Long]("n_raw_bins"), row.getAs[Long]("sig"))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"load: no DSIR index at '$dir' — the params table is missing; " +
+            "run build() first", e)
+    }
+}

@@ -497,20 +497,36 @@ object Retrieval {
    * Output: (doc_id, n_feats, lr_bits, lr_scaled) — one row per pool doc.
    */
   def dsirScores(pool: DataFrame, target: DataFrame,
-      buckets: Int = 1024): DataFrame = {
-    val pb = hashedBigramBuckets(pool, buckets, withId = true)
-    val tb = hashedBigramBuckets(target, buckets, withId = false)
-    val ct = tb.groupBy("b").agg(count(lit(1)).as("c_t"))
-    val cr = pb.groupBy("b").agg(count(lit(1)).as("c_r"))
+      buckets: Int = 1024): DataFrame =
+    dsirScoreAgainst(pool,
+      dsirBinCounts(target, buckets, "c_t"),
+      dsirBinCounts(pool, buckets, "c_r"), buckets)
+
+  /** Hashed-bigram bin-count table of a corpus — DSIR's "model" half:
+    * ≤ `buckets` rows (b, `name`), the artifact [[DsirIndex]] persists. */
+  private[llm] def dsirBinCounts(d: DataFrame, buckets: Int,
+      name: String): DataFrame =
+    hashedBigramBuckets(d, buckets, withId = false)
+      .groupBy("b").agg(count(lit(1)).as(name))
+
+  /** Score `docs` against explicit count tables (`ct` = (b, c_t),
+    * `cr` = (b, c_r)) — the shared core of [[dsirScores]] (tables
+    * computed inline) and [[DsirIndex.score]] (tables loaded from the
+    * persisted model, where a batch bin unseen at train time reads
+    * c_r = 0 through the left join: the add-one smoothing floor). */
+  private[llm] def dsirScoreAgainst(docs: DataFrame, ct: DataFrame,
+      cr: DataFrame, buckets: Int): DataFrame = {
+    val pb = hashedBigramBuckets(docs, buckets, withId = true)
     val scored = pb
       .join(broadcast(ct), Seq("b"), "left")
-      .join(broadcast(cr), Seq("b"))
+      .join(broadcast(cr), Seq("b"), "left")
       .select(col("doc_id"),
         (length(bin(coalesce(col("c_t"), lit(0L)) + lit(1L))) -
-          length(bin(col("c_r") + lit(1L)))).cast("long").as("t"))
+          length(bin(coalesce(col("c_r"), lit(0L)) + lit(1L))))
+          .cast("long").as("t"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("t")).as("lr_bits"))
-    pool.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -3987,6 +3987,31 @@ object LlmQueries {
          |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     })
 
+  // q150 — the persisted DSIR selection model (the FIFTH index
+  // lifecycle): train once on (raw pool, %4 target), store the two
+  // bin-count tables + signed params, and score the corpus by LOADING
+  // the artifact — build→store→load→score end-to-end under the same
+  // oracle arithmetic as q147's inline form (the stored model replays
+  // the identical counts; the oracle is the shared dsirCtes chain's
+  // score table). Production shape: incoming crawl batches score
+  // against the TRAINED distributions — q147 recomputes both tables
+  // per run, which is the exploration tool, not the serving path.
+  private def dsirIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_dsir_model", d, "params") { dir =>
+      val docs = Tables.documents(s, d)
+      graft.llm.DsirIndex.build(docs,
+        docs.filter(col("doc_id") % 4 === 0), dir, buckets = 1024)
+    }
+
+  val q150 = Q(
+    "q150_dsir_index_score",
+    (s, d) => graft.llm.DsirIndex.score(s, dsirIndexDir(s, d),
+      Tables.documents(s, d)).orderBy("doc_id"),
+    Some(
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_feats, lr_bits, lr_scaled FROM ss
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -3994,5 +4019,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149)
+    q144, q145, q146, q147, q148, q149, q150)
 }

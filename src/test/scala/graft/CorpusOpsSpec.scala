@@ -566,6 +566,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!hTorn.getAs[Boolean]("healthy") && !hTorn.getAs[Boolean]("k_ok"))
   }
 
+  test("DsirIndex: build->store->load->score equals the inline scores; unseen bins smooth") {
+    import graft.llm.DsirIndex
+    val target = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_idx_spec").toString
+    DsirIndex.build(docs, target, dir, buckets = 1024)
+    val stored = DsirIndex.score(spark, dir, docs)
+      .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val inline = Retrieval.dsirScores(docs, target, buckets = 1024)
+      .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stored.toSeq === inline.toSeq)
+    // a batch the model never saw: every feature reads c_r through the
+    // smoothing floor — scores compute, never crash, one row per doc
+    val novel = Seq((9001L, "zzzq qqzz zzqq"), (9002L, "solo"))
+      .toDF("doc_id", "text")
+    val sc = DsirIndex.score(spark, dir, novel)
+      .select("doc_id", "n_feats").as[(Long, Long)].collect().toMap
+    assert(sc === Map(9001L -> 2L, 9002L -> 0L))
+  }
+
+  test("DsirIndex.healthCheck: healthy model; mixed and torn artifacts report unhealthy, score throws") {
+    import graft.llm.DsirIndex
+    val target = docs.filter(col("doc_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_idx_health").toString
+    DsirIndex.build(docs, target, dir, buckets = 1024)
+    val h = DsirIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Boolean]("healthy"))
+    assert(h.getAs[Boolean]("bins_ok") && h.getAs[Boolean]("range_ok") &&
+      h.getAs[Boolean]("sig_ok"))
+    // mixed artifact: a second builder's raw counts land over this
+    // build's params — row COUNT can match, only the signature catches
+    val crOld = spark.read.parquet(s"$dir/raw_counts")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    spark.createDataFrame(crOld.toSeq.map { case (b, c) => (b, c + 1L) })
+      .toDF("b", "c_r").write.mode("overwrite").parquet(s"$dir/raw_counts")
+    val hMixed = DsirIndex.healthCheck(spark, dir).head()
+    assert(!hMixed.getAs[Boolean]("healthy") && !hMixed.getAs[Boolean]("sig_ok"))
+    assert(hMixed.getAs[Boolean]("bins_ok"))
+    intercept[IllegalArgumentException] {
+      DsirIndex.score(spark, dir, docs).count()
+    }
+    // torn artifact: a truncated count table disagrees with params
+    spark.createDataFrame(crOld.toSeq.take(3).map { case (b, c) => (b, c) })
+      .toDF("b", "c_r").write.mode("overwrite").parquet(s"$dir/raw_counts")
+    val hTorn = DsirIndex.healthCheck(spark, dir).head()
+    assert(!hTorn.getAs[Boolean]("healthy") && !hTorn.getAs[Boolean]("bins_ok"))
+    // absent index throws, like every loader
+    intercept[IllegalStateException] {
+      DsirIndex.score(spark,
+        java.nio.file.Files.createTempDirectory("dsir_idx_absent").toString,
+        docs)
+    }
+  }
+
   // -------------------------------------- q124/q125 version QA operators
 
   test("corpusDiff emits exactly the added/removed/changed rows") {
@@ -650,10 +705,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 149 uniquely-named queries, 145 oracle-checked, qNN prefixes unique") {
+  test("registry: 150 uniquely-named queries, 146 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 149)
-    assert(all.count(_.oracle.isDefined) === 145)
+    assert(all.size === 150)
+    assert(all.count(_.oracle.isDefined) === 146)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
