@@ -654,4 +654,48 @@ class StreamingSpec extends SparkSpec {
       "unregistered sink must leave the registry")
     assert(Monitor.unregisterSink("kafka_sink").isEmpty)
   }
+
+  test("streaming DSIR gate: micro-batches scored against the stored model == batch gate") {
+    // The point of persisting the model (DsirIndex): a doc's score
+    // depends only on its text and the STORED count tables, so gating
+    // is batch-decomposable — streamed micro-batches produce exactly
+    // the batch keep set. The inline form (recounting the raw pool per
+    // run) has no such property; this is why the serving path loads.
+    import graft.llm.DsirIndex
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    DsirIndex.build(docs, docs.filter(col("doc_id") % 4 === 0), dir,
+      buckets = 1024)
+    // threshold at the median distinct weight -> both sides non-trivial
+    val scores = DsirIndex.score(spark, dir, docs)
+    val distinctW = scores.select("lr_scaled").distinct()
+      .as[Long].collect().sorted
+    val thr = distinctW(distinctW.length / 2)
+    val batchKept = scores.filter(col("lr_scaled") >= thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept.size < docs.count(),
+      "threshold must split the corpus")
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val mid = rows.map(_._1).sorted.apply(rows.length / 2)
+    val landed = scala.collection.mutable.Set.empty[Long]
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = DsirIndex.score(batch.sparkSession, dir, batch)
+          .filter(col("lr_scaled") >= thr)
+          .select("doc_id").collect().map(_.getLong(0))
+        landed.synchronized { landed ++= kept }; ()
+      }
+      .outputMode("append").start()
+    try {
+      source.addData(rows.filter(_._1 <= mid).toSeq)
+      q.processAllAvailable()
+      source.addData(rows.filter(_._1 > mid).toSeq)
+      q.processAllAvailable()
+      assert(landed.toSet === batchKept)
+    } finally q.stop()
+  }
 }
