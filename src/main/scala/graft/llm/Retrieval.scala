@@ -562,6 +562,76 @@ object Retrieval {
   }
 
   /**
+   * DoReMi-flavored domain reweighting (Xie et al. 2023,
+   * arXiv:2305.10429 — Domain Reweighting with Minimax Optimization):
+   * re-derive the pretraining mixture so that domains the
+   * reference-trained LM finds HARD (high excess loss) are upweighted
+   * relative to their raw token mass. The proxy loss is
+   * [[bigramSurprisal]] against `train` (the same add-one bigram model
+   * CCNet-style filtering uses, exact integer bit arithmetic); a
+   * domain's excess is its token-mass-weighted mean surprisal over the
+   * easiest domain's — the per-domain analog of DoReMi's
+   * excess-loss-vs-reference term, with the easiest domain standing in
+   * for the reference model's loss floor.
+   *
+   * The update is the LINEAR multiplicative-weights step
+   * `w = mass · (10⁴ + excess_scaled)` — MW's first-order variant
+   * (hedge's `w·(1+η·ℓ)`, η = 1 per 1 bit of excess) rather than the
+   * paper's `exp(η·ℓ)`, because the linear form stays EXACT integer
+   * arithmetic end-to-end: mass and excess are BIGINTs, the product
+   * widens to DECIMAL(38,0) (mass ≤ 10¹⁴ tokens × excess ≤ 64·10⁴
+   * < 10²⁰ — exact on both engines, DuckDB in HUGEINT), and the final
+   * permille is one truncating integral division. The ordering of
+   * domains is identical to the exponential update's (both are
+   * monotone in excess); only the sharpness differs, which η tunes
+   * anyway. Floors/ties: permilles are floors so they may sum < 1000;
+   * a domain with no bigrams reads mean 0 (= the floor, so it takes
+   * excess 0 and keeps mass weight 0 — the junk class cannot sneak
+   * mass in through the reweighting).
+   *
+   * Output: one row per domain — (domain, n_docs, n_bigrams,
+   * avg_scaled, excess_scaled, base_permille, mix_permille), where
+   * base_permille is the raw bigram-mass share (the "before") and
+   * mix_permille the reweighted share (the "after").
+   *
+   * Scale shape: [[bigramSurprisal]]'s term-keyed joins do the heavy
+   * lifting; everything after is ONE map-side-combined aggregate keyed
+   * on the domain (domains number in the tens), one broadcast
+   * min/total row, and scan-stage integer arithmetic. Domain mass =
+   * Σ n_bigrams (tokens − 1 per doc) — the mass the proxy loss is
+   * actually averaged over, so mean and mass use the same denominator.
+   */
+  def doremiMixture(docs: DataFrame, train: DataFrame,
+      domainCol: String = "source", minCount: Long = 1L): DataFrame = {
+    val scored = bigramSurprisal(docs, train, minCount)
+    val dom = docs.select(col("doc_id"), col(domainCol).as("domain"))
+      .join(scored, Seq("doc_id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("surprisal_bits")).as("bits"))
+      .withColumn("avg_scaled",
+        expr("CAST(CAST(bits AS DECIMAL(38,0)) * 10000 AS DECIMAL(38,0))" +
+          " div CAST(greatest(n_bigrams, 1) AS DECIMAL(38,0))"))
+    val mn = dom.agg(min(col("avg_scaled")).as("min_scaled"),
+      sum(col("n_bigrams")).as("mass_total"))
+    val w = dom.crossJoin(broadcast(mn))
+      .withColumn("excess_scaled", col("avg_scaled") - col("min_scaled"))
+      .withColumn("weight",
+        expr("CAST(n_bigrams AS DECIMAL(38,0)) * " +
+          "CAST(10000 + excess_scaled AS DECIMAL(38,0))"))
+    val tot = w.agg(sum(col("weight")).cast("decimal(38,0)").as("w_total"))
+    w.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("n_bigrams"),
+        col("avg_scaled"), col("excess_scaled"),
+        expr("CAST(n_bigrams AS DECIMAL(38,0)) * 1000 div " +
+          "CAST(greatest(mass_total, 1) AS DECIMAL(38,0))")
+          .cast("long").as("base_permille"),
+        expr("(weight * 1000) div CAST(greatest(w_total, 1) AS DECIMAL(38,0))")
+          .cast("long").as("mix_permille"))
+  }
+
+  /**
    * Reciprocal-rank fusion of two ranked candidate lists — the standard
    * hybrid-retrieval combiner (sparse BM25 ∪ dense cosine). Each list
    * contributes floor(10⁹ / (kRrf + rank)) — the RRF term scaled to

@@ -4012,6 +4012,71 @@ object LlmQueries {
          |SELECT doc_id, n_feats, lr_bits, lr_scaled FROM ss
          |ORDER BY doc_id""".stripMargin))
 
+  // q151 — DoReMi-flavored domain reweighting (Xie et al. 2023,
+  // arXiv:2305.10429): per-domain excess surprisal under the %4 = 0
+  // reference bigram LM drives a LINEAR multiplicative-weights update
+  // over the raw bigram-mass base mixture — hard (reference-unlike)
+  // domains gain permille share, easy ones shed it. Every step is
+  // exact integer arithmetic: the proxy loss is q113's bit-length
+  // surprisal, the domain means are DECIMAL(38,0) cross-multiplies,
+  // and both permilles are truncating integral divisions (div ≡ //).
+  val q151 = Q(
+    "q151_doremi_mixture",
+    (s, d) => graft.llm.Retrieval.doremiMixture(
+      Tables.documents(s, d),
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0))
+      .orderBy("domain"),
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+         |           w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |dom AS (
+         |  SELECT d.source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(coalesce(sc.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(coalesce(sc.bits, 0)) AS BIGINT) AS bits
+         |  FROM documents d LEFT JOIN sc USING (doc_id)
+         |  GROUP BY 1),
+         |davg AS (
+         |  SELECT *, CAST(CAST(bits AS HUGEINT) * 10000
+         |    // greatest(n_bigrams, 1) AS BIGINT) AS avg_scaled
+         |  FROM dom),
+         |mn AS (SELECT CAST(min(avg_scaled) AS BIGINT) AS min_scaled,
+         |              CAST(sum(n_bigrams) AS BIGINT) AS mass_total
+         |       FROM davg),
+         |w AS (
+         |  SELECT d.domain, d.n_docs, d.n_bigrams, d.avg_scaled,
+         |    d.avg_scaled - m.min_scaled AS excess_scaled,
+         |    CAST(d.n_bigrams AS HUGEINT) *
+         |      (10000 + d.avg_scaled - m.min_scaled) AS weight,
+         |    m.mass_total
+         |  FROM davg d CROSS JOIN mn m),
+         |tw AS (SELECT CAST(sum(weight) AS HUGEINT) AS w_total FROM w)
+         |SELECT domain, n_docs, n_bigrams, avg_scaled, excess_scaled,
+         |  CAST(CAST(n_bigrams AS HUGEINT) * 1000
+         |    // greatest(mass_total, 1) AS BIGINT) AS base_permille,
+         |  CAST((weight * 1000) // greatest(w_total, 1) AS BIGINT) AS mix_permille
+         |FROM w CROSS JOIN tw
+         |ORDER BY domain""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4019,5 +4084,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150)
+    q144, q145, q146, q147, q148, q149, q150, q151)
 }
