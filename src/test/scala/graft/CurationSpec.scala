@@ -205,4 +205,64 @@ class CurationSpec extends SparkSpec {
       .agg(max(col("lr_scaled"))).as[Long].head()
     assert(maxDropped <= minKept)
   }
+
+  // ------------------------------------------------------------ DoReMi
+
+  test("doremiMixture upweights the hard domain, junk (no-bigram) domain takes zero mass") {
+    // train = the "easy" distribution; easy-domain bigrams are all seen
+    // (low bits), hard-domain bigrams are all novel (bitlen(V) bits),
+    // junk docs have < 2 words so they carry zero bigram mass
+    val train = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta", "easy"),
+      (2L, "alpha beta gamma delta", "easy"),
+      (3L, "alpha beta gamma delta", "easy"),
+      (4L, "zulu yankee xray whiskey", "hard"),
+      (5L, "zulu yankee xray whiskey", "hard"),
+      (6L, "zulu yankee xray whiskey", "hard"),
+      (7L, "solo", "junk"),
+      (8L, null.asInstanceOf[String], "junk")
+    ).toDF("doc_id", "text", "source")
+    val m = Retrieval.doremiMixture(pool, train)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(m.size === 3, "one row per domain")
+    // V = 4, c_x = 2, c_xy = 2 for every easy bigram: bits = bitlen(6) −
+    // bitlen(3) = 1; hard bigrams unseen: bits = bitlen(4) − bitlen(1) = 2
+    val (eDocs, eMass, eAvg, eExc, eBase, eMix) = m("easy")
+    val (hDocs, hMass, hAvg, hExc, hBase, hMix) = m("hard")
+    val (jDocs, jMass, jAvg, jExc, jBase, jMix) = m("junk")
+    assert(eDocs === 3L && hDocs === 3L && jDocs === 2L)
+    assert(eMass === 9L && hMass === 9L && jMass === 0L)
+    assert((eAvg, hAvg, jAvg) === ((10000L, 20000L, 0L)))
+    // junk's zero mean is the floor, so excess = avg for the others; its
+    // zero mass keeps its weight (and both shares) at exactly 0
+    assert((eExc, hExc, jExc) === ((10000L, 20000L, 0L)))
+    assert((jBase, jMix) === ((0L, 0L)))
+    // equal masses split the base 500/500; the MW step moves 100 permille
+    // from the easy domain to the hard one: w = 9·2e4 vs 9·3e4
+    assert((eBase, hBase) === ((500L, 500L)))
+    assert((eMix, hMix) === ((400L, 600L)))
+    assert(eMix < eBase && hMix > hBase, "hard gains share, easy sheds it")
+    assert(m.values.map(_._6).sum <= 1000L, "floored permilles never oversum")
+  }
+
+  test("doremiMixture without a junk floor: the easiest domain reads excess exactly 0") {
+    val train = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta", "easy"),
+      (2L, "zulu yankee xray whiskey", "hard")
+    ).toDF("doc_id", "text", "source")
+    val m = Retrieval.doremiMixture(pool, train)
+      .select("domain", "excess_scaled", "base_permille", "mix_permille")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (eExc, eBase, eMix) = m("easy")
+    val (hExc, hBase, hMix) = m("hard")
+    assert(eExc === 0L, "easiest domain is its own loss floor")
+    assert(hExc > 0L)
+    assert(eBase === hBase, "equal bigram mass splits the base evenly")
+    assert(hMix > hBase && eMix < eBase)
+  }
 }
