@@ -223,6 +223,38 @@ object DedupOps {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
   /**
+   * Cross-source duplicate-leakage matrix — [[dupEdges]] aggregated by
+   * the source pair, canonicalized so (a, b) and (b, a) land in one row
+   * (`source_a` ≤ `source_b`). The diagonal rows are ordinary intra-
+   * source duplicate load; the OFF-diagonal rows are the leakage signal
+   * a corpus QA pass reads first — the same content arriving through
+   * two ingestion pipelines, which per-source dedup never sees and
+   * which silently double-weights that content in any source-stratified
+   * mixture.
+   *
+   * Scale shape: the pair front is [[dupEdges]]'s single df-capped
+   * inverted-index pass (the dominant cost — and exactly as bounded as
+   * every other consumer of it); what follows is two doc_id-keyed joins
+   * of the edge list against a 2-column projection of the corpus and
+   * one tiny aggregate keyed on source pairs (|sources|² rows at most).
+   * The corpus text itself is never re-read past the shared pair pass.
+   */
+  def dupLeakageMatrix(docs: DataFrame, n: Int = 3,
+      jaccThreshold: Double = 0.5, contThreshold: Double = 0.8,
+      maxDf: Option[Long] = None, tok: Tokenizer = Tokenizer.Ascii,
+      groupCol: String = "source"): DataFrame = {
+    val src = docs.select(col("doc_id"), col(groupCol))
+    dupEdges(docs, n, jaccThreshold, contThreshold, maxDf, tok)
+      .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(
+        least(col(s"sa.$groupCol"), col(s"sb.$groupCol")).as("source_a"),
+        greatest(col(s"sa.$groupCol"), col(s"sb.$groupCol")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Jaccard ∪ containment clustering edges off ONE shared inverted-index
    * pass — the curation-v3 pair front. Running [[ngramJaccardPairs]] and
    * [[containmentPairs]] separately pays the index build and the

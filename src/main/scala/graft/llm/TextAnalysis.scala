@@ -475,6 +475,54 @@ object TextAnalysis {
   }
 
   /**
+   * Threshold-calibration sweep — the PR-curve table a pipeline reads
+   * before committing to a filter cutoff: for each candidate threshold,
+   * the exact confusion counts of the prediction `score ≤ t` (the
+   * low-is-good convention of surprisal/perplexity gates; negate the
+   * score for high-is-good) against a reference boolean label, plus
+   * precision/recall as truncating permilles. The operational question
+   * it answers: "where do I cut the cheap score so it reproduces the
+   * expensive label" — CCNet/FineWeb tune every learned gate this way.
+   *
+   * Everything is exact: counts are conditional integer sums, the
+   * permilles integral divisions (empty denominators read 0 via the
+   * `greatest(·,1)` guard rather than erroring under ANSI). Score and
+   * label must be non-null — a null would silently vanish from all four
+   * cells, so it `raise_error`s instead (a calibration table must never
+   * lose rows).
+   *
+   * Scale shape: ONE scan — the k-fold `explode` multiplies only a
+   * projected (long, boolean) pair, and the aggregate is map-side
+   * combined down to k rows before the single k-row shuffle. No joins,
+   * no windows; k is the ladder size (≤ dozens), never data-driven.
+   */
+  def thresholdSweep(scored: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs a threshold ladder")
+    scored.select(
+      when(score.isNotNull, score.cast("long"))
+        .otherwise(raise_error(lit("thresholdSweep: null score"))).as("s"),
+      when(label.isNotNull, label.cast("boolean"))
+        .otherwise(raise_error(lit("thresholdSweep: null label"))).as("y"))
+      .select(col("s"), col("y"),
+        explode(lit(thresholds.toArray)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("s") <= col("threshold") && col("y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("s") <= col("threshold") && !col("y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("s") > col("threshold") && col("y"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("s") > col("threshold") && !col("y"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision_permille",
+        expr("tp * 1000 div greatest(tp + fp, 1)"))
+      .withColumn("recall_permille",
+        expr("tp * 1000 div greatest(tp + fn, 1)"))
+  }
+
+  /**
    * Pattern redaction — the PII-scrub pass of a training-data pipeline
    * (emails, URLs, phone numbers in production; the pattern is a
    * parameter). Emits the match count per document alongside the
@@ -775,6 +823,67 @@ object TextAnalysis {
       .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
       .select(col("doc_id"), col(groupCol), col("n_tokens"),
         col("rnk"), col("cum_tokens"))
+  }
+
+  /**
+   * DoReMi-weighted mixture materialization — [[Retrieval.doremiMixture]]
+   * turned into an actual selection, so the reweighted permilles become a
+   * training corpus rather than a report. Each domain receives a bigram-
+   * mass quota ∝ its multiplicative weight `mass·(10⁴ + excess)` (the
+   * exact integer MW step of the mixture report — hard domains get MORE
+   * than their raw share, the junk zero-mass floor gets exactly 0), then
+   * docs fill the quota in the deterministic salted-hash order until the
+   * inclusive cumulative bigram mass reaches it — overshoot at most one
+   * document, never undershot while candidates remain (the
+   * [[mixtureSampleTokensBy]] fill rule, with mass measured in the SAME
+   * unit the weights were derived from, so quota and fill share one
+   * denominator).
+   *
+   * Determinism contract: the weight chain is q151's exact integer
+   * arithmetic end-to-end (bit-length surprisal, DECIMAL(38,0)
+   * cross-multiplies, `div`); the fill order is the shared salt-PREFIXED
+   * rolling-hash key; null text masses 0 and orders as the empty string.
+   *
+   * Scale shape: the surprisal scoring is [[Retrieval.bigramSurprisal]]'s
+   * term-keyed joins; the quota table is one row per domain (broadcast);
+   * the per-domain rank AND running mass come from ONE
+   * [[graft.ops.PrefixRank.keyedPrefix]] pass — bucketed local windows
+   * plus broadcast offsets, never `Window.partitionBy(domain)` over the
+   * corpus.
+   */
+  def doremiSelect(docs: DataFrame, train: DataFrame,
+      massBudget: Long = 5000L, domainCol: String = "source",
+      salt: String = "graft", minCount: Long = 1L): DataFrame = {
+    val mix = Retrieval.doremiMixture(docs, train, domainCol, minCount)
+      .select(col("domain").as(domainCol),
+        expr("CAST(n_bigrams AS DECIMAL(38,0)) * " +
+          "CAST(10000 + excess_scaled AS DECIMAL(38,0))").as("w"))
+    val tot = mix.agg(sum(col("w")).cast("decimal(38,0)").as("w_total"))
+    // budget·w widened to DECIMAL(38,0) before the integral division —
+    // same wrap-to-negative-quota overflow reasoning as the √-weighted
+    // mixtures; w_total = 0 (all-junk corpus) selects zero rows, not an
+    // ANSI division error.
+    val quotas = mix.crossJoin(
+      org.apache.spark.sql.functions.broadcast(tot))
+      .select(col(domainCol),
+        expr(s"CAST(CASE WHEN w_total > 0 THEN CAST($massBudget AS " +
+          "DECIMAL(38,0)) * w div w_total ELSE 0 END AS BIGINT)")
+          .as("quota"))
+    // per-doc bigram mass = max(words − 1, 0): identical to the count
+    // bigramSurprisal aggregates, so the quota's denominator and the
+    // fill's numerator are the same unit (coalesce BEFORE greatest —
+    // Spark's greatest skips nulls but the oracle engine's propagates).
+    val withMass = docs.withColumn("n_bigrams",
+      greatest(coalesce(
+        size(filter(words(col("text")), w => w =!= "")).cast("long"),
+        lit(0L)) - 1L, lit(0L)))
+    graft.ops.PrefixRank.keyedPrefix(withMass, Seq(domainCol),
+      saltedKey(salt), P, col("doc_id"),
+      sums = Seq((col("n_bigrams"), "cum_mass")))
+      .join(org.apache.spark.sql.functions.broadcast(quotas), domainCol)
+      .filter(col("cum_mass") - col("n_bigrams") < col("quota"))
+      .select(col("doc_id"), col(domainCol), col("n_bigrams"),
+        col("rnk"), col("cum_mass"))
   }
 
   /**

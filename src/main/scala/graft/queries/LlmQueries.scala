@@ -4077,6 +4077,196 @@ object LlmQueries {
          |FROM w CROSS JOIN tw
          |ORDER BY domain""".stripMargin))
 
+  // q152 — DoReMi mixture MATERIALIZED (the q151 report turned into a
+  // selection): per-domain bigram-mass quotas ∝ the exact integer MW
+  // weight mass·(10⁴+excess), filled in the shared salted-hash order
+  // until the inclusive cumulative mass reaches the quota (q101's fill
+  // rule, with mass in the same unit the weights came from). The whole
+  // chain — surprisal bits, weights, quotas, fill — is engine-exact.
+  val q152 = Q(
+    "q152_doremi_select",
+    (s, d) => TextAnalysis.doremiSelect(
+      Tables.documents(s, d),
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+      massBudget = 5000L)
+      .orderBy("source", "rnk"),
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+         |           w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |dom AS (
+         |  SELECT d.source AS domain,
+         |    CAST(sum(coalesce(sc.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(coalesce(sc.bits, 0)) AS BIGINT) AS bits
+         |  FROM documents d LEFT JOIN sc USING (doc_id)
+         |  GROUP BY 1),
+         |davg AS (
+         |  SELECT *, CAST(CAST(bits AS HUGEINT) * 10000
+         |    // greatest(n_bigrams, 1) AS BIGINT) AS avg_scaled
+         |  FROM dom),
+         |mn AS (SELECT CAST(min(avg_scaled) AS BIGINT) AS min_scaled FROM davg),
+         |wt AS (
+         |  SELECT d.domain AS source,
+         |    CAST(d.n_bigrams AS HUGEINT) *
+         |      (10000 + d.avg_scaled - m.min_scaled) AS weight
+         |  FROM davg d CROSS JOIN mn m),
+         |tw AS (SELECT CAST(sum(weight) AS HUGEINT) AS w_total FROM wt),
+         |quotas AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN w_total > 0
+         |      THEN (CAST(5000 AS HUGEINT) * weight) // w_total
+         |      ELSE 0 END AS BIGINT) AS quota
+         |  FROM wt CROSS JOIN tw),
+         |mass AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(greatest(coalesce(len(list_filter(string_split(text, ' '),
+         |      x -> x <> '')), 0) - 1, 0) AS BIGINT) AS n_bigrams
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source, n_bigrams,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk,
+         |    CAST(sum(n_bigrams) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+         |  FROM mass)
+         |SELECT r.doc_id, r.source, r.n_bigrams, r.rnk, r.cum_mass
+         |FROM ranked r JOIN quotas q USING (source)
+         |WHERE r.cum_mass - r.n_bigrams < q.quota
+         |ORDER BY source, rnk""".stripMargin))
+
+  // q153 — threshold-calibration sweep: the exact PR table of the cheap
+  // LM-surprisal gate (score = q138's per-doc bits·10⁴ div n_bigrams,
+  // keep ⇔ score ≤ t) against the Gopher rule bundle as the reference
+  // label — "where to cut the learned score so it reproduces the hand
+  // rules". Conditional integer sums per ladder rung, permilles as
+  // truncating integral division; one scan, k-row shuffle.
+  val q153 = Q(
+    "q153_threshold_sweep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sc = graft.llm.Retrieval.bigramSurprisal(docs,
+        docs.filter(col("doc_id") % 4 === 0))
+        .select(col("doc_id"),
+          expr("surprisal_bits * 10000 div greatest(n_bigrams, 1)").as("s"))
+      val lab = TextAnalysis.gopherRules(docs, minWords = 30L)
+        .select(col("doc_id"), col("keep"))
+      TextAnalysis.thresholdSweep(sc.join(lab, "doc_id"),
+        col("s"), col("keep"), 20000L to 180000L by 20000L)
+        .orderBy("threshold")
+    },
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '),
+         |      w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |ds AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sc.bits, 0) * 10000
+         |      // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS s
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM dw),
+         |lab AS (
+         |  SELECT doc_id,
+         |    ((n_words >= 30 AND n_words <= 100000)
+         |      AND (n_words > 0 AND sum_word_len >= 3 * n_words
+         |           AND sum_word_len <= 10 * n_words)
+         |      AND (n_words > 0 AND 10 * n_symbols <= n_words)
+         |      AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+         |      AND (n_required >= 2)) AS y
+         |  FROM m),
+         |thr AS (SELECT CAST(unnest([20000, 40000, 60000, 80000, 100000,
+         |          120000, 140000, 160000, 180000]) AS BIGINT) AS threshold),
+         |c AS (
+         |  SELECT threshold,
+         |    CAST(sum(CASE WHEN s <= threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN s <= threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN s > threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN s > threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM ds JOIN lab USING (doc_id) CROSS JOIN thr
+         |  GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CAST(tp * 1000 // greatest(tp + fp, 1) AS BIGINT) AS precision_permille,
+         |  CAST(tp * 1000 // greatest(tp + fn, 1) AS BIGINT) AS recall_permille
+         |FROM c ORDER BY threshold""".stripMargin))
+
+  // q154 — cross-source duplicate-leakage matrix: q133's shared pair
+  // front (Jaccard ∪ containment, df-capped) aggregated by canonical
+  // source pair. Off-diagonal rows = the same content arriving through
+  // two ingestion pipelines — the leakage per-source dedup never sees.
+  val q154 = Q(
+    "q154_dup_leakage_matrix",
+    (s, d) => DedupOps.dupLeakageMatrix(Tables.documents(s, d), n = 3,
+      jaccThreshold = 0.5, contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      .orderBy("source_a", "source_b"),
+    Some(
+      s"""WITH $cappedShingleCtes,
+         |cpairs AS (
+         |  SELECT id_a, id_b,
+         |    ${Det.frSql(
+               "CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)} AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b),
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5
+         |        UNION SELECT id_a, id_b FROM cpairs WHERE containment >= 0.8)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM prs
+         |JOIN documents da ON da.doc_id = prs.id_a
+         |JOIN documents db ON db.doc_id = prs.id_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4084,5 +4274,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
 }

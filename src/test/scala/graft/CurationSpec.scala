@@ -248,6 +248,50 @@ class CurationSpec extends SparkSpec {
     assert(m.values.map(_._6).sum <= 1000L, "floored permilles never oversum")
   }
 
+  test("doremiSelect fills the hard domain's larger quota; junk takes nothing; overshoot ≤ 1 doc") {
+    val train = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta", "easy"),
+      (2L, "alpha beta gamma delta", "easy"),
+      (3L, "alpha beta gamma delta", "easy"),
+      (4L, "zulu yankee xray whiskey", "hard"),
+      (5L, "zulu yankee xray whiskey", "hard"),
+      (6L, "zulu yankee xray whiskey", "hard"),
+      (7L, "solo", "junk"),
+      (8L, null.asInstanceOf[String], "junk")
+    ).toDF("doc_id", "text", "source")
+    // weights: easy 9·2e4, hard 9·3e4, junk 0 → budget-9 quotas 3 and 5;
+    // 3-bigram docs fill while cum − n < quota → easy keeps 1 doc (mass
+    // 3), hard keeps 2 (mass 6 — one-doc overshoot past 5), junk none
+    val kept = TextAnalysis.doremiSelect(pool, train, massBudget = 9L)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    // identical texts tie on the salted hash, so doc_id breaks the tie
+    assert(kept === Set((1L, "easy"), (4L, "hard"), (5L, "hard")))
+  }
+
+  test("thresholdSweep: exact confusion cells per rung; null score raises") {
+    val scored = Seq((1L, 10L, true), (2L, 20L, true), (3L, 30L, false),
+      (4L, 40L, true)).toDF("doc_id", "s", "y")
+    val sweep = TextAnalysis.thresholdSweep(scored, col("s"), col("y"),
+      Seq(15L, 35L))
+      .select("threshold", "tp", "fp", "fn", "tn",
+        "precision_permille", "recall_permille")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(sweep(0) === ((15L, 1L, 0L, 2L, 1L, 1000L, 333L)))
+    assert(sweep(1) === ((35L, 2L, 1L, 1L, 0L, 666L, 666L)))
+    // a null score must fail loudly, not vanish from all four cells
+    val withNull = Seq((1L, Some(10L), true),
+      (2L, None: Option[Long], false)).toDF("doc_id", "s", "y")
+    val e = intercept[Exception] {
+      TextAnalysis.thresholdSweep(withNull, col("s"), col("y"), Seq(15L))
+        .collect()
+    }
+    assert(e.getMessage.contains("null score") ||
+      e.getCause != null && e.getCause.getMessage.contains("null score"))
+  }
+
   test("doremiMixture without a junk floor: the easiest domain reads excess exactly 0") {
     val train = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val pool = Seq(

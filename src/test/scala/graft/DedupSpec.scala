@@ -48,4 +48,19 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(2L, 3L, 7L, 8L, 9L))
   }
+
+  test("dupLeakageMatrix: cross-source clones land off-diagonal, canonical pair order") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog", "books"),
+      (4L, "completely different content entirely unrelated words here", "books")
+    ).toDF("doc_id", "text", "source")
+    // pairs (1,2) web∩web, (1,3) and (2,3) web∩books — both cross rows
+    // canonicalize to (books, web) regardless of id order
+    val m = graft.llm.DedupOps.dupLeakageMatrix(docs)
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(m.toSeq === Seq(("books", "web", 2L), ("web", "web", 1L)))
+  }
 }

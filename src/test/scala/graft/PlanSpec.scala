@@ -345,6 +345,16 @@ class PlanSpec extends SparkSpec {
       "pack window lost its shard partitioning")
   }
 
+  test("q151: DoReMi reweighting — floor/total rows broadcast, no cross product") {
+    val p = planOf("q151_doremi_mixture")
+    assert(!p.contains("CartesianProduct"), "DoReMi planned a cross product")
+    // the min/mass and weight-total frames are 1-row each and must reach
+    // the domain table as broadcasts (the term-keyed surprisal joins
+    // upstream may legitimately sort-merge — that is their scale shape)
+    assert(p.contains("BroadcastExchange"),
+      "mixture totals lost their broadcast")
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
