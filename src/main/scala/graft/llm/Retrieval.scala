@@ -562,6 +562,69 @@ object Retrieval {
   }
 
   /**
+   * Vocabulary coverage curve — the tokenizer-sizing table: for each
+   * candidate vocabulary size `k`, the EXACT fraction of token mass a
+   * top-`k`-by-frequency vocabulary covers (everything else would fall
+   * to `<unk>`/byte-fallback). The table a BPE/WordPiece sizing decision
+   * reads: where the curve flattens is where added vocab stops paying.
+   *
+   * Exactness without ordering ties: coverage@k is computed over the
+   * COUNT-OF-COUNTS table (count c → m terms with that count), so no
+   * per-term tie-break is ever needed — any k terms cut inside an
+   * equal-count class cover the same mass, making the value well-defined
+   * and engine-identical. For each rung: the classes that fit fully
+   * below k contribute their whole mass, and the boundary class
+   * contributes `(k − terms_below)·c` exactly (that product is bounded
+   * by the class mass, so it stays in BIGINT). Permille by truncating
+   * integral division.
+   *
+   * Scale shape: one explode + term-keyed map-side-combined count, one
+   * tiny count-of-counts aggregate, then ALL remaining work runs on the
+   * count-of-counts table — whose size is bounded by the number of
+   * DISTINCT count values, ≤ √(2·total_mass) by the pigeonhole (counts
+   * 1+2+…+d already exceed the corpus at d ≈ √(2N)) — ~1.4·10⁷ rows at
+   * 10¹⁴ tokens, longs only. The cumulative window runs over THAT
+   * table (the cell-table window pattern), never the vocabulary, and
+   * the rung ladder joins it with one aggregate per rung.
+   */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Long] = Seq(100L, 1000L, 4000L, 16000L, 64000L)): DataFrame = {
+    require(ks.nonEmpty, "vocabCoverage needs a vocabulary-size ladder")
+    val terms = docs.select(explode(
+      filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val coc = terms.groupBy("c").agg(count(lit(1)).as("m"))
+    val cumW = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = coc
+      .withColumn("cum_terms", sum(col("m")).over(cumW))
+      .withColumn("cum_mass", sum(col("c") * col("m")).over(cumW))
+    val tot = coc.agg(sum(col("m")).as("n_terms"),
+      sum(col("c") * col("m")).as("total_mass"))
+    // per rung: full classes (cum_terms ≤ k) contribute cum_mass; the
+    // boundary class is the LARGEST c among cum_terms > k (c decreases
+    // as cum_terms grows, so max() finds it without a sort)
+    cum.select(col("c"), col("cum_terms"), col("cum_mass"),
+        explode(lit(ks.toArray)).as("k"))
+      .groupBy("k")
+      .agg(
+        max(when(col("cum_terms") <= col("k"), col("cum_mass"))
+          .otherwise(0L)).as("full_mass"),
+        max(when(col("cum_terms") <= col("k"), col("cum_terms"))
+          .otherwise(0L)).as("full_terms"),
+        max(when(col("cum_terms") > col("k"), col("c"))
+          .otherwise(0L)).as("boundary_c"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_terms"), col("total_mass"),
+        (col("full_mass") +
+          (col("k") - col("full_terms")) * col("boundary_c"))
+          .as("covered_mass"))
+      .withColumn("coverage_permille",
+        expr("covered_mass * 1000 div greatest(total_mass, 1)"))
+  }
+
+  /**
    * DoReMi-flavored domain reweighting (Xie et al. 2023,
    * arXiv:2305.10429 — Domain Reweighting with Minimax Optimization):
    * re-derive the pretraining mixture so that domains the

@@ -4267,6 +4267,42 @@ object LlmQueries {
          |GROUP BY 1, 2
          |ORDER BY source_a, source_b""".stripMargin))
 
+  // q155 — vocabulary coverage curve for tokenizer sizing: exact token-
+  // mass coverage of a top-k vocabulary at each ladder rung, computed
+  // over the COUNT-OF-COUNTS table so no per-term tie-break is needed
+  // (any k-cut inside an equal-count class covers the same mass). Full
+  // classes contribute cum_mass; the boundary class (k − terms_below)·c.
+  val q155 = Q(
+    "q155_vocab_coverage",
+    (s, d) => graft.llm.Retrieval.vocabCoverage(Tables.documents(s, d))
+      .orderBy("k"),
+    Some(
+      s"""WITH tw AS (
+         |  SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+         |    w -> w <> '')) AS w
+         |  FROM documents),
+         |terms AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tw GROUP BY 1),
+         |coc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM terms GROUP BY 1),
+         |cum AS (SELECT c, m,
+         |    CAST(sum(m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms,
+         |    CAST(sum(c * m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+         |  FROM coc),
+         |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_terms,
+         |          CAST(sum(c * m) AS BIGINT) AS total_mass FROM coc),
+         |ks AS (SELECT CAST(unnest([100, 1000, 4000, 16000, 64000]) AS BIGINT) AS k),
+         |agg AS (
+         |  SELECT k,
+         |    CAST(max(CASE WHEN cum_terms <= k THEN cum_mass ELSE 0 END) AS BIGINT) AS full_mass,
+         |    CAST(max(CASE WHEN cum_terms <= k THEN cum_terms ELSE 0 END) AS BIGINT) AS full_terms,
+         |    CAST(max(CASE WHEN cum_terms > k THEN c ELSE 0 END) AS BIGINT) AS boundary_c
+         |  FROM cum CROSS JOIN ks GROUP BY k)
+         |SELECT k, n_terms, total_mass,
+         |  full_mass + (k - full_terms) * boundary_c AS covered_mass,
+         |  CAST((full_mass + (k - full_terms) * boundary_c) * 1000
+         |    // greatest(total_mass, 1) AS BIGINT) AS coverage_permille
+         |FROM agg CROSS JOIN tot
+         |ORDER BY k""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4274,5 +4310,5 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
 }

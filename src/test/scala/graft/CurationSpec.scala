@@ -292,6 +292,19 @@ class CurationSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("null score"))
   }
 
+  test("vocabCoverage: exact boundary-class arithmetic on a planted distribution") {
+    // counts: a×5, b×3, c×3, d×1 → count-of-counts (5,1),(3,2),(1,1);
+    // k=2 cuts INSIDE the count-3 class: 5 + (2−1)·3 = 8 of 12
+    val docs = Seq((1L, "a a a a a b b b c c c d")).toDF("doc_id", "text")
+    val cov = Retrieval.vocabCoverage(docs, Seq(1L, 2L, 3L, 10L))
+      .select("k", "n_terms", "total_mass", "covered_mass",
+        "coverage_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(cov.toSeq === Seq((1L, 4L, 12L, 5L, 416L),
+      (2L, 4L, 12L, 8L, 666L), (3L, 4L, 12L, 11L, 916L),
+      (10L, 4L, 12L, 12L, 1000L)))
+  }
+
   test("doremiMixture without a junk floor: the easiest domain reads excess exactly 0") {
     val train = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val pool = Seq(
