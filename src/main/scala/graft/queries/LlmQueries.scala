@@ -4303,6 +4303,48 @@ object LlmQueries {
          |FROM agg CROSS JOIN tot
          |ORDER BY k""".stripMargin))
 
+  // q156 — tokenizer fertility by language: BPE tokens per whitespace
+  // word (·1000, truncating) under the corpus-learned vocabulary, per
+  // lang. THE sizing/coverage signal a multilingual tokenizer review
+  // reads: a lang whose fertility runs hot is under-served by the
+  // learned merges. Native BpeCountExpr per doc (scan-stage), one
+  // lang-keyed map-side-combined aggregate.
+  val q156 = Q(
+    "q156_bpe_fertility",
+    (s, d) => {
+      val merges = bpeMergesFor(s, d)
+      Tables.documents(s, d).select(col("lang"),
+          coalesce(size(filter(
+            TextFunctions.words(coalesce(col("text"), lit(""))),
+            w => w =!= "")).cast("long"), lit(0L)).as("w_doc"),
+          Bpe.tokenCount(col("text"), merges).as("t_doc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w_doc")).as("n_words"),
+          sum(col("t_doc")).as("n_bpe"))
+        .withColumn("fertility_permille",
+          expr("n_bpe * 1000 div greatest(n_words, 1)"))
+        .orderBy("lang")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |wt AS (SELECT word, string_split(toks, '$bpeSep') AS tl FROM bt$bpeK),
+         |dws AS (SELECT doc_id,
+         |          list_filter(string_split(coalesce(text, ''), ' '),
+         |            x -> x <> '') AS ws
+         |        FROM documents),
+         |dw AS (SELECT doc_id, unnest(ws) AS word FROM dws),
+         |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(len(wt.tl)) AS BIGINT) AS n_bpe
+         |       FROM dw JOIN wt USING (word) GROUP BY 1)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(wc.n_words, 0)) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(wc.n_bpe, 0)) AS BIGINT) AS n_bpe,
+         |  CAST(sum(coalesce(wc.n_bpe, 0)) * 1000
+         |    // greatest(sum(coalesce(wc.n_words, 0)), 1) AS BIGINT) AS fertility_permille
+         |FROM documents d LEFT JOIN wc USING (doc_id)
+         |GROUP BY 1 ORDER BY lang""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4310,5 +4352,6 @@ object LlmQueries {
     q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q118,
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
+    q156)
 }
