@@ -4345,6 +4345,174 @@ object LlmQueries {
          |FROM documents d LEFT JOIN wc USING (doc_id)
          |GROUP BY 1 ORDER BY lang""".stripMargin))
 
+  // q157 — curation v7: the DoReMi stage made load-bearing. Gopher gate
+  // (scan-stage, shrinks everything downstream) → exact dedup (dual-
+  // fingerprint min-id) → DoReMi-WEIGHTED domain fill (quotas from the
+  // q151 MW weights against the RAW %4 reference LM, filled in salted-
+  // hash order — the reweighted mixture becomes the corpus, not a
+  // report) → exact decon → per-source report. ONE Catalyst job; the
+  // oracle replays all five stages as CTEs.
+  val q157 = Q(
+    "q157_curation_v7",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      val kept = DedupOps.exactDedup(gated)
+      // the reference LM stays the RAW %4 slice (an external in-domain
+      // corpus is not steered by the pipeline it steers)
+      val train = docs.filter(col("doc_id") % 4 === 0)
+      val selIds = TextAnalysis.doremiSelect(kept, train,
+        massBudget = 20000L).select(col("doc_id"))
+      val selected = kept.join(selIds, Seq("doc_id"), "left_semi")
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val clean = TextAnalysis.decontaminated(selected, bench)
+      TextAnalysis.corpusReport(clean, "source").orderBy("source")
+    },
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH gw AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM gw),
+         |gk AS (SELECT doc_id FROM gm
+         |       WHERE n_words >= 30 AND n_words <= 100000
+         |         AND n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words
+         |         AND 10 * n_symbols <= n_words
+         |         AND 5 * n_alpha >= 4 * n_words
+         |         AND n_required >= 2),
+         |gdocs AS (SELECT d.* FROM documents d JOIN gk USING (doc_id)),
+         |fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("text", p48)} END AS f2
+         |  FROM gdocs),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0
+         |           WHERE f1 IS NOT NULL GROUP BY f1, f2),
+         |kept AS (SELECT g.* FROM gdocs g JOIN keepid USING (doc_id)
+         |         UNION ALL
+         |         SELECT g.* FROM gdocs g WHERE g.text IS NULL),
+         |kdw AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+         |          w -> w <> '') AS ws
+         |        FROM kept),
+         |tr AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+         |          w -> w <> '') AS ws
+         |       FROM documents WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM kdw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |dom AS (
+         |  SELECT k.source AS domain,
+         |    CAST(sum(coalesce(sc.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(coalesce(sc.bits, 0)) AS BIGINT) AS bits
+         |  FROM kept k LEFT JOIN sc ON k.doc_id = sc.doc_id
+         |  GROUP BY 1),
+         |davg AS (
+         |  SELECT *, CAST(CAST(bits AS HUGEINT) * 10000
+         |    // greatest(n_bigrams, 1) AS BIGINT) AS avg_scaled
+         |  FROM dom),
+         |mn AS (SELECT CAST(min(avg_scaled) AS BIGINT) AS min_scaled FROM davg),
+         |wt AS (
+         |  SELECT d.domain AS source,
+         |    CAST(d.n_bigrams AS HUGEINT) *
+         |      (10000 + d.avg_scaled - m.min_scaled) AS weight
+         |  FROM davg d CROSS JOIN mn m),
+         |tw AS (SELECT CAST(sum(weight) AS HUGEINT) AS w_total FROM wt),
+         |quotas AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN w_total > 0
+         |      THEN (CAST(20000 AS HUGEINT) * weight) // w_total
+         |      ELSE 0 END AS BIGINT) AS quota
+         |  FROM wt CROSS JOIN tw),
+         |mass AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(greatest(coalesce(len(list_filter(string_split(text, ' '),
+         |      x -> x <> '')), 0) - 1, 0) AS BIGINT) AS n_bigrams
+         |  FROM kept),
+         |rsel AS (
+         |  SELECT doc_id, source, n_bigrams,
+         |    CAST(sum(n_bigrams) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass
+         |  FROM mass),
+         |selected AS (
+         |  SELECT k.doc_id, k.source, k.lang, k.text
+         |  FROM kept k
+         |  JOIN rsel r ON r.doc_id = k.doc_id
+         |  JOIN quotas q ON q.source = r.source
+         |  WHERE r.cum_mass - r.n_bigrams < q.quota),
+         |pf AS (SELECT doc_id, source, lang, text,
+         |         CASE WHEN length(norm) = 0 THEN 0
+         |              ELSE ${polyHashSql("norm")} END AS f
+         |       FROM (SELECT doc_id, source, lang, text,
+         |               regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                              ' +', ' ', 'g') AS norm
+         |             FROM selected)),
+         |bfp AS (SELECT CASE WHEN length(norm) = 0 THEN 0
+         |               ELSE ${polyHashSql("norm")} END AS f
+         |        FROM (SELECT regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                       ' +', ' ', 'g') AS norm
+         |              FROM documents WHERE doc_id % 41 = 3)),
+         |clean AS (SELECT doc_id, source, lang, text FROM pf
+         |          WHERE f IS NULL
+         |             OR f NOT IN (SELECT f FROM bfp WHERE f IS NOT NULL)),
+         |rw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM clean),
+         |rc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, source, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT source, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT source, lang FROM rq) GROUP BY 1)
+         |SELECT rp.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (source) JOIN rl USING (source)
+         |ORDER BY rp.source""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4353,5 +4521,5 @@ object LlmQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156)
+    q156, q157)
 }

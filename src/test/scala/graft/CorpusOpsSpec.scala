@@ -705,10 +705,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 156 uniquely-named queries, 152 oracle-checked, qNN prefixes unique") {
+  test("registry: 157 uniquely-named queries, 153 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 156)
-    assert(all.count(_.oracle.isDefined) === 152)
+    assert(all.size === 157)
+    assert(all.count(_.oracle.isDefined) === 153)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -355,6 +355,18 @@ class PlanSpec extends SparkSpec {
       "mixture totals lost their broadcast")
   }
 
+  test("q157: v7 pipeline — no cross product, DoReMi fill window stays bucket-partitioned") {
+    val p = planOf("q157_curation_v7")
+    assert(!p.contains("CartesianProduct"), "v7 pipeline planned a cross product")
+    // the per-domain fill rank/prefix-mass must come from PrefixRank's
+    // bucketed windows, never Window.partitionBy(source) over the corpus
+    val globalWin = "Window.*__graft_bkt".r
+    assert(globalWin.findFirstIn(p).isDefined,
+      "DoReMi fill lost its hash-range bucket partitioning")
+    assert(p.contains("BroadcastExchange"),
+      "quota/total frames lost their broadcast")
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
