@@ -286,6 +286,32 @@ object TextAnalysis {
   }
 
   /**
+   * Packing-efficiency report over a [[packSequencesBy]] layout — the
+   * per-shard table a loader review reads before training: bins, doc
+   * and token mass, the min/max bin fill, and the mean fill as a
+   * truncating permille of `n_bins·budget`. Whole-document greedy bins
+   * can both underfill (the tail bin) and OVERfill (a document
+   * straddling the boundary lands whole), so `fill_permille` may exceed
+   * 1000 — exactly the waste/overstuff signal that decides between
+   * whole-doc bins and the spanning layout ([[packSpanning]]).
+   *
+   * Scale shape: two tiny keyed aggregates over the packed rows —
+   * (shard, bin) then shard — both map-side combined; the packing
+   * itself is the input and is never recomputed here.
+   */
+  def packEfficiency(packed: DataFrame, budgetTokens: Long): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("fill")).as("n_tokens"),
+        min(col("fill")).as("min_fill"),
+        max(col("fill")).as("max_fill"))
+      .withColumn("fill_permille",
+        expr(s"n_tokens * 1000 div greatest(n_bins * $budgetTokens, 1)"))
+
+  /**
    * Document-SPANNING sequence packing — the GPT-style "concatenate the
    * corpus in training order and cut every `seqLen` tokens" layout,
    * where a document may straddle a sequence boundary (unlike

@@ -4360,13 +4360,21 @@ object LlmQueries {
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
         minRequiredHits = 2)
-      val kept = DedupOps.exactDedup(gated)
+      // doremiSelect scans its input ~6× (surprisal joins, domain
+      // masses, fill pass) and the report 3× more — recomputing the
+      // gate+dedup subtree under every scan dominated the uncheckpointed
+      // plan (14.8 s vs 2.6 s at sf0.1). localCheckpoint materializes
+      // the deduped survivors once (the q66 edge-list pattern); at
+      // production scale this is the "write the intermediate corpus"
+      // step every multi-stage pipeline lands anyway.
+      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
       // the reference LM stays the RAW %4 slice (an external in-domain
       // corpus is not steered by the pipeline it steers)
       val train = docs.filter(col("doc_id") % 4 === 0)
       val selIds = TextAnalysis.doremiSelect(kept, train,
         massBudget = 20000L).select(col("doc_id"))
       val selected = kept.join(selIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val bench = docs.filter(col("doc_id") % 41 === 3)
       val clean = TextAnalysis.decontaminated(selected, bench)
       TextAnalysis.corpusReport(clean, "source").orderBy("source")
@@ -4513,6 +4521,51 @@ object LlmQueries {
          |ORDER BY rp.source""".stripMargin
     })
 
+  // q158 — packing-efficiency report over q109's BPE-budget whole-doc
+  // packing: per shard (n_bins, doc/token mass, min/max bin fill, mean
+  // fill permille of n_bins·budget). Whole-doc bins underfill at the
+  // tail and overfill on straddling docs — the report that decides
+  // between whole-doc bins and the spanning layout (q134).
+  val q158 = Q(
+    "q158_pack_efficiency",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeMergesFor(s, d)
+      TextAnalysis.packEfficiency(
+        TextAnalysis.packSequencesBy(docs,
+          Bpe.tokenCount(col("text"), merges), packBudget, packShards),
+        packBudget)
+        .orderBy("shard")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |$bpeDocTokCtes,
+         |t AS (
+         |  SELECT d.doc_id,
+         |    (CASE WHEN length(text) = 0 THEN 0
+         |          ELSE ${polyHashSql("text")} END) % $packShards AS shard,
+         |    COALESCE(dt.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN dt USING (doc_id)),
+         |c AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cum_before
+         |  FROM t),
+         |b AS (
+         |  SELECT shard,
+         |    CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS fill
+         |  FROM c GROUP BY 1, 2)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(fill) AS BIGINT) AS n_tokens,
+         |  CAST(min(fill) AS BIGINT) AS min_fill,
+         |  CAST(max(fill) AS BIGINT) AS max_fill,
+         |  CAST(CAST(sum(fill) AS BIGINT) * 1000
+         |    // greatest(count(*) * $packBudget, 1) AS BIGINT) AS fill_permille
+         |FROM b GROUP BY shard ORDER BY shard""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4521,5 +4574,5 @@ object LlmQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157)
+    q156, q157, q158)
 }

@@ -705,10 +705,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 157 uniquely-named queries, 153 oracle-checked, qNN prefixes unique") {
+  test("registry: 158 uniquely-named queries, 154 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 157)
-    assert(all.count(_.oracle.isDefined) === 153)
+    assert(all.size === 158)
+    assert(all.count(_.oracle.isDefined) === 154)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -821,6 +821,22 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got === expect)
     assert(got.nonEmpty)
+  }
+
+  test("packEfficiency: exact per-shard fill report, overfull bins exceed 1000 permille") {
+    // budget 8: shard 0 has an overstuffed bin (11) and a tail bin (3)
+    // → 14/16 = 875‰; shard 1 one exact-fit bin → 1000‰
+    val packed = Seq(
+      (10L, 0L, 0L, 6L), (11L, 0L, 0L, 5L), (12L, 0L, 1L, 3L),
+      (13L, 1L, 0L, 8L)
+    ).toDF("doc_id", "shard", "bin", "n_tokens")
+    val rep = TextAnalysis.packEfficiency(packed, budgetTokens = 8L)
+      .select("shard", "n_bins", "n_docs", "n_tokens", "min_fill",
+        "max_fill", "fill_permille")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rep.toSeq === Seq((0L, 2L, 3L, 14L, 3L, 11L, 875L),
+      (1L, 1L, 1L, 8L, 8L, 8L, 1000L)))
   }
 
   test("packSpanning: sequences fill to exactly L, docs straddle boundaries, slices tile") {

@@ -355,11 +355,21 @@ class PlanSpec extends SparkSpec {
       "mixture totals lost their broadcast")
   }
 
-  test("q157: v7 pipeline — no cross product, DoReMi fill window stays bucket-partitioned") {
-    val p = planOf("q157_curation_v7")
-    assert(!p.contains("CartesianProduct"), "v7 pipeline planned a cross product")
-    // the per-domain fill rank/prefix-mass must come from PrefixRank's
-    // bucketed windows, never Window.partitionBy(source) over the corpus
+  test("q157: v7 pipeline — no cross product; the DoReMi fill stage windows bucketed") {
+    // the final v7 plan reads its two localCheckpoint cuts (the q66
+    // edge-list pattern), so the fill stage's shape is pinned on the
+    // stage itself, pre-checkpoint
+    assert(!planOf("q157_curation_v7").contains("CartesianProduct"),
+      "v7 pipeline planned a cross product")
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val sel = graft.llm.TextAnalysis.doremiSelect(docs,
+      docs.filter(col("doc_id") % 4 === 0), massBudget = 20000L)
+    sel.count()
+    val p = sel.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "DoReMi fill planned a cross product")
+    // per-domain rank/prefix-mass from PrefixRank's bucketed windows,
+    // never Window.partitionBy(source) over the corpus
     val globalWin = "Window.*__graft_bkt".r
     assert(globalWin.findFirstIn(p).isDefined,
       "DoReMi fill lost its hash-range bucket partitioning")
