@@ -2931,11 +2931,13 @@ object LlmQueries {
       // (dupEdges ≡ jaccardPairs(0.5) ∪ containmentPairs(0.8))
       val edges = DedupOps.dupEdges(docs, n = 3, jaccThreshold = 0.5,
         contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      // reused-intermediate checkpoints: the v7 lesson (SCALE.md)
       val kept = DedupOps.dedupedCorpus(docs,
-        DedupOps.duplicateClusters(edges))
+        DedupOps.duplicateClusters(edges)).localCheckpoint(true)
       val prunedIds = TextAnalysis.qualityPrune(kept, "source",
         keepPermille = 500L).select(col("doc_id"))
       val pruned = kept.join(prunedIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val bench = docs.filter(col("doc_id") % 41 === 3)
       val clean = TextAnalysis.decontaminated(pruned, bench)
       val fclean = TextAnalysis.fuzzyDecontaminated(clean, bench,
@@ -3288,11 +3290,16 @@ object LlmQueries {
         minRequiredHits = 2)
       val edges = DedupOps.dupEdges(gated, n = 3, jaccThreshold = 0.5,
         contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      // materialize the reused intermediates once (the v7 lesson,
+      // SCALE.md round-14 late wave): prune/decon/report rescan their
+      // input, and re-deriving the gate+dedup subtree under every scan
+      // is pure waste — hash-identical, ~20% off the pipeline
       val kept = DedupOps.dedupedCorpus(gated,
-        DedupOps.duplicateClusters(edges))
+        DedupOps.duplicateClusters(edges)).localCheckpoint(true)
       val prunedIds = TextAnalysis.qualityPrune(kept, "source",
         keepPermille = 500L).select(col("doc_id"))
       val pruned = kept.join(prunedIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val bench = docs.filter(col("doc_id") % 41 === 3)
       val clean = TextAnalysis.decontaminated(pruned, bench)
       val fclean = TextAnalysis.fuzzyDecontaminated(clean, bench,
@@ -3497,8 +3504,10 @@ object LlmQueries {
         minRequiredHits = 2)
       val edges = DedupOps.dupEdges(gated, n = 3, jaccThreshold = 0.5,
         contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      // reused-intermediate checkpoints: the v7 lesson (SCALE.md);
+      // measured 8.8 → 7.2 s warm at sf0.1, hash-identical
       val kept = DedupOps.dedupedCorpus(gated,
-        DedupOps.duplicateClusters(edges))
+        DedupOps.duplicateClusters(edges)).localCheckpoint(true)
       // the LM reference stays the RAW %4 slice (an external in-domain
       // corpus is not gated by the pipeline it steers)
       val train = docs.filter(col("doc_id") % 4 === 0)
@@ -3506,6 +3515,7 @@ object LlmQueries {
       val selIds = buckets.filter(col("bucket") =!= "tail")
         .select(col("doc_id"))
       val selected = kept.join(selIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val bench = docs.filter(col("doc_id") % 41 === 3)
       val clean = TextAnalysis.decontaminated(selected, bench)
       TextAnalysis.corpusReport(clean, "source").orderBy("source")
@@ -3921,8 +3931,10 @@ object LlmQueries {
       val selIds = graft.llm.Retrieval.dsirSelect(docs,
         docs.filter(col("doc_id") % 4 === 0),
         buckets = 1024, keepPermille = 500L).select("doc_id")
+      // reused-intermediate checkpoint: the v7 lesson (SCALE.md) — the
+      // decon and pack stages rescan the deduped survivors
       val selected = docs.join(selIds, Seq("doc_id"), "left_semi")
-      val deduped = DedupOps.exactDedup(selected)
+      val deduped = DedupOps.exactDedup(selected).localCheckpoint(true)
       val clean = TextAnalysis.fuzzyDecontaminated(deduped,
         docs.filter(col("doc_id") % 50 === 0), n = contamN,
         maxOverlap = 0.5)

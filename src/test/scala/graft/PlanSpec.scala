@@ -318,9 +318,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "v5 pipeline planned a cross product")
     assert(!p.contains("Expand"), "v5 report stage must stay Expand-free")
     // the LM "model" sides (vocab total, corpus total) are 1-row frames
-    // and must reach the plan as broadcasts, never a sort-merge side
-    assert(p.contains("BroadcastExchange"),
+    // and must reach the plan as broadcasts, never a sort-merge side —
+    // pinned on the selection stage itself, pre-checkpoint (the final
+    // v5 plan reads its localCheckpoint cuts)
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val sel = graft.llm.Retrieval.surprisalBuckets(docs,
+      docs.filter(col("doc_id") % 4 === 0))
+    sel.count()
+    val sp = sel.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastExchange"),
       "surprisal totals lost their broadcast")
+    assert(!sp.contains("CartesianProduct"))
   }
 
   test("q147: DSIR count-table probes broadcast; ranking never windows the corpus") {
