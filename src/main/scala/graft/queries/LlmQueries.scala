@@ -2731,13 +2731,15 @@ object LlmQueries {
     "q128_curation_v2",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // reused-intermediate checkpoints: the v7 lesson (SCALE.md)
       val kept = DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
           DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
-            maxDf = Some(DedupDfCap))))
+            maxDf = Some(DedupDfCap)))).localCheckpoint(true)
       val prunedIds = TextAnalysis.qualityPrune(kept, "source",
         keepPermille = 500L).select(col("doc_id"))
       val pruned = kept.join(prunedIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val clean = TextAnalysis.decontaminated(pruned,
         docs.filter(col("doc_id") % 41 === 3))
       TextAnalysis.corpusReport(clean, "source").orderBy("source")
