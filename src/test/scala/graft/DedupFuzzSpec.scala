@@ -506,4 +506,85 @@ class DedupFuzzSpec extends SparkSpec {
       assert(gotKept === refKept, s"seed $seed")
     }
   }
+
+  test("fuzz: DoReMi mixture and fill match the sequential reference (zero-mass domains forced)") {
+    // 10th family: the linear multiplicative-weights reweighting and its
+    // mass-quota materialization. randomCorpus emits empty and one-word
+    // docs, so some domains carry zero bigram mass — the floor regime.
+    def wordsOf(t: String) = t.split(" ", -1).filter(_.nonEmpty).toVector
+    def bitlen(x: Long): Long =
+      (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    for (seed <- seeds) {
+      val base = randomCorpus(seed, 40, denseVocab, 12)
+      val pool = base.map { case (id, t) => (id, t, s"s${id % 4}") }
+      val trainTexts = randomCorpus(seed + 500, 15, denseVocab, 12).map(_._2)
+      // sequential add-one bigram model over the train slice
+      val trW = trainTexts.map(wordsOf)
+      val uni = trW.flatten.groupBy(identity)
+        .map { case (w, o) => w -> o.size.toLong }
+      val v = uni.size.toLong
+      val bi = trW.filter(_.length >= 2)
+        .flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      def docStats(t: String): (Long, Long) = {
+        val ws = wordsOf(t)
+        if (ws.length < 2) (0L, 0L)
+        else {
+          val bgs = ws.sliding(2).map(p => (p(0), p(1))).toVector
+          (bgs.size.toLong, bgs.map { case (w1, w2) =>
+            bitlen(uni.getOrElse(w1, 0L) + v) -
+              bitlen(bi.getOrElse((w1, w2), 0L) + 1L)
+          }.sum)
+        }
+      }
+      val doms = pool.groupBy(_._3).map { case (s, ds) =>
+        val st = ds.map(d => docStats(d._2))
+        s -> ((ds.size.toLong, st.map(_._1).sum, st.map(_._2).sum))
+      }
+      val avg = doms.map { case (s, (_, m, b)) =>
+        s -> (BigInt(b) * 10000 / BigInt(m max 1L)).toLong
+      }
+      val minAvg = avg.values.min
+      val weight = doms.map { case (s, (_, m, _)) =>
+        s -> BigInt(m) * BigInt(10000L + avg(s) - minAvg)
+      }
+      val wTot = weight.values.sum
+      val massTot = doms.values.map(_._2).sum
+      val wantMix = doms.keys.map { s =>
+        val (nd, m, _) = doms(s)
+        s -> ((nd, m, avg(s), avg(s) - minAvg,
+          (BigInt(m) * 1000 / BigInt(massTot max 1L)).toLong,
+          if (wTot > 0) (weight(s) * 1000 / wTot).toLong else 0L))
+      }.toMap
+      val poolDf = pool.toDF("doc_id", "text", "source")
+      val trainDf = trainTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val gotMix = graft.llm.Retrieval.doremiMixture(poolDf, trainDf)
+        .select("domain", "n_docs", "n_bigrams", "avg_scaled",
+          "excess_scaled", "base_permille", "mix_permille")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      assert(gotMix === wantMix, s"seed $seed")
+      assert(doms.values.exists(_._2 == 0L) ||
+        avg.values.exists(_ != minAvg), s"seed $seed: vacuous fixture")
+      // the fill keeps exactly the reference's quota prefix per domain
+      val budget = 50L
+      val quota = weight.map { case (s, w) =>
+        s -> (if (wTot > 0) (BigInt(budget) * w / wTot).toLong else 0L)
+      }
+      val wantKept = pool.groupBy(_._3).flatMap { case (s, ds) =>
+        val ordered = ds.sortBy(d => (polyHash("graft#" + d._2), d._1))
+        var cum = 0L
+        ordered.flatMap { d =>
+          val n = math.max(wordsOf(d._2).length - 1, 0).toLong
+          val before = cum; cum += n
+          if (before < quota(s)) Some(d._1) else None
+        }
+      }.toSet
+      val gotKept = graft.llm.TextAnalysis.doremiSelect(poolDf, trainDf,
+        massBudget = budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotKept === wantKept, s"seed $seed")
+    }
+  }
 }
