@@ -223,6 +223,74 @@ object DedupOps {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
   /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003 — the MOSS document-fingerprinting scheme): slide a
+   * window of `w` consecutive shingle hashes over the document's
+   * ordered hash stream and select each window's minimum (ties → the
+   * RIGHTMOST copy), recording every selected (position, hash) once.
+   * The guarantee that makes it the standard plagiarism/near-dup
+   * fingerprint: any shared substring of at least `n + w − 1` words
+   * forces at least one IDENTICAL fingerprint in both documents, while
+   * only ~2/(w+1) of positions are selected — a tunable density/recall
+   * dial that MinHash (global, per-doc) does not give for LOCAL match
+   * positions.
+   *
+   * A document with fewer than `w` shingles is one degenerate window
+   * (its global rightmost min); zero shingles → no rows. Output:
+   * (doc_id, pos, fp) with `pos` the 0-based shingle index.
+   *
+   * Implementation: the whole selection is ONE scan-stage array
+   * expression — the per-window rightmost-argmin is
+   * `i + wl − position(reverse(slice), min)`, the (pos, fp) pair packs
+   * into a single long `pos·P + fp` (exact: pos < 2⁴⁴/P rows per doc),
+   * and `array_distinct` collapses repeated selections before the
+   * explode. No shuffle, no join, no window function.
+   */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(w >= 1, s"winnow window must be >= 1 (got $w)")
+    val P = graft.llm.TextFunctions.P
+    val d = docs.select(col("doc_id"),
+        TextFunctions.shingleHashList(col("text"), n).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .withColumn("wl", least(lit(w), size(col("hs"))))
+    val sel = transform(
+      sequence(lit(0), size(col("hs")) - col("wl")),
+      i => {
+        val sl = slice(col("hs"), i + 1, col("wl"))
+        val mn = array_min(sl)
+        val pos = i.cast("long") + col("wl").cast("long") -
+          array_position(reverse(sl), mn)
+        pos * lit(P) + mn
+      })
+    d.select(col("doc_id"), explode(array_distinct(sel)).as("enc"))
+      .select(col("doc_id"),
+        expr(s"enc div ${P}L").as("pos"),
+        pmod(col("enc"), lit(P)).as("fp"))
+  }
+
+  /**
+   * MOSS-style match pairs over [[winnowFingerprints]]: documents
+   * sharing at least `minShared` distinct fingerprint VALUES. The same
+   * inverted-index shape as every other pair family (group the prints
+   * by value, emit co-occurring doc pairs, count) with the same
+   * optional `maxDf` hot-key cap — a fingerprint selected by half the
+   * corpus is boilerplate, not evidence.
+   */
+  def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Option[Long] = None): DataFrame = {
+    val prints = winnowFingerprints(docs, n, w)
+      .select(col("doc_id"), col("fp").as("h")).distinct()
+    val idx = maxDf.fold(prints) { k =>
+      val keep = prints.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= k).select("h")
+      prints.join(keep, "h")
+    }
+    intersections(idx).filter(col("inter") >= minShared)
+      .select(col("id_a"), col("id_b"), col("inter").as("n_shared"))
+  }
+
+  /**
    * Cross-source duplicate-leakage matrix — [[dupEdges]] aggregated by
    * the source pair, canonicalized so (a, b) and (b, a) land in one row
    * (`source_a` ≤ `source_b`). The diagonal rows are ordinary intra-

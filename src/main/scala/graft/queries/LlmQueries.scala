@@ -4580,6 +4580,65 @@ object LlmQueries {
          |    // greatest(count(*) * $packBudget, 1) AS BIGINT) AS fill_permille
          |FROM b GROUP BY shard ORDER BY shard""".stripMargin))
 
+  // q159 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+  // selection): rightmost-min of each w=4 window over the ordered
+  // 3-shingle hash stream, (pos, fp) packed into pos·P + fp for an
+  // engine-portable distinct. One scan-stage array expression per doc.
+  val q159 = Q(
+    "q159_winnow_fingerprints",
+    (s, d) => DedupOps.winnowFingerprints(Tables.documents(s, d),
+      n = 3, w = 4).orderBy("doc_id", "pos", "fp"),
+    Some(
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
+         |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
+         |       FROM dw),
+         |hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl FROM h0 WHERE len(hs) >= 1),
+         |sel AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
+         |      CAST(i + wl - list_position(
+         |          list_reverse(list_slice(hs, i + 1, i + wl)),
+         |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
+         |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
+         |  FROM hw)
+         |SELECT doc_id, CAST(enc // $P AS BIGINT) AS pos,
+         |  CAST(enc % $P AS BIGINT) AS fp
+         |FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)
+         |ORDER BY doc_id, pos, fp""".stripMargin))
+
+  // q160 — MOSS-style match pairs: docs sharing ≥ 2 distinct winnow
+  // fingerprint values, via the standard inverted index with the
+  // df ≤ 64 hot-key cap (a print selected corpus-wide is boilerplate).
+  val q160 = Q(
+    "q160_winnow_pairs",
+    (s, d) => DedupOps.winnowPairs(Tables.documents(s, d), n = 3, w = 4,
+      minShared = 2L, maxDf = Some(DedupDfCap))
+      .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
+         |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
+         |       FROM dw),
+         |hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl FROM h0 WHERE len(hs) >= 1),
+         |sel AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
+         |      CAST(i + wl - list_position(
+         |          list_reverse(list_slice(hs, i + 1, i + wl)),
+         |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
+         |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
+         |  FROM hw),
+         |u AS (SELECT DISTINCT doc_id, enc % $P AS h
+         |      FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
+         |keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h)
+         |         WHERE df <= $DedupDfCap),
+         |ui AS (SELECT u.doc_id, u.h FROM u JOIN keep USING (h)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM ui a JOIN ui b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
+         |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4588,5 +4647,5 @@ object LlmQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158)
+    q156, q157, q158, q159, q160)
 }

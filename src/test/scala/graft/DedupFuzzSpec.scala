@@ -587,4 +587,54 @@ class DedupFuzzSpec extends SparkSpec {
       assert(gotKept === wantKept, s"seed $seed")
     }
   }
+
+  test("fuzz: winnow fingerprints match the sequential rightmost-min reference; coverage guarantee holds") {
+    // 11th family: MOSS winnowing. Dense 4-word vocab forces hash ties
+    // inside windows — the regime where a wrong tie rule diverges.
+    val (n, w) = (3, 4)
+    def winnowRef(t: String): Set[(Long, Long)] = {
+      val hs = gramHashes(t, n)
+      if (hs.isEmpty) Set.empty
+      else {
+        val wl = math.min(w, hs.size)
+        (0 to hs.size - wl).map { i =>
+          val sl = hs.slice(i, i + wl)
+          val mn = sl.min
+          ((i + sl.lastIndexOf(mn)).toLong, mn)
+        }.toSet
+      }
+    }
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 30, denseVocab, 20)
+      val want = corpus.map { case (id, t) => id -> winnowRef(t) }
+        .filter(_._2.nonEmpty).toMap
+      val got = graft.llm.DedupOps.winnowFingerprints(
+        corpus.toDF("doc_id", "text"), n, w)
+        .select("doc_id", "pos", "fp").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(r => (r._2, r._3)).toSet
+        }
+      assert(got === want, s"seed $seed")
+      // selection density: winnowing picks a strict subset on long docs
+      assert(want.exists { case (id, s) =>
+        s.size < gramHashes(corpus.find(_._1 == id).get._2, n).size
+      }, s"seed $seed: vacuous (nothing thinned)")
+    }
+    // the winnowing guarantee: a shared run of >= n + w - 1 words forces
+    // at least one shared fingerprint VALUE (here an 8-word quote inside
+    // otherwise-disjoint documents)
+    val quote = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val pair = Seq(
+      (1L, s"p q r $quote s t u v w"),
+      (2L, s"k l m n o $quote y z")).toDF("doc_id", "text")
+    val fps = graft.llm.DedupOps.winnowFingerprints(pair, n, w)
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 8-word run must force a shared fingerprint")
+    // and winnowPairs surfaces exactly that pair
+    val prs = graft.llm.DedupOps.winnowPairs(pair, n, w, minShared = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(prs === Set((1L, 2L)))
+  }
 }
