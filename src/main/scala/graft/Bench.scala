@@ -149,9 +149,12 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + ms(v) }
+    // Name-sorted so the file's key order matches the stdout array's
+    // value order (BenchSentinel.stdoutLine sorts by full name too).
+    val byName = results.sortBy(_._1)
+    val qs = byName.map { case (k, v, _, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + ms(mn) }
+    val qsMin = byName.map { case (k, _, mn, _, _) => "\"" + k + "\":" + ms(mn) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e), _) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
@@ -203,14 +206,15 @@ object Bench {
       s"""{"metric":"baseline","unit":"sec","queries":$baseJson}""")
     // Rounds 3 and 5 lost the stdout artifact to the driver's
     // EXACTLY-2000-char tail capture: 80 full query names at 9 decimals
-    // is a >3 KB line. The printed line abbreviates each query to its
-    // "qNN" prefix (unique by construction in Registry) and renders
-    // values as INTEGER CENTISECONDS (at 141 queries the 2-decimal line
-    // was 1801/2000 chars; centiseconds raise the ceiling to ~190
-    // queries — budget pinned in BenchSentinelSpec). queries_min_cs
-    // carries ONLY the flagged queries (normally {}): exactly the part a
-    // judge needs to adjudicate a contaminated run without a re-run. The
-    // complete full-precision map is always in bench_out.json above.
+    // is a >3 KB line. The printed line renders per-query values as a
+    // name-SORTED array of INTEGER CENTISECONDS with the names elided
+    // (the name-keyed centisecond map measured 1777/2000 chars at 160
+    // queries — one more wave from truncation; the array is ~5
+    // chars/query, ceiling ~300 — budget pinned in BenchSentinelSpec).
+    // Name→value lives in bench_out.json above, whose map is sorted in
+    // the SAME full-name order. queries_min_cs carries ONLY the flagged
+    // queries (normally {}): exactly the part a judge needs to
+    // adjudicate a contaminated run without a re-run.
     def short(k: String): String = k.takeWhile(_ != '_')
     // The headline total stays in SECONDS (2 decimals, trailing zeros
     // trimmed) for cross-round comparability of the driver's artifact.
@@ -224,7 +228,7 @@ object Bench {
     val flaggedSet = flagged.toSet
     println(BenchSentinel.stdoutLine(
       total = msOut(total),
-      queries = results.map { case (k, v, _, _, _) => (short(k), v) },
+      queries = results.map { case (k, v, _, _, _) => (k, v) },
       queriesMin = results.collect { case (k, _, mn, None, _) if flaggedSet(k) => (short(k), mn) },
       errors = results.collect { case (k, _, _, Some(e), _) => (short(k), e) },
       flagged = flagged.map(short),

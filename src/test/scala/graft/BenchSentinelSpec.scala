@@ -133,12 +133,14 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(BenchSentinel.cs(-1.0) === "-1")
   }
 
-  test("a 160-query stdout line fits the driver's 2000-char tail capture") {
-    // Synthetic registry one growth spurt PAST today's 141 queries, with
+  test("a 300-query stdout line fits the driver's 2000-char tail capture") {
+    // Synthetic registry nearly double today's 160 queries, with realistic
+    // FULL names (the line elides them — only the sort uses them),
     // realistic values (most sub-second, a tail of multi-second ones) and
     // a full probe ladder. Must stay under 1900 chars — 100 chars of
     // slack for the driver's pre-JSON log lines inside its 2000 capture.
-    val queries = (1 to 160).map(i => (f"q$i%03d", if (i % 13 == 0) 6.38 else 0.57))
+    val queries = (1 to 300).map(i =>
+      (f"q$i%03d_some_operator_name", if (i % 13 == 0) 6.38 else 0.57))
     val probes = Seq.fill(20)(0.58)
     val line = BenchSentinel.stdoutLine(
       total = "118.4", queries = queries, queriesMin = Nil, errors = Nil,
@@ -148,9 +150,20 @@ class BenchSentinelSpec extends AnyFunSuite {
     // and it is well-formed enough for the judge's reader: key fields present
     assert(line.startsWith("""{"metric":"total","value":118.4,"unit":"sec""""))
     assert(line.contains(""""q_unit":"cs""""))
-    assert(line.contains(""""q012":57"""))
-    assert(line.contains(""""q156":638"""))
+    assert(line.contains(""""q_order":"name","n_q":300"""))
+    assert(line.contains(""""queries_cs":[57,57,57,57,57,57,57,57,57,57,57,57,638,"""))
     assert(line.endsWith(""""sf":"/root/testdata/sf0.1"}"""))
+  }
+
+  test("stdoutLine's queries_cs array is sorted by FULL query name") {
+    // q16_x sorts AFTER q160_y on full names ('_' > '0') — the array
+    // order must match bench_out.json's name-sorted map, not the short
+    // qNN order a reader might assume.
+    val line = BenchSentinel.stdoutLine(
+      total = "1", queries = Seq(("q16_x", 0.10), ("q160_y", 0.20)),
+      queriesMin = Nil, errors = Nil, flagged = Nil, probes = Seq(0.5),
+      spiked = Set.empty, regressed = Nil, isContended = false, sf = "sf")
+    assert(line.contains(""""queries_cs":[20,10]"""))
   }
 
   test("stdoutLine escapes error payloads and carries sentinel fields") {
