@@ -350,6 +350,152 @@ object DedupOps {
       .select(col("id_a"), col("id_b"))
   }
 
+  /**
+   * Edit-distance-VERIFIED near-dup pairs: MinHash-LSH candidate
+   * generation (identical banding to [[minhashLshPairs]]) with the
+   * verification stage swapped from set Jaccard to character-level
+   * Levenshtein over a fixed-length text prefix. Set similarity is
+   * order-blind — two documents built from the same shingle vocabulary
+   * in different order can clear a Jaccard bar while reading as
+   * different text; the edit gate measures the characters in sequence,
+   * which is what "near-verbatim clone" actually means.
+   *
+   * Determinism: `levenshtein` with unit costs is the one classic DP
+   * both engines implement identically (pinned in DedupSpec on
+   * hand-computed distances); the gate is the pure-integer comparison
+   * `dist·1000 div max(len_a, len_b, 1) ≤ maxDistPermille` — no floats
+   * anywhere.
+   *
+   * Scale shape: the DP costs O(prefixLen²) per CANDIDATE pair — a
+   * bounded constant (256² cells at the default) independent of
+   * document length, spent only on LSH-collided pairs; the prefix is a
+   * scan-stage substring projection and full text never enters the
+   * pair join. `prefixLen` is the cost/recall dial: clones that
+   * diverge only past the prefix gate as identical (the LSH stage
+   * already vouched for global set overlap — the two signals cover
+   * each other's blind side).
+   */
+  def editVerifiedPairs(docs: DataFrame, n: Int = 3, perms: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4, prefixLen: Int = 256,
+      maxDistPermille: Long = 200L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    require(prefixLen >= 1, s"prefixLen must be >= 1 (got $prefixLen)")
+    val banded = bandedKeys(docs, n, perms, bands, rowsPerBand, tok)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val pfx = docs.select(col("doc_id"),
+      substring(tok.prep(coalesce(col("text"), lit(""))), 1, prefixLen)
+        .as("pfx"))
+    cand
+      .join(pfx.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(pfx.as("tb"), col("id_b") === col("tb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta.pfx"), col("tb.pfx")).cast("long").as("edit_dist"),
+        greatest(length(col("ta.pfx")), length(col("tb.pfx")), lit(1))
+          .cast("long").as("max_len"))
+      .withColumn("dist_permille", expr("edit_dist * 1000 div max_len"))
+      .filter(col("dist_permille") <= maxDistPermille)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("dist_permille"))
+  }
+
+  /**
+   * Per-document novelty vs the corpus: the share of the document's
+   * DISTINCT n-shingles that occur in NO other document (df == 1 in the
+   * corpus-wide shingle index). The memorization-risk / dedup-pressure
+   * ranking: novelty ≈ 0‰ marks template text whose every shingle
+   * recurs elsewhere (prime dedup-or-downweight candidates — exactly
+   * the content an LM memorizes fastest), novelty ≈ 1000‰ marks text
+   * unique to its document.
+   *
+   * Shape: one inverted-index pass — distinct shingles explode at scan
+   * stage, df is a map-side-combined count on the hash key, one join
+   * back, one per-doc integer aggregate. No pair term anywhere: unlike
+   * any pair-emitting family this is affordable on EVERY document at
+   * corpus scale, which makes it the cheap triage signal that decides
+   * where the expensive pair passes run.
+   */
+  def noveltyScores(docs: DataFrame, n: Int = 3,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val idx = shingleIndex(docs, n, tok)
+    val dfs = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = idx.join(dfs, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_uq"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_uq"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_permille",
+        expr("n_unique * 1000 div greatest(n_shingles, 1)"))
+  }
+
+  /**
+   * Corpus-level source-overlap matrix: exact Jaccard between the
+   * DISTINCT shingle SETS of every source pair. [[dupLeakageMatrix]]
+   * names which DOCUMENTS leak across pipelines; this names which
+   * SOURCES share raw content mass — the triage view that decides
+   * which source pairs are worth a doc-level pass at all — and it
+   * does so with NO pair-emitting join anywhere.
+   *
+   * Shape: sources get dense ids from a tiny broadcast dimension; one
+   * shuffle keyed on the shingle hash folds each shingle's presence
+   * set into a single ≤62-bit mask (an exact integer sum of 2^idx over
+   * pre-distincted (shingle, source) rows); the masks aggregate to a
+   * count table of at most 2^|sources| (in practice a few thousand)
+   * rows — and every pairwise intersection/union/Jaccard is computed
+   * from THAT table alone. The full shingle population is touched
+   * exactly twice (distinct, mask-fold), both map-side-combinable;
+   * adding sources changes only the tiny tail. Requires |sources| ≤ 62
+   * (the mask bound — fails loudly, never wraps).
+   */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      tok: Tokenizer = Tokenizer.Ascii,
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Tiny dimension: dense 0-based ids in lexicographic source order.
+    // The global window runs over |sources| rows — corpus-independent.
+    val dim = docs.select(col(groupCol).as("src")).distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("src"))).cast("long") - 1L)
+      .withColumn("bit",
+        when(col("idx") < 62L, expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))"))
+          .otherwise(raise_error(concat(
+            lit("sourceOverlap: more than 62 distinct sources ("),
+            col("src"), lit(" has idx >= 62) — the 64-bit mask would wrap")))))
+    val bySrc = shingleIndex(docs, n, tok)
+      .join(docs.select(col("doc_id"), col(groupCol).as("src")), "doc_id")
+      .join(broadcast(dim), "src")
+      .select(col("h"), col("idx"), col("bit")).distinct()
+    val mc = bySrc.groupBy("h").agg(sum(col("bit")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val per = dim.join(broadcast(mc),
+        expr("(mask & bit) != 0"), "left")
+      .groupBy(col("src"), col("idx"), col("bit"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_sh"))
+    // |sources|²/2 rows: both sides of the non-equi self-join are the
+    // tiny per-source table — broadcast the build side explicitly so
+    // the nested-loop joins never shuffle. `mc` is bounded by the
+    // number of OCCURRING masks (≤ 2^|sources|, practically far
+    // smaller), so broadcasting it keeps the left-outer probe local.
+    val pairs = per.select(col("src").as("src_a"), col("bit").as("bit_a"),
+        col("n_sh").as("n_a"), col("idx").as("idx_a"))
+      .join(broadcast(per.select(col("src").as("src_b"), col("bit").as("bit_b"),
+        col("n_sh").as("n_b"), col("idx").as("idx_b"))),
+        col("idx_a") < col("idx_b"))
+    pairs.join(broadcast(mc),
+        expr("(mask & bit_a) != 0 AND (mask & bit_b) != 0"), "left")
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_permille",
+        expr("n_inter * 1000 div greatest(n_union, 1)"))
+  }
+
   /** MinHash signatures: (doc_id, sig array<long>) — one pass, no shuffle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, perms: Int = 32,
       tok: Tokenizer = Tokenizer.Ascii): DataFrame =

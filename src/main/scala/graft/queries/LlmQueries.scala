@@ -4639,6 +4639,105 @@ object LlmQueries {
          |SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
          |ORDER BY id_a, id_b""".stripMargin))
 
+  // q161 — edit-distance-verified near-dup pairs: q40's MinHash-LSH
+  // candidate front, verified by character-level Levenshtein over a
+  // 256-char prefix instead of set Jaccard (order-sensitive "reads the
+  // same" vs order-blind "same vocabulary"). Gate is pure-integer
+  // permille; the DP cost is a bounded 256² per candidate pair.
+  val q161 = Q(
+    "q161_edit_verified_pairs",
+    (s, d) => DedupOps.editVerifiedPairs(Tables.documents(s, d),
+      n = 3, perms = 32, bands = 8, rowsPerBand = 4, prefixLen = 256,
+      maxDistPermille = 200L).orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH $shingleCtes,
+         |$minhashCandCtes,
+         |pfx AS (SELECT doc_id, substr(coalesce(text, ''), 1, 256) AS pfx
+         |        FROM documents),
+         |v AS (
+         |  SELECT id_a, id_b,
+         |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+         |    CAST(greatest(len(a.pfx), len(b.pfx), 1) AS BIGINT) AS max_len
+         |  FROM cand JOIN pfx a ON id_a = a.doc_id
+         |            JOIN pfx b ON id_b = b.doc_id)
+         |SELECT id_a, id_b, edit_dist,
+         |  CAST(edit_dist * 1000 // max_len AS BIGINT) AS dist_permille
+         |FROM v WHERE edit_dist * 1000 // max_len <= 200
+         |ORDER BY id_a, id_b""".stripMargin))
+
+  // q162 — per-doc novelty vs the corpus: share of the doc's distinct
+  // 3-shingles with corpus df = 1. The cheap every-document triage
+  // signal (no pair term): ~0‰ = template/memorization risk.
+  val q162 = Q(
+    "q162_novelty_scores",
+    (s, d) => DedupOps.noveltyScores(Tables.documents(s, d), n = 3)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 2), i ->
+         |    ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}))) AS h
+         |  FROM docs),
+         |dfs AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uq
+         |  FROM sh JOIN dfs USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_sh, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(n_uq, 0) AS BIGINT) AS n_unique,
+         |  CAST(coalesce(n_uq, 0) * 1000 // greatest(coalesce(n_sh, 0), 1) AS BIGINT)
+         |    AS novelty_permille
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q163 — source-overlap matrix: exact Jaccard between the DISTINCT
+  // shingle SETS of every source pair, via a 62-bit presence mask per
+  // shingle folded in one hash-keyed pass. No pair-emitting join; the
+  // pairwise arithmetic runs entirely on the tiny mask-count table.
+  val q163 = Q(
+    "q163_source_overlap",
+    (s, d) => DedupOps.sourceOverlap(Tables.documents(s, d), n = 3)
+      .orderBy("src_a", "src_b"),
+    Some(
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(words) - 2), i ->
+         |    ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}))) AS h
+         |  FROM docs),
+         |dim AS (
+         |  SELECT src, CAST(row_number() OVER (ORDER BY src) - 1 AS BIGINT) AS idx
+         |  FROM (SELECT DISTINCT source AS src FROM documents)),
+         |u AS (
+         |  SELECT DISTINCT h, idx
+         |  FROM sh JOIN documents USING (doc_id) JOIN dim ON source = src),
+         |masks AS (
+         |  SELECT h, CAST(sum(CAST(1 AS BIGINT) << CAST(idx AS INT)) AS BIGINT) AS mask
+         |  FROM u GROUP BY h),
+         |mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM masks GROUP BY mask),
+         |per AS (
+         |  SELECT d.src, d.idx,
+         |    CAST(coalesce(sum(mc.cnt), 0) AS BIGINT) AS n_sh
+         |  FROM dim d LEFT JOIN mc
+         |    ON (mc.mask & (CAST(1 AS BIGINT) << CAST(d.idx AS INT))) != 0
+         |  GROUP BY d.src, d.idx),
+         |pr AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         |         a.idx AS ia, b.idx AS ib
+         |  FROM per a JOIN per b ON a.idx < b.idx),
+         |iv AS (
+         |  SELECT src_a, src_b, n_a, n_b,
+         |    CAST(coalesce(sum(mc.cnt), 0) AS BIGINT) AS n_inter
+         |  FROM pr LEFT JOIN mc
+         |    ON (mc.mask & (CAST(1 AS BIGINT) << CAST(ia AS INT))) != 0
+         |   AND (mc.mask & (CAST(1 AS BIGINT) << CAST(ib AS INT))) != 0
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT src_a, src_b, n_a, n_b, n_inter,
+         |  CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+         |  CAST(n_inter * 1000 // greatest(n_a + n_b - n_inter, 1) AS BIGINT)
+         |    AS jaccard_permille
+         |FROM iv ORDER BY src_a, src_b""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4647,5 +4746,5 @@ object LlmQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160)
+    q156, q157, q158, q159, q160, q161, q162, q163)
 }

@@ -63,4 +63,95 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
     assert(m.toSeq === Seq(("books", "web", 2L), ("web", "web", 1L)))
   }
+
+  test("levenshtein anchors: Spark computes the textbook DP distances") {
+    // The cross-engine contract behind editVerifiedPairs: unit-cost
+    // Levenshtein. DuckDB's levenshtein('kitten','sitting') = 3 etc. —
+    // these anchors pin Spark to the same DP.
+    val rows = Seq(("kitten", "sitting"), ("abc", "abc"), ("", "abc"),
+      ("flaw", "lawn")).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(rows === Seq(3, 0, 3, 2))
+  }
+
+  test("editVerifiedPairs: verbatim and lightly-edited clones pass, vocabulary-shuffles fail the gate") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val edited = base.replace("echo", "ечно") // one word swapped
+    // Same word SET (LSH collides: identical distinct shingles would
+    // need same ORDER for 3-shingles — so build the shuffle by
+    // repeating the same words in a different sequence long enough to
+    // share most shingles is unreliable; instead pin the gate directly
+    // on a verbatim pair plus an edited pair.)
+    val docs = Seq(
+      (1L, base), (2L, base),            // verbatim clone: dist 0
+      (3L, edited),                      // light edit of base
+      (4L, "totally different text about completely unrelated topics " +
+        "with many extra words making no shared shingles at all whatsoever " +
+        "zulu yankee xray whiskey victor uniform")
+    ).toDF("doc_id", "text")
+    val pairs = graft.llm.DedupOps.editVerifiedPairs(docs,
+        maxDistPermille = 200L)
+      .select("id_a", "id_b", "edit_dist", "dist_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 === 0L && exact._4 === 0L)
+    val light = pairs.find(p => (p._1, p._2) == (1L, 3L)).get
+    assert(light._3 > 0L && light._4 <= 200L)
+  }
+
+  test("editVerifiedPairs: a passing-Jaccard vocabulary reorder is rejected by the edit gate") {
+    // Two docs over the SAME trigram multiset read in reverse block
+    // order: set-based families can pair them, the character gate
+    // must not (the whole point of edit verification).
+    val blockA = "one two three four five six seven eight nine ten"
+    val blockB = "red blue green yellow purple orange pink brown black white"
+    val docs = Seq(
+      (1L, s"$blockA $blockB"),
+      (2L, s"$blockB $blockA")
+    ).toDF("doc_id", "text")
+    // With prefixLen covering both blocks, the reorder costs ~half the
+    // characters — far over 200‰. The pair may or may not survive LSH
+    // candidacy; if it does, the gate must kill it.
+    val out = graft.llm.DedupOps.editVerifiedPairs(docs,
+      prefixLen = 256, maxDistPermille = 200L).count()
+    assert(out === 0L)
+  }
+
+  test("noveltyScores: clone shingles score 0‰, unique text 1000‰, empty text 0-safe") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // clone: df=2 everywhere
+      (3L, "entirely unique sentence with words appearing nowhere else"),
+      (4L, "")                                             // no shingles
+    ).toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.noveltyScores(docs)
+      .select("doc_id", "n_shingles", "n_unique", "novelty_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._4 === 0L && out(0)._2 === 7L && out(0)._3 === 0L)
+    assert(out(1)._4 === 0L)
+    assert(out(2)._4 === 1000L && out(2)._2 === out(2)._3)
+    assert(out(3) === ((4L, 0L, 0L, 0L)))
+  }
+
+  test("sourceOverlap: mask-fold Jaccard matches hand-computed set overlap") {
+    // srcA: {s1..s7} (7 shingles), srcB: same doc text (7, identical
+    // set), srcC: disjoint text. Expected: (A,B) jaccard 1000‰,
+    // (A,C)=(B,C)=0‰, and every pair row present even at zero overlap.
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "entirely different words appearing in no other source text"
+    val docs = Seq(
+      (1L, t1, "srcA"), (2L, t1, "srcB"), (3L, t2, "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.llm.DedupOps.sourceOverlap(docs)
+      .select("src_a", "src_b", "n_a", "n_b", "n_inter", "n_union",
+        "jaccard_permille")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.length === 3)
+    assert(out(0) === (("srcA", "srcB", 7L, 7L, 7L, 7L, 1000L)))
+    assert(out(1)._5 === 0L && out(1)._7 === 0L) // (srcA, srcC)
+    assert(out(2)._5 === 0L && out(2)._7 === 0L) // (srcB, srcC)
+  }
 }
