@@ -291,6 +291,37 @@ object DedupOps {
   }
 
   /**
+   * Winnowing-based decontamination — the LOCAL-match complement of the
+   * whole-document ([[graft.llm.TextAnalysis]] exact/fuzzy) gates: a
+   * corpus document is contaminated when it shares at least `minShared`
+   * distinct winnow fingerprint VALUES with the benchmark set. Because
+   * winnowing guarantees a fingerprint inside every (n+w−1)-word run
+   * (Schleimer et al. 2003), a benchmark passage EMBEDDED in an
+   * otherwise-novel document still collides — exactly the case the
+   * per-document fingerprint gate provably misses and the n-gram-set
+   * fuzzy gate only catches when the passage dominates the document.
+   *
+   * Shape: the benchmark's distinct prints are a broadcast build side
+   * (benchmark sets are small by definition — that is what makes them
+   * benchmarks); the corpus side is one scan-stage winnow selection +
+   * one broadcast-join + one doc-keyed count. Winnow density ~2/(w+1)
+   * of the shingle stream keeps the probe table w+1× smaller than the
+   * equivalent full-shingle decon probe at the same local-match
+   * guarantee.
+   */
+  def winnowDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    val bp = winnowFingerprints(benchmark, n, w).select(col("fp")).distinct()
+    val dp = winnowFingerprints(docs, n, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val shared = dp.join(broadcast(bp), "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("kept", col("n_shared") < minShared)
+  }
+
+  /**
    * Cross-source duplicate-leakage matrix — [[dupEdges]] aggregated by
    * the source pair, canonicalized so (a, b) and (b, a) land in one row
    * (`source_a` ≤ `source_b`). The diagonal rows are ordinary intra-

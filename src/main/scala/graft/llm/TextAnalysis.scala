@@ -549,6 +549,92 @@ object TextAnalysis {
   }
 
   /**
+   * Exact ROC-AUC of a LOW-is-good score against a boolean reference
+   * label — the single-number companion to [[thresholdSweep]]'s
+   * per-rung table (AUC is threshold-free: it ranks the score's whole
+   * ordering, which is what you compare two candidate quality gates
+   * by BEFORE picking either one's cutoff). Mann-Whitney form: with
+   * positives the label-true docs and "positive ranks first" meaning
+   * LOWER score, `auc_pairs2` is the exact INTEGER doubled pair count
+   * 2·#{(p,n): s_p < s_n} + #{(p,n): s_p = s_n}, and
+   * `auc = auc_pairs2 / (2·n_pos·n_neg)` is one IEEE division.
+   *
+   * Scale shape: one scan aggregates to the DISTINCT-SCORE table,
+   * whose size is bounded by the score's VALUE DOMAIN, not the corpus
+   * (an integer permille-style score has ≤ ~10⁵ distinct values at any
+   * corpus size — same argument as vocabCoverage's count-of-counts);
+   * the prefix window and the final fold run over that bounded table
+   * only. Null score/label `raise_error` (a silent drop would bias the
+   * pair counts). Integer bound: 2·n_pos·n_neg must fit int64 — beyond
+   * ~2·10⁹ docs per class, stratify before calling.
+   */
+  def rankAuc(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scored.select(
+      when(score.isNotNull, score.cast("long"))
+        .otherwise(raise_error(lit("rankAuc: null score"))).as("s"),
+      when(label.isNotNull, label.cast("boolean"))
+        .otherwise(raise_error(lit("rankAuc: null label"))).as("y"))
+    val g = s.groupBy("s").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_pos", coalesce(sum(col("np")).over(w), lit(0L)))
+      .agg(
+        coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("nn") * col("cum_pos") * lit(2L) +
+          col("np") * col("nn")), lit(0L)).as("auc_pairs2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          TextFunctions.fround(col("auc_pairs2").cast("double") /
+            (col("n_pos") * col("n_neg") * lit(2L)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Padding-waste report for length-bucketed batching — the OTHER
+   * batching strategy next to packing ([[packSequencesBy]] /
+   * [[packSpanning]]): inference and finetuning loaders that cannot
+   * concatenate documents instead sort them into length buckets, batch
+   * `batchSize` at a time, and pad every member to its batch max. This
+   * reports exactly what that costs: per length bucket
+   * (`n_words div bucketWidth`), the docs/batches/token mass, the
+   * padded mass, and the waste as a truncating permille — the table
+   * that decides bucketWidth/batchSize (or that padding is unaffordable
+   * and the spanning layout wins).
+   *
+   * Determinism: within a bucket, docs order by (n_words, doc_id) —
+   * the length-sorted order real bucketed batching uses, total and
+   * engine-portable. Shape: one scan projects (doc_id, n_words); the
+   * per-bucket rank is a bucketed [[graft.ops.PrefixRank]] pass (never
+   * a corpus-wide window — a single length bucket can hold most of a
+   * real corpus); then two map-side-combined keyed aggregates.
+   */
+  def paddingWaste(docs: DataFrame, bucketWidth: Long = 64L,
+      batchSize: Long = 16L): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bucketWidth/batchSize must be >= 1 (got $bucketWidth/$batchSize)")
+    val base = docs.select(col("doc_id"),
+      size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "")).cast("long").as("n_words"))
+      .withColumn("bucket", expr(s"n_words div $bucketWidth"))
+    val ranked = graft.ops.PrefixRank.keyedPrefix(base, Seq("bucket"),
+      col("n_words"), TextFunctions.P, col("doc_id"))
+    ranked
+      .withColumn("batch", expr(s"(rnk - 1) div $batchSize"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_len"),
+        max(col("n_words")).as("max_len"))
+      .withColumn("padded", col("n_docs") * col("max_len"))
+      .groupBy("bucket")
+      .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("sum_len")).as("n_tokens"), sum(col("padded")).as("n_padded"))
+      .withColumn("waste_permille",
+        expr("(n_padded - n_tokens) * 1000 div greatest(n_padded, 1)"))
+  }
+
+  /**
    * Pattern redaction — the PII-scrub pass of a training-data pipeline
    * (emails, URLs, phone numbers in production; the pattern is a
    * parameter). Emits the match count per document alongside the

@@ -4738,6 +4738,163 @@ object LlmQueries {
          |    AS jaccard_permille
          |FROM iv ORDER BY src_a, src_b""".stripMargin))
 
+  // q164 — winnowing-based decontamination: a doc is contaminated when
+  // it shares >= 2 distinct winnow print VALUES with the benchmark set
+  // (doc_id % 50 = 0, q58's convention). Catches benchmark passages
+  // EMBEDDED in otherwise-novel docs — the exact-fingerprint gate's
+  // provable miss — at ~2/(w+1) the probe density of full shingles.
+  val q164 = Q(
+    "q164_winnow_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.winnowDecontaminate(docs,
+        docs.filter(col("doc_id") % 50 === 0), n = 3, w = 4,
+        minShared = 2L).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
+         |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
+         |       FROM dw),
+         |hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl FROM h0 WHERE len(hs) >= 1),
+         |sel AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
+         |      CAST(i + wl - list_position(
+         |          list_reverse(list_slice(hs, i + 1, i + wl)),
+         |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
+         |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
+         |  FROM hw),
+         |u AS (SELECT DISTINCT doc_id, enc % $P AS fp
+         |      FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
+         |bp AS (SELECT DISTINCT fp FROM u WHERE doc_id % 50 = 0),
+         |shr AS (SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM u JOIN bp USING (fp) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(n_shared, 0) < 2 AS kept
+         |FROM documents d LEFT JOIN shr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q165 — padding-waste report for length-bucketed batching: docs sort
+  // by (n_words, doc_id) within n_words div 16 buckets, batch 16 at a
+  // time, pad to batch max. The loader-efficiency table that decides
+  // between padded batching and the spanning pack (q134).
+  val q165 = Q(
+    "q165_padding_waste",
+    (s, d) => TextAnalysis.paddingWaste(Tables.documents(s, d),
+      bucketWidth = 16L, batchSize = 16L).orderBy("bucket"),
+    Some(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |      w -> w <> '')) AS BIGINT) AS n_words
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_words, n_words // 16 AS bucket FROM t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+         |        ORDER BY n_words, doc_id) AS rnk FROM b),
+         |pb AS (
+         |  SELECT bucket, (rnk - 1) // 16 AS batch,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_words) AS BIGINT) AS sum_len,
+         |    CAST(max(n_words) AS BIGINT) AS max_len
+         |  FROM r GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT bucket, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(sum_len) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_docs * max_len) AS BIGINT) AS n_padded
+         |  FROM pb GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_batches,
+         |  n_tokens, n_padded,
+         |  CAST((n_padded - n_tokens) * 1000 // greatest(n_padded, 1) AS BIGINT)
+         |    AS waste_permille
+         |FROM agg ORDER BY bucket""".stripMargin))
+
+  // q166 — exact ROC-AUC (Mann-Whitney rank-sum, integer doubled pair
+  // count) of q153's surprisal score against q153's Gopher label: the
+  // threshold-free gate-quality number next to q153's per-rung table.
+  // The window runs over the DISTINCT-SCORE table (value-domain
+  // bounded), never the corpus.
+  val q166 = Q(
+    "q166_rank_auc",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sc = graft.llm.Retrieval.bigramSurprisal(docs,
+        docs.filter(col("doc_id") % 4 === 0))
+        .select(col("doc_id"),
+          expr("surprisal_bits * 10000 div greatest(n_bigrams, 1)").as("s"))
+      val lab = TextAnalysis.gopherRules(docs, minWords = 30L)
+        .select(col("doc_id"), col("keep"))
+      TextAnalysis.rankAuc(sc.join(lab, "doc_id"), col("s"), col("keep"))
+    },
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '),
+         |      w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id),
+         |ds AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sc.bits, 0) * 10000
+         |      // greatest(coalesce(sc.n_bigrams, 0), 1) AS BIGINT) AS s
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM dw),
+         |lab AS (
+         |  SELECT doc_id,
+         |    ((n_words >= 30 AND n_words <= 100000)
+         |      AND (n_words > 0 AND sum_word_len >= 3 * n_words
+         |           AND sum_word_len <= 10 * n_words)
+         |      AND (n_words > 0 AND 10 * n_symbols <= n_words)
+         |      AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+         |      AND (n_required >= 2)) AS y
+         |  FROM m),
+         |g AS (
+         |  SELECT s, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM ds JOIN lab USING (doc_id) GROUP BY s),
+         |c AS (
+         |  SELECT s, np, nn,
+         |    CAST(coalesce(sum(np) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_pos
+         |  FROM g),
+         |a AS (
+         |  SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+         |    CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+         |    CAST(coalesce(sum(nn * cum_pos * 2 + np * nn), 0) AS BIGINT)
+         |      AS auc_pairs2
+         |  FROM c)
+         |SELECT n_pos, n_neg, auc_pairs2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    ${Det.frSql("CAST(auc_pairs2 AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE)", 6)}
+         |  ELSE 0.0 END AS auc
+         |FROM a""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4746,5 +4903,5 @@ object LlmQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160, q161, q162, q163)
+    q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166)
 }

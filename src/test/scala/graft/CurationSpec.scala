@@ -322,4 +322,45 @@ class CurationSpec extends SparkSpec {
     assert(eBase === hBase, "equal bigram mass splits the base evenly")
     assert(hMix > hBase && eMix < eBase)
   }
+
+  test("rankAuc: hand-computed Mann-Whitney with ties; degenerate classes read 0") {
+    // positives (y=true) scores {1,2,2}, negatives {2,3} (low = good):
+    // full wins = (1<2)+(1<3) + 2×(2<3) = 4; ties = 2×(2=2) = 2
+    // → auc_pairs2 = 2·4+2 = 10; auc = 10 / (2·3·2) = 0.833333
+    val scored = Seq((1L, 1L, true), (2L, 2L, true), (3L, 2L, true),
+      (4L, 2L, false), (5L, 3L, false)).toDF("doc_id", "s", "y")
+    val out = TextAnalysis.rankAuc(scored, col("s"), col("y"))
+      .select("n_pos", "n_neg", "auc_pairs2", "auc")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out === ((3L, 2L, 10L, 0.833333)))
+    // all-one-class: AUC undefined -> 0.0, never a division error
+    val onlyPos = Seq((1L, 5L, true)).toDF("doc_id", "s", "y")
+    val deg = TextAnalysis.rankAuc(onlyPos, col("s"), col("y"))
+      .select("auc").as[Double].collect().head
+    assert(deg === 0.0)
+    // null score fails loudly (same contract as thresholdSweep)
+    val withNull = Seq((1L, Some(10L), true),
+      (2L, None: Option[Long], false)).toDF("doc_id", "s", "y")
+    val e = intercept[Exception] {
+      TextAnalysis.rankAuc(withNull, col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("null score") ||
+      e.getCause != null && e.getCause.getMessage.contains("null score"))
+  }
+
+  test("paddingWaste: hand-computed bucket/batch padding on planted lengths") {
+    // bucketWidth 10, batchSize 2; word counts 3,5,5 (bucket 0) and 12
+    // (bucket 1). Bucket 0 sorts to [3,5],[5]: padded 10+5, tokens 13
+    // → waste (15−13)·1000//15 = 133‰. Bucket 1: one exact batch, 0‰.
+    def t(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((1L, t(5)), (2L, t(3)), (3L, t(5)), (4L, t(12)))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.paddingWaste(docs, bucketWidth = 10L,
+        batchSize = 2L)
+      .select("bucket", "n_docs", "n_batches", "n_tokens", "n_padded",
+        "waste_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 3L, 2L, 13L, 15L, 133L)))
+    assert(out(1) === ((1L, 1L, 1L, 12L, 12L, 0L)))
+  }
 }

@@ -135,6 +135,27 @@ class DedupSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 0L, 0L)))
   }
 
+  test("winnowDecontaminate: an EMBEDDED benchmark passage flags; novel text keeps") {
+    // The load-bearing winnowing guarantee: a fingerprint lands inside
+    // every (n+w−1)-word run, so a benchmark passage long enough
+    // (>= 2·(n+w−1) words for minShared=2) collides wherever it is
+    // embedded — even mid-document with novel text around it.
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa"
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, s"wholly new opening words here $passage and a novel tail follows"),
+      (2L, "entirely separate content sharing nothing with the reference " +
+        "set at all in any window of any width whatsoever")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.winnowDecontaminate(docs, bench,
+        n = 3, w = 4, minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._2 >= 2L && !out(0)._3, s"embedded passage must flag: ${out(0)}")
+    assert(out(1)._2 === 0L && out(1)._3)
+  }
+
   test("sourceOverlap: mask-fold Jaccard matches hand-computed set overlap") {
     // srcA: {s1..s7} (7 shingles), srcB: same doc text (7, identical
     // set), srcC: disjoint text. Expected: (A,B) jaccard 1000‰,
