@@ -84,6 +84,44 @@ object Retrieval {
   }
 
   /**
+   * Topic labels for embedding clusters — the "what is actually IN my
+   * corpus" view: every document's embedding is assigned to its
+   * nearest IVF cell (the [[SimilaritySearch]] scan-stage fold over a
+   * broadcast centroid table), and each cell is labeled with its `k`
+   * most DISTINCTIVE terms — cell term mass over corpus document
+   * frequency, as the exact integer `tf_cell · 10⁶ div df` (frequent
+   * inside the cluster, rare outside; a plain tf top-k would label
+   * every cluster with stopwords).
+   *
+   * Scale shape: term counts are the one explode + map-side-combined
+   * aggregate every retrieval op shares; the cell join adds one
+   * doc_id-keyed shuffle of 2-column rows. The ranking window
+   * partitions on CELL — few, large groups — so the `minTf` gate
+   * (cluster terms of interest recur; tf 1–2 is noise by definition)
+   * cuts the per-cell candidate set before any window sees it; raise
+   * it with corpus size (it is the same df-style dial as DedupDfCap).
+   */
+  def clusterTopTerms(docs: DataFrame, embeddings: DataFrame,
+      nCells: Int = 16, k: Int = 5, minTf: Long = 2L): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val cellOf = SimilaritySearch.assignCells(embeddings, cents)
+      .select(col("vec_id").as("doc_id"), col("cell").as("cell_id"))
+    val tc = termCounts(docs)
+    val cellTf = tc.join(cellOf, "doc_id")
+      .groupBy("cell_id", "term").agg(sum(col("tf")).as("tf"))
+    val scoredTerms = cellTf.join(docFrequencies(tc), "term")
+      .filter(col("tf") >= minTf)
+      .withColumn("score", expr("tf * 1000000 div df"))
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("score").desc, col("term"))
+    scoredTerms.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cell_id").cast("long").as("cell_id"), col("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /**
    * BM25 document scores for a fixed bag of query terms:
    * (doc_id, score), one row per document matching at least one term.
    *
@@ -560,6 +598,37 @@ object Retrieval {
       .select(col("doc_id"), col("n_feats"), col("lr_bits"),
         col("lr_scaled"), col("rnk"))
   }
+
+  /**
+   * Effective-sample-size report over [[dsirScores]] importance weights,
+   * per group — the importance-sampling health check a selection run
+   * reads BEFORE trusting its weights: ESS = (Σw)²/Σw² collapses toward
+   * 1 when a handful of documents carry all the weight (the selection
+   * would train on near-duplicated mass) and approaches n when weights
+   * are uniform (the selection is not doing anything). Reported as the
+   * exact truncating permille of n — `(Σw)²·1000 div (Σw²·n)` — with
+   * the squares taken in DECIMAL(38,0) (Σw exceeds int64 squared far
+   * below real corpus sizes; the q101 quota-product discipline).
+   *
+   * Shape: the scoring is [[dsirScores]]'s broadcast-model scan; the
+   * report adds ONE group-keyed map-side-combined aggregate. Zero-
+   * weight groups (all-junk strata) read ess_permille 0 rather than
+   * dividing by zero.
+   */
+  def essReport(pool: DataFrame, target: DataFrame, buckets: Int = 1024,
+      groupCol: String = "lang"): DataFrame =
+    pool.select(col("doc_id"), col(groupCol))
+      .join(dsirScores(pool, target, buckets)
+        .select(col("doc_id"), col("lr_scaled").as("w")), "doc_id")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sum_w"),
+        sum(col("w") * col("w")).as("sum_w2"))
+      .withColumn("ess_permille",
+        when(col("sum_w2") > 0,
+          expr("CAST(CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000" +
+            " div (CAST(sum_w2 AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
+          .otherwise(lit(0L)))
 
   /**
    * Vocabulary coverage curve — the tokenizer-sizing table: for each

@@ -213,6 +213,69 @@ object SimilaritySearch {
       .withColumn("cos", fround(col("cos"), 4))
   }
 
+  /**
+   * IVF assignment-margin report — the multi-probe-necessity diagnostic
+   * the index sizing pass reads next to [[IvfIndex]]'s rebalance check
+   * (that one sees SIZE skew; this one sees BOUNDARY mass): for every
+   * corpus vector, the cosine gap between its best and second-best
+   * centroid in basis points (`floor(Δcos·10⁴ + 0.5)`); a vector with
+   * margin below `marginBp` sits near a Voronoi boundary, where
+   * single-probe search misses true neighbors assigned to the
+   * runner-up cell. Per cell: population, boundary count, and both as
+   * permilles — a cell with high `ambig_permille` is the cell whose
+   * queries need `nprobe` raised (or the centroids re-trained).
+   *
+   * Shape: the top-2 selection is ONE per-row fold over the broadcast
+   * centroid array — the same scan-stage shape as the assignment fold
+   * itself, no shuffle before the tiny cell-keyed aggregate + 1-row
+   * broadcast total. Degenerate zero-norm vectors skip NaN cosines
+   * exactly as [[TextFunctions.nearestCellIdxHof]] does and land in
+   * cell −1 with margin 0: visible in the report, never a crash.
+   */
+  def ivfAssignmentMargins(corpus: DataFrame, cents: DataFrame,
+      marginBp: Long = 500L): DataFrame = {
+    val top2 = aggregate(
+      col("cents"),
+      struct(lit(-2.0).as("b1"), lit(-1L).as("c1"), lit(-2.0).as("b2")),
+      (acc, c) => {
+        val cv = c.getField("cvec")
+        val sc = try_divide(dotProduct(col("embedding"), cv),
+          sqrt(normSq(col("embedding"))) * sqrt(normSq(cv)))
+        val ok = sc.isNotNull && !isnan(sc)
+        when(ok && sc > acc.getField("b1"),
+          struct(sc.as("b1"), c.getField("cell_id").as("c1"),
+            acc.getField("b1").as("b2")))
+          .when(ok && sc > acc.getField("b2"),
+            struct(acc.getField("b1").as("b1"), acc.getField("c1").as("c1"),
+              sc.as("b2")))
+          .otherwise(acc)
+      })
+    val folded = corpus.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("vec_id"), top2.as("t"))
+      .select(col("vec_id"), col("t.c1").as("cell_id"),
+        when(col("t.b1") > lit(-2.0) && col("t.b2") > lit(-2.0),
+          floor((col("t.b1") - col("t.b2")) * lit(10000.0) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)).as("margin_bp"))
+    val per = folded.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("margin_bp") < marginBp, 1L).otherwise(0L))
+          .as("n_ambiguous"))
+    val tot = per.agg(coalesce(sum(col("n_vecs")), lit(0L)).as("total"))
+    cents.select(col("cell_id").cast("long").as("cell_id"))
+      .join(per, Seq("cell_id"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell_id"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_ambiguous"), lit(0L)).as("n_ambiguous"),
+        col("total"))
+      .withColumn("share_permille",
+        expr("n_vecs * 1000 div greatest(total, 1)"))
+      .withColumn("ambig_permille",
+        expr("n_ambiguous * 1000 div greatest(n_vecs, 1)"))
+      .drop("total")
+  }
+
   /** In-order squared-L2 fold over two numeric arrays: each element cast
     * to double BEFORE the subtract, (d·d) accumulated left-to-right —
     * mirrorable exactly in DuckDB list_reduce. */

@@ -4895,6 +4895,120 @@ object LlmQueries {
          |  ELSE 0.0 END AS auc
          |FROM a""".stripMargin))
 
+  // q167 — IVF assignment margins: per cell, how many vectors sit near
+  // a Voronoi boundary (best-vs-second-best centroid cosine gap under
+  // 500 bp). The nprobe-sizing diagnostic next to rebalanceCheck's
+  // size skew; one scan-stage top-2 fold over the broadcast centroids.
+  val q167 = Q(
+    "q167_ivf_margins",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.ivfAssignmentMargins(e,
+        e.filter(col("vec_id") < ivfCells)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cvec")),
+        marginBp = 500L).orderBy("cell_id")
+    },
+    Some(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < $ivfCells),
+         |asg AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         ${cosineSql("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |r AS (SELECT vec_id, cell_id, ccos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY ccos DESC, cell_id) AS rn
+         |      FROM asg),
+         |t AS (
+         |  SELECT a.vec_id, a.cell_id AS cell,
+         |    CAST(floor((a.ccos - b.ccos) * 10000.0 + 0.5) AS BIGINT) AS margin_bp
+         |  FROM (SELECT * FROM r WHERE rn = 1) a
+         |  JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+         |per AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CASE WHEN margin_bp < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ambiguous
+         |  FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(n_vecs), 0) AS BIGINT) AS total FROM per)
+         |SELECT CAST(c.cell_id AS BIGINT) AS cell_id,
+         |  CAST(coalesce(n_vecs, 0) AS BIGINT) AS n_vecs,
+         |  CAST(coalesce(n_ambiguous, 0) AS BIGINT) AS n_ambiguous,
+         |  CAST(coalesce(n_vecs, 0) * 1000 // greatest(total, 1) AS BIGINT)
+         |    AS share_permille,
+         |  CAST(coalesce(n_ambiguous, 0) * 1000
+         |    // greatest(coalesce(n_vecs, 0), 1) AS BIGINT) AS ambig_permille
+         |FROM cents c LEFT JOIN per ON c.cell_id = per.cell CROSS JOIN tot
+         |ORDER BY cell_id""".stripMargin))
+
+  // q168 — cluster topic labels: every doc's embedding assigned to its
+  // nearest IVF cell, each cell labeled with its 5 most DISTINCTIVE
+  // terms (tf_cell·10⁶ div df — frequent inside, rare outside; plain
+  // tf would label every cluster with stopwords).
+  val q168 = Q(
+    "q168_cluster_terms",
+    (s, d) => Retrieval.clusterTopTerms(Tables.documents(s, d),
+      Tables.embeddings(s, d), nCells = ivfCells, k = 5, minTf = 2L)
+      .orderBy("cell_id", "rank"),
+    Some(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < $ivfCells),
+         |asg AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         ${cosineSql("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM asg)
+         |  WHERE rn = 1),
+         |tc AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |          w -> w <> '')) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1),
+         |ct AS (
+         |  SELECT a.cell, t.term, CAST(sum(t.tf) AS BIGINT) AS tf
+         |  FROM tc t JOIN assigned a ON t.doc_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT cell, term, tf, df,
+         |    CAST(tf * 1000000 // df AS BIGINT) AS score
+         |  FROM ct JOIN dfs USING (term) WHERE tf >= 2),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cell
+         |         ORDER BY score DESC, term) AS BIGINT) AS rank
+         |       FROM sc)
+         |SELECT CAST(cell AS BIGINT) AS cell_id, rank, term, tf, df, score
+         |FROM rk WHERE rank <= 5 ORDER BY cell_id, rank""".stripMargin))
+
+  // q169 — effective sample size of the DSIR importance weights per
+  // language: (Σw)²·1000 div (Σw²·n) in DECIMAL(38,0)/HUGEINT — the
+  // importance-sampling health check (ESS→1/n means a few docs carry
+  // all the selection weight).
+  val q169 = Q(
+    "q169_dsir_ess",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.essReport(docs, docs.filter(col("doc_id") % 4 === 0),
+        buckets = 1024, groupCol = "lang").orderBy("lang")
+    },
+    Some(
+      s"""WITH $dsirCtes,
+         |e AS (
+         |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(lr_scaled) AS BIGINT) AS sum_w,
+         |    CAST(sum(lr_scaled * lr_scaled) AS BIGINT) AS sum_w2
+         |  FROM ss JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT lang, n_docs, sum_w, sum_w2,
+         |  CASE WHEN sum_w2 > 0 THEN
+         |    CAST(CAST(sum_w AS HUGEINT) * sum_w * 1000
+         |      // (CAST(sum_w2 AS HUGEINT) * n_docs) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS ess_permille
+         |FROM e ORDER BY lang""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -4903,5 +5017,6 @@ object LlmQueries {
     q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
-    q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166)
+    q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
+    q167, q168, q169)
 }

@@ -433,4 +433,61 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(proj.forall(_._2 == 0.0))
   }
+
+  test("ivfAssignmentMargins: boundary vectors flag, confident ones don't, empty cells show") {
+    // 2-of-4-dim toy geometry: c0 = e1, c1 = e2, c2 = (far pole, gets
+    // no members). v1 hugs c0 (confident), v2 sits on the c0/c1
+    // bisector (cos equal to both -> margin 0 bp -> ambiguous).
+    import spark.implicits._
+    def v(a: Float, b: Float, c: Float): Array[Float] = Array(a, b, c, 0.0f)
+    val cents = Seq(
+      (0L, v(1, 0, 0)), (1L, v(0, 1, 0)), (2L, v(0, 0, 1))
+    ).toDF("cell_id", "cvec")
+    val corpus = Seq(
+      (10L, v(10, 1, 0)),   // near c0, margin large
+      (11L, v(1, 1, 0)),    // exact bisector of c0/c1 -> cell 0 (tie), margin 0
+      (12L, v(0, 5, 1))     // near c1, margin large-ish
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.ivfAssignmentMargins(corpus, cents,
+        marginBp = 500L)
+      .select("cell_id", "n_vecs", "n_ambiguous", "share_permille",
+        "ambig_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(out(0) === ((0L, 2L, 1L, 666L, 500L))) // v10 confident, v11 tie
+    assert(out(1)._2 === 1L && out(1)._3 === 0L)  // v12 confident in c1
+    assert(out(2) === ((2L, 0L, 0L, 0L, 0L)))     // empty cell visible
+  }
+
+  test("clusterTopTerms: distinctive terms beat corpus-wide stopwords") {
+    // two clusters by construction: embeddings 0/1 are the centroids;
+    // docs 0,2 share cell 0 and talk about "quantum", docs 1,3 cell 1
+    // and talk about "recipe"; "the" appears in every doc (df 4) so its
+    // distinctiveness score is 4x lower than the cluster words' (df 2).
+    import spark.implicits._
+    def e(a: Float, b: Float): Array[Float] = Array(a, b, 0.0f, 0.0f)
+    val embs2 = Seq(
+      (0L, e(1, 0)), (1L, e(0, 1)), (2L, e(5, 1)), (3L, e(1, 5))
+    ).toDF("vec_id", "embedding")
+    val docs2 = Seq(
+      (0L, "the quantum quantum field"), (2L, "the quantum lattice quantum"),
+      (1L, "the recipe recipe dough"), (3L, "the recipe oven recipe")
+    ).toDF("doc_id", "text")
+    val top = graft.llm.Retrieval.clusterTopTerms(docs2, embs2, nCells = 2, k = 1,
+        minTf = 2L)
+      .select("cell_id", "rank", "term")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(top.toSeq === Seq((0L, 1L, "quantum"), (1L, 1L, "recipe")))
+  }
+
+  test("essReport: identical docs weigh uniformly -> ESS reads exactly 1000 permille") {
+    import spark.implicits._
+    val uniform = Seq.tabulate(8)(i =>
+      (i.toLong, "alpha beta gamma delta epsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.llm.Retrieval.essReport(uniform, uniform, buckets = 64)
+      .select("lang", "n_docs", "ess_permille")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq === Seq(("en", 8L, 1000L)))
+  }
 }
