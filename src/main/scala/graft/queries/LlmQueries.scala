@@ -5009,6 +5009,141 @@ object LlmQueries {
          |  ELSE CAST(0 AS BIGINT) END AS ess_permille
          |FROM e ORDER BY lang""".stripMargin))
 
+  // q170 — curation v8: Gopher gate → exact dedup → edit-VERIFIED
+  // near-dup clustering (q161's LSH+Levenshtein pair front replacing
+  // the set-Jaccard verify) → winnowing decontamination (q164's
+  // embedded-passage gate replacing the whole-doc fingerprint gate) →
+  // report. The two round-14 verification upgrades composed into the
+  // flagship shape: order-sensitive clone evidence in, local-match
+  // contamination evidence out.
+  val q170 = Q(
+    "q170_curation_v8",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      // the v7 lesson: checkpoint the reused subtree — the pair front
+      // scans `kept` three times (bands, both prefix joins), the keep
+      // join once more; and `nearKept` feeds the winnow probe, the
+      // decon semi-join and the report's three aggregate scans.
+      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
+      val pairs = DedupOps.editVerifiedPairs(kept, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, prefixLen = 256,
+        maxDistPermille = 200L).select(col("id_a"), col("id_b"))
+      val nearKept = DedupOps.dedupedCorpus(kept,
+        DedupOps.duplicateClusters(pairs)).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val flags = DedupOps.winnowDecontaminate(nearKept, bench,
+        n = 3, w = 4, minShared = 2L)
+      val clean = nearKept.join(
+        flags.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextAnalysis.corpusReport(clean, "source").orderBy("source")
+    },
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH RECURSIVE gw AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM gw),
+         |gk AS (SELECT doc_id FROM gm
+         |       WHERE n_words >= 30 AND n_words <= 100000
+         |         AND n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words
+         |         AND 10 * n_symbols <= n_words
+         |         AND 5 * n_alpha >= 4 * n_words
+         |         AND n_required >= 2),
+         |gdocs AS (SELECT d.* FROM documents d JOIN gk USING (doc_id)),
+         |fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("text", p48)} END AS f2
+         |  FROM gdocs),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0
+         |           WHERE f1 IS NOT NULL GROUP BY f1, f2),
+         |kept AS (SELECT g.* FROM gdocs g JOIN keepid USING (doc_id)
+         |         UNION ALL
+         |         SELECT g.* FROM gdocs g WHERE g.text IS NULL),
+         |${shingleCtesWithCap(None, "kept")},
+         |$minhashCandCtes,
+         |pfx AS (SELECT doc_id, substr(coalesce(text, ''), 1, 256) AS pfx
+         |        FROM kept),
+         |vv AS (
+         |  SELECT id_a, id_b,
+         |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS ed,
+         |    CAST(greatest(len(a.pfx), len(b.pfx), 1) AS BIGINT) AS ml
+         |  FROM cand JOIN pfx a ON id_a = a.doc_id
+         |            JOIN pfx b ON id_b = b.doc_id),
+         |prs AS (SELECT id_a, id_b FROM vv WHERE ed * 1000 // ml <= 200),
+         |$ccClosureCtes,
+         |nk AS (SELECT k.* FROM kept k LEFT JOIN labels l ON k.doc_id = l.doc_id
+         |       WHERE l.doc_id IS NULL OR l.rep = k.doc_id),
+         |wsrc AS (SELECT doc_id, text, 0 AS is_b FROM nk
+         |         UNION ALL
+         |         SELECT doc_id, text, 1 AS is_b FROM documents
+         |         WHERE doc_id % 41 = 3),
+         |wdw AS (SELECT doc_id, is_b, string_split(text, ' ') AS words FROM wsrc),
+         |wh0 AS (SELECT doc_id, is_b, list_transform(range(len(words) - 2), i ->
+         |          ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
+         |        FROM wdw),
+         |whw AS (SELECT doc_id, is_b, hs, least(4, len(hs)) AS wl
+         |        FROM wh0 WHERE len(hs) >= 1),
+         |wsel AS (SELECT doc_id, is_b,
+         |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
+         |      CAST(i + wl - list_position(
+         |          list_reverse(list_slice(hs, i + 1, i + wl)),
+         |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
+         |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
+         |  FROM whw),
+         |wu AS (SELECT DISTINCT doc_id, is_b, enc % $P AS fp
+         |       FROM (SELECT doc_id, is_b, unnest(encs) AS enc FROM wsel)),
+         |wbp AS (SELECT DISTINCT fp FROM wu WHERE is_b = 1),
+         |wshr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM (SELECT doc_id, fp FROM wu WHERE is_b = 0) c
+         |         JOIN wbp USING (fp) GROUP BY 1),
+         |clean AS (SELECT nk.* FROM nk LEFT JOIN wshr USING (doc_id)
+         |          WHERE coalesce(n_shared, 0) < 2),
+         |rw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM clean),
+         |rc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, source, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT source, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT source, lang FROM rq) GROUP BY 1)
+         |SELECT rp.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (source) JOIN rl USING (source)
+         |ORDER BY rp.source""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5018,5 +5153,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169)
+    q167, q168, q169, q170)
 }

@@ -111,9 +111,16 @@ class DedupSpec extends SparkSpec {
       (1L, s"$blockA $blockB"),
       (2L, s"$blockB $blockA")
     ).toDF("doc_id", "text")
-    // With prefixLen covering both blocks, the reorder costs ~half the
-    // characters — far over 200‰. The pair may or may not survive LSH
-    // candidacy; if it does, the gate must kill it.
+    // The differential that justifies the operator: the SET-based
+    // verify (exact Jaccard over shingles — only the 2 seam shingles
+    // differ) happily merges the reorder...
+    val setPairs = graft.llm.DedupOps.ngramJaccardPairs(docs,
+      threshold = 0.5).count()
+    assert(setPairs === 1L, "set-Jaccard should pair the block reorder")
+    // ...while the character gate must not: with prefixLen covering
+    // both blocks, the reorder costs ~half the characters, far over
+    // 200‰. (The pair may or may not survive LSH candidacy; if it
+    // does, the gate kills it.)
     val out = graft.llm.DedupOps.editVerifiedPairs(docs,
       prefixLen = 256, maxDistPermille = 200L).count()
     assert(out === 0L)

@@ -386,6 +386,22 @@ class PlanSpec extends SparkSpec {
       "quota/total frames lost their broadcast")
   }
 
+  test("q170: v8 pipeline — no cross product; winnow probe broadcasts the benchmark prints") {
+    // the final v8 plan reads its two localCheckpoint cuts, so pin the
+    // decon stage's shape on the stage itself, pre-checkpoint
+    assert(!planOf("q170_curation_v8").contains("CartesianProduct"),
+      "v8 pipeline planned a cross product")
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val flags = graft.llm.DedupOps.winnowDecontaminate(docs,
+      docs.filter(col("doc_id") % 41 === 3))
+    flags.count()
+    val p = flags.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark print set lost its broadcast (probe would shuffle the corpus prints)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q135/q132: unicode gates stay scan-stage hash anti-join / hash agg") {
     val p135 = planOf("q135_unicode_decontaminate")
     assert(p135.contains("LeftAnti"), "unicode decon lost the anti-join gate")
