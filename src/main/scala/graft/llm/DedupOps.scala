@@ -291,6 +291,44 @@ object DedupOps {
   }
 
   /**
+   * MOSS-style match-SPAN extraction over [[winnowPairs]]: for every
+   * matched pair, each shared fingerprint VALUE with its selected
+   * positions in both documents — the evidence table a human (or a
+   * span-rewrite pass) reads after the pair report says two documents
+   * match: `pos` is the 0-based shingle index, so each row names an
+   * n-word run at `pos_a` in one document and `pos_b` in the other that
+   * hashed identically. A fingerprint selected at several positions in
+   * both sides emits the full position cross-product for that value —
+   * every co-location, exactly MOSS's match display.
+   *
+   * Scale shape: the same df-capped inverted index as the pair stage
+   * (the cap applies to distinct print VALUES per doc, so a hot
+   * boilerplate key the pair stage dropped can't re-inflate here), one
+   * value-keyed self-join at winnow density ~2/(w+1), then a semi-join
+   * against the qualified pair list so sub-`minShared` coincidences
+   * never reach the output.
+   */
+  def winnowMatchSpans(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Option[Long] = None): DataFrame = {
+    val prints = winnowFingerprints(docs, n, w)
+    val capped = maxDf.fold(prints) { k =>
+      val keep = prints.select(col("doc_id"), col("fp")).distinct()
+        .groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= k).select("fp")
+      prints.join(keep, "fp")
+    }
+    val pairs = winnowPairs(docs, n, w, minShared, maxDf)
+      .select(col("id_a"), col("id_b"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("fp"), col("a.pos").as("pos_a"),
+        col("b.pos").as("pos_b"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /**
    * Winnowing-based decontamination — the LOCAL-match complement of the
    * whole-document ([[graft.llm.TextAnalysis]] exact/fuzzy) gates: a
    * corpus document is contaminated when it shares at least `minShared`
@@ -319,6 +357,36 @@ object DedupOps {
     docs.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("kept", col("n_shared") < minShared)
+  }
+
+  /**
+   * Contamination ATTRIBUTION — [[winnowDecontaminate]] names WHICH
+   * corpus documents are contaminated; this names BY WHAT: every
+   * (corpus doc, benchmark doc) pair sharing at least `minShared`
+   * distinct winnow fingerprint values, with the shared-print count.
+   * The report an eval owner reads when a gate fires — "train doc X
+   * leaks eval doc Y" is actionable (drop X, or retire Y from the
+   * suite); a bare contaminated-flag is not. Note the semantics differ
+   * from the gate's deliberately: the gate counts distinct values
+   * shared with the benchmark's UNION print set, so a document can
+   * trip the gate on prints scattered across several benchmark docs
+   * while no single attribution row reaches `minShared` — run both,
+   * gate first.
+   *
+   * Scale shape: benchmark prints broadcast (small by definition, now
+   * keyed by bench doc); corpus side one scan-stage winnow selection +
+   * one broadcast join + one (doc, bench)-keyed count — the corpus
+   * never self-joins and never shuffles its text.
+   */
+  def winnowContaminationSources(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    val bp = winnowFingerprints(benchmark, n, w)
+      .select(col("doc_id").as("bench_id"), col("fp")).distinct()
+    val dp = winnowFingerprints(docs, n, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    dp.join(broadcast(bp), "fp")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /**
@@ -432,6 +500,48 @@ object DedupOps {
       .withColumn("dist_permille", expr("edit_dist * 1000 div max_len"))
       .filter(col("dist_permille") <= maxDistPermille)
       .select(col("id_a"), col("id_b"), col("edit_dist"), col("dist_permille"))
+  }
+
+  /**
+   * LSH candidate-front quality report: exact precision AND recall of
+   * the banded MinHash candidate stage against the exact n-gram-Jaccard
+   * pair ground truth, as one row of integer counts + truncating
+   * permilles. The banding calculator says a (bands × rowsPerBand)
+   * configuration catches a given Jaccard level with some probability —
+   * this measures it on the REAL corpus, where shingle-set sizes and
+   * duplicate structure decide the actual operating point. Run it at a
+   * sampled scale before committing a band configuration to a 100 TB
+   * pass: recall names the near-dups the front will silently miss,
+   * precision names the wasted verify work per emitted candidate.
+   *
+   * Shape: the candidate front is the standard banded self-join; the
+   * ground truth is the uncapped inverted-index pair pass (this is an
+   * AUDIT query — the expensive exact front IS the referee, exactly as
+   * q145 replays brute-force ANN against IVF); the comparison is one
+   * pair-keyed semi-join and three 1-row aggregates, broadcast-composed.
+   */
+  def pairFrontQuality(docs: DataFrame, n: Int = 3, perms: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
+    val banded = bandedKeys(docs, n, perms, bands, rowsPerBand, tok)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val truth = ngramJaccardPairs(docs, n, threshold, None, tok)
+      .select(col("id_a"), col("id_b"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nCand.crossJoin(broadcast(nTruth)).crossJoin(broadcast(nHit))
+      .withColumn("precision_permille",
+        expr("n_hit * 1000 div greatest(n_cand, 1)"))
+      .withColumn("recall_permille",
+        expr("n_hit * 1000 div greatest(n_truth, 1)"))
   }
 
   /**

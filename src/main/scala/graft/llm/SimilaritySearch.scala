@@ -276,6 +276,53 @@ object SimilaritySearch {
       .drop("total")
   }
 
+  /**
+   * Embedding-space distribution shift between two corpora across the
+   * IVF cell partition: per cell, each side's population and share
+   * (truncating permille of its own total), the absolute share gap, and
+   * the total variation distance `Σ|share_a − share_b| div 2` stamped on
+   * every row. The domain-shift report a data-selection pass reads
+   * BEFORE trusting importance weights (DSIR q147 reweights toward a
+   * target — this says how far, and in WHICH semantic regions, the raw
+   * pool already sits from it); near-zero TVD says selection can only
+   * reshuffle noise, a huge single-cell gap says the target concentrates
+   * where the pool is thin and ESS (q169) will crater.
+   *
+   * Shape: both sides assign cells with the scan-stage codegen argmax
+   * over the broadcast centroid array (embeddings never shuffle), then
+   * two cell-keyed map-side-combined counts, a broadcast totals row, and
+   * the TVD fold over the |cells|-row table. Degenerate zero-norm
+   * vectors assign to cell −1 (the assignment fold's NaN-skip contract)
+   * and drop from the per-cell rows, so both totals count only
+   * assignable vectors.
+   */
+  def cellDistributionShift(corpus: DataFrame, target: DataFrame,
+      cents: DataFrame): DataFrame = {
+    def cellCounts(df: DataFrame, as: String): DataFrame =
+      assignCells(df, cents).groupBy(col("cell").as("cell_id"))
+        .agg(count(lit(1)).as(as))
+    val per = cents.select(col("cell_id").cast("long").as("cell_id"))
+      .join(cellCounts(corpus, "n_corpus"), Seq("cell_id"), "left")
+      .join(cellCounts(target, "n_target"), Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"))
+    val tot = per.agg(
+      coalesce(sum(col("n_corpus")), lit(0L)).as("t_c"),
+      coalesce(sum(col("n_target")), lit(0L)).as("t_t"))
+    val shares = per.crossJoin(broadcast(tot))
+      .withColumn("share_corpus_permille",
+        expr("n_corpus * 1000 div greatest(t_c, 1)"))
+      .withColumn("share_target_permille",
+        expr("n_target * 1000 div greatest(t_t, 1)"))
+      .withColumn("shift_permille",
+        abs(col("share_corpus_permille") - col("share_target_permille")))
+      .drop("t_c", "t_t")
+    val tvd = shares.agg(
+      expr("coalesce(sum(shift_permille), 0) div 2").as("tvd_permille"))
+    shares.crossJoin(broadcast(tvd))
+  }
+
   /** In-order squared-L2 fold over two numeric arrays: each element cast
     * to double BEFORE the subtract, (d·d) accumulated left-to-right —
     * mirrorable exactly in DuckDB list_reduce. */

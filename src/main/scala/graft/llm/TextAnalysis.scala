@@ -683,6 +683,68 @@ object TextAnalysis {
   }
 
   /**
+   * Pipeline stage funnel: one row per named stage frame with its
+   * document count and whitespace-token mass, in pipeline order. The
+   * composed-pipeline complement of [[filterFunnel]] (which attributes
+   * survivors to RULES inside one gate): this attributes corpus mass to
+   * STAGES of a multi-operator pipeline — where did the tokens go, and
+   * which stage would repay tuning first. Stage frames are expected to
+   * be the pipeline's own intermediates (already `localCheckpoint`ed in
+   * the flagship compositions), so each count is one cheap aggregate
+   * over an in-memory frame, not a re-derivation.
+   */
+  def stageFunnel(stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "stageFunnel needs at least one stage")
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Distinct-n diversity per group: for each n in 1..maxN, the group's
+   * total n-gram instances, distinct n-gram count, and their truncating
+   * permille ratio — the standard distinct-1/distinct-2 diversity metric
+   * (Li et al. 2016, "A Diversity-Promoting Objective Function for
+   * Neural Conversation Models") lifted from generation eval to corpus
+   * triage: a source whose distinct-2 permille collapses is template /
+   * machine-generated mass that will dominate gradient updates long
+   * before any pair-emitting dedup family can afford to look at it.
+   * [[repetitionSignals]] is the same idea per DOCUMENT; this is the
+   * per-SOURCE rollup that decides which sources are worth the pair
+   * pass at all.
+   *
+   * Shape: per n, one scan exploding the native shingle-hash stream
+   * (grams travel as longs, never strings) into a (group, hash)-keyed
+   * map-side-combined count, then a group-keyed rollup — distinct counts
+   * come from the first aggregate's row count, so no count-distinct
+   * Expand anywhere. maxN scans total, each shuffle bounded by the
+   * distinct-gram population.
+   */
+  def ngramDiversity(docs: DataFrame, maxN: Int = 3,
+      groupCol: String = "source"): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
+    val perN = (1 to maxN).map { n =>
+      docs.select(col(groupCol),
+          explode(shingleHashList(col("text"), n)).as("h"))
+        .groupBy(col(groupCol), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+        .withColumn("n", lit(n.toLong))
+    }
+    perN.reduce(_ unionByName _)
+      .withColumn("distinct_permille",
+        expr("n_distinct * 1000 div greatest(n_grams, 1)"))
+      .select(col(groupCol), col("n"), col("n_grams"), col("n_distinct"),
+        col("distinct_permille"))
+  }
+
+  /**
    * Benchmark decontamination: drop corpus documents whose NORMALIZED
    * fingerprint appears in the benchmark/eval set — the leakage guard
    * every training pipeline runs before a data release. Normalization

@@ -4580,6 +4580,34 @@ object LlmQueries {
          |    // greatest(count(*) * $packBudget, 1) AS BIGINT) AS fill_permille
          |FROM b GROUP BY shard ORDER BY shard""".stripMargin))
 
+  /** The q160 winnow pair chain (selection -> distinct prints -> df-cap
+    * -> inverted-index pairs) shared verbatim by the pair report (q160),
+    * the match-span extraction (q175) and the contamination attribution
+    * (q176), so the three can never drift. Yields CTEs dw/h0/hw/sel/u/
+    * keep/ui/pr. */
+  private lazy val winnowPairCtes: String =
+    s"""dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
+         |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
+         |       FROM dw),
+         |hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl FROM h0 WHERE len(hs) >= 1),
+         |sel AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
+         |      CAST(i + wl - list_position(
+         |          list_reverse(list_slice(hs, i + 1, i + wl)),
+         |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
+         |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
+         |  FROM hw),
+         |u AS (SELECT DISTINCT doc_id, enc % $P AS h
+         |      FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
+         |keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h)
+         |         WHERE df <= $DedupDfCap),
+         |ui AS (SELECT u.doc_id, u.h FROM u JOIN keep USING (h)),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM ui a JOIN ui b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)""".stripMargin
+
   // q159 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
   // selection): rightmost-min of each w=4 window over the ordered
   // 3-shingle hash stream, (pos, fp) packed into pos·P + fp for an
@@ -4615,27 +4643,7 @@ object LlmQueries {
       minShared = 2L, maxDf = Some(DedupDfCap))
       .orderBy("id_a", "id_b"),
     Some(
-      s"""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
-         |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
-         |       FROM dw),
-         |hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl FROM h0 WHERE len(hs) >= 1),
-         |sel AS (SELECT doc_id,
-         |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
-         |      CAST(i + wl - list_position(
-         |          list_reverse(list_slice(hs, i + 1, i + wl)),
-         |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
-         |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
-         |  FROM hw),
-         |u AS (SELECT DISTINCT doc_id, enc % $P AS h
-         |      FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
-         |keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h)
-         |         WHERE df <= $DedupDfCap),
-         |ui AS (SELECT u.doc_id, u.h FROM u JOIN keep USING (h)),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         CAST(count(*) AS BIGINT) AS n_shared
-         |       FROM ui a JOIN ui b ON a.h = b.h AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2)
+      s"""WITH $winnowPairCtes
          |SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
          |ORDER BY id_a, id_b""".stripMargin))
 
@@ -5009,42 +5017,15 @@ object LlmQueries {
          |  ELSE CAST(0 AS BIGINT) END AS ess_permille
          |FROM e ORDER BY lang""".stripMargin))
 
-  // q170 — curation v8: Gopher gate → exact dedup → edit-VERIFIED
-  // near-dup clustering (q161's LSH+Levenshtein pair front replacing
-  // the set-Jaccard verify) → winnowing decontamination (q164's
-  // embedded-passage gate replacing the whole-doc fingerprint gate) →
-  // report. The two round-14 verification upgrades composed into the
-  // flagship shape: order-sensitive clone evidence in, local-match
-  // contamination evidence out.
-  val q170 = Q(
-    "q170_curation_v8",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
-        maxWords = 100000L,
-        requiredWords = Seq("the", "a", "and", "of", "to"),
-        minRequiredHits = 2)
-      // the v7 lesson: checkpoint the reused subtree — the pair front
-      // scans `kept` three times (bands, both prefix joins), the keep
-      // join once more; and `nearKept` feeds the winnow probe, the
-      // decon semi-join and the report's three aggregate scans.
-      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
-      val pairs = DedupOps.editVerifiedPairs(kept, n = 3, perms = 32,
-        bands = 8, rowsPerBand = 4, prefixLen = 256,
-        maxDistPermille = 200L).select(col("id_a"), col("id_b"))
-      val nearKept = DedupOps.dedupedCorpus(kept,
-        DedupOps.duplicateClusters(pairs)).localCheckpoint(true)
-      val bench = docs.filter(col("doc_id") % 41 === 3)
-      val flags = DedupOps.winnowDecontaminate(nearKept, bench,
-        n = 3, w = 4, minShared = 2L)
-      val clean = nearKept.join(
-        flags.filter(col("kept")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      TextAnalysis.corpusReport(clean, "source").orderBy("source")
-    },
-    Some {
-      val p48 = graft.functions.LlmExprs.P48.toString
-      s"""WITH RECURSIVE gw AS (
+  /** The curation-v8 stage chain (q170) through the decontaminated
+    * survivors — Gopher gate (gdocs), exact dedup (kept), edit-verified
+    * near-dup (nk), winnow decon (clean) — shared verbatim by the v8
+    * report oracle and the q174 stage funnel, so the two can never
+    * drift. RECURSIVE (the CC closure) — callers open with
+    * `WITH RECURSIVE $curationV8StageCtes`. */
+  private lazy val curationV8StageCtes: String = {
+    val p48 = graft.functions.LlmExprs.P48.toString
+    s"""gw AS (
          |  SELECT doc_id, coalesce(text, '') AS t,
          |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
          |  FROM documents),
@@ -5115,7 +5096,44 @@ object LlmQueries {
          |         FROM (SELECT doc_id, fp FROM wu WHERE is_b = 0) c
          |         JOIN wbp USING (fp) GROUP BY 1),
          |clean AS (SELECT nk.* FROM nk LEFT JOIN wshr USING (doc_id)
-         |          WHERE coalesce(n_shared, 0) < 2),
+         |          WHERE coalesce(n_shared, 0) < 2)""".stripMargin
+  }
+
+  // q170 — curation v8: Gopher gate → exact dedup → edit-VERIFIED
+  // near-dup clustering (q161's LSH+Levenshtein pair front replacing
+  // the set-Jaccard verify) → winnowing decontamination (q164's
+  // embedded-passage gate replacing the whole-doc fingerprint gate) →
+  // report. The two round-14 verification upgrades composed into the
+  // flagship shape: order-sensitive clone evidence in, local-match
+  // contamination evidence out.
+  val q170 = Q(
+    "q170_curation_v8",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      // the v7 lesson: checkpoint the reused subtree — the pair front
+      // scans `kept` three times (bands, both prefix joins), the keep
+      // join once more; and `nearKept` feeds the winnow probe, the
+      // decon semi-join and the report's three aggregate scans.
+      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
+      val pairs = DedupOps.editVerifiedPairs(kept, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, prefixLen = 256,
+        maxDistPermille = 200L).select(col("id_a"), col("id_b"))
+      val nearKept = DedupOps.dedupedCorpus(kept,
+        DedupOps.duplicateClusters(pairs)).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val flags = DedupOps.winnowDecontaminate(nearKept, bench,
+        n = 3, w = 4, minShared = 2L)
+      val clean = nearKept.join(
+        flags.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextAnalysis.corpusReport(clean, "source").orderBy("source")
+    },
+    Some {
+      s"""WITH RECURSIVE $curationV8StageCtes,
          |rw AS (SELECT doc_id, source, lang, text,
          |         string_split(text, ' ') AS ws FROM clean),
          |rc AS (SELECT doc_id, source, lang, text,
@@ -5144,6 +5162,212 @@ object LlmQueries {
          |ORDER BY rp.source""".stripMargin
     })
 
+  // q171 — LSH candidate-front quality: exact precision AND recall of
+  // the banded MinHash candidate stage against the uncapped exact-Jaccard
+  // pair ground truth (q39), one row of integer counts + truncating
+  // permilles. The q145 pattern (audit the approximate front with the
+  // exact referee) applied to the dedup side: run at a sampled scale
+  // before committing a band configuration to the full corpus.
+  val q171 = Q(
+    "q171_lsh_front_quality",
+    (s, d) => DedupOps.pairFrontQuality(Tables.documents(s, d), n = 3,
+      perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5),
+    Some(
+      s"""WITH $shingleCtes,
+         |$minhashCandCtes,
+         |truth AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT n_cand, n_truth, n_hit,
+         |  CAST(n_hit * 1000 // greatest(n_cand, 1) AS BIGINT) AS precision_permille,
+         |  CAST(n_hit * 1000 // greatest(n_truth, 1) AS BIGINT) AS recall_permille
+         |FROM nc CROSS JOIN nt CROSS JOIN nh""".stripMargin))
+
+  // q172 — embedding-domain shift across the IVF cell partition: corpus
+  // vs target per-cell populations and shares (truncating permille of
+  // each side's own total), absolute per-cell gap, and the total
+  // variation distance stamped on every row. The distribution-shift
+  // report read next to DSIR selection (q147) and its ESS health check
+  // (q169): it says how far, and in which semantic regions, the raw
+  // pool sits from the target before any reweighting is trusted.
+  val q172 = Q(
+    "q172_cell_shift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilaritySearch.cellDistributionShift(e,
+        e.filter(col("vec_id") % 5 === 0),
+        e.filter(col("vec_id") < ivfCells)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cvec")))
+        .orderBy("cell_id")
+    },
+    Some(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < $ivfCells),
+         |asg AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |         ${cosineSql("e.embedding", "c.cvec")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS rn FROM asg)
+         |  WHERE rn = 1),
+         |ca AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_corpus
+         |       FROM assigned GROUP BY 1),
+         |ta AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_target
+         |       FROM assigned WHERE vec_id % 5 = 0 GROUP BY 1),
+         |per AS (
+         |  SELECT CAST(c.cell_id AS BIGINT) AS cell_id,
+         |    CAST(coalesce(n_corpus, 0) AS BIGINT) AS n_corpus,
+         |    CAST(coalesce(n_target, 0) AS BIGINT) AS n_target
+         |  FROM cents c LEFT JOIN ca ON c.cell_id = ca.cell
+         |               LEFT JOIN ta ON c.cell_id = ta.cell),
+         |tot AS (SELECT CAST(coalesce(sum(n_corpus), 0) AS BIGINT) AS t_c,
+         |               CAST(coalesce(sum(n_target), 0) AS BIGINT) AS t_t
+         |        FROM per),
+         |sh AS (
+         |  SELECT cell_id, n_corpus, n_target,
+         |    CAST(n_corpus * 1000 // greatest(t_c, 1) AS BIGINT) AS share_corpus_permille,
+         |    CAST(n_target * 1000 // greatest(t_t, 1) AS BIGINT) AS share_target_permille,
+         |    CAST(abs(n_corpus * 1000 // greatest(t_c, 1)
+         |           - n_target * 1000 // greatest(t_t, 1)) AS BIGINT) AS shift_permille
+         |  FROM per CROSS JOIN tot),
+         |tv AS (SELECT CAST(coalesce(sum(shift_permille), 0) // 2 AS BIGINT)
+         |         AS tvd_permille FROM sh)
+         |SELECT cell_id, n_corpus, n_target, share_corpus_permille,
+         |  share_target_permille, shift_permille, tvd_permille
+         |FROM sh CROSS JOIN tv ORDER BY cell_id""".stripMargin))
+
+  // q173 — distinct-n diversity per source (n = 1..3): the distinct-1/
+  // distinct-2 generation-diversity metric (Li et al. 2016) as corpus
+  // triage — a source whose distinct-2 permille collapses is template
+  // mass worth gating before any pair-emitting dedup looks at it.
+  val q173 = Q(
+    "q173_ngram_diversity",
+    (s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d), maxN = 3)
+      .orderBy("source", "n"),
+    Some {
+      val per = (1 to 3).map { n =>
+        val gram = (1 to n).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+        s"""g$n AS (SELECT source, unnest(list_transform(range(len(words) - ${n - 1}), i ->
+           |  ${polyHashSql(gram)})) AS h FROM dw),
+           |d$n AS (SELECT source, CAST($n AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS n_grams,
+           |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+           |  FROM g$n GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dw AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+         |$per,
+         |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+         |      UNION ALL SELECT * FROM d3)
+         |SELECT source, n, n_grams, n_distinct,
+         |  CAST(n_distinct * 1000 // greatest(n_grams, 1) AS BIGINT) AS distinct_permille
+         |FROM u ORDER BY source, n""".stripMargin
+    })
+
+  // q174 — curation v8 STAGE funnel: doc + whitespace-token mass at
+  // every stage of the q170 flagship (raw → Gopher gate → exact dedup →
+  // edit-verified near-dup → winnow decon). q139's funnel idea lifted
+  // from rules-inside-one-gate to stages-of-the-composed-pipeline; the
+  // oracle replays the SAME shared stage CTE chain as q170's report, so
+  // the funnel can never drift from the pipeline it describes.
+  val q174 = Q(
+    "q174_curation_funnel",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
+      val pairs = DedupOps.editVerifiedPairs(kept, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, prefixLen = 256,
+        maxDistPermille = 200L).select(col("id_a"), col("id_b"))
+      val nearKept = DedupOps.dedupedCorpus(kept,
+        DedupOps.duplicateClusters(pairs)).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val flags = DedupOps.winnowDecontaminate(nearKept, bench,
+        n = 3, w = 4, minShared = 2L)
+      val clean = nearKept.join(
+        flags.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextAnalysis.stageFunnel(Seq(
+        "raw" -> docs, "gopher_gate" -> gated, "exact_dedup" -> kept,
+        "near_dedup" -> nearKept, "decontaminate" -> clean))
+        .orderBy("stage_idx")
+    },
+    Some {
+      def stage(i: Int, name: String, from: String) =
+        s"""SELECT CAST($i AS BIGINT) AS stage_idx, '$name' AS stage,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(len(string_split(coalesce(text, ''), ' '))), 0) AS BIGINT) AS n_tokens
+           |FROM $from""".stripMargin
+      s"""WITH RECURSIVE $curationV8StageCtes
+         |${stage(0, "raw", "documents")}
+         |UNION ALL
+         |${stage(1, "gopher_gate", "gdocs")}
+         |UNION ALL
+         |${stage(2, "exact_dedup", "kept")}
+         |UNION ALL
+         |${stage(3, "near_dedup", "nk")}
+         |UNION ALL
+         |${stage(4, "decontaminate", "clean")}
+         |ORDER BY stage_idx""".stripMargin
+    })
+
+  // q175 — MOSS match-SPAN extraction: every shared winnow print VALUE
+  // of every qualified (≥ 2 shared prints, df ≤ 64) pair, with its
+  // selected positions in both docs — the per-run evidence behind
+  // q160's pair verdicts; each row names an n-word run that hashed
+  // identically at pos_a in one doc and pos_b in the other.
+  val q175 = Q(
+    "q175_winnow_spans",
+    (s, d) => DedupOps.winnowMatchSpans(Tables.documents(s, d), n = 3,
+      w = 4, minShared = 2L, maxDf = Some(DedupDfCap))
+      .orderBy("id_a", "id_b", "fp", "pos_a", "pos_b"),
+    Some(
+      s"""WITH $winnowPairCtes,
+         |up AS (SELECT doc_id, CAST(enc // $P AS BIGINT) AS pos,
+         |         CAST(enc % $P AS BIGINT) AS fp
+         |       FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
+         |upc AS (SELECT up.doc_id, up.pos, up.fp
+         |        FROM up JOIN keep ON up.fp = keep.h),
+         |qp AS (SELECT id_a, id_b FROM pr WHERE n_shared >= 2),
+         |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+         |         a.pos AS pos_a, b.pos AS pos_b
+         |       FROM upc a JOIN upc b
+         |         ON a.fp = b.fp AND a.doc_id < b.doc_id)
+         |SELECT sp.id_a, sp.id_b, sp.fp, sp.pos_a, sp.pos_b
+         |FROM sp JOIN qp ON sp.id_a = qp.id_a AND sp.id_b = qp.id_b
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin))
+
+  // q176 — contamination ATTRIBUTION: which benchmark doc (doc_id % 50
+  // = 0, q58's convention) leaked into which corpus doc, with the
+  // shared winnow-print count — the actionable report behind q164's
+  // contaminated-flag (drop the train doc, or retire the eval item).
+  val q176 = Q(
+    "q176_contamination_sources",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.winnowContaminationSources(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3, w = 4,
+        minShared = 2L).orderBy("doc_id", "bench_id")
+    },
+    Some(
+      s"""WITH $winnowPairCtes,
+         |att AS (SELECT c.doc_id, b.doc_id AS bench_id,
+         |          CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM (SELECT doc_id, h FROM u WHERE doc_id % 50 <> 0) c
+         |        JOIN (SELECT doc_id, h FROM u WHERE doc_id % 50 = 0) b
+         |          USING (h)
+         |        GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, n_shared FROM att WHERE n_shared >= 2
+         |ORDER BY doc_id, bench_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5153,5 +5377,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
 }

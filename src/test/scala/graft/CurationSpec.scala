@@ -363,4 +363,19 @@ class CurationSpec extends SparkSpec {
     assert(out(0) === ((0L, 3L, 2L, 13L, 15L, 133L)))
     assert(out(1) === ((1L, 1L, 1L, 12L, 12L, 0L)))
   }
+
+  test("stageFunnel: per-stage doc and token mass in pipeline order") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val cut = raw.filter(col("doc_id") === 1L)
+    val out = graft.llm.TextAnalysis.stageFunnel(
+        Seq("raw" -> raw, "cut" -> cut))
+      .select("stage_idx", "stage", "n_docs", "n_tokens")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // null text counts as 1 whitespace token ('' splits to [""]) on
+    // both engines -- the oracle mirrors coalesce(text, '')
+    assert(out.toSeq === Seq((0L, "raw", 3L, 6L), (1L, "cut", 1L, 3L)))
+  }
 }

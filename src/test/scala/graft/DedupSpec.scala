@@ -182,4 +182,81 @@ class DedupSpec extends SparkSpec {
     assert(out(1)._5 === 0L && out(1)._7 === 0L) // (srcA, srcC)
     assert(out(2)._5 === 0L && out(2)._7 === 0L) // (srcB, srcC)
   }
+
+  test("pairFrontQuality: clone pairs hit both fronts, disjoint docs pair nowhere") {
+    // two verbatim clone pairs (candidates AND truth), two singletons
+    // with disjoint vocabulary (no shared shingle -> neither front),
+    // one null-text doc (null band keys match nothing, no shingles).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "red orange yellow green blue violet"),
+      (6L, "cat dog bird fish mouse horse cow"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.pairFrontQuality(docs)
+      .select("n_cand", "n_truth", "n_hit", "precision_permille",
+        "recall_permille")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((2L, 2L, 2L, 1000L, 1000L)))
+  }
+
+  test("pairFrontQuality: pairless corpus reads all-zero, permilles guarded") {
+    val docs = Seq(
+      (1L, "red orange yellow green blue violet"),
+      (2L, "cat dog bird fish mouse horse cow")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.pairFrontQuality(docs)
+      .select("n_cand", "n_truth", "n_hit", "precision_permille",
+        "recall_permille")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("winnowMatchSpans: differential vs fingerprints x qualified pairs") {
+    val quote = "the five boxing wizards jump quickly over the lazy brown dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon zeta eta theta"),
+      (2L, s"one two $quote three four five six seven eight nine ten"),
+      (3L, "completely unrelated filler words about cooking pasta sauce recipes")
+    ).toDF("doc_id", "text")
+    val spans = graft.llm.DedupOps.winnowMatchSpans(docs, n = 3, w = 4,
+        minShared = 2L)
+      .select("id_a", "id_b", "fp", "pos_a", "pos_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // expectation from the public pieces: qualified pairs x every
+    // co-located print value's position cross-product
+    val fps = graft.llm.DedupOps.winnowFingerprints(docs, n = 3, w = 4)
+      .select("doc_id", "pos", "fp").as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1)
+    val qualified = graft.llm.DedupOps.winnowPairs(docs, n = 3, w = 4,
+        minShared = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (a, b) <- qualified.toSeq
+      (_, pa, f) <- byDoc.getOrElse(a, Array.empty[(Long, Long, Long)]).toSeq
+      (_, pb, fb) <- byDoc.getOrElse(b, Array.empty[(Long, Long, Long)]).toSeq
+      if f == fb
+    } yield (a, b, f, pa, pb)).toSet
+    assert(qualified === Set((1L, 2L)))       // the planted quote pairs
+    assert(spans.nonEmpty && spans === expected)
+    assert(spans.forall(r => r._1 === 1L && r._2 === 2L)) // doc 3 nowhere
+  }
+
+  test("winnowContaminationSources: names the leaking benchmark doc, 1-print grazes filtered") {
+    val passage = "the quick brown fox jumps over the lazy sleeping dog again"
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words before $passage and some trailing words here"),
+      (2L, "totally different content about databases and query planners today")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.winnowContaminationSources(
+        corpus, bench, n = 3, w = 4, minShared = 2L)
+      .select("doc_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 1)
+    assert(out(0)._1 === 1L && out(0)._2 === 100L && out(0)._3 >= 2L)
+  }
 }

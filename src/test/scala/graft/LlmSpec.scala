@@ -490,4 +490,42 @@ class LlmSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(out.toSeq === Seq(("en", 8L, 1000L)))
   }
+
+  test("cellDistributionShift: hand-computed shares, per-cell gaps and TVD") {
+    import spark.implicits._
+    def e(a: Float, b: Float): Array[Float] = Array(a, b, 0.0f, 0.0f)
+    val cents = Seq((0L, e(1, 0)), (1L, e(0, 1))).toDF("cell_id", "cvec")
+    // corpus: 3 vectors hug c0, 1 hugs c1 -> shares 750/250;
+    // target: both hug c1 -> shares 0/1000; shift 750/750, TVD 750.
+    val corpus = Seq(
+      (10L, e(9, 1)), (11L, e(8, 1)), (12L, e(7, 1)), (13L, e(1, 9))
+    ).toDF("vec_id", "embedding")
+    val target = Seq((20L, e(1, 8)), (21L, e(1, 7)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.SimilaritySearch.cellDistributionShift(
+        corpus, target, cents)
+      .select("cell_id", "n_corpus", "n_target", "share_corpus_permille",
+        "share_target_permille", "shift_permille", "tvd_permille")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0) === ((0L, 3L, 0L, 750L, 0L, 750L, 750L)))
+    assert(out(1) === ((1L, 1L, 2L, 250L, 1000L, 750L, 750L)))
+  }
+
+  test("ngramDiversity: exact per-source counts, short docs emit no row at high n") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a", "X"), (2L, "a b c", "X"), (3L, "x y", "Y")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.llm.TextAnalysis.ngramDiversity(docs, maxN = 3)
+      .select("source", "n", "n_grams", "n_distinct", "distinct_permille")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("X", 1L, 6L, 3L, 500L),   // a x4, b, c
+      ("X", 2L, 4L, 3L, 750L),   // "a a" x2, "a b", "b c"
+      ("X", 3L, 2L, 2L, 1000L),
+      ("Y", 1L, 2L, 2L, 1000L),
+      ("Y", 2L, 1L, 1L, 1000L))) // no (Y, 3) row: doc shorter than n
+  }
 }
