@@ -237,7 +237,10 @@ object DedupOps {
    *
    * A document with fewer than `w` shingles is one degenerate window
    * (its global rightmost min); zero shingles → no rows. Output:
-   * (doc_id, pos, fp) with `pos` the 0-based shingle index.
+   * (doc_id, pos, fp) with `pos` the 0-based shingle index. `tok`
+   * selects the tokenizer surface exactly as in the whole-doc shingle
+   * family ([[Tokenizer]]) — default Ascii preserves every existing
+   * hash; Unicode is the multilingual on-ramp (q177).
    *
    * Implementation: the whole selection is ONE scan-stage array
    * expression — the per-window rightmost-argmin is
@@ -247,11 +250,11 @@ object DedupOps {
    * explode. No shuffle, no join, no window function.
    */
   def winnowFingerprints(docs: DataFrame, n: Int = 3,
-      w: Int = 4): DataFrame = {
+      w: Int = 4, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(w >= 1, s"winnow window must be >= 1 (got $w)")
     val P = graft.llm.TextFunctions.P
     val d = docs.select(col("doc_id"),
-        TextFunctions.shingleHashList(col("text"), n).as("hs"))
+        TextFunctions.shingleHashList(tok.prep(col("text")), n).as("hs"))
       .filter(size(col("hs")) >= 1)
       .withColumn("wl", least(lit(w), size(col("hs"))))
     val sel = transform(
@@ -278,8 +281,9 @@ object DedupOps {
    * corpus is boilerplate, not evidence.
    */
   def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
-      minShared: Long = 2L, maxDf: Option[Long] = None): DataFrame = {
-    val prints = winnowFingerprints(docs, n, w)
+      minShared: Long = 2L, maxDf: Option[Long] = None,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val prints = winnowFingerprints(docs, n, w, tok)
       .select(col("doc_id"), col("fp").as("h")).distinct()
     val idx = maxDf.fold(prints) { k =>
       val keep = prints.groupBy("h").agg(count(lit(1)).as("df"))
@@ -309,15 +313,16 @@ object DedupOps {
    * never reach the output.
    */
   def winnowMatchSpans(docs: DataFrame, n: Int = 3, w: Int = 4,
-      minShared: Long = 2L, maxDf: Option[Long] = None): DataFrame = {
-    val prints = winnowFingerprints(docs, n, w)
+      minShared: Long = 2L, maxDf: Option[Long] = None,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val prints = winnowFingerprints(docs, n, w, tok)
     val capped = maxDf.fold(prints) { k =>
       val keep = prints.select(col("doc_id"), col("fp")).distinct()
         .groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= k).select("fp")
       prints.join(keep, "fp")
     }
-    val pairs = winnowPairs(docs, n, w, minShared, maxDf)
+    val pairs = winnowPairs(docs, n, w, minShared, maxDf, tok)
       .select(col("id_a"), col("id_b"))
     capped.as("a")
       .join(capped.as("b"),
@@ -348,9 +353,11 @@ object DedupOps {
    * guarantee.
    */
   def winnowDecontaminate(docs: DataFrame, benchmark: DataFrame,
-      n: Int = 3, w: Int = 4, minShared: Long = 2L): DataFrame = {
-    val bp = winnowFingerprints(benchmark, n, w).select(col("fp")).distinct()
-    val dp = winnowFingerprints(docs, n, w)
+      n: Int = 3, w: Int = 4, minShared: Long = 2L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val bp = winnowFingerprints(benchmark, n, w, tok)
+      .select(col("fp")).distinct()
+    val dp = winnowFingerprints(docs, n, w, tok)
       .select(col("doc_id"), col("fp")).distinct()
     val shared = dp.join(broadcast(bp), "fp")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -379,10 +386,11 @@ object DedupOps {
    * never self-joins and never shuffles its text.
    */
   def winnowContaminationSources(docs: DataFrame, benchmark: DataFrame,
-      n: Int = 3, w: Int = 4, minShared: Long = 2L): DataFrame = {
-    val bp = winnowFingerprints(benchmark, n, w)
+      n: Int = 3, w: Int = 4, minShared: Long = 2L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val bp = winnowFingerprints(benchmark, n, w, tok)
       .select(col("doc_id").as("bench_id"), col("fp")).distinct()
-    val dp = winnowFingerprints(docs, n, w)
+    val dp = winnowFingerprints(docs, n, w, tok)
       .select(col("doc_id"), col("fp")).distinct()
     dp.join(broadcast(bp), "fp")
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))

@@ -4585,8 +4585,8 @@ object LlmQueries {
     * the match-span extraction (q175) and the contamination attribution
     * (q176), so the three can never drift. Yields CTEs dw/h0/hw/sel/u/
     * keep/ui/pr. */
-  private lazy val winnowPairCtes: String =
-    s"""dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  private def winnowCtesFrom(src: String): String =
+    s"""dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
          |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
          |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
          |       FROM dw),
@@ -4607,6 +4607,8 @@ object LlmQueries {
          |         CAST(count(*) AS BIGINT) AS n_shared
          |       FROM ui a JOIN ui b ON a.h = b.h AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)""".stripMargin
+
+  private lazy val winnowPairCtes: String = winnowCtesFrom("documents")
 
   // q159 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
   // selection): rightmost-min of each w=4 window over the ordered
@@ -5368,6 +5370,38 @@ object LlmQueries {
          |SELECT doc_id, bench_id, n_shared FROM att WHERE n_shared >= 2
          |ORDER BY doc_id, bench_id""".stripMargin))
 
+  // q177 — MULTILINGUAL winnowing decontamination: q164 under
+  // Tokenizer.Unicode (normalize → winnow → probe), closing the same
+  // ASCII gap for the LOCAL-match gate that q142/q146 closed for the
+  // whole-doc near-dup families — an embedded CJK/Cyrillic benchmark
+  // passage winnows to the EMPTY print set under the ASCII tokenizer
+  // and sails through. Oracle = q164's chain behind the q142
+  // normalization front (RE2 ≡ Java regex on these classes).
+  val q177 = Q(
+    "q177_multilingual_winnow_decon",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.winnowDecontaminate(docs,
+        docs.filter(col("doc_id") % 50 === 0), n = 3, w = 4,
+        minShared = 2L, tok = DedupOps.Tokenizer.Unicode)
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ndocs AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |${winnowCtesFrom("ndocs")},
+         |bp AS (SELECT DISTINCT h FROM u WHERE doc_id % 50 = 0),
+         |shr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM u JOIN bp USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(n_shared, 0) < 2 AS kept
+         |FROM documents d LEFT JOIN shr USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5377,5 +5411,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
 }

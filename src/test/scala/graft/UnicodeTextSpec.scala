@@ -198,4 +198,31 @@ class UnicodeTextSpec extends SparkSpec {
       .orderBy("doc_id").select("text_norm").as[String].collect()
     assert(got === Array("", "ok"))
   }
+
+  test("winnow decon: embedded non-ASCII benchmark passage flags under Unicode, never under ASCII") {
+    import graft.llm.DedupOps
+    val passage = "привет мир это тестовый документ про оленей и снег сегодня"
+    val corpus = Seq(
+      (1L, s"intro words $passage closing words here"),
+      (2L, "plain unrelated english filler document content")
+    ).toDF("doc_id", "text")
+    // same word sequence, but every word case-flipped and punctuated:
+    // the ASCII surface shares ZERO shingles with the embedded copy
+    val bench = Seq(
+      (100L, "Привет, Мир! Это. Тестовый? Документ, Про! Оленей. И? Снег, Сегодня!")
+    ).toDF("doc_id", "text")
+    val uni = DedupOps.winnowDecontaminate(corpus, bench, n = 3, w = 4,
+        minShared = 2L, tok = DedupOps.Tokenizer.Unicode)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(uni === Map(1L -> false, 2L -> true))
+    val ascii = DedupOps.winnowDecontaminate(corpus, bench, n = 3, w = 4,
+        minShared = 2L)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(ascii === Map(1L -> true, 2L -> true))
+    // attribution names the leaking bench doc under the Unicode tokenizer
+    val att = DedupOps.winnowContaminationSources(corpus, bench, n = 3,
+        w = 4, minShared = 2L, tok = DedupOps.Tokenizer.Unicode)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(att === Set((1L, 100L)))
+  }
 }
