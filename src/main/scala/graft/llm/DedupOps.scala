@@ -553,6 +553,42 @@ object DedupOps {
   }
 
   /**
+   * Pair-front scorecard: every candidate detector scored against ONE
+   * reference pair set — per front, its pair count, the reference's,
+   * their intersection, and precision/recall as truncating permilles.
+   * [[pairFrontQuality]] audits one front against one referee; this
+   * lines up the whole detector family (Jaccard, containment, MinHash,
+   * winnowing, ...) against a common ground truth (typically the
+   * edit-verified "reads the same" set) so the corpus owner picks a
+   * detector from measured operating points instead of folklore.
+   *
+   * Shape: per front one pair-keyed semi-join against the reference +
+   * three 1-row aggregates, broadcast-composed; the fronts themselves
+   * are whatever the caller built (each already df-capped/banded by its
+   * own contract). Pass an already-checkpointed reference when scoring
+   * many fronts — it is probed once per front.
+   */
+  def pairSetScorecard(fronts: Seq[(String, DataFrame)],
+      reference: DataFrame): DataFrame = {
+    require(fronts.nonEmpty, "pairSetScorecard needs at least one front")
+    val ref = reference.select(col("id_a"), col("id_b"))
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    fronts.zipWithIndex.map { case ((name, df), i) =>
+      val p = df.select(col("id_a"), col("id_b"))
+      val n = p.agg(count(lit(1)).as("n_pairs"))
+      val h = p.join(ref, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      n.crossJoin(broadcast(h)).crossJoin(broadcast(nRef))
+        .select(lit(i.toLong).as("front_idx"), lit(name).as("front"),
+          col("n_pairs"), col("n_ref"), col("n_common"))
+    }.reduce(_ unionByName _)
+      .withColumn("precision_permille",
+        expr("n_common * 1000 div greatest(n_pairs, 1)"))
+      .withColumn("recall_permille",
+        expr("n_common * 1000 div greatest(n_ref, 1)"))
+  }
+
+  /**
    * Per-document novelty vs the corpus: the share of the document's
    * DISTINCT n-shingles that occur in NO other document (df == 1 in the
    * corpus-wide shingle index). The memorization-risk / dedup-pressure

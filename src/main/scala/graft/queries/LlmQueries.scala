@@ -5402,6 +5402,75 @@ object LlmQueries {
          |FROM documents d LEFT JOIN shr USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q178 — detector scorecard: the four classical near-dup pair fronts
+  // (exact Jaccard ≥ 0.5, containment ≥ 0.8, verified MinHash-LSH ≥ 0.5,
+  // winnowing ≥ 2 shared prints df ≤ 64) each scored against the
+  // edit-verified "reads the same" reference (q161) — pair counts,
+  // intersections, precision/recall permilles in one table. The
+  // measured operating points a corpus owner picks a detector from;
+  // q171 audits ONE front, this lines up the family.
+  val q178 = Q(
+    "q178_detector_scorecard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref = DedupOps.editVerifiedPairs(docs, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, prefixLen = 256,
+        maxDistPermille = 200L)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      DedupOps.pairSetScorecard(Seq(
+        "jaccard" -> DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5),
+        "containment" -> DedupOps.containmentPairs(docs, n = 3, threshold = 0.8),
+        "minhash" -> DedupOps.minhashLshPairs(docs, n = 3, perms = 32,
+          bands = 8, rowsPerBand = 4, threshold = 0.5),
+        "winnow" -> DedupOps.winnowPairs(docs, n = 3, w = 4,
+          minShared = 2L, maxDf = Some(DedupDfCap))), ref)
+        .orderBy("front_idx")
+    },
+    Some {
+      def row(i: Int, nm: String, cte: String) =
+        s"""SELECT CAST($i AS BIGINT) AS front_idx, '$nm' AS front,
+           |  CAST((SELECT count(*) FROM $cte) AS BIGINT) AS n_pairs,
+           |  CAST((SELECT count(*) FROM eref) AS BIGINT) AS n_ref,
+           |  CAST((SELECT count(*) FROM $cte p JOIN eref r
+           |        ON p.id_a = r.id_a AND p.id_b = r.id_b) AS BIGINT) AS n_common""".stripMargin
+      s"""WITH $shingleCtes,
+         |$minhashCandCtes,
+         |$winnowPairCtes,
+         |epfx AS (SELECT doc_id, substr(coalesce(text, ''), 1, 256) AS pfx
+         |         FROM documents),
+         |evv AS (
+         |  SELECT id_a, id_b,
+         |    CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS ed,
+         |    CAST(greatest(len(a.pfx), len(b.pfx), 1) AS BIGINT) AS ml
+         |  FROM cand JOIN epfx a ON id_a = a.doc_id
+         |            JOIN epfx b ON id_b = b.doc_id),
+         |eref AS (SELECT id_a, id_b FROM evv WHERE ed * 1000 // ml <= 200),
+         |fj AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5),
+         |fc AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b,
+         |    ${Det.frSql(
+               "CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)} AS c
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b) WHERE c >= 0.8),
+         |fm AS (SELECT c.id_a, c.id_b FROM cand c
+         |       JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |       WHERE j.jaccard >= 0.5),
+         |fw AS (SELECT id_a, id_b FROM pr WHERE n_shared >= 2),
+         |rows_ AS (
+         |${row(0, "jaccard", "fj")}
+         |UNION ALL
+         |${row(1, "containment", "fc")}
+         |UNION ALL
+         |${row(2, "minhash", "fm")}
+         |UNION ALL
+         |${row(3, "winnow", "fw")})
+         |SELECT front_idx, front, n_pairs, n_ref, n_common,
+         |  CAST(n_common * 1000 // greatest(n_pairs, 1) AS BIGINT) AS precision_permille,
+         |  CAST(n_common * 1000 // greatest(n_ref, 1) AS BIGINT) AS recall_permille
+         |FROM rows_ ORDER BY front_idx""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5411,5 +5480,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
 }

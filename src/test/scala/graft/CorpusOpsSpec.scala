@@ -705,10 +705,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 177 uniquely-named queries, 173 oracle-checked, qNN prefixes unique") {
+  test("registry: 178 uniquely-named queries, 174 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 177)
-    assert(all.count(_.oracle.isDefined) === 173)
+    assert(all.size === 178)
+    assert(all.count(_.oracle.isDefined) === 174)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -259,4 +259,20 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out(0)._1 === 1L && out(0)._2 === 100L && out(0)._3 >= 2L)
   }
+
+  test("pairSetScorecard: exact counts and permilles against a reference set") {
+    import spark.implicits._
+    val ref = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val fA = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")          // subset
+    val fB = Seq((1L, 2L), (7L, 8L), (9L, 10L), (11L, 12L))
+      .toDF("id_a", "id_b")                                         // 1 of 4 right
+    val out = graft.llm.DedupOps.pairSetScorecard(
+        Seq("a" -> fA, "b" -> fB), ref)
+      .select("front_idx", "front", "n_pairs", "n_ref", "n_common",
+        "precision_permille", "recall_permille")
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0) === ((0L, "a", 2L, 3L, 2L, 1000L, 666L)))
+    assert(out(1) === ((1L, "b", 4L, 3L, 1L, 250L, 333L)))
+  }
 }
