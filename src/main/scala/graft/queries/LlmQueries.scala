@@ -4585,27 +4585,31 @@ object LlmQueries {
     * the match-span extraction (q175) and the contamination attribution
     * (q176), so the three can never drift. Yields CTEs dw/h0/hw/sel/u/
     * keep/ui/pr. */
-  private def winnowCtesFrom(src: String): String =
-    s"""dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
-         |h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
+  private def winnowCtesFrom(src: String, pfx: String = ""): String =
+    s"""${pfx}dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
+         |${pfx}h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
          |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
-         |       FROM dw),
-         |hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl FROM h0 WHERE len(hs) >= 1),
-         |sel AS (SELECT doc_id,
+         |       FROM ${pfx}dw),
+         |${pfx}hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl
+         |        FROM ${pfx}h0 WHERE len(hs) >= 1),
+         |${pfx}sel AS (SELECT doc_id,
          |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
          |      CAST(i + wl - list_position(
          |          list_reverse(list_slice(hs, i + 1, i + wl)),
          |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
          |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
-         |  FROM hw),
-         |u AS (SELECT DISTINCT doc_id, enc % $P AS h
-         |      FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
-         |keep AS (SELECT h FROM (SELECT h, count(*) AS df FROM u GROUP BY h)
+         |  FROM ${pfx}hw),
+         |${pfx}u AS (SELECT DISTINCT doc_id, enc % $P AS h
+         |      FROM (SELECT doc_id, unnest(encs) AS enc FROM ${pfx}sel)),
+         |${pfx}keep AS (SELECT h
+         |         FROM (SELECT h, count(*) AS df FROM ${pfx}u GROUP BY h)
          |         WHERE df <= $DedupDfCap),
-         |ui AS (SELECT u.doc_id, u.h FROM u JOIN keep USING (h)),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |${pfx}ui AS (SELECT x.doc_id, x.h
+         |       FROM ${pfx}u x JOIN ${pfx}keep USING (h)),
+         |${pfx}pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         CAST(count(*) AS BIGINT) AS n_shared
-         |       FROM ui a JOIN ui b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       FROM ${pfx}ui a JOIN ${pfx}ui b
+         |         ON a.h = b.h AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)""".stripMargin
 
   private lazy val winnowPairCtes: String = winnowCtesFrom("documents")
@@ -5471,6 +5475,100 @@ object LlmQueries {
          |FROM rows_ ORDER BY front_idx""".stripMargin
     })
 
+  // q179 — curation v9, the MULTILINGUAL flagship: the whole cleaning
+  // chain on the Unicode tokenizer surface — normalized-exact dedup →
+  // MinHash near-dup over normalized shingles (q146's production stack)
+  // → winnowing decontamination under Tokenizer.Unicode (q177's gate)
+  // → per-LANGUAGE report card. v8 cleans an English corpus; v9 is the
+  // same architecture a multilingual corpus actually needs, where every
+  // ASCII-surface stage silently under-detects. Oracle = q146's chain +
+  // the prefixed winnow chains + q170's report CTEs keyed by lang.
+  val q179 = Q(
+    "q179_curation_v9",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = DedupOps.exactThenNearDedup(docs, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, threshold = 0.5,
+        tok = DedupOps.Tokenizer.Unicode).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val flags = DedupOps.winnowDecontaminate(kept, bench, n = 3, w = 4,
+        minShared = 2L, tok = DedupOps.Tokenizer.Unicode)
+      val clean = kept.join(
+        flags.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextAnalysis.corpusReport(clean, "lang").orderBy("lang")
+    },
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH RECURSIVE norm0 AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS ntext
+         |  FROM documents),
+         |fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(ntext) = 0 THEN 0
+         |         ELSE ${polyHashSql("ntext")} END AS f1,
+         |    CASE WHEN length(ntext) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("ntext", p48)} END AS f2
+         |  FROM norm0 WHERE text IS NOT NULL),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0 GROUP BY f1, f2),
+         |kept0 AS (SELECT n.doc_id, n.ntext AS text
+         |          FROM norm0 n JOIN keepid USING (doc_id)
+         |          UNION ALL
+         |          SELECT doc_id, CAST(NULL AS VARCHAR)
+         |          FROM documents WHERE text IS NULL),
+         |${shingleCtesWithCap(None, "kept0")},
+         |$minhashCandCtes,
+         |prs AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN jacc j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5),
+         |$ccClosureCtes,
+         |mk AS (SELECT d.doc_id FROM kept0 d
+         |       LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |       WHERE l.doc_id IS NULL OR l.rep = d.doc_id),
+         |cdocs AS (SELECT n.doc_id, n.ntext AS text
+         |          FROM norm0 n JOIN mk USING (doc_id)),
+         |bdocs AS (SELECT doc_id, ntext AS text FROM norm0
+         |          WHERE doc_id % 41 = 3),
+         |${winnowCtesFrom("cdocs", "c")},
+         |${winnowCtesFrom("bdocs", "b")},
+         |wbp AS (SELECT DISTINCT h FROM bu),
+         |wshr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM cu JOIN wbp USING (h) GROUP BY 1),
+         |cids AS (SELECT mk.doc_id FROM mk LEFT JOIN wshr USING (doc_id)
+         |         WHERE coalesce(n_shared, 0) < 2),
+         |clean AS (SELECT d.* FROM documents d JOIN cids USING (doc_id)),
+         |rw AS (SELECT doc_id, lang, text,
+         |         string_split(text, ' ') AS ws FROM clean),
+         |rc AS (SELECT doc_id, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT lang, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT lang, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT lang AS lang, lang AS l2 FROM rq)
+         |       GROUP BY 1)
+         |SELECT rp.lang, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (lang) JOIN rl USING (lang)
+         |ORDER BY rp.lang""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5480,5 +5578,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }

@@ -409,4 +409,19 @@ class PlanSpec extends SparkSpec {
       "benchmark side must broadcast, not sort-merge")
     assert(!planOf("q132_unicode_dedup").contains("CartesianProduct"))
   }
+
+  test("q179: v9 multilingual pipeline — no cross product; unicode winnow probe broadcasts") {
+    assert(!planOf("q179_curation_v9").contains("CartesianProduct"),
+      "v9 pipeline planned a cross product")
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val flags = graft.llm.DedupOps.winnowDecontaminate(docs,
+      docs.filter(col("doc_id") % 41 === 3),
+      tok = graft.llm.DedupOps.Tokenizer.Unicode)
+    flags.count()
+    val p = flags.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "unicode benchmark print set lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
