@@ -223,4 +223,40 @@ object Bpe {
     * strip is a codegen'd `translate`. */
   def decode(encoded: Column): Column =
     array_join(transform(encoded, p => translate(p, Sep, "")), " ")
+
+  /**
+   * Merge (vocabulary) utilization on a corpus: per learned merge, how
+   * many tokens of the encoded stream ARE that merge's output symbol,
+   * plus its share of the whole stream in truncating permille. A merge
+   * whose `n_uses` reads 0 is a dead vocabulary entry on this corpus —
+   * its pair was always absorbed by a later, larger merge — which is
+   * the tokenizer-sizing signal next to coverage (how much mass the top
+   * slots carry) and fertility (tokens per word): coverage and
+   * fertility say whether the vocabulary is big enough; this says
+   * whether the slots already spent are EARNING anything.
+   *
+   * Scale shape: the count runs over the word-TYPE histogram, never the
+   * corpus stream — each distinct word encodes once and contributes its
+   * corpus count to every token it splits into (the [[tokenCount]]
+   * pattern), so the one corpus-sized aggregate is the histogram build;
+   * the vocabulary side is `merges.size` rows broadcast onto the tiny
+   * token-count table.
+   */
+  def mergeUtilization(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = merges.map(m => (m.rank.toLong, m.merged))
+      .toDF("rank", "tok")
+    val counts = wordHistogram(docs)
+      .select(col("cnt"),
+        explode(split(encodeWord(col("word"), merges), Sep)).as("tok"))
+      .groupBy("tok").agg(sum(col("cnt")).as("n_uses"))
+    val tot = counts.agg(coalesce(sum(col("n_uses")), lit(0L)).as("t"))
+    broadcast(vocab).join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("tok"),
+        coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+        expr("coalesce(n_uses, 0) * 1000 div greatest(t, 1)")
+          .as("stream_permille"))
+  }
 }

@@ -5569,6 +5569,36 @@ object LlmQueries {
          |ORDER BY rp.lang""".stripMargin
     })
 
+  // q180 — BPE merge utilization under the persisted vocabulary: per
+  // learned merge, how many final-stream tokens ARE its output symbol
+  // (0 = dead vocab slot on this corpus) + stream share. The
+  // slots-already-spent audit next to coverage (q155) and fertility
+  // (q156); counted over the word-TYPE histogram, never the stream.
+  val q180 = Q(
+    "q180_bpe_merge_use",
+    (s, d) => Bpe.mergeUtilization(Tables.documents(s, d),
+      bpeMergesFor(s, d)).orderBy("rank"),
+    Some {
+      val mv = (1 to bpeK).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, lhs || rhs AS tok FROM bb$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $bpeChainCtes,
+         |tc AS (SELECT cnt, unnest(string_split(toks, '$bpeSep')) AS tok
+         |       FROM bt$bpeK),
+         |cnts AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS n_uses
+         |         FROM tc GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(n_uses), 0) AS BIGINT) AS t
+         |        FROM cnts),
+         |mv AS (
+         |  $mv)
+         |SELECT rank, mv.tok,
+         |  CAST(coalesce(n_uses, 0) AS BIGINT) AS n_uses,
+         |  CAST(coalesce(n_uses, 0) * 1000 // greatest(t, 1) AS BIGINT)
+         |    AS stream_permille
+         |FROM mv LEFT JOIN cnts USING (tok) CROSS JOIN tot
+         |ORDER BY rank""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5578,5 +5608,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

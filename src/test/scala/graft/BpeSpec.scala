@@ -282,4 +282,19 @@ class BpeSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e3.getMessage.contains("signature"))
   }
+
+  test("mergeUtilization: superseded merge reads as a dead slot, stream shares exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc abc"), (2L, "abc xy")).toDF("doc_id", "text")
+    val merges = graft.llm.Bpe.learnMerges(docs, 2)
+    // round 1 fuses (a,b) [weighted cnt 4], round 2 fuses (ab,c) [4] —
+    // every 'ab' is absorbed into 'abc', so rank 1 is a dead slot here;
+    // final stream = abc x4 + x + y = 6 tokens
+    val out = graft.llm.Bpe.mergeUtilization(docs, merges)
+      .select("rank", "tok", "n_uses", "stream_permille")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    assert(out(0) === ((1L, "ab", 0L, 0L)))
+    assert(out(1) === ((2L, "abc", 4L, 666L)))
+  }
 }

@@ -705,10 +705,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 179 uniquely-named queries, 175 oracle-checked, qNN prefixes unique") {
+  test("registry: 180 uniquely-named queries, 176 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 179)
-    assert(all.count(_.oracle.isDefined) === 175)
+    assert(all.size === 180)
+    assert(all.count(_.oracle.isDefined) === 176)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
