@@ -17,9 +17,16 @@ import TextFunctions._
  *  - `grams` (gh)        — distinct n-gram hashes, the fuzzy
  *    partial-quote gate ([[TextAnalysis.contaminationOverlap]]'s
  *    benchmark side);
- *  - `params`            — one row (n): probe geometry derives from the
- *    INDEX, never the caller (a wrong repeated n would silently gram
- *    the corpus against incompatible hashes — [[DedupIndex]]'s rule).
+ *  - `prints` (fp)       — distinct winnow fingerprint values, the
+ *    LOCAL-match embedded-passage gate ([[DedupOps
+ *    .winnowDecontaminate]]'s benchmark side) — the leak mode the other
+ *    two provably miss (a benchmark passage QUOTED inside an
+ *    otherwise-novel document);
+ *  - `params`            — one row (n, wn, ww, wtok): probe geometry
+ *    derives from the INDEX, never the caller (a wrong repeated n would
+ *    silently gram the corpus against incompatible hashes, a wrong
+ *    tokenizer would winnow a normalized benchmark against raw corpus
+ *    prints — [[DedupIndex]]'s rule).
  *
  * [[probe]]/[[probeFuzzy]] are pure reads; [[append]] accretes NEW
  * benchmark items idempotently (only values absent from the stored
@@ -44,16 +51,26 @@ object DeconIndex {
       explode(array_distinct(shingleHashList(col("text"), n))).as("gh"))
       .distinct()
 
-  def build(benchmark: DataFrame, dir: String, n: Int = 5): Unit = {
+  private def benchPrints(benchmark: DataFrame, wn: Int, ww: Int,
+      wtok: DedupOps.Tokenizer): DataFrame =
+    DedupOps.winnowFingerprints(benchmark, wn, ww, wtok)
+      .select(col("fp")).distinct()
+
+  def build(benchmark: DataFrame, dir: String, n: Int = 5, wn: Int = 3,
+      ww: Int = 4,
+      wtok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): Unit = {
     val spark = benchmark.sparkSession
     import spark.implicits._
     benchFps(benchmark).write.mode("overwrite").parquet(s"$dir/fingerprints")
     benchGrams(benchmark, n).write.mode("overwrite").parquet(s"$dir/grams")
-    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$dir/params")
+    benchPrints(benchmark, wn, ww, wtok).write.mode("overwrite")
+      .parquet(s"$dir/prints")
+    Seq((n, wn, ww, wtok.name)).toDF("n", "wn", "ww", "wtok")
+      .write.mode("overwrite").parquet(s"$dir/params")
   }
 
-  private def gramN(spark: SparkSession, dir: String): Int =
-    try spark.read.parquet(s"$dir/params").head().getInt(0)
+  private def paramsRow(spark: SparkSession, dir: String) =
+    try spark.read.parquet(s"$dir/params").head()
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(
@@ -61,8 +78,27 @@ object DeconIndex {
             "run build() first", e)
     }
 
-  /** Accrete NEW benchmark items — idempotent: only fingerprints/grams
-    * absent from the stored tables land, so replays append nothing and
+  private def gramN(spark: SparkSession, dir: String): Int =
+    paramsRow(spark, dir).getInt(0)
+
+  /** Stored winnow geometry: (wn, ww, tokenizer). Unknown tokenizer
+    * names fail loudly — a probe under the wrong surface is silent
+    * under-detection, the exact failure the stored params exist to
+    * prevent. */
+  private def winnowParams(spark: SparkSession,
+      dir: String): (Int, Int, DedupOps.Tokenizer) = {
+    val r = paramsRow(spark, dir)
+    val tok = r.getString(3) match {
+      case "ascii" => DedupOps.Tokenizer.Ascii
+      case "unicode" => DedupOps.Tokenizer.Unicode
+      case other => throw new IllegalStateException(
+        s"decon index at '$dir' stores unknown tokenizer '$other'")
+    }
+    (r.getInt(1), r.getInt(2), tok)
+  }
+
+  /** Accrete NEW benchmark items — idempotent: only fingerprints/grams/
+    * prints absent from the stored tables land, so replays append nothing and
     * the tables stay distinct (the checkpoint cuts lineage before the
     * append, [[DedupIndex.commit]]'s reasoning).
     *
@@ -86,6 +122,12 @@ object DeconIndex {
       .localCheckpoint(true)
     if (!newGrams.isEmpty)
       newGrams.write.mode("append").parquet(s"$dir/grams")
+    val (wn, ww, wtok) = winnowParams(spark, dir)
+    val newPrints = benchPrints(benchmark, wn, ww, wtok)
+      .join(spark.read.parquet(s"$dir/prints"), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    if (!newPrints.isEmpty)
+      newPrints.write.mode("append").parquet(s"$dir/prints")
   }
 
   /** Exact decontamination against the stored fingerprints — row-identical
@@ -125,6 +167,27 @@ object DeconIndex {
     corpus.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Winnowing decontamination against the stored print set —
+    * row-identical to [[DedupOps.winnowDecontaminate]] over the indexed
+    * benchmark under the STORED (wn, ww, tokenizer) geometry: per corpus
+    * doc, the count of distinct winnow print values shared with the
+    * benchmark and the keep flag. The corpus side is one scan-stage
+    * winnow selection + one broadcast join + one doc-keyed count; the
+    * stored prints are a few-MB long table. */
+  def probeWinnow(corpus: DataFrame, dir: String,
+      minShared: Long = 2L): DataFrame = {
+    val spark = corpus.sparkSession
+    val (wn, ww, wtok) = winnowParams(spark, dir)
+    val bp = spark.read.parquet(s"$dir/prints")
+    val dp = DedupOps.winnowFingerprints(corpus, wn, ww, wtok)
+      .select(col("doc_id"), col("fp")).distinct()
+    val shared = dp.join(broadcast(bp), "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("kept", col("n_shared") < minShared)
+  }
+
   /**
    * Operational health report — [[DedupIndex.healthCheck]]'s parity for
    * this lifecycle: the cheap check a scheduled job runs WITHOUT probing
@@ -147,7 +210,7 @@ object DeconIndex {
    * an unbuilt index is a config error, not a health state. */
   def healthCheck(spark: SparkSession, dir: String): DataFrame = {
     val n = gramN(spark, dir)
-    val nFiles = Seq("fingerprints", "grams", "params").map(t =>
+    val nFiles = Seq("fingerprints", "grams", "prints", "params").map(t =>
       graft.pipeline.Maintenance.dataFiles(spark, s"$dir/$t").size).sum
     val fps = spark.read.parquet(s"$dir/fingerprints")
       .agg(count(lit(1)).as("n_fingerprints"),
@@ -155,12 +218,17 @@ object DeconIndex {
     val gs = spark.read.parquet(s"$dir/grams")
       .agg(count(lit(1)).as("n_grams"),
         count_distinct(col("gh")).as("gram_distinct"))
-    fps.crossJoin(gs).select(
+    val ps = spark.read.parquet(s"$dir/prints")
+      .agg(count(lit(1)).as("n_prints"),
+        count_distinct(col("fp")).as("print_distinct"))
+    fps.crossJoin(gs).crossJoin(ps).select(
       lit(n).as("n"),
       col("n_fingerprints"),
       (col("n_fingerprints") - col("fp_distinct")).as("fp_dup_rows"),
       col("n_grams"),
       (col("n_grams") - col("gram_distinct")).as("gram_dup_rows"),
+      col("n_prints"),
+      (col("n_prints") - col("print_distinct")).as("print_dup_rows"),
       lit(nFiles.toLong).as("data_files"))
   }
 }

@@ -5599,6 +5599,28 @@ object LlmQueries {
          |ORDER BY rank""".stripMargin
     })
 
+  // q181 — the DeconIndex winnow probe: the LOCAL-match embedded-passage
+  // gate served from the persisted index (stored prints + stored
+  // (wn, ww, tokenizer) geometry), hash-checked against the inline
+  // winnow replay over the same build(% 82 = 3) + append(% 82 = 44)
+  // benchmark — the serve ≡ inline pattern (q102/q106/q122), so a torn
+  // or double-appended print table changes the result.
+  val q181 = Q(
+    "q181_decon_index_winnow",
+    (s, d) => graft.llm.DeconIndex.probeWinnow(
+      Tables.documents(s, d), deconIndexDir(s, d), minShared = 2L)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH $winnowPairCtes,
+         |bp AS (SELECT DISTINCT h FROM u WHERE doc_id % 41 = 3),
+         |shr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM u JOIN bp USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(n_shared, 0) < 2 AS kept
+         |FROM documents d LEFT JOIN shr USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5608,5 +5630,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
 }

@@ -512,6 +512,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.llm.DeconIndex.probe(extra, dir).isEmpty)
   }
 
+  test("DeconIndex.probeWinnow: stored prints ≡ inline winnowDecontaminate; replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("decon_idx_winnow").toString
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    graft.llm.DeconIndex.build(bench, dir, n = 5, wn = 3, ww = 4)
+    val stored = graft.llm.DeconIndex.probeWinnow(docs, dir, minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val inline = graft.llm.DedupOps.winnowDecontaminate(docs, bench,
+        n = 3, w = 4, minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(stored.toSeq === inline.toSeq)
+    // at-least-once replay: same benchmark appended again lands nothing
+    val before = spark.read.parquet(s"$dir/prints").count()
+    graft.llm.DeconIndex.append(bench, dir)
+    assert(spark.read.parquet(s"$dir/prints").count() === before)
+    // a unicode-built index refuses nothing but probes the normalized
+    // surface: params round-trip the tokenizer name
+    val dir2 = java.nio.file.Files.createTempDirectory("decon_idx_wuni").toString
+    graft.llm.DeconIndex.build(bench, dir2,
+      wtok = graft.llm.DedupOps.Tokenizer.Unicode)
+    val uniStored = graft.llm.DeconIndex.probeWinnow(docs, dir2, minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val uniInline = graft.llm.DedupOps.winnowDecontaminate(docs, bench,
+        n = 3, w = 4, minShared = 2L,
+        tok = graft.llm.DedupOps.Tokenizer.Unicode)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(uniStored.toSeq === uniInline.toSeq)
+  }
+
   test("DeconIndex.healthCheck: healthy index reports zero violations; an interleaved append shows dup rows") {
     val dir = java.nio.file.Files.createTempDirectory("decon_idx_health").toString
     val bench = docs.filter(col("doc_id") % 50 === 0)
@@ -522,7 +554,9 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h.getAs[Long]("n_grams") > 0L)
     assert(h.getAs[Long]("fp_dup_rows") === 0L)
     assert(h.getAs[Long]("gram_dup_rows") === 0L)
-    assert(h.getAs[Long]("data_files") >= 3L)
+    assert(h.getAs[Long]("n_prints") > 0L)
+    assert(h.getAs[Long]("print_dup_rows") === 0L)
+    assert(h.getAs[Long]("data_files") >= 4L)
     // simulate the single-writer breach: a second writer re-appends rows
     // the anti-join snapshot didn't see — duplicate longs land
     spark.read.parquet(s"$dir/fingerprints").limit(3)
@@ -705,10 +739,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 180 uniquely-named queries, 176 oracle-checked, qNN prefixes unique") {
+  test("registry: 181 uniquely-named queries, 177 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 180)
-    assert(all.count(_.oracle.isDefined) === 176)
+    assert(all.size === 181)
+    assert(all.count(_.oracle.isDefined) === 177)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
