@@ -189,6 +189,20 @@ object DeconIndex {
   }
 
   /**
+   * Rewrite each stored table to `targetFiles` files — [[DedupIndex
+   * .compact]]'s parity for this lifecycle: every [[append]] lands at
+   * least one new parquet file per touched table, and after enough
+   * benchmark revisions the probes' few-MB reads pay more in file
+   * opens than bytes. [[graft.pipeline.Maintenance.compactDir]]'s
+   * double-rename swap keeps racing readers on old-or-new, never a
+   * mix; row content — and therefore every probe answer — is
+   * unchanged. Scheduled-job maintenance, never the append path.
+   */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
+    Seq("fingerprints", "grams", "prints", "params").foreach(t =>
+      graft.pipeline.Maintenance.compactDir(spark, s"$dir/$t", targetFiles))
+
+  /**
    * Operational health report — [[DedupIndex.healthCheck]]'s parity for
    * this lifecycle: the cheap check a scheduled job runs WITHOUT probing
    * a corpus. One row over the index's own small tables (longs only,

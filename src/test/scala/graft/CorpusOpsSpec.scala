@@ -528,6 +528,15 @@ class CorpusOpsSpec extends SparkSpec {
     val before = spark.read.parquet(s"$dir/prints").count()
     graft.llm.DeconIndex.append(bench, dir)
     assert(spark.read.parquet(s"$dir/prints").count() === before)
+    // compaction rewrites layout only: probe answers identical after
+    graft.llm.DeconIndex.compact(spark, dir)
+    val afterCompact = graft.llm.DeconIndex.probeWinnow(docs, dir,
+        minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(afterCompact.toSeq === stored.toSeq)
+    assert(graft.llm.DeconIndex.healthCheck(spark, dir)
+      .head().getAs[Long]("data_files") === 4L)
     // a unicode-built index refuses nothing but probes the normalized
     // surface: params round-trip the tokenizer name
     val dir2 = java.nio.file.Files.createTempDirectory("decon_idx_wuni").toString
