@@ -367,6 +367,65 @@ object DedupOps {
   }
 
   /**
+   * SURGICAL decontamination — the rewrite consumer of the winnow gate:
+   * instead of dropping a contaminated document whole
+   * ([[winnowDecontaminate]]'s verdict), remove the n-word runs
+   * anchored at its shared print positions and keep the rest. The C4
+   * span-rewrite idea applied to LEAKAGE: a long, mostly-novel document
+   * that quotes one benchmark passage keeps its novel mass instead of
+   * dying for the quote.
+   *
+   * Coverage dial: prints exist at ~2/(w+1) density, so at the default
+   * w this scrubs the ANCHOR n-grams of each match (cheap, leaves
+   * inter-anchor words of a long verbatim run). At `w = 1` every
+   * shingle position is selected, so the scrub provably removes EVERY
+   * shared n-gram — exact shared-gram removal — at full probe density.
+   * Pick w by how adversarial the leakage model is.
+   *
+   * Stays on the raw ASCII surface by design, like the whole span
+   * family: the rewrite reconstructs documents from their word stream,
+   * which must round-trip the original text — a normalized rewrite
+   * would alter the corpus it is cleaning.
+   *
+   * Shape: benchmark prints broadcast; corpus side one scan-stage
+   * winnow selection + broadcast join + per-doc start-position set
+   * (bounded by the doc's own print count); the rewrite is a per-row
+   * array fold — text bytes never shuffle. Output: (doc_id, n_shared,
+   * n_removed, text); untouched docs pass with n_removed 0 and their
+   * text byte-identical.
+   */
+  def winnowScrub(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      w: Int = 4, minShared: Long = 2L): DataFrame = {
+    val bp = winnowFingerprints(benchmark, n, w).select(col("fp")).distinct()
+    val dp = winnowFingerprints(docs, n, w)
+    val hits = dp.join(broadcast(bp), "fp")
+    val shared = hits.select(col("doc_id"), col("fp")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val starts = hits
+      .join(shared.filter(col("n_shared") >= minShared).select(col("doc_id")),
+        "doc_id")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    val joined = docs.join(shared, Seq("doc_id"), "left")
+      .join(starts, Seq("doc_id"), "left")
+    val ws = split(col("text"), " ")
+    val n1 = lit(n - 1)
+    val scrubbed = array_join(
+      transform(
+        filter(sequence(lit(0), size(ws) - 1), i =>
+          !exists(col("starts"), s => s <= i && i <= s + n1)),
+        i => element_at(ws, i + 1)),
+      " ")
+    joined.select(col("doc_id"),
+      coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+      when(col("starts").isNull, lit(0L))
+        .otherwise(size(ws).cast("long") -
+          size(filter(sequence(lit(0), size(ws) - 1), i =>
+            !exists(col("starts"), s => s <= i && i <= s + n1))).cast("long"))
+        .as("n_removed"),
+      when(col("starts").isNull, col("text")).otherwise(scrubbed).as("text"))
+  }
+
+  /**
    * Contamination ATTRIBUTION — [[winnowDecontaminate]] names WHICH
    * corpus documents are contaminated; this names BY WHAT: every
    * (corpus doc, benchmark doc) pair sharing at least `minShared`

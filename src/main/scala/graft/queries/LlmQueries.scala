@@ -5621,6 +5621,53 @@ object LlmQueries {
          |FROM documents d LEFT JOIN shr USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin))
 
+  // q182 — SURGICAL decontamination: scrub the n-word runs anchored at
+  // shared winnow prints out of contaminated (≥ 2 shared values) docs
+  // instead of dropping them whole — the C4 span-rewrite idea applied
+  // to leakage (a mostly-novel doc quoting one benchmark passage keeps
+  // its novel mass). Corpus = % 41 ≠ 3, benchmark = % 41 = 3.
+  val q182 = Q(
+    "q182_winnow_scrub",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.winnowScrub(docs.filter(col("doc_id") % 41 =!= 3),
+        docs.filter(col("doc_id") % 41 === 3), n = 3, w = 4,
+        minShared = 2L).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $winnowPairCtes,
+         |up AS (SELECT doc_id, CAST(enc // $P AS BIGINT) AS pos,
+         |         CAST(enc % $P AS BIGINT) AS fp
+         |       FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
+         |bp AS (SELECT DISTINCT fp FROM up WHERE doc_id % 41 = 3),
+         |hits AS (SELECT up.doc_id, up.pos, up.fp FROM up JOIN bp USING (fp)
+         |         WHERE up.doc_id % 41 <> 3),
+         |shr AS (SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_shared
+         |        FROM hits GROUP BY 1),
+         |st AS (SELECT h.doc_id, list(DISTINCT h.pos) AS starts
+         |       FROM hits h JOIN shr USING (doc_id)
+         |       WHERE n_shared >= 2 GROUP BY 1),
+         |src AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |        FROM documents WHERE doc_id % 41 <> 3),
+         |rw AS (
+         |  SELECT s.doc_id,
+         |    CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+         |    CASE WHEN st.starts IS NULL THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len(ws) - len(list_filter(range(len(ws)), i ->
+         |           len(list_filter(st.starts,
+         |             x -> x <= i AND i <= x + 2)) = 0)) AS BIGINT) END
+         |      AS n_removed,
+         |    CASE WHEN st.starts IS NULL THEN s.text
+         |         ELSE array_to_string(list_transform(
+         |           list_filter(range(len(ws)), i ->
+         |             len(list_filter(st.starts,
+         |               x -> x <= i AND i <= x + 2)) = 0),
+         |           i -> ws[i + 1]), ' ') END AS text
+         |  FROM src s LEFT JOIN shr USING (doc_id)
+         |             LEFT JOIN st USING (doc_id))
+         |SELECT doc_id, n_shared, n_removed, text FROM rw
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5630,5 +5677,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -275,4 +275,38 @@ class DedupSpec extends SparkSpec {
     assert(out(0) === ((0L, "a", 2L, 3L, 2L, 1000L, 666L)))
     assert(out(1) === ((1L, "b", 4L, 3L, 1L, 250L, 333L)))
   }
+
+  test("winnowScrub: w=1 removes every shared n-gram; clean docs byte-identical; threshold respected") {
+    val passage = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val corpus = Seq(
+      (1L, s"novel intro here $passage and a novel ending here"),
+      (2L, "completely unrelated document about spark query planning")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    // w = 1 selects EVERY shingle position, so the scrub provably
+    // removes every shared 3-gram: no trigram of the scrubbed text may
+    // appear in the benchmark's trigram set
+    val out1 = graft.llm.DedupOps.winnowScrub(corpus, bench, n = 3,
+        w = 1, minShared = 2L)
+      .select("doc_id", "n_shared", "n_removed", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val benchGrams = passage.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val scrubbedGrams = out1(0)._4.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    assert(out1(0)._3 > 0L, "contaminated doc must lose words")
+    assert(scrubbedGrams.intersect(benchGrams).isEmpty,
+      "w=1 scrub must leave no shared trigram")
+    assert(out1(1) === ((2L, 0L, 0L, corpus.filter(col("doc_id") === 2L)
+      .select("text").as[String].head())), "clean doc must pass byte-identical")
+    // default w = 4 scrubs anchors only: fewer words removed than w = 1
+    val out4 = graft.llm.DedupOps.winnowScrub(corpus, bench, n = 3,
+        w = 4, minShared = 2L)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out4(0)._2 > 0L && out4(0)._2 <= out1(0)._3)
+    // sub-threshold: a doc sharing prints below minShared keeps its text
+    val grazer = Seq((3L, "the quick brown unrelated words follow here now")).toDF("doc_id", "text")
+    val g = graft.llm.DedupOps.winnowScrub(grazer, bench, n = 3, w = 1,
+        minShared = 5L)
+      .select("n_removed", "text").as[(Long, String)].head()
+    assert(g._1 === 0L && g._2 === "the quick brown unrelated words follow here now")
+  }
 }
