@@ -5668,6 +5668,89 @@ object LlmQueries {
          |SELECT doc_id, n_shared, n_removed, text FROM rw
          |ORDER BY doc_id""".stripMargin))
 
+  // q183 — curation v10: SCRUB-not-drop. v8's chain with the decon
+  // stage swapped from document drop to q182's surgical span scrub —
+  // Gopher gate → exact dedup → edit-verified near-dup clustering →
+  // winnow SCRUB of benchmark-anchored runs → report over the REWRITTEN
+  // text. Token mass that v8 discarded with the quoting documents stays
+  // in the corpus; only the leaked runs leave. Oracle = the shared v8
+  // stage chain through nk + the q182 scrub CTEs instantiated over it +
+  // the report CTEs over the scrubbed text.
+  val q183 = Q(
+    "q183_curation_v10",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
+      val pairs = DedupOps.editVerifiedPairs(kept, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, prefixLen = 256,
+        maxDistPermille = 200L).select(col("id_a"), col("id_b"))
+      val nearKept = DedupOps.dedupedCorpus(kept,
+        DedupOps.duplicateClusters(pairs)).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val scrubbed = DedupOps.winnowScrub(nearKept, bench, n = 3, w = 4,
+        minShared = 2L)
+      val clean = nearKept.drop("text")
+        .join(scrubbed.select(col("doc_id"), col("text")), "doc_id")
+      TextAnalysis.corpusReport(clean, "source").orderBy("source")
+    },
+    Some(
+      s"""WITH RECURSIVE $curationV8StageCtes,
+         |${winnowCtesFrom("nk", "k")},
+         |wbench AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 3),
+         |${winnowCtesFrom("wbench", "b")},
+         |kup AS (SELECT doc_id, CAST(enc // $P AS BIGINT) AS pos,
+         |          CAST(enc % $P AS BIGINT) AS fp
+         |        FROM (SELECT doc_id, unnest(encs) AS enc FROM ksel)),
+         |sbp AS (SELECT DISTINCT h AS fp FROM bu),
+         |shits AS (SELECT kup.doc_id, kup.pos, kup.fp
+         |          FROM kup JOIN sbp USING (fp)),
+         |sshr AS (SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_shared
+         |         FROM shits GROUP BY 1),
+         |sst AS (SELECT h.doc_id, list(DISTINCT h.pos) AS starts
+         |        FROM shits h JOIN sshr USING (doc_id)
+         |        WHERE n_shared >= 2 GROUP BY 1),
+         |ssrc AS (SELECT doc_id, source, lang, text,
+         |           string_split(text, ' ') AS ws FROM nk),
+         |srw AS (
+         |  SELECT s.doc_id, s.source, s.lang,
+         |    CASE WHEN sst.starts IS NULL THEN s.text
+         |         ELSE array_to_string(list_transform(
+         |           list_filter(range(len(ws)), i ->
+         |             len(list_filter(sst.starts,
+         |               x -> x <= i AND i <= x + 2)) = 0),
+         |           i -> ws[i + 1]), ' ') END AS text
+         |  FROM ssrc s LEFT JOIN sst USING (doc_id)),
+         |rw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM srw),
+         |rc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, source, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT source, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT source, lang FROM rq) GROUP BY 1)
+         |SELECT rp.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (source) JOIN rl USING (source)
+         |ORDER BY rp.source""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5677,5 +5760,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
 }

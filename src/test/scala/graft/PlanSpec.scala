@@ -424,4 +424,9 @@ class PlanSpec extends SparkSpec {
       "unicode benchmark print set lost its broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q183: v10 scrub-not-drop pipeline — no cross product") {
+    assert(!planOf("q183_curation_v10").contains("CartesianProduct"),
+      "v10 pipeline planned a cross product")
+  }
 }
