@@ -637,4 +637,51 @@ class DedupFuzzSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(prs === Set((1L, 2L)))
   }
+
+  test("fuzz: winnowScrub matches the sequential scrub reference") {
+    // 12th family: the surgical span scrub. Dense vocab so corpus and
+    // benchmark REALLY share prints; w = 2 raises print density so the
+    // scrub path (not the untouched path) dominates.
+    val (n, w, minShared) = (3, 2, 2L)
+    def winnowRef(t: String): Set[(Long, Long)] = {
+      val hs = gramHashes(t, n)
+      if (hs.isEmpty) Set.empty
+      else {
+        val wl = math.min(w, hs.size)
+        (0 to hs.size - wl).map { i =>
+          val sl = hs.slice(i, i + wl)
+          val mn = sl.min
+          ((i + sl.lastIndexOf(mn)).toLong, mn)
+        }.toSet
+      }
+    }
+    def scrubRef(t: String, bp: Set[Long]): (Long, Long, String) = {
+      val prints = winnowRef(t)
+      val nShared = (prints.map(_._2) intersect bp).size.toLong
+      if (nShared < minShared) (nShared, 0L, t)
+      else {
+        val ws = t.split(" ", -1)
+        val starts = prints.filter(p => bp.contains(p._2)).map(_._1)
+        val kept = ws.indices.filterNot(i =>
+          starts.exists(s => s <= i && i <= s + n - 1))
+        (nShared, (ws.length - kept.size).toLong,
+          kept.map(ws).mkString(" "))
+      }
+    }
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 20, denseVocab, 18)
+      val bench = randomCorpus(seed + 1000, 6, denseVocab, 18)
+      val bp = bench.flatMap { case (_, t) => winnowRef(t).map(_._2) }.toSet
+      val want = corpus.map { case (id, t) => id -> scrubRef(t, bp) }.toMap
+      val got = graft.llm.DedupOps.winnowScrub(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          n, w, minShared)
+        .select("doc_id", "n_shared", "n_removed", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === want, s"seed $seed")
+      assert(want.values.exists(_._2 > 0L), s"seed $seed: vacuous (nothing scrubbed)")
+      assert(want.values.exists(_._2 == 0L), s"seed $seed: vacuous (everything scrubbed)")
+    }
+  }
 }
