@@ -706,6 +706,44 @@ object TextAnalysis {
   }
 
   /**
+   * Shuffle-quality audit over a training order: the fraction of
+   * ADJACENT pairs drawn from the same group (source), against the
+   * expectation under an independent shuffle (Σ n_g·(n_g−1) /
+   * N·(N−1)). A loader consuming a badly-shuffled order sees runs of
+   * same-source documents — correlated gradients the mixture design
+   * never intended; `same_adjacent_permille ≫ expected_permille` is
+   * that failure as one number, BEFORE any training run pays for it.
+   *
+   * `ordered` is (doc_id, ord) with `ord` a dense global 1..N (the
+   * [[trainingOrder]] contract); `meta` supplies the group column.
+   * Shape: one equi-join keyed on the dense rank (each row meets its
+   * successor — a shuffle-keyed join, never a global window), one
+   * 1-row aggregate each side, DECIMAL(38,0) cross-multiplies for the
+   * expectation so N² never overflows.
+   */
+  def shuffleQuality(ordered: DataFrame, meta: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    val o = ordered.select(col("doc_id"), col("ord"))
+      .join(meta.select(col("doc_id"), col(groupCol)), "doc_id")
+    val adj = o.select((col("ord") - 1L).as("ord"),
+        col(groupCol).as("g_next"))
+      .join(o.select(col("ord"), col(groupCol).as("g")), "ord")
+      .agg(count(lit(1)).as("n_adjacent"),
+        sum(when(col("g") === col("g_next"), 1L).otherwise(0L)).as("n_same"))
+    val tot = meta.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"),
+        coalesce(sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")),
+          lit(0L).cast("decimal(38,0)")).as("same_pairs2"))
+    adj.crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("n_adjacent"), col("n_same"),
+        expr("CAST(n_same * 1000 div greatest(n_adjacent, 1) AS BIGINT)")
+          .as("same_adjacent_permille"),
+        expr("""CAST(same_pairs2 * 1000 div
+                greatest(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1), 1)
+                AS BIGINT)""").as("expected_permille"))
+  }
+
+  /**
    * Distinct-n diversity per group: for each n in 1..maxN, the group's
    * total n-gram instances, distinct n-gram count, and their truncating
    * permille ratio — the standard distinct-1/distinct-2 diversity metric

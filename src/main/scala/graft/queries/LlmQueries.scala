@@ -5751,6 +5751,44 @@ object LlmQueries {
          |FROM rp JOIN rd USING (source) JOIN rl USING (source)
          |ORDER BY rp.source""".stripMargin))
 
+  // q184 — shuffle-quality audit: adjacent same-source rate of the
+  // q100 salted training order vs the independent-shuffle expectation
+  // Σ n_s·(n_s−1) / N·(N−1) — runs of same-source docs are correlated
+  // gradients the mixture never intended, caught here as one number
+  // before a training run pays for it.
+  val q184 = Q(
+    "q184_shuffle_quality",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.shuffleQuality(
+        TextAnalysis.trainingOrder(docs, salt = "epoch0")
+          .select(col("doc_id"), col("ord")),
+        docs)
+    },
+    Some(
+      s"""WITH o AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY ${polyHashSql("'epoch0#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS ord
+         |  FROM documents),
+         |os AS (SELECT o.ord, d.source FROM o JOIN documents d USING (doc_id)),
+         |adj AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_adjacent,
+         |    CAST(sum(CASE WHEN a.source = b.source THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_same
+         |  FROM os a JOIN os b ON b.ord = a.ord + 1),
+         |tot AS (
+         |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(CAST(c AS HUGEINT) * (c - 1)), 0) AS HUGEINT)
+         |      AS same_pairs2
+         |  FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+         |SELECT n_docs, n_adjacent, n_same,
+         |  CAST(n_same * 1000 // greatest(n_adjacent, 1) AS BIGINT)
+         |    AS same_adjacent_permille,
+         |  CAST(same_pairs2 * 1000 //
+         |    greatest(CAST(n_docs AS HUGEINT) * (n_docs - 1), 1) AS BIGINT)
+         |    AS expected_permille
+         |FROM adj CROSS JOIN tot""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5760,5 +5798,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }

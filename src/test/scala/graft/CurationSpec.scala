@@ -378,4 +378,23 @@ class CurationSpec extends SparkSpec {
     // both engines -- the oracle mirrors coalesce(text, '')
     assert(out.toSeq === Seq((0L, "raw", 3L, 6L), (1L, "cut", 1L, 3L)))
   }
+
+  test("shuffleQuality: sorted-by-source reads hot, interleaved reads zero, expectation exact") {
+    import spark.implicits._
+    val meta = Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
+      .toDF("doc_id", "source")
+    def audit(order: Seq[(Long, Long)]) =
+      graft.llm.TextAnalysis.shuffleQuality(
+          order.toDF("doc_id", "ord"), meta)
+        .select("n_docs", "n_adjacent", "n_same",
+          "same_adjacent_permille", "expected_permille")
+        .as[(Long, Long, Long, Long, Long)].head()
+    // sorted X,X,Y,Y: adjacent pairs (XX, XY, YY) -> 2/3 same = 666 permille;
+    // expectation (2*1 + 2*1) * 1000 / (4*3) = 333 permille
+    assert(audit(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+      === ((4L, 3L, 2L, 666L, 333L)))
+    // interleaved X,Y,X,Y: zero same-source adjacency
+    assert(audit(Seq((1L, 1L), (3L, 2L), (2L, 3L), (4L, 4L)))
+      === ((4L, 3L, 0L, 0L, 333L)))
+  }
 }
