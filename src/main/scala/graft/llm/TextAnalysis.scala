@@ -744,6 +744,33 @@ object TextAnalysis {
   }
 
   /**
+   * Same-group RUN-LENGTH histogram over a training order — the tail
+   * view behind [[shuffleQuality]]'s rate: a fine same-source average
+   * can hide one pathological run (an entire source landing
+   * contiguously), and it is the LONG runs that produce correlated
+   * batches. One row per (group, run_len): how many maximal runs of
+   * exactly that length the order contains.
+   *
+   * Shape: gap-and-islands via two GROUP-keyed windows (`ord −
+   * row_number() within group` is constant exactly on a maximal run) —
+   * partitions are per-group, never the whole order — then two tiny
+   * keyed aggregates. Same (doc_id, ord) + meta contract as
+   * [[shuffleQuality]].
+   */
+  def orderRunLengths(ordered: DataFrame, meta: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = ordered.select(col("doc_id"), col("ord"))
+      .join(meta.select(col("doc_id"), col(groupCol)), "doc_id")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"))
+    o.withColumn("island", col("ord") - row_number().over(w))
+      .groupBy(col(groupCol), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col(groupCol), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+  }
+
+  /**
    * Distinct-n diversity per group: for each n in 1..maxN, the group's
    * total n-gram instances, distinct n-gram count, and their truncating
    * permille ratio — the standard distinct-1/distinct-2 diversity metric

@@ -5789,6 +5789,34 @@ object LlmQueries {
          |    AS expected_permille
          |FROM adj CROSS JOIN tot""".stripMargin))
 
+  // q185 — same-source run-length histogram of the q100 training order:
+  // the tail view behind q184's adjacency rate (a fine average can hide
+  // ONE pathological run, and long runs are what make correlated
+  // batches). Gap-and-islands with group-keyed windows only.
+  val q185 = Q(
+    "q185_order_run_lengths",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.orderRunLengths(
+        TextAnalysis.trainingOrder(docs, salt = "epoch0")
+          .select(col("doc_id"), col("ord")),
+        docs).orderBy("source", "run_len")
+    },
+    Some(
+      s"""WITH o AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY ${polyHashSql("'epoch0#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS ord
+         |  FROM documents),
+         |os AS (SELECT o.ord, d.source FROM o JOIN documents d USING (doc_id)),
+         |isl AS (SELECT source,
+         |          ord - row_number() OVER (PARTITION BY source ORDER BY ord)
+         |            AS island
+         |        FROM os),
+         |runs AS (SELECT source, island, CAST(count(*) AS BIGINT) AS run_len
+         |         FROM isl GROUP BY 1, 2)
+         |SELECT source, run_len, CAST(count(*) AS BIGINT) AS n_runs
+         |FROM runs GROUP BY 1, 2 ORDER BY source, run_len""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5798,5 +5826,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
 }

@@ -397,4 +397,17 @@ class CurationSpec extends SparkSpec {
     assert(audit(Seq((1L, 1L), (3L, 2L), (2L, 3L), (4L, 4L)))
       === ((4L, 3L, 0L, 0L, 333L)))
   }
+
+  test("orderRunLengths: gap-and-islands counts maximal runs exactly") {
+    import spark.implicits._
+    // order X X X Y X Y Y: X runs (3, 1), Y runs (1, 2)
+    val meta = Seq((1L, "X"), (2L, "X"), (3L, "X"), (4L, "Y"), (5L, "X"),
+      (6L, "Y"), (7L, "Y")).toDF("doc_id", "source")
+    val order = (1L to 7L).map(i => (i, i)).toDF("doc_id", "ord")
+    val out = graft.llm.TextAnalysis.orderRunLengths(order, meta)
+      .select("source", "run_len", "n_runs")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("X", 1L, 1L), ("X", 3L, 1L), ("Y", 1L, 1L), ("Y", 2L, 1L)))
+  }
 }
