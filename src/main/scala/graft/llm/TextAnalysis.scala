@@ -706,6 +706,42 @@ object TextAnalysis {
   }
 
   /**
+   * Decontamination-gate agreement: pairwise overlap of the doc sets
+   * each gate flags — (gate_a, gate_b, n_a, n_b, n_both) for every gate
+   * pair. The gates catch DIFFERENT leak modes by construction (exact =
+   * verbatim whole-doc, unicode = case/punct-variant whole-doc, fuzzy =
+   * dominating partial overlap, winnow = embedded local passage), so
+   * near-total overlap means a gate is redundant on THIS corpus and
+   * near-zero overlap means each is carrying real coverage the others
+   * miss — measured, per corpus, instead of assumed. [[graft.llm
+   * .DedupOps.pairSetScorecard]]'s idea applied to doc-set gates.
+   *
+   * Shape: per pair one doc_id-keyed semi-join + three 1-row
+   * broadcast-composed aggregates over id sets the caller already
+   * materialized (pass checkpointed flag frames — each set is probed
+   * once per pair).
+   */
+  def gateAgreement(gates: Seq[(String, DataFrame)]): DataFrame = {
+    require(gates.size >= 2, "gateAgreement needs at least two gates")
+    val named = gates.map { case (nm, df) => nm -> df.select(col("doc_id")) }
+    val rows = for {
+      i <- named.indices
+      j <- named.indices if i < j
+    } yield {
+      val (na, a) = named(i)
+      val (nb, b) = named(j)
+      val ca = a.agg(count(lit(1)).as("n_a"))
+      val cb = b.agg(count(lit(1)).as("n_b"))
+      val cboth = a.join(b, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_both"))
+      ca.crossJoin(broadcast(cb)).crossJoin(broadcast(cboth))
+        .select(lit(na).as("gate_a"), lit(nb).as("gate_b"),
+          col("n_a"), col("n_b"), col("n_both"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /**
    * Shuffle-quality audit over a training order: the fraction of
    * ADJACENT pairs drawn from the same group (source), against the
    * expectation under an independent shuffle (Σ n_g·(n_g−1) /

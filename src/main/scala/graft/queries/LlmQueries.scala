@@ -5817,6 +5817,87 @@ object LlmQueries {
          |SELECT source, run_len, CAST(count(*) AS BIGINT) AS n_runs
          |FROM runs GROUP BY 1, 2 ORDER BY source, run_len""".stripMargin))
 
+  // q186 — decon-gate agreement: pairwise overlap of the doc sets the
+  // four gates flag against the SAME %41 = 3 benchmark (exact = verbatim
+  // whole-doc, unicode = case/punct-variant whole-doc, fuzzy ≥ 0.5
+  // overlap, winnow ≥ 2 embedded prints). Near-total overlap = a gate
+  // is redundant here; near-zero = each carries real coverage — the
+  // q178 scorecard idea applied to doc-set gates.
+  val q186 = Q(
+    "q186_gate_agreement",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      def flaggedOf(kept: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"))
+          .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      val fe = flaggedOf(TextAnalysis.decontaminated(docs, bench))
+      val ff = flaggedOf(TextAnalysis.fuzzyDecontaminated(docs, bench,
+        n = contamN, maxOverlap = 0.5))
+      val fu = flaggedOf(TextAnalysis.unicodeDecontaminated(docs, bench))
+      val fw = DedupOps.winnowDecontaminate(docs, bench, n = 3, w = 4,
+        minShared = 2L).filter(!col("kept")).select(col("doc_id"))
+        .localCheckpoint(true)
+      TextAnalysis.gateAgreement(Seq(
+        "exact" -> fe, "fuzzy" -> ff, "unicode" -> fu, "winnow" -> fw))
+        .orderBy("gate_a", "gate_b")
+    },
+    Some {
+      def pairRow(na: String, nb: String) =
+        s"""SELECT '$na' AS gate_a, '$nb' AS gate_b,
+           |  CAST((SELECT count(*) FROM f$na) AS BIGINT) AS n_a,
+           |  CAST((SELECT count(*) FROM f$nb) AS BIGINT) AS n_b,
+           |  CAST((SELECT count(*) FROM f$na JOIN f$nb USING (doc_id)) AS BIGINT) AS n_both""".stripMargin
+      val pairs = Seq("exact" -> "fuzzy", "exact" -> "unicode",
+        "exact" -> "winnow", "fuzzy" -> "unicode", "fuzzy" -> "winnow",
+        "unicode" -> "winnow")
+        .map { case (a, b) => pairRow(a, b) }.mkString("\nUNION ALL\n")
+      s"""WITH $winnowPairCtes,
+         |afp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(norm) = 0 THEN 0
+         |         ELSE ${polyHashSql("norm")} END AS f
+         |  FROM (SELECT doc_id,
+         |          regexp_replace(regexp_replace(text, '[^a-z0-9 ]', '', 'g'),
+         |                         ' +', ' ', 'g') AS norm
+         |        FROM documents)),
+         |fexact AS (SELECT doc_id FROM afp
+         |           WHERE f IS NOT NULL AND f IN
+         |             (SELECT f FROM afp WHERE doc_id % 41 = 3 AND f IS NOT NULL)),
+         |fws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |fg AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - ${contamN - 1}),
+         |         i -> ${polyHashSql(s"array_to_string(list_slice(ws, i + 1, i + $contamN), ' ')")})) AS grams
+         |       FROM fws),
+         |fbench AS (SELECT DISTINCT unnest(grams) AS gh FROM fg WHERE doc_id % 41 = 3),
+         |fcg AS (SELECT doc_id, unnest(grams) AS gh FROM fg),
+         |fhits AS (SELECT fcg.doc_id, count(*) AS n_grams, count(b.gh) AS n_hit
+         |          FROM fcg LEFT JOIN fbench b ON b.gh = fcg.gh GROUP BY 1),
+         |ffuzzy AS (
+         |  SELECT doc_id FROM fhits
+         |  WHERE ${Det.frSql("CAST(n_hit AS DOUBLE) / n_grams", 4)} >= 0.5),
+         |unf AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |ufp AS (SELECT doc_id,
+         |          CASE WHEN length(norm) = 0 THEN 0
+         |               ELSE ${polyHashSql("norm")} END AS f
+         |        FROM unf),
+         |funicode AS (SELECT doc_id FROM ufp
+         |             WHERE f IS NOT NULL AND f IN
+         |               (SELECT f FROM ufp WHERE doc_id % 41 = 3 AND f IS NOT NULL)),
+         |wbp2 AS (SELECT DISTINCT h FROM u WHERE doc_id % 41 = 3),
+         |fwinnow AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |    FROM u JOIN wbp2 USING (h) GROUP BY 1)
+         |  WHERE n_shared >= 2)
+         |$pairs
+         |ORDER BY gate_a, gate_b""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5826,5 +5907,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
 }

@@ -410,4 +410,20 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       ("X", 1L, 1L), ("X", 3L, 1L), ("Y", 1L, 1L), ("Y", 2L, 1L)))
   }
+
+  test("gateAgreement: exact counts on planted flag sets") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("doc_id")
+    val b = Seq(2L, 3L, 4L, 5L).toDF("doc_id")
+    val c = Seq(9L).toDF("doc_id")
+    val out = graft.llm.TextAnalysis.gateAgreement(
+        Seq("a" -> a, "b" -> b, "c" -> c))
+      .select("gate_a", "gate_b", "n_a", "n_b", "n_both")
+      .as[(String, String, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("a", "b", 3L, 4L, 2L),
+      ("a", "c", 3L, 1L, 0L),
+      ("b", "c", 4L, 1L, 0L)))
+  }
 }
