@@ -612,6 +612,33 @@ object DedupOps {
   }
 
   /**
+   * Dedup threshold sweep: pair volume at each Jaccard rung from ONE
+   * uncapped inverted-index pass — the τ-calibration table for
+   * [[ngramJaccardPairs]] (the marginal pair volume between rungs says
+   * where the verbatim-clone mass ends and the shared-boilerplate tail
+   * begins; picking τ by folklore instead costs either recall or a pair
+   * blowup at full scale). The q153 sweep shape: each pair row explodes
+   * only a projected integer against the rung ladder and the partial
+   * aggregate collapses before the shuffle; the comparison is on the
+   * 4-dp-rounded Jaccard recovered as an exact integer (`floor(j·10⁴ +
+   * 0.5)`), so no float literal ever enters a predicate.
+   */
+  def dedupThresholdSweep(docs: DataFrame, n: Int = 3,
+      rungsPermille: Seq[Long] = Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L),
+      maxDf: Option[Long] = None,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    require(rungsPermille.nonEmpty, "sweep needs at least one rung")
+    val pairs = ngramJaccardPairs(docs, n, 0.0, maxDf, tok)
+    val rungArr = array(rungsPermille.map(lit(_)): _*)
+    pairs
+      .select(expr("CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)").as("j4"),
+        explode(rungArr).as("threshold_permille"))
+      .groupBy("threshold_permille")
+      .agg(sum(when(col("j4") >= col("threshold_permille") * 10L, 1L)
+        .otherwise(0L)).as("n_pairs"))
+  }
+
+  /**
    * Pair-front scorecard: every candidate detector scored against ONE
    * reference pair set — per front, its pair count, the reference's,
    * their intersection, and precision/recall as truncating permilles.

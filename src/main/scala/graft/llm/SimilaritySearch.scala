@@ -323,6 +323,36 @@ object SimilaritySearch {
     shares.crossJoin(broadcast(tvd))
   }
 
+  /**
+   * Embedding-column hygiene report: one row of exact counts over the
+   * degenerate vector classes every ANN path here documents it skips —
+   * null vectors, wrong dimensionality, non-finite elements (NaN/±Inf),
+   * all-zero vectors (undefined cosine) — plus the clean remainder. The
+   * operational pre-flight before an index build: the ANN operators
+   * tolerate these rows silently by contract (NaN-skip, cell −1), which
+   * is exactly why a pipeline owner needs the COUNT surfaced somewhere
+   * (10% degenerate vectors is an upstream featurizer bug, not noise).
+   * One scan, one map-side-combined 1-row aggregate; zero-norm is the
+   * exact every-element-is-zero test, no float fold anywhere.
+   */
+  def embeddingHygiene(corpus: DataFrame, dim: Int): DataFrame = {
+    val e = col("embedding")
+    val wrongDim = e.isNotNull && size(e) =!= dim
+    val nonFinite = e.isNotNull && exists(e, x =>
+      isnan(x.cast("double")) || x.cast("double") === Double.PositiveInfinity ||
+        x.cast("double") === Double.NegativeInfinity)
+    val zeroNorm = e.isNotNull && !wrongDim && !nonFinite &&
+      forall(e, x => x.cast("double") === 0.0)
+    corpus.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(e.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(wrongDim, 1L).otherwise(0L)).as("n_wrong_dim"),
+      sum(when(nonFinite, 1L).otherwise(0L)).as("n_nonfinite"),
+      sum(when(zeroNorm, 1L).otherwise(0L)).as("n_zero_norm"),
+      sum(when(e.isNotNull && !wrongDim && !nonFinite && !zeroNorm, 1L)
+        .otherwise(0L)).as("n_clean"))
+  }
+
   /** In-order squared-L2 fold over two numeric arrays: each element cast
     * to double BEFORE the subtract, (d·d) accumulated left-to-right —
     * mirrorable exactly in DuckDB list_reduce. */

@@ -5898,6 +5898,53 @@ object LlmQueries {
          |ORDER BY gate_a, gate_b""".stripMargin
     })
 
+  // q187 — embedding-column hygiene: exact counts of the degenerate
+  // vector classes every ANN path skips by contract (null, wrong dim,
+  // non-finite, all-zero) + the clean remainder. The pre-flight an
+  // index build runs: the operators tolerate these rows silently,
+  // which is exactly why the COUNT must surface somewhere.
+  val q187 = Q(
+    "q187_embedding_hygiene",
+    (s, d) => SimilaritySearch.embeddingHygiene(Tables.embeddings(s, d),
+      dim = dim),
+    Some(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> $dim
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+         |             x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = $dim
+         |             AND len(list_filter(embedding,
+         |               x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+         |             AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = $dim
+         |             AND len(list_filter(embedding,
+         |               x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
+         |             AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM embeddings""".stripMargin))
+
+  // q188 — dedup threshold sweep: pair volume per Jaccard rung from ONE
+  // uncapped inverted-index pass — the τ-calibration table (marginal
+  // volume between rungs separates verbatim-clone mass from the
+  // shared-boilerplate tail); integer comparison on the recovered
+  // 4-dp Jaccard, no float literal in any predicate.
+  val q188 = Q(
+    "q188_dedup_threshold_sweep",
+    (s, d) => DedupOps.dedupThresholdSweep(Tables.documents(s, d), n = 3)
+      .orderBy("threshold_permille"),
+    Some(
+      s"""WITH $shingleCtes,
+         |r AS (SELECT unnest([300, 400, 500, 600, 700, 800, 900]) AS t)
+         |SELECT CAST(t AS BIGINT) AS threshold_permille,
+         |  CAST(sum(CASE WHEN CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)
+         |                     >= t * 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM jacc CROSS JOIN r
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5907,5 +5954,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
 }

@@ -309,4 +309,19 @@ class DedupSpec extends SparkSpec {
       .select("n_removed", "text").as[(Long, String)].head()
     assert(g._1 === 0L && g._2 === "the quick brown unrelated words follow here now")
   }
+
+  test("dedupThresholdSweep: counts monotone non-increasing, clone pair survives every rung") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),          // jaccard 1.0
+      (3L, "alpha beta gamma delta other words entirely"),  // partial
+      (4L, "nothing in common with the others at all")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.dedupThresholdSweep(docs)
+      .select("threshold_permille", "n_pairs")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L))
+    assert(out.sliding(2).forall(w => w(0)._2 >= w(1)._2), "sweep must be non-increasing")
+    assert(out.last._2 === 1L, "the verbatim clone pair survives the 900 rung")
+  }
 }

@@ -528,4 +528,23 @@ class LlmSpec extends SparkSpec {
       ("Y", 1L, 2L, 2L, 1000L),
       ("Y", 2L, 1L, 1L, 1000L))) // no (Y, 3) row: doc shorter than n
   }
+
+  test("embeddingHygiene: every degenerate class counted exactly once") {
+    import spark.implicits._
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val vecs = Seq(
+      (1L, v(1f, 2f, 0f, 3f)),                       // clean
+      (2L, null.asInstanceOf[Array[Float]]),          // null
+      (3L, v(1f, 2f)),                                // wrong dim
+      (4L, v(Float.NaN, 1f, 1f, 1f)),                 // NaN
+      (5L, v(Float.PositiveInfinity, 0f, 0f, 0f)),    // Inf
+      (6L, v(0f, 0f, 0f, 0f)),                        // zero norm
+      (7L, v(0f, 0f, 1f, 0f))                         // clean
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.SimilaritySearch.embeddingHygiene(vecs, dim = 4)
+      .select("n_vecs", "n_null", "n_wrong_dim", "n_nonfinite",
+        "n_zero_norm", "n_clean")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out === ((7L, 1L, 1L, 2L, 1L, 2L)))
+  }
 }
