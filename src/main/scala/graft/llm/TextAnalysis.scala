@@ -706,6 +706,70 @@ object TextAnalysis {
   }
 
   /**
+   * Text-column hygiene report — [[graft.llm.SimilaritySearch
+   * .embeddingHygiene]]'s parity for the documents table: exact counts
+   * of null text, empty text, whitespace-only text, control-character
+   * carriers (NUL and friends — NOT tab/newline/CR, which are ordinary
+   * text; the C0 strays are the rows that break naive exports), and docs over a length cap (the row a
+   * 2 GB-string UDF dies on at full scale), plus the clean remainder.
+   * Every text operator here documents how it routes these classes;
+   * this surfaces their VOLUME before a pipeline quietly routes 10% of
+   * a crawl around itself. One scan, one 1-row aggregate.
+   */
+  def textHygiene(docs: DataFrame, maxChars: Long = 1000000L): DataFrame = {
+    val t = col("text")
+    val isEmpty = t.isNotNull && length(t) === 0
+    val wsOnly = t.isNotNull && length(t) > 0 && length(trim(t)) === 0
+    val hasCtl = t.isNotNull && t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    val tooLong = t.isNotNull && length(t) > maxChars
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(t.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(isEmpty, 1L).otherwise(0L)).as("n_empty"),
+      sum(when(wsOnly, 1L).otherwise(0L)).as("n_ws_only"),
+      sum(when(hasCtl, 1L).otherwise(0L)).as("n_control"),
+      sum(when(tooLong, 1L).otherwise(0L)).as("n_too_long"),
+      sum(when(t.isNotNull && !isEmpty && !wsOnly && !hasCtl && !tooLong, 1L)
+        .otherwise(0L)).as("n_clean"))
+  }
+
+  /**
+   * Mixture drift between two corpus versions (typically: before vs
+   * after a curation pipeline): per group, whitespace-token mass on
+   * each side, each side's share of its own total (truncating
+   * permille), and the SIGNED share drift. Dedup and decontamination
+   * are not mixture-neutral — clone-heavy and leak-heavy sources lose
+   * disproportionate mass, silently reweighting the mixture the data
+   * design specified; this is that reweighting as a table, read before
+   * anyone retunes domain weights against the wrong denominator.
+   * Groups absent from `after` surface with share 0, not a dropped row.
+   * Two group-keyed map-side-combined aggregates + broadcast totals.
+   */
+  def mixtureDrift(before: DataFrame, after: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    def massOf(df: DataFrame, as: String): DataFrame =
+      df.groupBy(col(groupCol)).agg(
+        coalesce(sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long")), lit(0L)).as(as))
+    val b = massOf(before, "tok_before")
+    val a = massOf(after, "tok_after")
+    val per = b.join(a, Seq(groupCol), "left")
+      .select(col(groupCol), col("tok_before"),
+        coalesce(col("tok_after"), lit(0L)).as("tok_after"))
+    val tot = per.agg(
+      coalesce(sum(col("tok_before")), lit(0L)).as("t_b"),
+      coalesce(sum(col("tok_after")), lit(0L)).as("t_a"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_before_permille",
+        expr("tok_before * 1000 div greatest(t_b, 1)"))
+      .withColumn("share_after_permille",
+        expr("tok_after * 1000 div greatest(t_a, 1)"))
+      .withColumn("drift_permille",
+        col("share_after_permille") - col("share_before_permille"))
+      .drop("t_b", "t_a")
+  }
+
+  /**
    * Decontamination-gate agreement: pairwise overlap of the doc sets
    * each gate flags — (gate_a, gate_b, n_a, n_b, n_both) for every gate
    * pair. The gates catch DIFFERENT leak modes by construction (exact =

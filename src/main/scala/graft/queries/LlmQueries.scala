@@ -5945,6 +5945,85 @@ object LlmQueries {
          |FROM jacc CROSS JOIN r
          |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // q189 — text-column hygiene (q187's parity for documents): exact
+  // counts of null / empty / whitespace-only / control-char / over-cap
+  // text + the clean remainder — the volume of every class the text
+  // operators route around by contract, surfaced before a pipeline
+  // quietly routes 10% of a crawl around itself.
+  val q189 = Q(
+    "q189_text_hygiene",
+    (s, d) => TextAnalysis.textHygiene(Tables.documents(s, d),
+      maxChars = 1000000L),
+    Some(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+         |             AND length(trim(text)) = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ws_only,
+         |  CAST(sum(CASE WHEN text IS NOT NULL
+         |             AND regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 1000000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+         |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+         |             AND length(trim(text)) > 0
+         |             AND NOT regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+         |             AND length(text) <= 1000000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+         |FROM documents""".stripMargin))
+
+  // q190 — mixture drift across the v8 flagship: per-source token-mass
+  // shares before vs after the pipeline + the SIGNED drift. Dedup and
+  // decon are not mixture-neutral — clone/leak-heavy sources lose
+  // disproportionate mass, silently reweighting the designed mixture;
+  // this is that reweighting as a table, against the shared v8 CTEs.
+  val q190 = Q(
+    "q190_mixture_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2)
+      val kept = DedupOps.exactDedup(gated).localCheckpoint(true)
+      val pairs = DedupOps.editVerifiedPairs(kept, n = 3, perms = 32,
+        bands = 8, rowsPerBand = 4, prefixLen = 256,
+        maxDistPermille = 200L).select(col("id_a"), col("id_b"))
+      val nearKept = DedupOps.dedupedCorpus(kept,
+        DedupOps.duplicateClusters(pairs)).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+      val flags = DedupOps.winnowDecontaminate(nearKept, bench,
+        n = 3, w = 4, minShared = 2L)
+      val clean = nearKept.join(
+        flags.filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextAnalysis.mixtureDrift(docs, clean).orderBy("source")
+    },
+    Some(
+      s"""WITH RECURSIVE $curationV8StageCtes,
+         |mb AS (SELECT source,
+         |         CAST(coalesce(sum(len(string_split(coalesce(text, ''), ' '))), 0) AS BIGINT)
+         |           AS tok_before
+         |       FROM documents GROUP BY 1),
+         |ma AS (SELECT source,
+         |         CAST(coalesce(sum(len(string_split(coalesce(text, ''), ' '))), 0) AS BIGINT)
+         |           AS tok_after
+         |       FROM clean GROUP BY 1),
+         |mp AS (SELECT mb.source, tok_before,
+         |         CAST(coalesce(tok_after, 0) AS BIGINT) AS tok_after
+         |       FROM mb LEFT JOIN ma USING (source)),
+         |mt AS (SELECT CAST(coalesce(sum(tok_before), 0) AS BIGINT) AS t_b,
+         |              CAST(coalesce(sum(tok_after), 0) AS BIGINT) AS t_a
+         |       FROM mp)
+         |SELECT source, tok_before, tok_after,
+         |  CAST(tok_before * 1000 // greatest(t_b, 1) AS BIGINT) AS share_before_permille,
+         |  CAST(tok_after * 1000 // greatest(t_a, 1) AS BIGINT) AS share_after_permille,
+         |  CAST(tok_after * 1000 // greatest(t_a, 1)
+         |     - tok_before * 1000 // greatest(t_b, 1) AS BIGINT) AS drift_permille
+         |FROM mp CROSS JOIN mt ORDER BY source""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -5954,5 +6033,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

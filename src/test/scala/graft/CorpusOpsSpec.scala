@@ -748,10 +748,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 188 uniquely-named queries, 184 oracle-checked, qNN prefixes unique") {
+  test("registry: 190 uniquely-named queries, 186 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 188)
-    assert(all.count(_.oracle.isDefined) === 184)
+    assert(all.size === 190)
+    assert(all.count(_.oracle.isDefined) === 186)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

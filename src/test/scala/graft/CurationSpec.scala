@@ -426,4 +426,38 @@ class CurationSpec extends SparkSpec {
       ("a", "c", 3L, 1L, 0L),
       ("b", "c", 4L, 1L, 0L)))
   }
+
+  test("textHygiene: each degenerate text class counted exactly once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a normal document right here"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "has a stray\u0001control"),
+      (6L, "x" * 120)
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.textHygiene(docs, maxChars = 100L)
+      .select("n_docs", "n_null", "n_empty", "n_ws_only", "n_control",
+        "n_too_long", "n_clean")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(out === ((6L, 1L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("mixtureDrift: lost source reads share 0, drift signed and exact") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, "a b c d", "X"), (2L, "e f g h", "X"),    // X: 8 tokens
+      (3L, "i j", "Y")                                // Y: 2 tokens
+    ).toDF("doc_id", "text", "source")
+    val after = before.filter(col("source") === "X")
+      .filter(col("doc_id") === 1L)                    // X: 4, Y: gone
+    val out = graft.llm.TextAnalysis.mixtureDrift(before, after)
+      .select("source", "tok_before", "tok_after", "share_before_permille",
+        "share_after_permille", "drift_permille")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0) === (("X", 8L, 4L, 800L, 1000L, 200L)))
+    assert(out(1) === (("Y", 2L, 0L, 200L, 0L, -200L)))
+  }
 }
