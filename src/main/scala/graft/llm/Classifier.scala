@@ -84,28 +84,39 @@ object Classifier {
   def centroidGate(docs: DataFrame, teacher: Column): DataFrame = {
     val feats = withFeatures(docs)
       .withColumn("label", teacher.cast("int"))
+    feats.crossJoin(broadcast(centroidsOf(feats)))
+      .withColumn("pred", predExpr)
+      .select(col("doc_id"), col("label"),
+        col("pred"), (col("label") === col("pred")).cast("int").as("agree"))
+  }
+
+  /** The trained model: ONE row of class counts and per-feature class
+    * sums — the broadcast artifact [[ClassifierIndex]] persists. Input
+    * must carry [[withFeatures]]' stat columns plus an int `label`. */
+  private[llm] def centroidsOf(feats: DataFrame): DataFrame = {
     val centCols =
       sum(when(col("label") === 1, 1L).otherwise(0L)).as("c_pos") +:
         sum(when(col("label") === 0, 1L).otherwise(0L)).as("c_neg") +:
         featCols.flatMap(f => Seq(
           sum(when(col("label") === 1, col(f)).otherwise(0L)).as(s"sp_$f"),
           sum(when(col("label") === 0, col(f)).otherwise(0L)).as(s"sn_$f")))
-    val cents = feats.agg(centCols.head, centCols.tail: _*)
+    feats.agg(centCols.head, centCols.tail: _*)
+  }
+
+  /** The student's verdict over a row carrying both the feature and the
+    * model (centroid) columns — Σ|f·c − s| cross-multiplied distances in
+    * DECIMAL(38,0), degenerate classes loudly-simple. */
+  private[llm] def predExpr: Column = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // Σ|f·c − s| against one class's (count, sums)
     def dist(cnt: String, pfx: String): Column =
       featCols.map(f =>
         abs(dec(col(f)) * dec(col(cnt)) - dec(col(s"${pfx}_$f"))))
         .reduce(_ + _)
-    feats.crossJoin(broadcast(cents))
-      .withColumn("pred",
-        when(col("c_pos") === 0, lit(0))
-          .when(col("c_neg") === 0, lit(1))
-          .when(dec(col("c_neg")) * dist("c_pos", "sp") <=
-            dec(col("c_pos")) * dist("c_neg", "sn"), lit(1))
-          .otherwise(lit(0)))
-      .select(col("doc_id"), col("label"),
-        col("pred"), (col("label") === col("pred")).cast("int").as("agree"))
+    when(col("c_pos") === 0, lit(0))
+      .when(col("c_neg") === 0, lit(1))
+      .when(dec(col("c_neg")) * dist("c_pos", "sp") <=
+        dec(col("c_pos")) * dist("c_neg", "sn"), lit(1))
+      .otherwise(lit(0))
   }
 
   /** The q37 heuristic blend as the teacher: quality ≥ `threshold`,
@@ -114,10 +125,14 @@ object Classifier {
     * by q37) — no join back to the scored frame, the corpus scans once. */
   def qualityTeacherGate(docs: DataFrame,
       threshold: Double = 0.5): DataFrame =
-    centroidGate(docs,
-      TextFunctions.fround(
-        least(col("n_raw").cast("double") / 100.0, lit(1.0)) * 0.4
-          + (col("n_distinct").cast("double") / col("n_raw")) * 0.3
-          + (lit(1.0) - col("n_stop").cast("double") / col("n_raw")) * 0.3,
-        4) >= threshold)
+    centroidGate(docs, qualityTeacher(threshold))
+
+  /** The q37 heuristic blend as a reusable teacher column (over
+    * [[withFeatures]]' stat columns). */
+  private[llm] def qualityTeacher(threshold: Double): Column =
+    TextFunctions.fround(
+      least(col("n_raw").cast("double") / 100.0, lit(1.0)) * 0.4
+        + (col("n_distinct").cast("double") / col("n_raw")) * 0.3
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_raw")) * 0.3,
+      4) >= threshold
 }

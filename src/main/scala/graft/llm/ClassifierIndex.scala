@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted quality-classifier model — the sixth index lifecycle beside
+ * [[DedupIndex]] / [[IvfIndex]] / [[DeconIndex]] / [[BpeIndex]] /
+ * [[DsirIndex]]: [[Classifier.centroidGate]]'s trained model is ONE row
+ * of class counts and per-feature class sums, trained once on a labeled
+ * snapshot and then applied to every incoming batch — retraining the
+ * teacher per batch would let the gate DRIFT with each batch's own
+ * distribution, which is exactly what a frozen production filter must
+ * not do (FineWeb/CCNet freeze their classifier for the whole crawl).
+ *
+ * Layout: `model` (the 1-row centroid table) + `params` (threshold in
+ * permille, an FNV-1a content signature over the model row). `score`
+ * validates the signature on load — a torn write or an interleaved
+ * rebuild that shares the threshold loads loudly, never silently
+ * ([[BpeIndex]]'s rule). Rebuild-not-append: the model is an aggregate
+ * of its whole training set; accreting rows would mix two teachers'
+ * distributions (the [[DsirIndex]] rationale).
+ */
+object ClassifierIndex {
+
+  private val modelCols: Seq[String] =
+    "c_pos" +: "c_neg" +: (1 to 5).flatMap(i => Seq(s"sp_f$i", s"sn_f$i"))
+
+  /** FNV-1a over the ordered model cells — stable across JVMs (pure
+    * Long arithmetic over decimal string renderings). */
+  def signature(cells: Seq[Long]): Long = {
+    var h = 0xcbf29ce484222325L
+    cells.foreach { v =>
+      v.toString.foreach { c =>
+        h ^= c.toLong
+        h *= 0x100000001b3L
+      }
+      h ^= '|'.toLong
+      h *= 0x100000001b3L
+    }
+    h
+  }
+
+  private def cellsOf(r: Row): Seq[Long] =
+    modelCols.map(c => r.getAs[Long](c))
+
+  /** Train the centroid model on `docs` under the quality teacher at
+    * `thresholdPermille` (q37's blend ≥ threshold) and persist it. */
+  def build(docs: DataFrame, dir: String,
+      thresholdPermille: Long = 500L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = Classifier.withFeatures(docs).withColumn("label",
+      Classifier.qualityTeacher(thresholdPermille.toDouble / 1000.0)
+        .cast("int"))
+    val model = Classifier.centroidsOf(feats).localCheckpoint(true)
+    model.write.mode("overwrite").parquet(s"$dir/model")
+    val sig = signature(cellsOf(model.head()))
+    Seq((thresholdPermille, sig)).toDF("threshold_permille", "sig")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def loadValidated(spark: SparkSession, dir: String): DataFrame = {
+    val params =
+      try spark.read.parquet(s"$dir/params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"score: no classifier index at '$dir' — params missing; " +
+              "run build() first", e)
+      }
+    val model = spark.read.parquet(s"$dir/model")
+    val rows = model.collect()
+    require(rows.length == 1,
+      s"classifier index at '$dir' is torn: ${rows.length} model rows")
+    val sig = signature(cellsOf(rows.head))
+    require(sig == params.getAs[Long]("sig"),
+      s"classifier index at '$dir' failed its content signature — " +
+        "torn write or interleaved rebuild; rebuild the index")
+    model
+  }
+
+  /** Classify a batch under the STORED model — (doc_id, pred), identical
+    * to the pred column [[Classifier.centroidGate]] would emit had it
+    * been trained on the indexed snapshot. Pure read; the model row
+    * broadcasts onto the batch scan. */
+  def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    Classifier.withFeatures(docs)
+      .crossJoin(broadcast(loadValidated(spark, dir)))
+      .withColumn("pred", Classifier.predExpr)
+      .select(col("doc_id"), col("pred"))
+
+  /** Operational report: params present, model-row count, signature
+    * validity, class counts — the scheduled-job check ([[DedupIndex
+    * .healthCheck]]'s contract: REPORTS where loaders throw). */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params =
+      try spark.read.parquet(s"$dir/params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"healthCheck: no classifier index at '$dir'", e)
+      }
+    val rows = spark.read.parquet(s"$dir/model").collect()
+    val oneRow = rows.length == 1
+    val sigOk = oneRow &&
+      signature(cellsOf(rows.head)) == params.getAs[Long]("sig")
+    val (cPos, cNeg) =
+      if (oneRow) (rows.head.getAs[Long]("c_pos"), rows.head.getAs[Long]("c_neg"))
+      else (-1L, -1L)
+    Seq((params.getAs[Long]("threshold_permille"), rows.length.toLong,
+      oneRow, sigOk, cPos, cNeg,
+      oneRow && sigOk && cPos >= 0L && cNeg >= 0L))
+      .toDF("threshold_permille", "model_rows", "one_row", "sig_ok",
+        "c_pos", "c_neg", "healthy")
+  }
+}

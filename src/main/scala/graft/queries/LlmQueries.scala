@@ -6024,6 +6024,71 @@ object LlmQueries {
          |     - tok_before * 1000 // greatest(t_b, 1) AS BIGINT) AS drift_permille
          |FROM mp CROSS JOIN mt ORDER BY source""".stripMargin))
 
+  // q191 — the persisted classifier model (sixth index lifecycle):
+  // train the q112 centroid gate ONCE into a stored 1-row model
+  // (signature-validated on load), then classify the corpus as a pure
+  // read. A frozen production filter must not retrain per batch — the
+  // gate would drift with each batch's own distribution. serve ≡
+  // inline: the oracle replays q112's training CTEs, so a torn or
+  // stale stored model changes the result.
+  private def classifierIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_clf_idx", d, "params") { dir =>
+      graft.llm.ClassifierIndex.build(Tables.documents(s, d), dir,
+        thresholdPermille = 500L)
+    }
+  val q191 = Q(
+    "q191_classifier_index",
+    (s, d) => graft.llm.ClassifierIndex.score(s,
+      classifierIndexDir(s, d), Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some {
+      val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+      val absDist = (pfx: String, cnt: String) => (1 to 5).map(i =>
+        s"abs(CAST(f$i AS HUGEINT) * $cnt - $pfx$i)").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |         string_split(coalesce(text, ''), ' ') AS ws
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_raw,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS f1,
+         |    CAST(length(t) AS BIGINT) AS f2,
+         |    CAST(length(replace(t, ' ', '')) AS BIGINT) AS f5n
+         |  FROM w),
+         |feat AS (
+         |  SELECT doc_id, f1, f2,
+         |    n_distinct * 10000 // n_raw AS f3,
+         |    n_stop * 10000 // n_raw AS f4,
+         |    f5n * 10000 // greatest(f1, 1) AS f5,
+         |    CASE WHEN ${Det.frSql(
+        """least(CAST(n_raw AS DOUBLE) / 100.0, 1.0) * 0.4
+          |      + CAST(n_distinct AS DOUBLE) / n_raw * 0.3
+          |      + (1.0 - CAST(n_stop AS DOUBLE) / n_raw) * 0.3""".stripMargin,
+        4)} >= 0.5
+         |         THEN 1 ELSE 0 END AS label
+         |  FROM s),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_neg,
+         |    ${(1 to 5).map(i =>
+        s"CAST(sum(CASE WHEN label = 1 THEN f$i ELSE 0 END) AS HUGEINT) AS sp$i, " +
+          s"CAST(sum(CASE WHEN label = 0 THEN f$i ELSE 0 END) AS HUGEINT) AS sn$i")
+        .mkString(",\n    ")}
+         |  FROM feat)
+         |SELECT doc_id,
+         |  CASE WHEN c_pos = 0 THEN 0
+         |       WHEN c_neg = 0 THEN 1
+         |       WHEN CAST(c_neg AS HUGEINT) * (${absDist("sp", "c_pos")})
+         |         <= CAST(c_pos AS HUGEINT) * (${absDist("sn", "c_neg")})
+         |       THEN 1 ELSE 0 END AS pred
+         |FROM feat CROSS JOIN c
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6033,5 +6098,5 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 }

@@ -748,10 +748,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 190 uniquely-named queries, 186 oracle-checked, qNN prefixes unique") {
+  test("registry: 191 uniquely-named queries, 187 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 190)
-    assert(all.count(_.oracle.isDefined) === 186)
+    assert(all.size === 191)
+    assert(all.count(_.oracle.isDefined) === 187)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -1724,5 +1724,44 @@ class CorpusOpsSpec extends SparkSpec {
       .select(ZOrder.zvalue(lit(5L), lit(3L), bits = 3).as("z"))
       .as[Long].head()
     assert(z === 27L)
+  }
+
+  test("ClassifierIndex: stored model ≡ inline gate; torn and mixed artifacts load loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("clf_idx").toString
+    graft.llm.ClassifierIndex.build(docs, dir, thresholdPermille = 500L)
+    val stored = graft.llm.ClassifierIndex.score(spark, dir, docs)
+      .select("doc_id", "pred").as[(Long, Int)].collect().sortBy(_._1)
+    val inline = graft.llm.Classifier.qualityTeacherGate(docs)
+      .select("doc_id", "pred").as[(Long, Int)].collect().sortBy(_._1)
+    assert(stored.toSeq === inline.toSeq)
+    val h = graft.llm.ClassifierIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Boolean]("healthy") && h.getAs[Boolean]("sig_ok"))
+    assert(h.getAs[Long]("c_pos") + h.getAs[Long]("c_neg") === docs.count())
+    // torn: a second model row (interleaved rebuild) refuses to serve
+    spark.read.parquet(s"$dir/model").limit(1)
+      .write.mode("append").parquet(s"$dir/model")
+    intercept[IllegalArgumentException] {
+      graft.llm.ClassifierIndex.score(spark, dir, docs).collect()
+    }
+    assert(!graft.llm.ClassifierIndex.healthCheck(spark, dir)
+      .head().getAs[Boolean]("healthy"))
+    // mixed: model from a DIFFERENT corpus under the same params —
+    // the content signature catches it
+    val dir2 = java.nio.file.Files.createTempDirectory("clf_idx2").toString
+    graft.llm.ClassifierIndex.build(docs, dir2, thresholdPermille = 500L)
+    graft.llm.ClassifierIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      java.nio.file.Paths.get(dir2).toString + "_other", 500L)
+    // overwrite model with the other corpus's model, keep params
+    spark.read.parquet(
+        java.nio.file.Paths.get(dir2).toString + "_other/model")
+      .write.mode("overwrite").parquet(s"$dir2/model")
+    intercept[IllegalArgumentException] {
+      graft.llm.ClassifierIndex.score(spark, dir2, docs).collect()
+    }
+    // absent index throws, like every loader
+    intercept[IllegalStateException] {
+      graft.llm.ClassifierIndex.score(spark,
+        java.nio.file.Files.createTempDirectory("clf_absent").toString, docs)
+    }
   }
 }
