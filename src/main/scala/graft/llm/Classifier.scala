@@ -72,6 +72,11 @@ object Classifier {
 
   private val featCols = (1 to 5).map(i => s"f$i")
 
+  /** The feature-column list as data — [[ClassifierIndex]] derives its
+    * stored-model column set (and content signature) from this, so the
+    * two cannot drift. */
+  private[llm] def featColNames: Seq[String] = featCols
+
   /**
    * Train on `teacher` (any deterministic boolean over the doc row — it
    * may reference the [[withFeatures]] stat columns) and classify every

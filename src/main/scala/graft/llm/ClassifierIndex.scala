@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
  */
 object ClassifierIndex {
 
+  // derived from the SAME feature list the model aggregate uses, so the
+  // signature can never silently cover a subset if the feature set grows
   private val modelCols: Seq[String] =
-    "c_pos" +: "c_neg" +: (1 to 5).flatMap(i => Seq(s"sp_f$i", s"sn_f$i"))
+    "c_pos" +: "c_neg" +: Classifier.featColNames.flatMap(f =>
+      Seq(s"sp_$f", s"sn_$f"))
 
   /** FNV-1a over the ordered model cells — stable across JVMs (pure
     * Long arithmetic over decimal string renderings). */
@@ -102,7 +105,13 @@ object ClassifierIndex {
           throw new IllegalStateException(
             s"healthCheck: no classifier index at '$dir'", e)
       }
-    val rows = spark.read.parquet(s"$dir/model").collect()
+    val rows =
+      try spark.read.parquet(s"$dir/model").collect()
+      catch {
+        // a half-deleted index (params intact, model gone) is a health
+        // STATE to report, not a crash — the loaders throw, this reports
+        case _: org.apache.spark.sql.AnalysisException => Array.empty[Row]
+      }
     val oneRow = rows.length == 1
     val sigOk = oneRow &&
       signature(cellsOf(rows.head)) == params.getAs[Long]("sig")

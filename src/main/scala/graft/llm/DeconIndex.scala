@@ -88,6 +88,10 @@ object DeconIndex {
   private def winnowParams(spark: SparkSession,
       dir: String): (Int, Int, DedupOps.Tokenizer) = {
     val r = paramsRow(spark, dir)
+    require(r.schema.fieldNames.contains("wtok"),
+      s"decon index at '$dir' predates the winnow layout (params has no " +
+        "winnow geometry) — rebuild() the index before using the winnow " +
+        "probe, append or healthCheck")
     val tok = r.getString(3) match {
       case "ascii" => DedupOps.Tokenizer.Ascii
       case "unicode" => DedupOps.Tokenizer.Unicode
@@ -112,6 +116,10 @@ object DeconIndex {
   def append(benchmark: DataFrame, dir: String): Unit = {
     val spark = benchmark.sparkSession
     val n = gramN(spark, dir)
+    // validate the winnow layout BEFORE the first write — a pre-winnow
+    // index must fail here with the rebuild message, not after the
+    // fingerprint/gram appends are already durable
+    val (wn, ww, wtok) = winnowParams(spark, dir)
     val newFps = benchFps(benchmark)
       .join(spark.read.parquet(s"$dir/fingerprints"), Seq("fp"), "left_anti")
       .localCheckpoint(true)
@@ -122,7 +130,6 @@ object DeconIndex {
       .localCheckpoint(true)
     if (!newGrams.isEmpty)
       newGrams.write.mode("append").parquet(s"$dir/grams")
-    val (wn, ww, wtok) = winnowParams(spark, dir)
     val newPrints = benchPrints(benchmark, wn, ww, wtok)
       .join(spark.read.parquet(s"$dir/prints"), Seq("fp"), "left_anti")
       .localCheckpoint(true)
@@ -178,14 +185,8 @@ object DeconIndex {
       minShared: Long = 2L): DataFrame = {
     val spark = corpus.sparkSession
     val (wn, ww, wtok) = winnowParams(spark, dir)
-    val bp = spark.read.parquet(s"$dir/prints")
-    val dp = DedupOps.winnowFingerprints(corpus, wn, ww, wtok)
-      .select(col("doc_id"), col("fp")).distinct()
-    val shared = dp.join(broadcast(bp), "fp")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    corpus.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .withColumn("kept", col("n_shared") < minShared)
+    DedupOps.winnowProbe(corpus, spark.read.parquet(s"$dir/prints"),
+      wn, ww, minShared, wtok)
   }
 
   /**

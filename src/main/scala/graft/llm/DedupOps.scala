@@ -354,12 +354,21 @@ object DedupOps {
    */
   def winnowDecontaminate(docs: DataFrame, benchmark: DataFrame,
       n: Int = 3, w: Int = 4, minShared: Long = 2L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
+    winnowProbe(docs,
+      winnowFingerprints(benchmark, n, w, tok).select(col("fp")).distinct(),
+      n, w, minShared, tok)
+
+  /** The probe half of [[winnowDecontaminate]] against an ALREADY
+    * materialized distinct print-value set (`prints`: one `fp` column) —
+    * shared by the inline gate and [[DeconIndex.probeWinnow]]'s stored
+    * artifact, so the served gate cannot drift from the inline one. */
+  private[llm] def winnowProbe(docs: DataFrame, prints: DataFrame,
+      n: Int, w: Int, minShared: Long,
       tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
-    val bp = winnowFingerprints(benchmark, n, w, tok)
-      .select(col("fp")).distinct()
     val dp = winnowFingerprints(docs, n, w, tok)
       .select(col("doc_id"), col("fp")).distinct()
-    val shared = dp.join(broadcast(bp), "fp")
+    val shared = dp.join(broadcast(prints.select(col("fp"))), "fp")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
@@ -378,9 +387,14 @@ object DedupOps {
    * Coverage dial: prints exist at ~2/(w+1) density, so at the default
    * w this scrubs the ANCHOR n-grams of each match (cheap, leaves
    * inter-anchor words of a long verbatim run). At `w = 1` every
-   * shingle position is selected, so the scrub provably removes EVERY
-   * shared n-gram — exact shared-gram removal — at full probe density.
-   * Pick w by how adversarial the leakage model is.
+   * shingle position is selected, so the scrub removes every shared
+   * n-gram OF THE ORIGINAL TEXT at full probe density. Note the splice
+   * itself can form NEW n-grams across cut boundaries (removing two
+   * runs can butt their flanks together into a gram that happens to
+   * exist in the benchmark) — one-pass scrubbing is the standard
+   * trade; under an adversarial leakage model run the scrub twice, or
+   * re-verify the output with [[winnowDecontaminate]]. Pick w by how
+   * adversarial the leakage model is.
    *
    * Stays on the raw ASCII surface by design, like the whole span
    * family: the rewrite reconstructs documents from their word stream,
@@ -409,20 +423,24 @@ object DedupOps {
       .join(starts, Seq("doc_id"), "left")
     val ws = split(col("text"), " ")
     val n1 = lit(n - 1)
-    val scrubbed = array_join(
-      transform(
-        filter(sequence(lit(0), size(ws) - 1), i =>
-          !exists(col("starts"), s => s <= i && i <= s + n1)),
-        i => element_at(ws, i + 1)),
-      " ")
-    joined.select(col("doc_id"),
-      coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-      when(col("starts").isNull, lit(0L))
-        .otherwise(size(ws).cast("long") -
-          size(filter(sequence(lit(0), size(ws) - 1), i =>
-            !exists(col("starts"), s => s <= i && i <= s + n1))).cast("long"))
-        .as("n_removed"),
-      when(col("starts").isNull, col("text")).otherwise(scrubbed).as("text"))
+    // the O(|words|·|starts|) kept-index filter — the dominant per-row
+    // cost — materializes ONCE as a column; n_removed and the rewrite
+    // both derive from it (Catalyst does not reliably CSE a duplicated
+    // higher-order expression)
+    joined
+      .withColumn("_kept_idx",
+        when(col("starts").isNull, lit(null))
+          .otherwise(filter(sequence(lit(0), size(ws) - 1), i =>
+            !exists(col("starts"), s => s <= i && i <= s + n1))))
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("_kept_idx").isNull, lit(0L))
+          .otherwise(size(ws).cast("long") -
+            size(col("_kept_idx")).cast("long")).as("n_removed"),
+        when(col("_kept_idx").isNull, col("text"))
+          .otherwise(array_join(
+            transform(col("_kept_idx"), i => element_at(ws, i + 1)), " "))
+          .as("text"))
   }
 
   /**
@@ -628,14 +646,22 @@ object DedupOps {
       maxDf: Option[Long] = None,
       tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(rungsPermille.nonEmpty, "sweep needs at least one rung")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairs = ngramJaccardPairs(docs, n, 0.0, maxDf, tok)
     val rungArr = array(rungsPermille.map(lit(_)): _*)
-    pairs
+    val counted = pairs
       .select(expr("CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)").as("j4"),
         explode(rungArr).as("threshold_permille"))
       .groupBy("threshold_permille")
       .agg(sum(when(col("j4") >= col("threshold_permille") * 10L, 1L)
         .otherwise(0L)).as("n_pairs"))
+    // a pairless corpus must still return the FULL ladder (all zero),
+    // not an empty frame a calibration consumer misreads as a failed run
+    rungsPermille.toDF("threshold_permille")
+      .join(counted, Seq("threshold_permille"), "left")
+      .select(col("threshold_permille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
 
   /**

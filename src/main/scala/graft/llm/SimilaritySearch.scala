@@ -328,6 +328,8 @@ object SimilaritySearch {
    * degenerate vector classes every ANN path here documents it skips —
    * null vectors, wrong dimensionality, non-finite elements (NaN/±Inf),
    * all-zero vectors (undefined cosine) — plus the clean remainder. The
+   * classes PARTITION the table (precedence null > wrong-dim >
+   * non-finite > zero-norm), so the columns reconcile to n_vecs. The
    * operational pre-flight before an index build: the ANN operators
    * tolerate these rows silently by contract (NaN-skip, cell −1), which
    * is exactly why a pipeline owner needs the COUNT surfaced somewhere
@@ -338,7 +340,7 @@ object SimilaritySearch {
   def embeddingHygiene(corpus: DataFrame, dim: Int): DataFrame = {
     val e = col("embedding")
     val wrongDim = e.isNotNull && size(e) =!= dim
-    val nonFinite = e.isNotNull && exists(e, x =>
+    val nonFinite = e.isNotNull && !wrongDim && exists(e, x =>
       isnan(x.cast("double")) || x.cast("double") === Double.PositiveInfinity ||
         x.cast("double") === Double.NegativeInfinity)
     val zeroNorm = e.isNotNull && !wrongDim && !nonFinite &&

@@ -720,8 +720,9 @@ object TextAnalysis {
     val t = col("text")
     val isEmpty = t.isNotNull && length(t) === 0
     val wsOnly = t.isNotNull && length(t) > 0 && length(trim(t)) === 0
-    val hasCtl = t.isNotNull && t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
-    val tooLong = t.isNotNull && length(t) > maxChars
+    val hasCtl = t.isNotNull && !isEmpty && !wsOnly &&
+      t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    val tooLong = t.isNotNull && !hasCtl && length(t) > maxChars
     docs.agg(
       count(lit(1)).as("n_docs"),
       sum(when(t.isNull, 1L).otherwise(0L)).as("n_null"),
@@ -742,7 +743,9 @@ object TextAnalysis {
    * disproportionate mass, silently reweighting the mixture the data
    * design specified; this is that reweighting as a table, read before
    * anyone retunes domain weights against the wrong denominator.
-   * Groups absent from `after` surface with share 0, not a dropped row.
+   * Groups absent from EITHER side surface with that side's mass 0,
+   * never as a dropped row (a stage that relabels a source must not
+   * silently vanish from the table, nor leak out of the after-total).
    * Two group-keyed map-side-combined aggregates + broadcast totals.
    */
   def mixtureDrift(before: DataFrame, after: DataFrame,
@@ -753,8 +756,9 @@ object TextAnalysis {
           .cast("long")), lit(0L)).as(as))
     val b = massOf(before, "tok_before")
     val a = massOf(after, "tok_after")
-    val per = b.join(a, Seq(groupCol), "left")
-      .select(col(groupCol), col("tok_before"),
+    val per = b.join(a, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("tok_before"), lit(0L)).as("tok_before"),
         coalesce(col("tok_after"), lit(0L)).as("tok_after"))
     val tot = per.agg(
       coalesce(sum(col("tok_before")), lit(0L)).as("t_b"),

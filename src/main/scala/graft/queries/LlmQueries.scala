@@ -5625,7 +5625,8 @@ object LlmQueries {
   // shared winnow prints out of contaminated (≥ 2 shared values) docs
   // instead of dropping them whole — the C4 span-rewrite idea applied
   // to leakage (a mostly-novel doc quoting one benchmark passage keeps
-  // its novel mass). Corpus = % 41 ≠ 3, benchmark = % 41 = 3.
+  // its novel mass; see the operator scaladoc for the splice-can-form-
+  // new-grams caveat). Corpus = % 41 ≠ 3, benchmark = % 41 = 3.
   val q182 = Q(
     "q182_winnow_scrub",
     (s, d) => {
@@ -5912,8 +5913,9 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> $dim
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
-         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
-         |             x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+         |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = $dim
+         |             AND len(list_filter(embedding,
+         |               x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
          |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = $dim
          |             AND len(list_filter(embedding,
@@ -5938,12 +5940,16 @@ object LlmQueries {
       .orderBy("threshold_permille"),
     Some(
       s"""WITH $shingleCtes,
-         |r AS (SELECT unnest([300, 400, 500, 600, 700, 800, 900]) AS t)
-         |SELECT CAST(t AS BIGINT) AS threshold_permille,
-         |  CAST(sum(CASE WHEN CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)
-         |                     >= t * 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
-         |FROM jacc CROSS JOIN r
-         |GROUP BY 1 ORDER BY 1""".stripMargin))
+         |r AS (SELECT unnest([300, 400, 500, 600, 700, 800, 900]) AS t),
+         |sw AS (
+         |  SELECT t,
+         |    CAST(sum(CASE WHEN CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)
+         |                       >= t * 10 THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM jacc CROSS JOIN r GROUP BY 1)
+         |SELECT CAST(r.t AS BIGINT) AS threshold_permille,
+         |  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs
+         |FROM r LEFT JOIN sw ON sw.t = r.t
+         |ORDER BY 1""".stripMargin))
 
   // q189 — text-column hygiene (q187's parity for documents): exact
   // counts of null / empty / whitespace-only / control-char / over-cap
@@ -5965,7 +5971,9 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN text IS NOT NULL
          |             AND regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
-         |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 1000000
+         |  CAST(sum(CASE WHEN text IS NOT NULL
+         |             AND NOT regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+         |             AND length(text) > 1000000
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
          |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
          |             AND length(trim(text)) > 0
@@ -6011,9 +6019,10 @@ object LlmQueries {
          |         CAST(coalesce(sum(len(string_split(coalesce(text, ''), ' '))), 0) AS BIGINT)
          |           AS tok_after
          |       FROM clean GROUP BY 1),
-         |mp AS (SELECT mb.source, tok_before,
+         |mp AS (SELECT source,
+         |         CAST(coalesce(tok_before, 0) AS BIGINT) AS tok_before,
          |         CAST(coalesce(tok_after, 0) AS BIGINT) AS tok_after
-         |       FROM mb LEFT JOIN ma USING (source)),
+         |       FROM mb FULL JOIN ma USING (source)),
          |mt AS (SELECT CAST(coalesce(sum(tok_before), 0) AS BIGINT) AS t_b,
          |              CAST(coalesce(sum(tok_after), 0) AS BIGINT) AS t_a
          |       FROM mp)

@@ -1763,5 +1763,36 @@ class CorpusOpsSpec extends SparkSpec {
       graft.llm.ClassifierIndex.score(spark,
         java.nio.file.Files.createTempDirectory("clf_absent").toString, docs)
     }
+    // half-deleted index (params intact, model gone): healthCheck REPORTS
+    val dir3 = java.nio.file.Files.createTempDirectory("clf_half").toString
+    graft.llm.ClassifierIndex.build(docs, dir3, thresholdPermille = 500L)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(rmrf)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(java.nio.file.Paths.get(dir3, "model"))
+    val h3 = graft.llm.ClassifierIndex.healthCheck(spark, dir3).head()
+    assert(!h3.getAs[Boolean]("healthy") && h3.getAs[Long]("model_rows") === 0L)
+  }
+
+  test("DeconIndex: a pre-winnow-layout index fails loudly BEFORE any append write") {
+    val dir = java.nio.file.Files.createTempDirectory("decon_old_layout").toString
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    graft.llm.DeconIndex.build(bench, dir, n = 5)
+    // simulate the previous release's layout: params without winnow
+    // geometry, no prints table
+    import spark.implicits._
+    Seq(5).toDF("n").write.mode("overwrite").parquet(s"$dir/params")
+    val fpsBefore = spark.read.parquet(s"$dir/fingerprints").count()
+    intercept[IllegalArgumentException] {
+      graft.llm.DeconIndex.append(docs.filter(col("doc_id") % 50 === 1), dir)
+    }
+    assert(spark.read.parquet(s"$dir/fingerprints").count() === fpsBefore,
+      "append must validate the layout before its first durable write")
+    intercept[IllegalArgumentException] {
+      graft.llm.DeconIndex.probeWinnow(docs, dir).collect()
+    }
   }
 }

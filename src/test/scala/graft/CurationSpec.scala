@@ -435,13 +435,16 @@ class CurationSpec extends SparkSpec {
       (3L, ""),
       (4L, "   "),
       (5L, "has a stray\u0001control"),
-      (6L, "x" * 120)
+      (6L, "x" * 120),
+      (7L, ("y" * 120) + "\u0001")   // ctl AND over-cap: counts ONCE (control)
     ).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.textHygiene(docs, maxChars = 100L)
       .select("n_docs", "n_null", "n_empty", "n_ws_only", "n_control",
         "n_too_long", "n_clean")
       .as[(Long, Long, Long, Long, Long, Long, Long)].head()
-    assert(out === ((6L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out === ((7L, 1L, 1L, 1L, 2L, 1L, 1L)))
+    assert(out._2 + out._3 + out._4 + out._5 + out._6 + out._7 === out._1,
+      "hygiene classes must partition the corpus")
   }
 
   test("mixtureDrift: lost source reads share 0, drift signed and exact") {
@@ -459,5 +462,16 @@ class CurationSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(out(0) === (("X", 8L, 4L, 800L, 1000L, 200L)))
     assert(out(1) === (("Y", 2L, 0L, 200L, 0L, -200L)))
+    // a group present only in AFTER surfaces (and counts in the after
+    // total) instead of silently skewing every other share
+    val after2 = after.unionByName(
+      Seq((9L, "p q r s", "Z")).toDF("doc_id", "text", "source"))
+    val out2 = graft.llm.TextAnalysis.mixtureDrift(before, after2)
+      .select("source", "tok_before", "tok_after", "share_before_permille",
+        "share_after_permille", "drift_permille")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out2(0) === (("X", 8L, 4L, 800L, 500L, -300L)))
+    assert(out2(2) === (("Z", 0L, 4L, 0L, 500L, 500L)))
   }
 }

@@ -283,9 +283,10 @@ class DedupSpec extends SparkSpec {
       (2L, "completely unrelated document about spark query planning")
     ).toDF("doc_id", "text")
     val bench = Seq((100L, passage)).toDF("doc_id", "text")
-    // w = 1 selects EVERY shingle position, so the scrub provably
-    // removes every shared 3-gram: no trigram of the scrubbed text may
-    // appear in the benchmark's trigram set
+    // w = 1 selects EVERY shingle position, so the scrub removes every
+    // shared 3-gram OF THE ORIGINAL text; on this fixture (distinct
+    // flanks) the splice forms no new benchmark gram, so the scrubbed
+    // text shares no trigram at all
     val out1 = graft.llm.DedupOps.winnowScrub(corpus, bench, n = 3,
         w = 1, minShared = 2L)
       .select("doc_id", "n_shared", "n_removed", "text")
@@ -323,5 +324,12 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L))
     assert(out.sliding(2).forall(w => w(0)._2 >= w(1)._2), "sweep must be non-increasing")
     assert(out.last._2 === 1L, "the verbatim clone pair survives the 900 rung")
+    // a pairless corpus still returns the FULL ladder, all zero
+    val lone = Seq((1L, "just one single document here")).toDF("doc_id", "text")
+    val zero = graft.llm.DedupOps.dedupThresholdSweep(lone)
+      .select("threshold_permille", "n_pairs")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(zero.map(_._1).toSeq === Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L))
+    assert(zero.forall(_._2 === 0L))
   }
 }

@@ -539,12 +539,15 @@ class LlmSpec extends SparkSpec {
       (4L, v(Float.NaN, 1f, 1f, 1f)),                 // NaN
       (5L, v(Float.PositiveInfinity, 0f, 0f, 0f)),    // Inf
       (6L, v(0f, 0f, 0f, 0f)),                        // zero norm
-      (7L, v(0f, 0f, 1f, 0f))                         // clean
+      (7L, v(0f, 0f, 1f, 0f)),                        // clean
+      (8L, v(Float.NaN, 1f))                          // wrong dim AND NaN: once
     ).toDF("vec_id", "embedding")
     val out = graft.llm.SimilaritySearch.embeddingHygiene(vecs, dim = 4)
       .select("n_vecs", "n_null", "n_wrong_dim", "n_nonfinite",
         "n_zero_norm", "n_clean")
       .as[(Long, Long, Long, Long, Long, Long)].head()
-    assert(out === ((7L, 1L, 1L, 2L, 1L, 2L)))
+    assert(out === ((8L, 1L, 2L, 2L, 1L, 2L)))
+    assert(out._2 + out._3 + out._4 + out._5 + out._6 === out._1,
+      "hygiene classes must partition the table")
   }
 }
