@@ -332,4 +332,21 @@ class DedupSpec extends SparkSpec {
     assert(zero.map(_._1).toSeq === Seq(300L, 400L, 500L, 600L, 700L, 800L, 900L))
     assert(zero.forall(_._2 === 0L))
   }
+
+  test("winnowScrub: the splice can form a NEW benchmark gram; a second pass removes it (documented caveat + remedy)") {
+    val bench = Seq((100L, "X Y Z w Q R S a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b X Y Z c Q R S d")).toDF("doc_id", "text")
+    val once = graft.llm.DedupOps.winnowScrub(corpus, bench, n = 3,
+      w = 1, minShared = 1L)
+    val t1 = once.select("text").as[String].head()
+    // removing runs [2..4] and [6..8] butts "a b" against "c": the
+    // spliced text contains "a b c" — a benchmark trigram the original
+    // text never had
+    assert(t1 === "a b c d")
+    val twice = graft.llm.DedupOps.winnowScrub(
+      once.select(col("doc_id"), col("text")), bench, n = 3, w = 1,
+      minShared = 1L)
+    assert(twice.select("text").as[String].head() === "d",
+      "the second pass must remove the splice-formed gram")
+  }
 }
