@@ -50,8 +50,15 @@ object Classifier {
    * expressions. Null text classifies as empty ("" — split yields [""],
    * n_raw = 1) rather than poisoning split() into size −1.
    */
-  private[llm] def withFeatures(docs: DataFrame): DataFrame = {
-    val text = coalesce(col("text"), lit(""))
+  private[llm] def withFeatures(docs: DataFrame,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
+    // Under the Unicode tokenizer every feature (including the char
+    // lengths f2/f5) reads the NORMALIZED surface — the surface the
+    // stopword/TTR statistics are meaningful on for non-Latin text; the
+    // Ascii default is the raw surface every stored model and oracle
+    // hash was trained on. A model is only valid against batches scored
+    // under the SAME tokenizer (the [[ClassifierIndex]] invariant).
+    val text = tok.prep(coalesce(col("text"), lit("")))
     val raw = TextFunctions.words(text)
     val nonEmpty = filter(raw, w => w =!= "")
     val allStops = array(
@@ -86,8 +93,9 @@ object Classifier {
    * empty negative class 1 everywhere (the cross-multiply would otherwise
    * compare 0 ≤ 0 and claim everything positive).
    */
-  def centroidGate(docs: DataFrame, teacher: Column): DataFrame = {
-    val feats = withFeatures(docs)
+  def centroidGate(docs: DataFrame, teacher: Column,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
+    val feats = withFeatures(docs, tok)
       .withColumn("label", teacher.cast("int"))
     feats.crossJoin(broadcast(centroidsOf(feats)))
       .withColumn("pred", predExpr)
@@ -129,8 +137,9 @@ object Classifier {
     * expression order as `TextAnalysis.qualityScore`, already hash-pinned
     * by q37) — no join back to the scored frame, the corpus scans once. */
   def qualityTeacherGate(docs: DataFrame,
-      threshold: Double = 0.5): DataFrame =
-    centroidGate(docs, qualityTeacher(threshold))
+      threshold: Double = 0.5,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame =
+    centroidGate(docs, qualityTeacher(threshold), tok)
 
   /** The q37 heuristic blend as a reusable teacher column (over
     * [[withFeatures]]' stat columns). */

@@ -80,7 +80,13 @@ object ClassifierIndex {
     require(sig == params.getAs[Long]("sig"),
       s"classifier index at '$dir' failed its content signature — " +
         "torn write or interleaved rebuild; rebuild the index")
-    model
+    // Rebuild the frame from the already-validated collected row: the
+    // lazily-read `model` would re-read the parquet at execution time,
+    // so an interleaved rebuild between validation and execution could
+    // score under an UNVALIDATED model. The scored model must be
+    // byte-identical to the one whose signature passed.
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), model.schema)
   }
 
   /** Classify a batch under the STORED model — (doc_id, pred), identical

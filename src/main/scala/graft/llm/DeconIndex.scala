@@ -92,13 +92,16 @@ object DeconIndex {
       s"decon index at '$dir' predates the winnow layout (params has no " +
         "winnow geometry) — rebuild() the index before using the winnow " +
         "probe, append or healthCheck")
-    val tok = r.getString(3) match {
+    // Read by field NAME, like the name-based guard above implies — an
+    // ordinal read would silently return the wrong winnow geometry if
+    // the params schema is ever reordered or widened.
+    val tok = r.getAs[String]("wtok") match {
       case "ascii" => DedupOps.Tokenizer.Ascii
       case "unicode" => DedupOps.Tokenizer.Unicode
       case other => throw new IllegalStateException(
         s"decon index at '$dir' stores unknown tokenizer '$other'")
     }
-    (r.getInt(1), r.getInt(2), tok)
+    (r.getAs[Int]("wn"), r.getAs[Int]("ww"), tok)
   }
 
   /** Accrete NEW benchmark items — idempotent: only fingerprints/grams/
@@ -187,6 +190,38 @@ object DeconIndex {
     val (wn, ww, wtok) = winnowParams(spark, dir)
     DedupOps.winnowProbe(corpus, spark.read.parquet(s"$dir/prints"),
       wn, ww, minShared, wtok)
+  }
+
+  /** STREAM-SAFE winnow gate — [[probeWinnow]]'s verdict re-expressed so
+    * an ingest stream can run it: the batch probe's explode → broadcast
+    * join → per-doc aggregate → join-back is a stream-stream join in
+    * Structured Streaming's eyes, so here the stored print set rides
+    * ONE static broadcast row (collect_set — the same few-MB long table
+    * the batch probe broadcasts) and `n_shared` is the pure per-row
+    * expression |doc print values ∩ benchmark set| ([[DedupOps
+    * .winnowPrintValues]]). No aggregate, no join-back — the
+    * gopherFilter reasoning — so it composes in append mode in front of
+    * any landing sink, closing the gap where ingest-time scrubbing
+    * caught exact and fuzzy leaks ([[probe]]'s anti-join) but an
+    * EMBEDDED benchmark passage sailed through to the corpus. Verdict ≡
+    * the batch gate row-for-row on the same corpus (spec-pinned batch ≡
+    * replayed MemoryStream). Output: the corpus row + (n_shared, kept).
+    * The static side re-reads per micro-batch (a few-MB parquet + one
+    * 1-row aggregate) — cache the session's static frame if the trigger
+    * rate ever makes that visible. */
+  def probeWinnowStream(corpus: DataFrame, dir: String,
+      minShared: Long = 2L): DataFrame = {
+    val spark = corpus.sparkSession
+    val (wn, ww, wtok) = winnowParams(spark, dir)
+    val bset = spark.read.parquet(s"$dir/prints")
+      .agg(collect_set(col("fp")).as("bench_fps"))
+    corpus.crossJoin(broadcast(bset))
+      .withColumn("n_shared",
+        size(array_intersect(
+          DedupOps.winnowPrintValues(col("text"), wn, ww, wtok),
+          col("bench_fps"))).cast("long"))
+      .withColumn("kept", col("n_shared") < minShared)
+      .drop("bench_fps")
   }
 
   /**

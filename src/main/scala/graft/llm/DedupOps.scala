@@ -272,6 +272,26 @@ object DedupOps {
         pmod(col("enc"), lit(P)).as("fp"))
   }
 
+  /** Per-row array of DISTINCT winnow print VALUES of a text column —
+    * the un-exploded value-set form of [[winnowFingerprints]] (positions
+    * dropped: a GATE counts shared values, it does not rewrite). Pure
+    * scan-stage array expression, which is what makes the streaming
+    * winnow gate ([[DeconIndex.probeWinnowStream]]) stream-static legal:
+    * no explode, no aggregate, no join-back. Empty array for docs with
+    * no shingles (short/null text) — the batch probe's n_shared = 0
+    * convention. */
+  private[llm] def winnowPrintValues(text: org.apache.spark.sql.Column,
+      n: Int, w: Int,
+      tok: Tokenizer = Tokenizer.Ascii): org.apache.spark.sql.Column = {
+    require(w >= 1, s"winnow window must be >= 1 (got $w)")
+    val hs = TextFunctions.shingleHashList(tok.prep(text), n)
+    val wl = least(lit(w), size(hs))
+    val sel = transform(sequence(lit(0), size(hs) - wl),
+      i => array_min(slice(hs, i + 1, wl)))
+    when(size(hs) >= 1, array_distinct(sel))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /**
    * MOSS-style match pairs over [[winnowFingerprints]]: documents
    * sharing at least `minShared` distinct fingerprint VALUES. The same
@@ -316,13 +336,20 @@ object DedupOps {
       minShared: Long = 2L, maxDf: Option[Long] = None,
       tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val prints = winnowFingerprints(docs, n, w, tok)
+    // One winnow selection + one df-cap aggregate feed BOTH the span
+    // join and the qualified-pair derivation (the checkpoint cuts the
+    // shared subtree so the dominant scan/aggregate runs once, the
+    // q170 discipline) — deriving pairs via winnowPairs() would re-run
+    // the whole selection a second time.
     val capped = maxDf.fold(prints) { k =>
       val keep = prints.select(col("doc_id"), col("fp")).distinct()
         .groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= k).select("fp")
       prints.join(keep, "fp")
-    }
-    val pairs = winnowPairs(docs, n, w, minShared, maxDf, tok)
+    }.localCheckpoint()
+    val pairs = intersections(
+        capped.select(col("doc_id"), col("fp").as("h")).distinct())
+      .filter(col("inter") >= minShared)
       .select(col("id_a"), col("id_b"))
     capped.as("a")
       .join(capped.as("b"),
@@ -409,8 +436,18 @@ object DedupOps {
    * text byte-identical.
    */
   def winnowScrub(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-      w: Int = 4, minShared: Long = 2L): DataFrame = {
-    val bp = winnowFingerprints(benchmark, n, w).select(col("fp")).distinct()
+      w: Int = 4, minShared: Long = 2L): DataFrame =
+    winnowScrubAgainst(docs,
+      winnowFingerprints(benchmark, n, w).select(col("fp")).distinct(),
+      n, w, minShared)
+
+  /** One scrub pass against an ALREADY materialized distinct benchmark
+    * print-value set (`bp`: one `fp` column) — the [[winnowProbe]]
+    * pattern applied to the rewrite, shared by the one-pass gate and
+    * [[winnowScrubVerified]]'s fixpoint loop so the per-round pass can
+    * never drift from the public operator. */
+  private[llm] def winnowScrubAgainst(docs: DataFrame, bp: DataFrame,
+      n: Int, w: Int, minShared: Long): DataFrame = {
     val dp = winnowFingerprints(docs, n, w)
     val hits = dp.join(broadcast(bp), "fp")
     val shared = hits.select(col("doc_id"), col("fp")).distinct()
@@ -441,6 +478,76 @@ object DedupOps {
           .otherwise(array_join(
             transform(col("_kept_idx"), i => element_at(ws, i + 1)), " "))
           .as("text"))
+  }
+
+  /**
+   * VERIFIED-clean surgical decontamination — the fixpoint closure of
+   * [[winnowScrub]]'s documented splice loophole: a one-pass scrub can
+   * butt the flanks of two removed runs together into a NEW n-gram that
+   * happens to exist in the benchmark, so under an adversarial leakage
+   * model the output of one pass is not provably clean. This operator
+   * scrubs, RE-WINNOWS the rewritten text, and repeats until a full
+   * pass removes nothing — at which point no output document trips the
+   * `minShared` gate, by construction of the pass itself (a pass that
+   * removes nothing found no qualifying shared prints). Bounded by
+   * `maxRounds`; raises on non-convergence instead of returning a
+   * corpus it cannot certify. Every real corpus converges fast — each
+   * productive round strictly shrinks the flagged docs' word counts, so
+   * rounds are bounded by the longest flagged doc — but the bound is
+   * what makes an adversarial corpus fail LOUDLY.
+   *
+   * Scale shape: the benchmark print set materializes ONCE (checkpoint,
+   * then broadcast into every round, [[winnowProbe]]'s build side).
+   * Round 1 scans the whole corpus; every later round re-scrubs ONLY
+   * the documents the previous round rewrote (an untouched document's
+   * text did not change, so the pass that left it untouched already
+   * verified it) — at any realistic contamination rate the active set
+   * collapses by orders of magnitude per round, so the fixpoint costs
+   * one corpus scan plus a few scans of the contaminated sliver. Rounds
+   * are checkpointed: lineage stays flat, and the per-round driver
+   * decision reads ONE aggregate (is the active set empty), never data.
+   *
+   * Output: exactly [[winnowScrub]]'s schema — (doc_id, n_shared,
+   * n_removed, text) with `n_shared` the FIRST-pass evidence count and
+   * `n_removed` the total across rounds. On a corpus with no splice
+   * leaks (the common case) the result is row-identical to the one-pass
+   * operator — which is what lets the oracle pin it.
+   */
+  def winnowScrubVerified(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxRounds: Int = 8): DataFrame = {
+    require(maxRounds >= 1, "winnowScrubVerified needs at least one round")
+    val bp = winnowFingerprints(benchmark, n, w).select(col("fp")).distinct()
+      .localCheckpoint()
+    val first = winnowScrubAgainst(docs, bp, n, w, minShared)
+      .localCheckpoint()
+    var clean = first.filter(col("n_removed") === 0L)
+    var active = first.filter(col("n_removed") > 0L)
+    var rounds = 1
+    var converged = active.isEmpty
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val s = winnowScrubAgainst(
+          active.select(col("doc_id"), col("text")), bp, n, w, minShared)
+        .select(col("doc_id"), col("n_removed").as("nr_k"),
+          col("text").as("text_k"))
+      val merged = active.join(s, "doc_id")
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_removed") + col("nr_k")).as("n_removed"),
+          col("text_k").as("text"), col("nr_k"))
+        .localCheckpoint()
+      clean = clean.unionByName(merged.filter(col("nr_k") === 0L)
+        .select(col("doc_id"), col("n_shared"), col("n_removed"), col("text")))
+      active = merged.filter(col("nr_k") > 0L)
+        .select(col("doc_id"), col("n_shared"), col("n_removed"), col("text"))
+      converged = active.isEmpty
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"winnowScrubVerified: scrub did not reach a verified-clean " +
+          s"fixpoint in $maxRounds rounds — adversarial splice structure; " +
+          "raise maxRounds or drop the residual documents instead")
+    clean
   }
 
   /**
@@ -1394,6 +1501,123 @@ object DedupOps {
         (col("r.n").cast("long") * width).as("len_words"),
         col("r.n").cast("long").as("n_spans"),
         col("r.rm").cast("long").as("n_removed"))
+  }
+
+  /**
+   * Variable-length exact-substring dedup (the Lee et al. 2021,
+   * arXiv:2107.06499 "ExactSubstr" SHAPE, distributed): any word run of
+   * length ≥ `width` that occurs more than once in the corpus is found
+   * at its TRUE boundaries, not as width-aligned tiles. The fixed-tile
+   * family (q86/q93/q130) misses a 50-token verbatim block whose copies
+   * land at different tile phases; here every SLIDING width-window is
+   * hashed, corpus-duplicated non-canonical windows mark their covered
+   * word positions, and overlapping/adjacent marked windows merge into
+   * maximal extents — so the 50-token block surfaces as ONE run at its
+   * exact start/length, whichever phase each copy sits at.
+   *
+   * Keep-first policy, like the whole span family: the corpus-wide
+   * minimum (doc_id, position) instance of each distinct window is
+   * canonical; a block's first occurrence survives, every other copy is
+   * reported (and [[spanExtentDedupApply]] removes it) in full. The
+   * suffix-array machinery of the paper is replaced by the hash-join
+   * shape Spark executes well: the set of removed positions is
+   * IDENTICAL (any duplicated run ≥ width is a union of duplicated
+   * width-windows, and no non-duplicated position is covered by one).
+   *
+   * Span identity is the same double-modulus hash pair as [[spanFlags]]
+   * (destructive decision ⇒ 78-bit identity; see that scaladoc).
+   *
+   * Scale shape: sliding windows emit ~n_words rows per doc (width×
+   * denser than the tile family — the price of true boundaries), each a
+   * (hash, hash, key) triple of longs; the corpus-wide pass is one
+   * map-side-combined groupBy on the hash pair; flagged instances
+   * re-join that table (AQE broadcasts when the duplicated-window set
+   * is small) and collapse per doc into a bounded extent array. Text
+   * bytes never shuffle; the gap-and-islands merge is a scan-stage fold
+   * over each doc's own sorted window starts.
+   */
+  /** Per-doc merged duplicate extents: (base, exts) where `exts` is
+    * (doc_id, es: array<struct<start,end,nw>>) — start/end inclusive
+    * word positions, nw = flagged windows merged into the extent. */
+  private def spanExtentCore(docs: DataFrame,
+      width: Int): (DataFrame, DataFrame) = {
+    require(width > 0, "width must be positive")
+    val spanIdxBits = 1048576L
+    val docIdLimit = 1L << 43
+    val ws = filter(words(col("text")), w => w =!= "")
+    val base = docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_words"), ws.as("ws"))
+    def windowHashes(mod: Long) = when(size(col("ws")) >= width,
+      transform(sequence(lit(0), size(col("ws")) - width),
+        i => polyHashMod(array_join(slice(col("ws"), i + 1, lit(width)), " "), mod)))
+      .otherwise(array().cast("array<long>"))
+    val spanned = base
+      .select(col("doc_id"),
+        posexplode(arrays_zip(windowHashes(TextFunctions.P),
+          windowHashes(graft.functions.LlmExprs.P48))).as(Seq("idx", "hz")))
+      .select(col("doc_id"), col("idx"),
+        col("hz").getField("0").as("h"), col("hz").getField("1").as("h2"))
+      .withColumn("k",
+        when(col("idx") < spanIdxBits &&
+            col("doc_id") >= 0 && col("doc_id") < docIdLimit,
+          col("doc_id") * spanIdxBits + col("idx"))
+          .otherwise(raise_error(concat_ws(" ",
+            lit("spanExtentCore: instance-key overflow — need 0 <= doc_id" +
+              " < 2^43 and window idx < 2^20, got doc_id="),
+            col("doc_id"), lit("idx="), col("idx")))))
+    val grp = spanned.groupBy(col("h"), col("h2"))
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("first_k"))
+    val flagged = spanned.join(grp, Seq("h", "h2"))
+      .filter(col("cnt") > 1 && col("k") =!= col("first_k"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("starts"))
+    // overlap-or-adjacent merge: window at s covers words [s, s+width-1];
+    // contiguous removal regions merge (s <= last.end + 1 — window ends
+    // are monotone in s, so the last extent's end IS the running max)
+    val exts = flagged.select(col("doc_id"),
+      aggregate(col("starts"),
+        array().cast("array<struct<start:int,end:int,nw:int>>"),
+        (acc, s) => {
+          val last = element_at(acc, -1)
+          when(size(acc) > 0 && s <= last.getField("end") + 1,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("start").as("start"),
+                (s + lit(width - 1)).as("end"),
+                (last.getField("nw") + 1).as("nw")))))
+            .otherwise(concat(acc, array(struct(
+              s.cast("int").as("start"), (s + lit(width - 1)).as("end"),
+              lit(1).as("nw")))))
+        }).as("es"))
+    (base, exts)
+  }
+
+  /** The extents table: one row per maximal duplicated run —
+    * (doc_id, start_word, len_words, n_windows). Only NON-canonical
+    * copies appear (keep-first); a doc with no duplicated run ≥ width
+    * emits no row. */
+  def spanExtents(docs: DataFrame, width: Int = 8): DataFrame = {
+    val (_, exts) = spanExtentCore(docs, width)
+    exts.select(col("doc_id"), explode(col("es")).as("e"))
+      .select(col("doc_id"),
+        col("e.start").cast("long").as("start_word"),
+        (col("e.end") - col("e.start") + 1).cast("long").as("len_words"),
+        col("e.nw").cast("long").as("n_windows"))
+  }
+
+  /** The rewrite: every duplicated extent cut out at its true word
+    * boundaries — (doc_id, n_tokens_kept, text_clean); docs with no
+    * flagged extent round-trip byte-identical (modulo the word-stream
+    * reconstruction the whole span family shares). */
+  def spanExtentDedupApply(docs: DataFrame, width: Int = 8): DataFrame = {
+    val (base, exts) = spanExtentCore(docs, width)
+    val es = coalesce(col("es"),
+      array().cast("array<struct<start:int,end:int,nw:int>>"))
+    val kept = filter(col("ws"), (_, i) =>
+      !exists(es, e => e.getField("start") <= i && i <= e.getField("end")))
+    base.join(exts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(kept).cast("long").as("n_tokens_kept"),
+        array_join(kept, " ").as("text_clean"))
   }
 
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHamming: Int = 3,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import DedupOps.Tokenizer
+
 /**
  * Sparse lexical retrieval over the `documents` table: TF-IDF term
  * weighting and BM25 ranking — the keyword-search half of a curation
@@ -39,10 +41,18 @@ import org.apache.spark.sql.functions._
  */
 object Retrieval {
 
-  /** (doc_id, term, tf) — whitespace tokens, exact counts. */
-  def termCounts(docs: DataFrame): DataFrame =
+  /** (doc_id, term, tf) — whitespace tokens, exact counts. The
+    * [[DedupOps.Tokenizer]] knob is the SELECTION stack's multilingual
+    * on-ramp (same contract as the dedup family): `Ascii` (default) is
+    * the raw split-on-space surface every pre-round-15 oracle hash is
+    * over; `Unicode` normalizes first, so stopword/word-length/term
+    * statistics stop degenerating on non-Latin text. Still a scan-stage
+    * text preprocessor — codegen'd, zero-shuffle. */
+  def termCounts(docs: DataFrame,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     docs.select(col("doc_id"),
-      explode(filter(TextFunctions.words(col("text")), w => w =!= "")).as("term"))
+      explode(filter(TextFunctions.words(tok.prep(col("text"))),
+        w => w =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** (term, df) — number of distinct documents containing the term.
@@ -64,8 +74,9 @@ object Retrieval {
    * `logIdf = false` selects the rational idf the hash-checked oracle
    * mirrors (see object scaladoc).
    */
-  def tfIdf(docs: DataFrame, logIdf: Boolean = true): DataFrame = {
-    val tc = termCounts(docs)
+  def tfIdf(docs: DataFrame, logIdf: Boolean = true,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val tc = termCounts(docs, tok)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tc.join(docFrequencies(tc), "term")
       .crossJoin(broadcast(n))
@@ -75,10 +86,11 @@ object Retrieval {
   }
 
   /** Top-`k` TF-IDF terms per document (rank ties broken by term). */
-  def tfIdfTopTerms(docs: DataFrame, k: Int, logIdf: Boolean = true): DataFrame = {
+  def tfIdfTopTerms(docs: DataFrame, k: Int, logIdf: Boolean = true,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tfIdf(docs, logIdf)
+    tfIdf(docs, logIdf, tok)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -134,14 +146,15 @@ object Retrieval {
    * both engines.
    */
   def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
-      b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+      b: Double = 0.75, logIdf: Boolean = true,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val c1 = k1 + 1.0
     val c2 = 1.0 - b
-    val tc = termCounts(docs).filter(col("term").isin(queryTerms: _*))
+    val tc = termCounts(docs, tok).filter(col("term").isin(queryTerms: _*))
     val dfs = docFrequencies(tc)
     val dl = docs.select(col("doc_id"),
-      size(filter(TextFunctions.words(col("text")), w => w =!= ""))
+      size(filter(TextFunctions.words(tok.prep(col("text"))), w => w =!= ""))
         .cast("long").as("dl"))
     // one broadcast row: corpus size and mean doc length (exact integer
     // sum, ONE division)
@@ -191,8 +204,9 @@ object Retrieval {
    * small); the corpus total rides one broadcast row. The per-doc
    * re-aggregation is an integer sum — order-free, oracle-exact.
    */
-  def unigramRarity(docs: DataFrame): DataFrame = {
-    val tc = termCounts(docs)
+  def unigramRarity(docs: DataFrame,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val tc = termCounts(docs, tok)
     val vocab = tc.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val tot = vocab.agg(sum(col("cnt")).as("total"))
     val scored = tc.join(vocab, "term")
@@ -320,9 +334,10 @@ object Retrieval {
     * a sort-limit (TakeOrderedAndProject — per-partition heaps, no global
     * sort); the single-partition rank window only ever sees `k` rows. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, logIdf: Boolean = true,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    bm25(docs, queryTerms, k1, b, logIdf)
+    bm25(docs, queryTerms, k1, b, logIdf, tok)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w))
   }
@@ -363,10 +378,10 @@ object Retrieval {
    * bytes never shuffle — only exploded term pairs do.
    */
   def bigramSurprisal(docs: DataFrame, train: DataFrame,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val toksOf = (d: DataFrame, cols: Seq[Column]) => d.select(
-      cols :+ filter(TextFunctions.words(coalesce(col("text"), lit(""))),
-        w => w =!= "").as("ws"): _*)
+      cols :+ filter(TextFunctions.words(tok.prep(coalesce(col("text"),
+        lit("")))), w => w =!= "").as("ws"): _*)
     val trainToks = toksOf(train, Seq.empty)
     val uni = trainToks.select(explode(col("ws")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c_x"))
@@ -471,8 +486,8 @@ object Retrieval {
    * [[bigramSurprisal]]'s own term-keyed equi-joins.
    */
   def surprisalBuckets(docs: DataFrame, train: DataFrame,
-      minCount: Long = 1L): DataFrame = {
-    val scored = bigramSurprisal(docs, train, minCount)
+      minCount: Long = 1L, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val scored = bigramSurprisal(docs, train, minCount, tok)
       .withColumn("s_scaled",
         expr("CAST(surprisal_bits * 10000 AS BIGINT) div greatest(n_bigrams, 1)"))
     val ranked = graft.ops.PrefixRank.keyedPrefix(
@@ -492,10 +507,10 @@ object Retrieval {
     * pair maps to `polyHash("w1 w2") mod buckets` — DSIR's hashed n-gram
     * feature space. Scan-stage explode, no shuffle. */
   private def hashedBigramBuckets(d: DataFrame, buckets: Int,
-      withId: Boolean): DataFrame = {
+      withId: Boolean, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val idCols = if (withId) Seq(col("doc_id")) else Seq.empty[Column]
     val toks = d.select(idCols :+
-      filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+      filter(TextFunctions.words(tok.prep(coalesce(col("text"), lit("")))),
         w => w =!= "").as("ws"): _*)
     toks.filter(size(col("ws")) >= 2)
       .select(idCols :+ adjacentPairs(col("ws")).as("bg"): _*)
@@ -535,16 +550,16 @@ object Retrieval {
    * Output: (doc_id, n_feats, lr_bits, lr_scaled) — one row per pool doc.
    */
   def dsirScores(pool: DataFrame, target: DataFrame,
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 1024, tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     dsirScoreAgainst(pool,
-      dsirBinCounts(target, buckets, "c_t"),
-      dsirBinCounts(pool, buckets, "c_r"), buckets)
+      dsirBinCounts(target, buckets, "c_t", tok),
+      dsirBinCounts(pool, buckets, "c_r", tok), buckets, tok)
 
   /** Hashed-bigram bin-count table of a corpus — DSIR's "model" half:
     * ≤ `buckets` rows (b, `name`), the artifact [[DsirIndex]] persists. */
   private[llm] def dsirBinCounts(d: DataFrame, buckets: Int,
-      name: String): DataFrame =
-    hashedBigramBuckets(d, buckets, withId = false)
+      name: String, tok: Tokenizer = Tokenizer.Ascii): DataFrame =
+    hashedBigramBuckets(d, buckets, withId = false, tok)
       .groupBy("b").agg(count(lit(1)).as(name))
 
   /** Score `docs` against explicit count tables (`ct` = (b, c_t),
@@ -553,8 +568,9 @@ object Retrieval {
     * persisted model, where a batch bin unseen at train time reads
     * c_r = 0 through the left join: the add-one smoothing floor). */
   private[llm] def dsirScoreAgainst(docs: DataFrame, ct: DataFrame,
-      cr: DataFrame, buckets: Int): DataFrame = {
-    val pb = hashedBigramBuckets(docs, buckets, withId = true)
+      cr: DataFrame, buckets: Int,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val pb = hashedBigramBuckets(docs, buckets, withId = true, tok)
     val scored = pb
       .join(broadcast(ct), Seq("b"), "left")
       .join(broadcast(cr), Seq("b"), "left")
@@ -587,10 +603,11 @@ object Retrieval {
    * window; the total rides one broadcast row.
    */
   def dsirSelect(pool: DataFrame, target: DataFrame, buckets: Int = 1024,
-      keepPermille: Long = 500L): DataFrame = {
+      keepPermille: Long = 500L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val bound = 1L << 21
     val ranked = graft.ops.PrefixRank.keyedPrefix(
-      dsirScores(pool, target, buckets),
+      dsirScores(pool, target, buckets, tok),
       Nil, lit(bound - 1L) - col("lr_scaled"), bound, col("doc_id"))
     val tot = ranked.agg(count(lit(1)).as("n_total"))
     ranked.crossJoin(broadcast(tot))
@@ -616,9 +633,10 @@ object Retrieval {
    * dividing by zero.
    */
   def essReport(pool: DataFrame, target: DataFrame, buckets: Int = 1024,
-      groupCol: String = "lang"): DataFrame =
+      groupCol: String = "lang",
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     pool.select(col("doc_id"), col(groupCol))
-      .join(dsirScores(pool, target, buckets)
+      .join(dsirScores(pool, target, buckets, tok)
         .select(col("doc_id"), col("lr_scaled").as("w")), "doc_id")
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
@@ -734,8 +752,9 @@ object Retrieval {
    * actually averaged over, so mean and mass use the same denominator.
    */
   def doremiMixture(docs: DataFrame, train: DataFrame,
-      domainCol: String = "source", minCount: Long = 1L): DataFrame = {
-    val scored = bigramSurprisal(docs, train, minCount)
+      domainCol: String = "source", minCount: Long = 1L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val scored = bigramSurprisal(docs, train, minCount, tok)
     val dom = docs.select(col("doc_id"), col(domainCol).as("domain"))
       .join(scored, Seq("doc_id"))
       .groupBy("domain")

@@ -386,17 +386,30 @@ object TextAnalysis {
     * n_alpha, n_required) as pure per-row expressions over `text` —
     * single-sourced so the audit table ([[gopherRules]]) and the
     * stream-safe gate ([[gopherFilter]]) can never drift. */
-  private def gopherMeasures(
-      requiredWords: Seq[String]): (Column, Column, Column, Column, Column) = {
+  private def gopherMeasures(requiredWords: Seq[String],
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii)
+      : (Column, Column, Column, Column, Column) = {
     val t = coalesce(col("text"), lit(""))
-    val ws = filter(words(t), w => w =!= "")
+    // word-level measures run on the TOKENIZED surface (the multilingual
+    // on-ramp: under Ascii a Cyrillic doc's "words" carry punctuation and
+    // case, so word-length/stopword gates misread them); the symbol
+    // counts stay on the RAW surface by construction — '#' and '...' are
+    // exactly what normalization deletes, so a normalized symbol count
+    // would always read 0.
+    val ws = filter(words(tok.prep(t)), w => w =!= "")
     val n = size(ws).cast("long")
     val sumLen = coalesce(
       aggregate(ws, lit(0L), (a, x) => a + length(x).cast("long")), lit(0L))
     val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
       .cast("long")
-    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    // "contains an alphabetic char": ASCII letters on the historical
+    // surface (every pre-round-15 hash), any Unicode letter under the
+    // multilingual tokenizer — [a-zA-Z] is precisely the gate that
+    // zeroes out on non-Latin scripts.
+    val letterRe =
+      if (tok.name == DedupOps.Tokenizer.Unicode.name) "\\p{L}" else "[a-zA-Z]"
+    val nAlpha = size(filter(ws, w => w.rlike(letterRe))).cast("long")
     val req = array(requiredWords.map(lit): _*)
     val nReq = size(filter(array_distinct(ws), w => array_contains(req, w)))
       .cast("long")
@@ -417,8 +430,9 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame, minWords: Long = 50L,
       maxWords: Long = 100000L,
       requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
-      minRequiredHits: Int = 2): DataFrame = {
-    val (n, sumLen, nSym, nAlpha, nReq) = gopherMeasures(requiredWords)
+      minRequiredHits: Int = 2,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
+    val (n, sumLen, nSym, nAlpha, nReq) = gopherMeasures(requiredWords, tok)
     docs.select(col("doc_id"), n.as("n_words"), sumLen.as("sum_word_len"),
         nSym.as("n_symbols"), nAlpha.as("n_alpha"), nReq.as("n_required"))
       .withColumn("ok_word_count",
@@ -450,8 +464,9 @@ object TextAnalysis {
   def gopherFilter(docs: DataFrame, minWords: Long = 50L,
       maxWords: Long = 100000L,
       requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
-      minRequiredHits: Int = 2): DataFrame = {
-    val (n, sumLen, nSym, nAlpha, nReq) = gopherMeasures(requiredWords)
+      minRequiredHits: Int = 2,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
+    val (n, sumLen, nSym, nAlpha, nReq) = gopherMeasures(requiredWords, tok)
     docs.filter(gopherBooleans(minWords, maxWords, minRequiredHits,
       n, sumLen, nSym, nAlpha, nReq).reduce(_ && _))
   }
@@ -471,11 +486,12 @@ object TextAnalysis {
   def filterFunnel(docs: DataFrame, minWords: Long = 50L,
       maxWords: Long = 100000L,
       requiredWords: Seq[String] = Seq("the", "a", "and", "of", "to"),
-      minRequiredHits: Int = 2): DataFrame = {
+      minRequiredHits: Int = 2,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
     val rules = Seq("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
       "ok_alpha_words", "ok_required_words")
     val flags = gopherRules(docs, minWords, maxWords, requiredWords,
-      minRequiredHits)
+      minRequiredHits, tok)
     // cum_k = 1 iff rules 1..k all pass — computed as columns, so the
     // whole funnel is one aggregate row
     val cums = rules.scanLeft(lit(true)) { (acc, r) => acc && col(r) }.tail
@@ -722,7 +738,8 @@ object TextAnalysis {
     val wsOnly = t.isNotNull && length(t) > 0 && length(trim(t)) === 0
     val hasCtl = t.isNotNull && !isEmpty && !wsOnly &&
       t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
-    val tooLong = t.isNotNull && !hasCtl && length(t) > maxChars
+    val tooLong = t.isNotNull && !isEmpty && !wsOnly && !hasCtl &&
+      length(t) > maxChars
     docs.agg(
       count(lit(1)).as("n_docs"),
       sum(when(t.isNull, 1L).otherwise(0L)).as("n_null"),

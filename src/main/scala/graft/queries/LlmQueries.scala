@@ -5971,7 +5971,8 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN text IS NOT NULL
          |             AND regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
-         |  CAST(sum(CASE WHEN text IS NOT NULL
+         |  CAST(sum(CASE WHEN text IS NOT NULL AND length(text) > 0
+         |             AND length(trim(text)) > 0
          |             AND NOT regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
          |             AND length(text) > 1000000
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
@@ -6098,6 +6099,261 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  // q192 — UNICODE bigram surprisal: q113's CCNet-shaped quality score
+  // with the selection stack's round-15 multilingual on-ramp — the
+  // bigram model trains and probes on the Tokenizer.Unicode surface
+  // (case-fold → keep \p{L}\p{N}\s → collapse ws), so a document whose
+  // prose matches the reference slice modulo case/punctuation reads
+  // in-model instead of all-unseen. On this ASCII corpus the two
+  // tokenizers provably coincide POST-NORMALIZATION, which is exactly
+  // what makes the oracle cross-engine safe (the non-ASCII behavior is
+  // pinned by MultilingualSelectionSpec fixtures).
+  val q192 = Q(
+    "q192_unicode_surprisal",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bigramSurprisal(docs,
+        docs.filter(col("doc_id") % 4 === 0),
+        tok = DedupOps.Tokenizer.Unicode).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH dw AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |      trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+         |        '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+         |    w -> w <> '') AS ws
+         |  FROM documents),
+         |tr AS (SELECT ws FROM dw WHERE doc_id % 4 = 0),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_x
+         |        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY 1),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bi AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM tr WHERE len(ws) >= 2)
+         |       GROUP BY 1, 2),
+         |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+         |             FROM dw WHERE len(ws) >= 2)),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(length(bin(coalesce(u.c_x, 0) + v)) -
+         |             length(bin(coalesce(b.c_xy, 0) + 1))) AS BIGINT) AS surprisal_bits
+         |  FROM db LEFT JOIN bi b USING (w1, w2) LEFT JOIN uni u USING (w1)
+         |  CROSS JOIN voc
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.surprisal_bits, 0) AS surprisal_bits,
+         |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |       THEN ${Det.frSql(
+             "CAST(sc.surprisal_bits AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)", 4)}
+         |       ELSE 0.0 END AS avg_surprisal
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // q193 — MULTILINGUAL Gopher rules: q137's quality-rule bundle on the
+  // Tokenizer.Unicode word surface. Word-level measures (count, length,
+  // alpha via \p{L} instead of [a-zA-Z], required words) read the
+  // normalized stream — so case/punctuation no longer defeats the
+  // stopword gate and non-Latin scripts no longer zero the alpha gate —
+  // while the symbol counts stay on the RAW surface (normalization
+  // deletes '#'/'...' by construction; a normalized symbol count would
+  // always read 0).
+  val q193 = Q(
+    "q193_multilingual_gopher",
+    (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d),
+      minWords = 30L, maxWords = 100000L,
+      requiredWords = Seq("the", "a", "and", "of", "to"),
+      minRequiredHits = 2,
+      tok = DedupOps.Tokenizer.Unicode).orderBy("doc_id"),
+    Some(
+      s"""WITH w AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(
+         |      trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+         |        '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(ws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM w)
+         |SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha, n_required,
+         |  (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+         |  (n_words > 0 AND sum_word_len >= 3 * n_words
+         |     AND sum_word_len <= 10 * n_words) AS ok_mean_word_len,
+         |  (n_words > 0 AND 10 * n_symbols <= n_words) AS ok_symbol_ratio,
+         |  (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+         |  (n_required >= 2) AS ok_required_words,
+         |  ((n_words >= 30 AND n_words <= 100000)
+         |    AND (n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words)
+         |    AND (n_words > 0 AND 10 * n_symbols <= n_words)
+         |    AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+         |    AND (n_required >= 2)) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin))
+
+  /** One scrub round of the q194 oracle over source CTE `src`
+    * ((doc_id, text), corpus docs only), prefixed `p`: winnow selection
+    * (positions + values) → benchmark-print hits against the fixed `bp`
+    * CTE → ≥2-shared gate → span rewrite. Emits `${p}out`
+    * (doc_id, n_shared, n_removed, text). The fully-scrubbed doc reads
+    * '' (coalesce — DuckDB's array_to_string(∅) is NULL, Spark's
+    * array_join(∅) is ''). */
+  private def scrubRoundCtes(p: String, src: String): String =
+    s"""${p}dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
+       |${p}h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
+       |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
+       |       FROM ${p}dw),
+       |${p}hw AS (SELECT doc_id, hs, least(4, len(hs)) AS wl
+       |        FROM ${p}h0 WHERE len(hs) >= 1),
+       |${p}sel AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(len(hs) - wl + 1), i ->
+       |      CAST(i + wl - list_position(
+       |          list_reverse(list_slice(hs, i + 1, i + wl)),
+       |          list_min(list_slice(hs, i + 1, i + wl))) AS BIGINT) * $P
+       |        + list_min(list_slice(hs, i + 1, i + wl)))) AS encs
+       |  FROM ${p}hw),
+       |${p}up AS (SELECT doc_id, CAST(enc // $P AS BIGINT) AS pos,
+       |         CAST(enc % $P AS BIGINT) AS fp
+       |       FROM (SELECT doc_id, unnest(encs) AS enc FROM ${p}sel)),
+       |${p}hits AS (SELECT u.doc_id, u.pos, u.fp FROM ${p}up u JOIN bp USING (fp)),
+       |${p}shr AS (SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_shared
+       |        FROM ${p}hits GROUP BY 1),
+       |${p}st AS (SELECT h.doc_id, list(DISTINCT h.pos) AS starts
+       |       FROM ${p}hits h JOIN ${p}shr USING (doc_id)
+       |       WHERE n_shared >= 2 GROUP BY 1),
+       |${p}sws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
+       |${p}out AS (
+       |  SELECT s.doc_id,
+       |    CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+       |    CASE WHEN st.starts IS NULL THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(len(ws) - len(list_filter(range(len(ws)), i ->
+       |           len(list_filter(st.starts,
+       |             x -> x <= i AND i <= x + 2)) = 0)) AS BIGINT) END
+       |      AS n_removed,
+       |    CASE WHEN st.starts IS NULL THEN s.text
+       |         ELSE coalesce(array_to_string(list_transform(
+       |           list_filter(range(len(ws)), i ->
+       |             len(list_filter(st.starts,
+       |               x -> x <= i AND i <= x + 2)) = 0),
+       |           i -> ws[i + 1]), ' '), '') END AS text
+       |  FROM ${p}sws s LEFT JOIN ${p}shr shr USING (doc_id)
+       |             LEFT JOIN ${p}st st USING (doc_id))""".stripMargin
+
+  // q194 — VERIFIED winnow scrub: q182's surgical decon closed under
+  // its own splice loophole — scrub, RE-WINNOW the rewritten text,
+  // repeat until a pass removes nothing (so no output doc trips the
+  // gate, certified by the final pass itself; raises on
+  // non-convergence). NOT a one-pass equivalence: at sf0.1 the corpus
+  // REALLY splices (round 2 removes 6 more words from one doc than
+  // q182 does — the loophole is live data, not theory). The oracle
+  // unrolls three rounds of the scrub chain (rounds past the fixpoint
+  // are identity, so 3 ≥ the measured depth at every shipped scale
+  // pins the exact fixpoint; a corpus ever needing a 4th round fails
+  // the hash compare LOUDLY instead of silently under-certifying);
+  // n_shared reports round-1 evidence, n_removed sums the rounds.
+  // Adversarial multi-round semantics are additionally pinned by
+  // DedupFuzzSpec's 13th family on planted butt-splice corpora.
+  val q194 = Q(
+    "q194_winnow_scrub_verified",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.winnowScrubVerified(docs.filter(col("doc_id") % 41 =!= 3),
+        docs.filter(col("doc_id") % 41 === 3), n = 3, w = 4,
+        minShared = 2L).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $winnowPairCtes,
+         |up AS (SELECT doc_id, CAST(enc % $P AS BIGINT) AS fp
+         |       FROM (SELECT doc_id, unnest(encs) AS enc FROM sel)),
+         |bp AS (SELECT DISTINCT fp FROM up WHERE doc_id % 41 = 3),
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 3),
+         |${scrubRoundCtes("r1", "corp")},
+         |${scrubRoundCtes("r2", "r1out")},
+         |${scrubRoundCtes("r3", "r2out")}
+         |SELECT r1out.doc_id, r1out.n_shared,
+         |  r1out.n_removed + r2out.n_removed + r3out.n_removed AS n_removed,
+         |  r3out.text
+         |FROM r1out JOIN r2out USING (doc_id) JOIN r3out USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  // Shared CTEs of the variable-length extent family (q195/q196): every
+  // SLIDING width-8 window double-hashed, corpus-duplicated
+  // non-canonical instances flagged under the keep-first
+  // (min doc_id·2^20+idx) policy — q86's tile chain at stride 1.
+  private val extentFlagCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, ws
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |        FROM documents)),
+       |sp AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS idx, ws
+       |       FROM base WHERE len(ws) >= 8),
+       |spans AS (
+       |  SELECT doc_id, idx,
+       |    ${polyHashSql("array_to_string(list_slice(ws, idx+1, idx+8), ' ')")} AS h,
+       |    ${polyHashSqlMod("array_to_string(list_slice(ws, idx+1, idx+8), ' ')",
+           graft.functions.LlmExprs.P48.toString)} AS h2
+       |  FROM sp),
+       |grp AS (SELECT h, h2, count(*) AS cnt, min(doc_id * 1048576 + idx) AS first_k
+       |        FROM spans GROUP BY h, h2),
+       |fl AS (SELECT s.doc_id, s.idx FROM spans s JOIN grp g USING (h, h2)
+       |       WHERE g.cnt > 1 AND s.doc_id * 1048576 + s.idx <> g.first_k)""".stripMargin
+
+  // q195 — variable-length exact-substring extents (the Lee et al. 2021
+  // ExactSubstr shape): every duplicated word run ≥ 8 surfaces as ONE
+  // maximal extent at its TRUE boundaries — sliding windows flagged via
+  // the keep-first double-hash chain, overlap-or-adjacent starts merged
+  // gap-and-islands. The fixed-tile family (q86/q130) is blind to
+  // copies at different tile phases; this is the phase-free readout.
+  val q195 = Q(
+    "q195_span_extents",
+    (s, d) => DedupOps.spanExtents(Tables.documents(s, d), width = 8)
+      .orderBy("doc_id", "start_word"),
+    Some(
+      s"""WITH $extentFlagCtes,
+         |brk AS (SELECT doc_id, idx,
+         |          CASE WHEN lag(idx) OVER w IS NULL
+         |                 OR idx > lag(idx) OVER w + 8 THEN 1 ELSE 0 END AS b
+         |        FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+         |isl AS (SELECT doc_id, idx,
+         |          sum(b) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+         |        FROM brk),
+         |ext AS (SELECT doc_id, CAST(min(idx) AS BIGINT) AS start_word,
+         |          CAST(max(idx) + 8 - min(idx) AS BIGINT) AS len_words,
+         |          CAST(count(*) AS BIGINT) AS n_windows
+         |        FROM isl GROUP BY doc_id, g)
+         |SELECT doc_id, start_word, len_words, n_windows FROM ext
+         |ORDER BY doc_id, start_word""".stripMargin))
+
+  // q196 — the rewrite half of q195: every duplicated extent cut out at
+  // its true word boundaries (q93's apply generalized from tiles to
+  // extents — a 50-token verbatim block leaves as one block, its flanks
+  // intact to the word).
+  val q196 = Q(
+    "q196_span_extent_apply",
+    (s, d) => DedupOps.spanExtentDedupApply(Tables.documents(s, d), width = 8)
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH $extentFlagCtes,
+         |st AS (SELECT doc_id, list(idx) AS starts FROM fl GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CAST(CASE WHEN st.starts IS NULL THEN len(ws)
+         |       ELSE len(list_filter(range(len(ws)), i ->
+         |         len(list_filter(st.starts, x -> x <= i AND i <= x + 7)) = 0))
+         |       END AS BIGINT) AS n_tokens_kept,
+         |  CASE WHEN st.starts IS NULL THEN array_to_string(ws, ' ')
+         |       ELSE coalesce(array_to_string(list_transform(
+         |         list_filter(range(len(ws)), i ->
+         |           len(list_filter(st.starts, x -> x <= i AND i <= x + 7)) = 0),
+         |         i -> ws[i + 1]), ' '), '') END AS text_clean
+         |FROM base b LEFT JOIN st USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6107,5 +6363,6 @@ object LlmQueries {
     q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
+    q192, q193, q194, q195, q196)
 }

@@ -748,10 +748,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 191 uniquely-named queries, 187 oracle-checked, qNN prefixes unique") {
+  test("registry: 196 uniquely-named queries, 192 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 191)
-    assert(all.count(_.oracle.isDefined) === 187)
+    assert(all.size === 196)
+    assert(all.count(_.oracle.isDefined) === 192)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -436,13 +436,14 @@ class CurationSpec extends SparkSpec {
       (4L, "   "),
       (5L, "has a stray\u0001control"),
       (6L, "x" * 120),
-      (7L, ("y" * 120) + "\u0001")   // ctl AND over-cap: counts ONCE (control)
+      (7L, ("y" * 120) + "\u0001"),  // ctl AND over-cap: counts ONCE (control)
+      (8L, " " * 120)                // ws-only AND over-cap: counts ONCE (ws_only)
     ).toDF("doc_id", "text")
     val out = graft.llm.TextAnalysis.textHygiene(docs, maxChars = 100L)
       .select("n_docs", "n_null", "n_empty", "n_ws_only", "n_control",
         "n_too_long", "n_clean")
       .as[(Long, Long, Long, Long, Long, Long, Long)].head()
-    assert(out === ((7L, 1L, 1L, 1L, 2L, 1L, 1L)))
+    assert(out === ((8L, 1L, 1L, 2L, 2L, 1L, 1L)))
     assert(out._2 + out._3 + out._4 + out._5 + out._6 + out._7 === out._1,
       "hygiene classes must partition the corpus")
   }

@@ -684,4 +684,178 @@ class DedupFuzzSpec extends SparkSpec {
       assert(want.values.exists(_._2 == 0L), s"seed $seed: vacuous (everything scrubbed)")
     }
   }
+
+  test("fuzz: winnowScrubVerified reaches the sequential fixpoint; adversarial butt-splices converge clean") {
+    // 13th family: the VERIFIED scrub. Part A iterates the family-12
+    // sequential reference to its fixpoint on dense random corpora and
+    // pins the operator to it per doc; part B PLANTS the butt-splice
+    // corpus (removal forms a new benchmark gram) per seed and proves
+    // the one-pass scrub leaks while the verified scrub converges clean.
+    def winnowRefAt(t: String, n: Int, w: Int): Set[(Long, Long)] = {
+      val hs = gramHashes(t, n)
+      if (hs.isEmpty) Set.empty
+      else {
+        val wl = math.min(w, hs.size)
+        (0 to hs.size - wl).map { i =>
+          val sl = hs.slice(i, i + wl)
+          val mn = sl.min
+          ((i + sl.lastIndexOf(mn)).toLong, mn)
+        }.toSet
+      }
+    }
+    def scrubRefAt(t: String, bp: Set[Long], n: Int, w: Int,
+        minShared: Long): (Long, Long, String) = {
+      val prints = winnowRefAt(t, n, w)
+      val nShared = (prints.map(_._2) intersect bp).size.toLong
+      if (nShared < minShared) (nShared, 0L, t)
+      else {
+        val ws = t.split(" ", -1)
+        val starts = prints.filter(p => bp.contains(p._2)).map(_._1)
+        val kept = ws.indices.filterNot(i =>
+          starts.exists(s => s <= i && i <= s + n - 1))
+        (nShared, (ws.length - kept.size).toLong, kept.map(ws).mkString(" "))
+      }
+    }
+    def verifiedRef(t: String, bp: Set[Long], n: Int, w: Int,
+        minShared: Long): (Long, Long, String) = {
+      val first = scrubRefAt(t, bp, n, w, minShared)
+      var (total, cur, last) = (first._2, first._3, first._2)
+      while (last > 0) {
+        val r = scrubRefAt(cur, bp, n, w, minShared)
+        last = r._2; total += last; cur = r._3
+      }
+      (first._1, total, cur)
+    }
+    // part A — fixpoint ≡ sequential reference on the family-12 corpora
+    val (n, w, minShared) = (3, 2, 2L)
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 20, denseVocab, 18)
+      val bench = randomCorpus(seed + 1000, 6, denseVocab, 18)
+      val bp = bench.flatMap { case (_, t) => winnowRefAt(t, n, w).map(_._2) }.toSet
+      val want = corpus.map { case (id, t) =>
+        id -> verifiedRef(t, bp, n, w, minShared) }.toMap
+      val got = graft.llm.DedupOps.winnowScrubVerified(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          n, w, minShared)
+        .select("doc_id", "n_shared", "n_removed", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === want, s"seed $seed")
+      // the certificate: no output doc trips the gate any more
+      assert(got.values.forall { case (_, _, t) =>
+        (winnowRefAt(t, n, w).map(_._2) intersect bp).size < minShared
+      }, s"seed $seed: verified output still contaminated")
+    }
+    // part B — planted adversarial splice, fresh word identities per seed
+    for (seed <- seeds) {
+      val v = (0 until 10).map(i => s"w${seed}_$i")
+      // bench holds run1 (v3 v4 v5), run2 (v6 v7 v8) and the gram
+      // (v0 v1 v2); the corpus doc interleaves so that removing run1 and
+      // run2 butts v0 v1 against v2 — forming the benchmark gram the
+      // original text never contained
+      val bench = Seq((100L, s"${v(3)} ${v(4)} ${v(5)} ${v(9)} ${v(6)} ${v(7)} ${v(8)} ${v(0)} ${v(1)} ${v(2)}"))
+      val corpus = Seq((1L, s"${v(0)} ${v(1)} ${v(3)} ${v(4)} ${v(5)} ${v(2)} ${v(6)} ${v(7)} ${v(8)} x$seed"))
+      val bp = bench.flatMap { case (_, t) => winnowRefAt(t, 3, 1).map(_._2) }.toSet
+      val once = graft.llm.DedupOps.winnowScrub(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          n = 3, w = 1, minShared = 1L)
+        .select("text").as[String].head()
+      // the one-pass scrub provably leaks: its output still shares a print
+      assert((winnowRefAt(once, 3, 1).map(_._2) intersect bp).nonEmpty,
+        s"seed $seed: splice did not leak (fixture broken)")
+      val ver = graft.llm.DedupOps.winnowScrubVerified(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          n = 3, w = 1, minShared = 1L)
+        .select("n_removed", "text").as[(Long, String)].head()
+      assert((winnowRefAt(ver._2, 3, 1).map(_._2) intersect bp).isEmpty,
+        s"seed $seed: verified scrub leaked")
+      val seqRef = verifiedRef(corpus.head._2, bp, 3, 1, 1L)
+      assert(ver === ((seqRef._2, seqRef._3)), s"seed $seed")
+      // and convergence genuinely took more than one productive round
+      val oncePass = scrubRefAt(corpus.head._2, bp, 3, 1, 1L)
+      assert(ver._1 > oncePass._2, s"seed $seed: single round sufficed (fixture broken)")
+    }
+  }
+
+  test("fuzz: spanExtents/spanExtentDedupApply match the sequential sliding-window reference") {
+    // 14th family: variable-length exact-substring dedup. The reference
+    // keys windows by their literal string (the operator's double-
+    // modulus hash pair stands in for string identity), flags corpus-
+    // duplicated non-canonical instances, and merges overlap-or-adjacent
+    // window starts into maximal extents.
+    val width = 3
+    val idxBits = 1048576L
+    def ref(corpus: Seq[(Long, String)])
+        : (Map[Long, Seq[(Long, Long, Long)]], Map[Long, (Long, String)]) = {
+      val wordsOf = corpus.map { case (id, t) =>
+        id -> t.split(" ", -1).filter(_.nonEmpty).toVector }.toMap
+      val wins = corpus.flatMap { case (id, _) =>
+        val ws = wordsOf(id)
+        (0 to ws.length - width).map(i =>
+          (id, i, ws.slice(i, i + width).mkString(" ")))
+      }
+      val grp = wins.groupBy(_._3).map { case (k, vs) =>
+        k -> (vs.size, vs.map(v => v._1 * idxBits + v._2).min) }
+      val flagged = wins.filter { case (id, i, k) =>
+        grp(k)._1 > 1 && id * idxBits + i != grp(k)._2 }
+        .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).sorted }
+      val exts = flagged.map { case (id, starts) =>
+        id -> starts.foldLeft(Vector.empty[(Int, Int, Int)]) { (acc, s) =>
+          if (acc.nonEmpty && s <= acc.last._2 + 1)
+            acc.init :+ ((acc.last._1, s + width - 1, acc.last._3 + 1))
+          else acc :+ ((s, s + width - 1, 1))
+        }
+      }
+      val extTable = exts.map { case (id, es) =>
+        id -> es.map(e =>
+          (e._1.toLong, (e._2 - e._1 + 1).toLong, e._3.toLong)) }
+      val applied = corpus.map { case (id, _) =>
+        val ws = wordsOf(id)
+        val es = exts.getOrElse(id, Vector.empty)
+        val kept = ws.indices.filterNot(i =>
+          es.exists(e => e._1 <= i && i <= e._2))
+        id -> (kept.size.toLong, kept.map(ws).mkString(" "))
+      }.toMap
+      (extTable, applied)
+    }
+    for (seed <- seeds) {
+      val corpus = randomCorpus(seed, 24, denseVocab, 16)
+      val (wantExt, wantApply) = ref(corpus)
+      val gotExt = graft.llm.DedupOps.spanExtents(
+          corpus.toDF("doc_id", "text"), width)
+        .select("doc_id", "start_word", "len_words", "n_windows")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
+      assert(gotExt === wantExt.filter(_._2.nonEmpty), s"seed $seed")
+      val gotApply = graft.llm.DedupOps.spanExtentDedupApply(
+          corpus.toDF("doc_id", "text"), width)
+        .select("doc_id", "n_tokens_kept", "text_clean")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(gotApply === wantApply, s"seed $seed")
+      assert(wantExt.values.exists(_.nonEmpty), s"seed $seed: vacuous (no extents)")
+    }
+    // the headline claim vs the TILE family: a verbatim block duplicated
+    // at DIFFERENT width-phases is removed as ONE run at true boundaries
+    val block = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    val pair = Seq(
+      (1L, s"p1 p2 p3 $block q1 q2"),            // block at word 3
+      (2L, s"r1 r2 r3 r4 r5 r6 r7 $block s1")    // block at word 7 (phase ≠ mod 8)
+    ).toDF("doc_id", "text")
+    val ext8 = graft.llm.DedupOps.spanExtents(pair, width = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ext8.toSeq === Seq((2L, 7L, 12L, 5L)),
+      "the later copy must surface as ONE 12-word extent at word 7")
+    // the fixed-tile family at the same width finds NO duplicate here
+    // (the copies sit at different tile phases) — the gap this closes
+    val tiles = graft.llm.DedupOps.spanDedupStats(pair, width = 8)
+      .select("doc_id", "n_dup_spans").as[(Long, Long)].collect()
+    assert(tiles.forall(_._2 === 0L), "tile family blind by phase (expected)")
+    // and the rewrite cuts exactly the block, keeping true flanks
+    val applied = graft.llm.DedupOps.spanExtentDedupApply(pair, width = 8)
+      .orderBy("doc_id").as[(Long, Long, String)].collect()
+    assert(applied(0) === ((1L, 17L, s"p1 p2 p3 $block q1 q2")))
+    assert(applied(1) === ((2L, 8L, "r1 r2 r3 r4 r5 r6 r7 s1")))
+  }
 }

@@ -349,4 +349,39 @@ class DedupSpec extends SparkSpec {
     assert(twice.select("text").as[String].head() === "d",
       "the second pass must remove the splice-formed gram")
   }
+
+  test("winnowScrubVerified: closes the splice loophole, bounded rounds raise, no-splice ≡ one-pass") {
+    val bench = Seq((100L, "X Y Z w Q R S a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b X Y Z c Q R S d"),                              // the splice doc
+      (2L, "completely unrelated words about query planning here") // clean
+    ).toDF("doc_id", "text")
+    val ver = graft.llm.DedupOps.winnowScrubVerified(corpus, bench,
+        n = 3, w = 1, minShared = 1L)
+      .select("doc_id", "n_shared", "n_removed", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // round 1 cuts 6 words (two runs), round 2 the 3-word splice gram;
+    // n_shared reports the FIRST-pass evidence
+    assert(ver(0)._3 === 9L && ver(0)._4 === "d")
+    assert(ver(1) === ((2L, 0L,
+      0L, "completely unrelated words about query planning here")))
+    // a round budget too small to certify raises instead of returning
+    // a corpus it cannot certify
+    val e = intercept[IllegalStateException] {
+      graft.llm.DedupOps.winnowScrubVerified(corpus, bench,
+        n = 3, w = 1, minShared = 1L, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // splice-free fixture: verified ≡ one-pass, row for row
+    val passage = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val plain = Seq(
+      (1L, s"novel intro here $passage and a novel ending here"),
+      (2L, "some other document with no quotes at all")).toDF("doc_id", "text")
+    val pb = Seq((100L, passage)).toDF("doc_id", "text")
+    val onePass = graft.llm.DedupOps.winnowScrub(plain, pb, n = 3, w = 1,
+      minShared = 2L).orderBy("doc_id").collect()
+    val verified = graft.llm.DedupOps.winnowScrubVerified(plain, pb, n = 3,
+      w = 1, minShared = 2L).orderBy("doc_id").collect()
+    assert(verified === onePass)
+  }
 }
