@@ -92,6 +92,71 @@ object IvfIndex {
     }
 
   /**
+   * Rebuild-from-drift: re-learn centroids from the STORED vectors and
+   * atomically swap the index layout under readers — the operation the
+   * [[rebalanceCheck]]/[[graft.llm.SimilaritySearch.ivfAssignmentMargins]]
+   * reports exist to trigger. [[append]] assigns against frozen
+   * centroids, so a drifting distribution piles new vectors into a few
+   * cells until probe cost skews; rebuild re-clusters over everything
+   * indexed so far, re-assigns, and (when the PQ layout is present)
+   * re-partitions the code words under the new cells — the CODES are
+   * untouched, they encode the vector, not its routing.
+   *
+   * Atomicity: every new table is fully WRITTEN to a staging directory
+   * first, then each table swaps via the [[graft.pipeline.Maintenance]]
+   * rename pair (live → old, staged → live, delete old) — a racing
+   * reader sees old-or-new files, never a mix of a table. The stored
+   * vectors are checkpointed BEFORE any rename so no lazy scan can list
+   * a directory mid-swap ([[append]]'s lineage-cut reasoning). The
+   * tables swap sequentially — SINGLE WRITER per index, and searches
+   * in flight across the swap window should be retried (the same
+   * contract as [[graft.pipeline.Maintenance.compactDir]] documents).
+   *
+   * Search answers: at full probes (nprobe = nCells) the exact-cosine
+   * top-k is invariant to the re-partitioning — pinned in
+   * CorpusOpsSpec; at partial probes answers legitimately improve,
+   * which is the point.
+   */
+  def rebuild(spark: SparkSession, dir: String, nCells: Int = 16,
+      iters: Int = 2): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stored = spark.read.parquet(s"$dir/assignments")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    require(!stored.isEmpty, s"rebuild: no vectors indexed at '$dir'")
+    SimilaritySearch.kmeansCentroids(stored, nCells, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids__graft_tmp")
+    // assign against the WRITTEN staged centroids ([[build]]'s
+    // byte-identity reasoning)
+    SimilaritySearch.assignCells(stored,
+      spark.read.parquet(s"$dir/centroids__graft_tmp"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments__graft_tmp")
+    val hasPq = new Path(s"$dir/pq_codes").getFileSystem(conf)
+      .exists(new Path(s"$dir/pq_codes"))
+    if (hasPq)
+      spark.read.parquet(s"$dir/pq_codes").drop("cell")
+        .join(spark.read.parquet(s"$dir/assignments__graft_tmp")
+          .select(col("vec_id"), col("cell")), "vec_id")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/pq_codes__graft_tmp")
+    def swap(name: String): Unit = {
+      val live = new Path(s"$dir/$name")
+      val tmp = new Path(s"$dir/${name}__graft_tmp")
+      val old = new Path(s"$dir/${name}__graft_old")
+      val f = live.getFileSystem(conf)
+      if (f.exists(old)) f.delete(old, true)
+      require(f.rename(live, old), s"rebuild: rename $live -> $old failed")
+      require(f.rename(tmp, live), s"rebuild: rename $tmp -> $live failed")
+      f.delete(old, true)
+    }
+    swap("centroids")
+    swap("assignments")
+    if (hasPq) swap("pq_codes")
+  }
+
+  /**
    * Cell-balance report for the rebuild-cadence decision [[append]]
    * defers: per-cell occupancy plus a skew summary. `skew` is
    * max-cell / mean-cell occupancy — 1.0 is perfectly balanced; the

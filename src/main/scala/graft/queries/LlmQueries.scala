@@ -6354,6 +6354,59 @@ object LlmQueries {
          |FROM base b LEFT JOIN st USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  // q197 — the STREAMING commit path, oracle-checked (every streaming
+  // operator was spec-tested but none faced the driver's hash gate):
+  // the corpus is staged as an AT-LEAST-ONCE file feed (every doc
+  // delivered twice across 8 files), replayed through a checkpointed
+  // file-source stream in micro-batches, each batch exact-deduped and
+  // landed via IdempotentSink's batch=<id> overwrite directories, and
+  // the final read applies the at-least-once repair (distinct) + the
+  // cross-batch exact dedup. The result is provably batch-split
+  // INVARIANT — the global min-doc_id row of every fingerprint is the
+  // min within its own batch, so it always lands and the final keep-min
+  // recovers exactly the batch-free semantics — which is what lets a
+  // deterministic oracle pin a genuinely streaming execution.
+  val q197 = Q(
+    "q197_stream_ingest_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val outCols = docs.columns.map(col).toSeq
+      val stage = java.nio.file.Files.createTempDirectory("graft_q197_stage").toString
+      val land = java.nio.file.Files.createTempDirectory("graft_q197_land").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q197_ckpt").toString
+      docs.repartition(4).write.mode("append").parquet(stage)
+      docs.repartition(4).write.mode("append").parquet(stage)
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          DedupOps.exactDedup(b.toDF()), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      DedupOps.exactDedup(s.read.parquet(land).drop("batch").distinct())
+        .select(outCols: _*).orderBy("doc_id")
+    },
+    Some {
+      val p48 = graft.functions.LlmExprs.P48.toString
+      s"""WITH fp0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSql("text")} END AS f1,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE ${polyHashSqlMod("text", p48)} END AS f2
+         |  FROM documents),
+         |keepid AS (SELECT MIN(doc_id) AS doc_id FROM fp0
+         |           WHERE f1 IS NOT NULL GROUP BY f1, f2)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN keepid USING (doc_id)
+         |UNION ALL
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d WHERE d.text IS NULL
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6364,5 +6417,5 @@ object LlmQueries {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-    q192, q193, q194, q195, q196)
+    q192, q193, q194, q195, q196, q197)
 }

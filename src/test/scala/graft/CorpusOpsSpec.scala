@@ -390,6 +390,46 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().toSet === onceRows)
   }
 
+  test("IvfIndex.rebuild: drifted append re-clusters, skew drops, full-probe answers preserved") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString
+    graft.llm.IvfIndex.buildPq(e.filter(col("vec_id") < 200), dir,
+      nCells = 4, iters = 1)
+    // drift: a new batch shifted far outside the trained distribution —
+    // against FROZEN centroids it piles into whichever cell is least far
+    val drifted = e.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(25.0f)).as("embedding"))
+    graft.llm.IvfIndex.append(drifted, dir)
+    def skew(): Double = graft.llm.IvfIndex.rebalanceCheck(spark, dir)
+      .select("skew").as[Double].head()
+    def nVec(): Long = spark.read.parquet(s"$dir/assignments").count()
+    val (skewBefore, nBefore) = (skew(), nVec())
+    val queries = e.filter(col("vec_id") < 4)
+    val fullBefore = graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+      .collect().toSet
+    val pqBefore = graft.llm.IvfIndex.searchPq(queries, dir, k = 5, nprobe = 4)
+      .collect().toSet
+    graft.llm.IvfIndex.rebuild(spark, dir, nCells = 4, iters = 1)
+    // re-clustering over the drifted population rebalances the lists
+    assert(skew() < skewBefore,
+      s"rebuild must reduce skew (${skew()} !< $skewBefore)")
+    assert(nVec() === nBefore, "rebuild must preserve every vector")
+    // at FULL probes the exact-cosine answers are partition-invariant
+    assert(graft.llm.IvfIndex.search(queries, dir, k = 5, nprobe = 4)
+      .collect().toSet === fullBefore)
+    // PQ codes re-partitioned, not re-encoded: full-probe ADC unchanged
+    assert(graft.llm.IvfIndex.searchPq(queries, dir, k = 5, nprobe = 4)
+      .collect().toSet === pqBefore)
+    // an un-built / emptied index refuses instead of clustering nothing
+    val empty = java.nio.file.Files.createTempDirectory("ivf_rebuild_none").toString
+    e.filter(col("vec_id") < 0).select("vec_id", "embedding")
+      .write.parquet(s"$empty/assignments")
+    assertThrows[IllegalArgumentException] {
+      graft.llm.IvfIndex.rebuild(spark, empty, nCells = 4, iters = 1)
+    }
+  }
+
   // --------------------------------------------------- registry invariants
 
   // --------------------------------------- q117/q118 containment + prune
@@ -748,10 +788,55 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 196 uniquely-named queries, 192 oracle-checked, qNN prefixes unique") {
+  test("DeconIndex.probeWinnowStream: streaming verdict == batch winnow gate, embedded passage caught") {
+    // The winnow probe wired stream-static: the exact gate above misses
+    // an EMBEDDED benchmark passage (whole-doc fingerprint differs);
+    // the winnow gate catches it, and its per-row-expression form runs
+    // legally inside an append-mode stream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("decon_winnow_stream").toString
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    graft.llm.DeconIndex.build(
+      Seq((100L, passage)).toDF("doc_id", "text"), dir)
+    val corpus = Seq(
+      (1L, s"novel intro then $passage and a novel ending"), // embedded quote
+      (2L, "completely unrelated prose about query planning"),
+      (3L, passage),                                          // verbatim
+      (4L, null.asInstanceOf[String]))                        // degenerate
+    // batch reference: the served winnow gate
+    val batch = graft.llm.DeconIndex.probeWinnow(
+        corpus.toDF("doc_id", "text"), dir, minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(!batch(0)._3, "embedded passage must be flagged")
+    assert(batch(1)._3 && !batch(2)._3 && batch(3)._3)
+    // the per-row reformulation agrees in batch...
+    val rowForm = graft.llm.DeconIndex.probeWinnowStream(
+        corpus.toDF("doc_id", "text"), dir, minShared = 2L)
+      .select("doc_id", "n_shared", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rowForm === batch)
+    // ...and verbatim on a replayed MemoryStream
+    val source = MemoryStream[(Long, String)]
+    val q = graft.llm.DeconIndex.probeWinnowStream(
+        source.toDF().toDF("doc_id", "text"), dir, minShared = 2L)
+      .writeStream.format("memory").queryName("decon_winnow_out")
+      .outputMode("append").start()
+    try {
+      source.addData(corpus.filter(_._2 != null): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_winnow_out")
+        .select("doc_id", "n_shared", "kept")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(streamed === batch.filter(_._1 != 4L))
+    } finally q.stop()
+  }
+
+  test("registry: 197 uniquely-named queries, 193 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 196)
-    assert(all.count(_.oracle.isDefined) === 192)
+    assert(all.size === 197)
+    assert(all.count(_.oracle.isDefined) === 193)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
