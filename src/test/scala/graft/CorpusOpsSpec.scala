@@ -833,10 +833,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 197 uniquely-named queries, 193 oracle-checked, qNN prefixes unique") {
+  test("registry: 199 uniquely-named queries, 195 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 197)
-    assert(all.count(_.oracle.isDefined) === 193)
+    assert(all.size === 199)
+    assert(all.count(_.oracle.isDefined) === 195)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
