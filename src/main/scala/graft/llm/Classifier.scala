@@ -132,6 +132,51 @@ object Classifier {
       .otherwise(lit(0))
   }
 
+  /**
+   * Calibration/reliability report of the student against the teacher's
+   * CONTINUOUS score axis: documents bucket by the integer-scaled
+   * teacher quality score (`qs` ∈ [0, 10⁴] — q37's blend, fround'd to 4
+   * decimals then scaled), and each bucket reports how often the
+   * teacher and the student call it positive. A well-behaved student
+   * flips from all-negative buckets to all-positive buckets around the
+   * teacher threshold with a narrow mixed band; a wide mixed band (or
+   * flipping far from the threshold) is the retrain signal. q166's AUC
+   * summarizes ranking skill in one number — this is the curve a gate
+   * owner reads before trusting the cut, bucket by bucket.
+   *
+   * Every count is an exact integer; the one double
+   * (`pred_pos_frac`) is a fround'd ratio of two of them. Shape:
+   * [[centroidGate]]'s single training aggregate + broadcast-model
+   * scan, then ONE bucket-keyed map-side-combined aggregate
+   * (≤ `buckets` result rows).
+   */
+  def calibrationReport(docs: DataFrame, threshold: Double = 0.5,
+      buckets: Int = 10,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
+    require(buckets > 0, "calibrationReport needs at least one bucket")
+    val q = TextFunctions.fround(
+      least(col("n_raw").cast("double") / 100.0, lit(1.0)) * 0.4
+        + (col("n_distinct").cast("double") / col("n_raw")) * 0.3
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_raw")) * 0.3,
+      4)
+    val feats = withFeatures(docs, tok)
+      .withColumn("label", qualityTeacher(threshold).cast("int"))
+      .withColumn("qs",
+        coalesce(floor(q * 10000d + lit(0.5)).cast("long"), lit(0L)))
+    feats.crossJoin(broadcast(centroidsOf(feats)))
+      .withColumn("pred", predExpr)
+      .withColumn("bucket",
+        least(expr(s"qs * $buckets div 10000"), lit(buckets - 1L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_label_pos"),
+        sum(col("pred").cast("long")).as("n_pred_pos"),
+        sum((col("label") === col("pred")).cast("long")).as("n_agree"))
+      .withColumn("pred_pos_frac",
+        TextFunctions.fround(
+          col("n_pred_pos").cast("double") / col("n_docs"), 4))
+  }
+
   /** The q37 heuristic blend as the teacher: quality ≥ `threshold`,
     * computed INLINE over [[withFeatures]]'s raw-token stats (same
     * expression order as `TextAnalysis.qualityScore`, already hash-pinned

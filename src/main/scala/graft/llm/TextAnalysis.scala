@@ -88,6 +88,25 @@ object TextAnalysis {
   }
 
   /**
+   * Language-label agreement matrix — the label-QA complement of
+   * [[languageId]]: the confusion matrix between the corpus's LABELED
+   * language and the stopword-voted prediction, one row per observed
+   * (labeled_lang, pred_lang) cell with its exact count. Off-diagonal
+   * mass is either mislabeled data or text the n-gram heuristic cannot
+   * place — both are rows a curation run wants counted, not averaged
+   * away (q36's per-doc `is_match` says WHICH documents; this says HOW
+   * MUCH and WHERE, in ≤ |langs|² rows a human actually reads).
+   *
+   * Shape: [[languageId]]'s scan-stage vote + one small two-key
+   * map-side-combined aggregate — no new shuffle class at any corpus
+   * size (the result is bounded by the language-pair universe).
+   */
+  def languageIdAgreement(docs: DataFrame): DataFrame =
+    languageId(docs)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /**
    * Quality scoring: blend of length saturation, type-token ratio and
    * non-stopword density — the standard cheap heuristics used to filter
    * web text before training. Returns the components and the blended
@@ -144,6 +163,39 @@ object TextAnalysis {
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
+  }
+
+  /**
+   * Split-leakage audit: near-duplicate pairs ([[graft.llm.DedupOps
+   * .dupEdges]] — Jaccard ∪ containment edges off ONE df-capped
+   * inverted index) crossed with [[withSplit]]'s deterministic
+   * train/val/test assignment, aggregated per unordered split pair.
+   * Content-hash splitting already kills EXACT leakage by construction
+   * (identical text → identical bucket → same split); this counts the
+   * NEAR clones that survive it — every train↔val / train↔test pair is
+   * a held-out document whose evaluation the training set has already
+   * seen, modulo an edit. The diagonal cells are dedup debt; the
+   * off-diagonal cells are eval inflation. Read this BEFORE trusting a
+   * validation number from an undeduped corpus.
+   *
+   * Shape: the pair front is the shared df-capped dedup pass (banding
+   * economics documented at [[graft.llm.DedupOps.dupEdges]]); split
+   * labels are a scan-stage projection joined onto the (small) pair
+   * list by doc_id; the final aggregate has ≤ 6 rows.
+   */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+      n: Int = 3, jaccThreshold: Double = 0.5, contThreshold: Double = 0.8,
+      maxDf: Option[Long] = None,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
+    val sp = withSplit(docs, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    DedupOps.dupEdges(docs, n, jaccThreshold, contThreshold, maxDf, tok)
+      .join(sp.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sp.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(least(col("sa.split"), col("sb.split")).as("split_a"),
+        greatest(col("sa.split"), col("sb.split")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /**

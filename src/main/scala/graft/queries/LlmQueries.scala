@@ -6566,6 +6566,180 @@ object LlmQueries {
          |ORDER BY rp.lang""".stripMargin
     })
 
+  // q200 — classifier calibration/reliability report: q112's student
+  // bucketed along the teacher's CONTINUOUS score axis (qs ∈ [0,10⁴],
+  // the q37 blend), per bucket the exact teacher-positive /
+  // student-positive / agreement counts. q166 already hash-checks the
+  // one-number AUC; this is the curve it summarizes — the mixed band
+  // around the threshold is what a gate owner reads before trusting the
+  // cut. All counts exact integers (HUGEINT ↔ DECIMAL(38,0) distances),
+  // one bucket-keyed aggregate after the broadcast-model scan.
+  val q200 = Q(
+    "q200_classifier_calibration",
+    (s, d) => graft.llm.Classifier.calibrationReport(
+      Tables.documents(s, d)).orderBy("bucket"),
+    Some {
+      val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+      val absDist = (pfx: String, cnt: String) => (1 to 5).map(i =>
+        s"abs(CAST(f$i AS HUGEINT) * $cnt - $pfx$i)").mkString(" + ")
+      val qExpr = Det.frSql(
+        """least(CAST(n_raw AS DOUBLE) / 100.0, 1.0) * 0.4
+          |      + CAST(n_distinct AS DOUBLE) / n_raw * 0.3
+          |      + (1.0 - CAST(n_stop AS DOUBLE) / n_raw) * 0.3""".stripMargin,
+        4)
+      s"""WITH w AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |         string_split(coalesce(text, ''), ' ') AS ws
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_raw,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(ws, x -> list_contains(${stopListSql(allStops)}, x))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS f1,
+         |    CAST(length(t) AS BIGINT) AS f2,
+         |    CAST(length(replace(t, ' ', '')) AS BIGINT) AS f5n
+         |  FROM w),
+         |feat AS (
+         |  SELECT doc_id, f1, f2,
+         |    n_distinct * 10000 // n_raw AS f3,
+         |    n_stop * 10000 // n_raw AS f4,
+         |    f5n * 10000 // greatest(f1, 1) AS f5,
+         |    CASE WHEN $qExpr >= 0.5 THEN 1 ELSE 0 END AS label,
+         |    coalesce(CAST(floor(($qExpr) * 10000 + 0.5) AS BIGINT), 0) AS qs
+         |  FROM s),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_neg,
+         |    ${(1 to 5).map(i =>
+        s"CAST(sum(CASE WHEN label = 1 THEN f$i ELSE 0 END) AS HUGEINT) AS sp$i, " +
+          s"CAST(sum(CASE WHEN label = 0 THEN f$i ELSE 0 END) AS HUGEINT) AS sn$i")
+        .mkString(",\n    ")}
+         |  FROM feat),
+         |p AS (
+         |  SELECT least(qs * 10 // 10000, 9) AS bucket, label,
+         |    CASE WHEN c_pos = 0 THEN 0
+         |         WHEN c_neg = 0 THEN 1
+         |         WHEN CAST(c_neg AS HUGEINT) * (${absDist("sp", "c_pos")})
+         |           <= CAST(c_pos AS HUGEINT) * (${absDist("sn", "c_neg")})
+         |         THEN 1 ELSE 0 END AS pred
+         |  FROM feat CROSS JOIN c)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(label) AS BIGINT) AS n_label_pos,
+         |  CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+         |  CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  ${Det.frSql("CAST(sum(pred) AS DOUBLE) / count(*)", 4)} AS pred_pos_frac
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
+  // q201 — language-label agreement matrix (label QA): labeled lang ×
+  // stopword-voted prediction, exact counts. Off-diagonal mass =
+  // mislabels or texts the heuristic can't place; q36 says WHICH docs,
+  // this says HOW MUCH and WHERE in ≤ |langs|² rows.
+  val q201 = Q(
+    "q201_lang_agreement",
+    (s, d) => TextAnalysis.languageIdAgreement(Tables.documents(s, d))
+      .orderBy("labeled_lang", "pred_lang"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, lang AS labeled_lang,
+         |             string_split(text, ' ') AS ws FROM documents),
+         |scored AS (SELECT doc_id, labeled_lang,
+         |  $langScoresSql
+         |FROM w),
+         |pred AS (SELECT labeled_lang,
+         |  $langCaseSql AS pred_lang
+         |FROM scored)
+         |SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // q202 — split-leakage audit: q133's df-capped near-dup pair front
+  // (Jaccard ∪ containment) crossed with q49's content-hash
+  // train/val/test assignment, per unordered split pair. Exact-clone
+  // leakage is impossible by construction (same text → same split);
+  // these are the NEAR clones that survive content-hash splitting —
+  // train↔val / train↔test cells are eval inflation, diagonal cells are
+  // dedup debt.
+  val q202 = Q(
+    "q202_split_leakage",
+    (s, d) => TextAnalysis.splitLeakage(Tables.documents(s, d),
+      trainPct = 90, valPct = 5, n = 3, jaccThreshold = 0.5,
+      contThreshold = 0.8, maxDf = Some(DedupDfCap))
+      .orderBy("split_a", "split_b"),
+    Some(
+      s"""WITH $cappedShingleCtes,
+         |cpairs AS (
+         |  SELECT id_a, id_b,
+         |    ${Det.frSql(
+               "CAST(n_inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)", 4)} AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b),
+         |prs AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.5
+         |        UNION SELECT id_a, id_b FROM cpairs WHERE containment >= 0.8),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${polyHashSql("text")} % 100 < 90 THEN 'train'
+         |              WHEN ${polyHashSql("text")} % 100 < 95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents),
+         |e AS (SELECT least(sa.split, sb.split) AS split_a,
+         |             greatest(sa.split, sb.split) AS split_b
+         |      FROM prs JOIN sp sa ON prs.id_a = sa.doc_id
+         |      JOIN sp sb ON prs.id_b = sb.doc_id)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  // q203 — the streaming WINNOW-DECON commit path, oracle-checked: the
+  // corpus replays as q197's at-least-once file feed, every micro-batch
+  // runs DeconIndex.probeWinnowStream's per-row gate against the STORED
+  // print set (q122's scratch index — built %82=3 + appended %82=44
+  // ≡ benchmark %41=3), kept rows land via IdempotentSink, and the
+  // final read repairs replays with distinct. The gate is a pure
+  // per-row expression (no aggregate, no join-back), so the landed set
+  // is batch-split invariant by construction — which is what lets a
+  // deterministic batch oracle pin a genuinely streaming execution.
+  // q197 covered the streaming dedup commit; this covers the streaming
+  // DECON gate the same way.
+  val q203 = Q(
+    "q203_stream_winnow_land",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val outCols = docs.columns.map(col).toSeq
+      val idxDir = deconIndexDir(s, d)
+      val stage = java.nio.file.Files.createTempDirectory("graft_q203_stage").toString
+      val land = java.nio.file.Files.createTempDirectory("graft_q203_land").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q203_ckpt").toString
+      docs.repartition(4).write.mode("append").parquet(stage)
+      docs.repartition(4).write.mode("append").parquet(stage)
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          graft.llm.DeconIndex.probeWinnowStream(b.toDF(), idxDir,
+            minShared = 2L)
+            .filter(col("kept")).drop("n_shared", "kept"), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(land).drop("batch").distinct()
+        .select(outCols: _*).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH cd AS (SELECT doc_id, text FROM documents),
+         |bd AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 3),
+         |${winnowCtesFrom("cd", "c")},
+         |${winnowCtesFrom("bd", "b")},
+         |wbp AS (SELECT DISTINCT h FROM bu),
+         |wshr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM cu JOIN wbp USING (h) GROUP BY 1),
+         |kids AS (SELECT d.doc_id FROM documents d
+         |         LEFT JOIN wshr USING (doc_id)
+         |         WHERE coalesce(n_shared, 0) < 2)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN kids USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6576,5 +6750,5 @@ object LlmQueries {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-    q192, q193, q194, q195, q196, q197, q198, q199)
+    q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 }

@@ -51,6 +51,25 @@ class ClassifierSpec extends SparkSpec {
     assert(out(1).getInt(1) == 0)
   }
 
+  test("calibrationReport: bucket mass reconciles; agreement matches the gate") {
+    val rep = Classifier.calibrationReport(planted).orderBy("bucket").collect()
+    // buckets partition the corpus
+    assert(rep.map(_.getLong(1)).sum == 6L)
+    rep.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0L && b <= 9L)
+      assert(r.getLong(2) <= r.getLong(1)) // n_label_pos <= n_docs
+      assert(r.getLong(3) <= r.getLong(1)) // n_pred_pos  <= n_docs
+      assert(r.getLong(4) <= r.getLong(1)) // n_agree     <= n_docs
+    }
+    // total agreement equals the per-doc gate's agree mass
+    val agree = Classifier.qualityTeacherGate(planted)
+      .agg(sum(col("agree"))).head.getLong(0)
+    assert(rep.map(_.getLong(4)).sum == agree)
+    // one bucket per distinct qs decile at most
+    assert(rep.map(_.getLong(0)).distinct.length == rep.length)
+  }
+
   test("classification never shuffles the corpus: centroids broadcast") {
     val plan = Classifier.qualityTeacherGate(planted)
       .queryExecution.executedPlan.toString

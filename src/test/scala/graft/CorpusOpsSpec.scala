@@ -833,10 +833,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 199 uniquely-named queries, 195 oracle-checked, qNN prefixes unique") {
+  test("registry: 203 uniquely-named queries, 199 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 199)
-    assert(all.count(_.oracle.isDefined) === 195)
+    assert(all.size === 203)
+    assert(all.count(_.oracle.isDefined) === 199)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -1121,6 +1121,50 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Int)].collect().sortBy(_._1)
     assert(r(0) === ((1L, "de", 5L, 1)))
     assert(r(1)._3 === 0L && r(1)._4 === 0)
+  }
+
+  // ------------------------------------------------ q201 lang agreement
+
+  test("languageIdAgreement: matrix mass = corpus size, diagonal = is_match mass") {
+    val corpus = Seq(
+      (1L, "der die das und ist", "de"),   // unanimous German → diagonal
+      (2L, "la la la", "es"),              // es/fr tie → heuristic picks one
+      (3L, "the and is of to", "zh")       // mislabeled: reads English
+    ).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.languageIdAgreement(corpus)
+      .select("labeled_lang", "pred_lang", "n_docs")
+      .as[(String, String, Long)].collect()
+    assert(m.map(_._3).sum === 3L)
+    val diag = m.filter(r => r._1 == r._2).map(_._3).sum
+    val matches = TextAnalysis.languageId(corpus)
+      .agg(org.apache.spark.sql.functions.sum("is_match")).as[Long].head()
+    assert(diag === matches)
+    // the planted mislabel lands off-diagonal
+    assert(m.exists(r => r._1 == "zh" && r._2 == "en" && r._3 == 1L))
+  }
+
+  // ------------------------------------------------ q202 split leakage
+
+  test("splitLeakage: cells partition the edge count; degenerate split is one cell") {
+    val base = "the quick brown fox jumps over the lazy dog near a quiet river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra"),                 // near-clone of 1
+      (3L, "completely different words about kafka topics and avro schemas flowing"),
+      (4L, "completely different words about kafka topics and avro schemas flowing here")
+    ).toDF("doc_id", "text")
+    val nEdges = graft.llm.DedupOps.dupEdges(corpus, n = 3,
+      jaccThreshold = 0.5, contThreshold = 0.8).count()
+    assert(nEdges >= 2L) // both planted clone pairs survive
+    val lk = TextAnalysis.splitLeakage(corpus).collect()
+    assert(lk.map(_.getLong(2)).sum === nEdges)
+    lk.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    // trainPct = valPct = 0 routes every doc to 'test': one (test,test) cell
+    val lk0 = TextAnalysis.splitLeakage(corpus, trainPct = 0, valPct = 0)
+      .collect()
+    assert(lk0.length === 1)
+    assert(lk0.head.getString(0) === "test" && lk0.head.getString(1) === "test")
+    assert(lk0.head.getLong(2) === nEdges)
   }
 
   // ------------------------------------------------ q94 compression ratio
