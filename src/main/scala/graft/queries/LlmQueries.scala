@@ -6458,10 +6458,14 @@ object LlmQueries {
     "q199_curation_v11",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // checkpoint the gated slice: every downstream consumer would
+      // otherwise re-evaluate the gate's normalization regex chain over
+      // the full corpus (the v7 checkpoint lesson; measured in SCALE.md)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
         minRequiredHits = 2, tok = DedupOps.Tokenizer.Unicode)
+        .localCheckpoint(true)
       val kept = DedupOps.exactThenNearDedup(gated, n = 3, perms = 32,
         bands = 8, rowsPerBand = 4, threshold = 0.5,
         tok = DedupOps.Tokenizer.Unicode).localCheckpoint(true)
@@ -6740,6 +6744,118 @@ object LlmQueries {
          |FROM documents d JOIN kids USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  // q204 — curation v12, the REWRITE-FIRST flagship: no document is
+  // dropped for CONTAINING duplicated or leaked spans — the spans
+  // leave, the documents stay. Stage 1 removes every corpus-duplicated
+  // word run >= 8 at its true extent boundaries (q196's Lee-et-al
+  // rewrite); stage 2 runs the VERIFIED winnow scrub (q194's fixpoint —
+  // certified splice-free) against the untouched benchmark slice; the
+  // report reads the rewritten corpus per source. v10 (q183) scrubbed
+  // leaks but still DROPPED near-dup documents; v12 is the composition
+  // where both duplication and leakage are span-level edits. The
+  // benchmark stays raw text (the eval set as published), and bench
+  // docs are out of corpus scope exactly as in q194.
+  val q204 = Q(
+    "q204_curation_v12",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val rew = DedupOps.spanExtentDedupApply(docs, width = 8)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val corp = rew.filter(col("doc_id") % 41 =!= 3).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+        .select(col("doc_id"), col("text"))
+      val scrubbed = DedupOps.winnowScrubVerified(corp, bench,
+        n = 3, w = 4, minShared = 2L)
+      val fin = scrubbed.select(col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id")
+      TextAnalysis.corpusReport(fin, "source").orderBy("source")
+    },
+    Some(
+      s"""WITH $extentFlagCtes,
+         |st0 AS (SELECT doc_id, list(idx) AS starts FROM fl GROUP BY doc_id),
+         |rew AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN st0.starts IS NULL THEN array_to_string(ws, ' ')
+         |         ELSE coalesce(array_to_string(list_transform(
+         |           list_filter(range(len(ws)), i ->
+         |             len(list_filter(st0.starts, x -> x <= i AND i <= x + 7)) = 0),
+         |           i -> ws[i + 1]), ' '), '') END AS text
+         |  FROM base b LEFT JOIN st0 USING (doc_id)),
+         |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 3),
+         |${winnowCtesFrom("bdocs", "b")},
+         |bp AS (SELECT DISTINCT h AS fp FROM bu),
+         |corp AS (SELECT doc_id, text FROM rew WHERE doc_id % 41 <> 3),
+         |${scrubRoundCtes("r1", "corp")},
+         |${scrubRoundCtes("r2", "r1out")},
+         |${scrubRoundCtes("r3", "r2out")},
+         |fd AS (SELECT r.doc_id, d.lang, d.source, r.text
+         |       FROM r3out r JOIN documents d USING (doc_id)),
+         |rw AS (SELECT doc_id, source, lang, text,
+         |         string_split(text, ' ') AS ws FROM fd),
+         |rc AS (SELECT doc_id, source, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, source, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT source, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT source, lang FROM rq)
+         |       GROUP BY 1)
+         |SELECT rp.source, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (source) JOIN rl USING (source)
+         |ORDER BY rp.source""".stripMargin))
+
+  // q205 — the IVF REBUILD lifecycle, hash-checked end-to-end (q116
+  // checks build + append; the round-15 rebuild operator was spec-only):
+  // build on the even vec_ids, append the odd half against the frozen
+  // (now-drifted) centroids, REBUILD — new k-means over the stored
+  // vectors, re-assign, double-rename swap — then search with every
+  // cell probed. At full probes the candidate universe is the whole
+  // indexed corpus, so the oracle is the same exact brute-force top-k
+  // as q116: a vector lost (or duplicated) by the swap changes the
+  // result, and so does any rebuild that corrupts an embedding.
+  private def ivfRebuildDir(s: SparkSession, d: String): String =
+    scratchDir("graft_ivf_rebuild", d, "centroids") { dir =>
+      val e = Tables.embeddings(s, d)
+      graft.llm.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir,
+        nCells = ivfCells, iters = 2)
+      graft.llm.IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+      graft.llm.IvfIndex.rebuild(s, dir, nCells = ivfCells, iters = 2)
+    }
+  val q205 = Q(
+    "q205_ivf_rebuild_search",
+    (s, d) => graft.llm.IvfIndex.search(
+      Tables.embeddings(s, d).filter(col("vec_id") % 250 === 7),
+      ivfRebuildDir(s, d), k = 5, nprobe = ivfCells)
+      .orderBy("query_id", "rank"),
+    Some(
+      s"""WITH q AS (SELECT * FROM embeddings WHERE vec_id % 250 = 7),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6750,5 +6866,6 @@ object LlmQueries {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155,
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
-    q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
+    q204, q205)
 }

@@ -833,10 +833,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 203 uniquely-named queries, 199 oracle-checked, qNN prefixes unique") {
+  test("registry: 205 uniquely-named queries, 201 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 203)
-    assert(all.count(_.oracle.isDefined) === 199)
+    assert(all.size === 205)
+    assert(all.count(_.oracle.isDefined) === 201)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
