@@ -55,32 +55,59 @@ object DsirIndex {
       .map(r => (r.getAs[Long]("b"), r.getAs[Long](cName))).toSeq
 
   /** Train the model: bin-count `target` and `pool` under `buckets`
-    * hashed-bigram bins and persist both tables + params under `dir`. */
+    * hashed-bigram bins and persist both tables + params under `dir`.
+    * The TOKENIZER is part of the model ([[DeconIndex]]'s invariant):
+    * the stored params record the surface the histograms were counted
+    * on, and [[score]] derives its feature stream from the INDEX —
+    * scoring a batch under a different surface than the training
+    * histograms is silent mis-weighting, never a caller choice. */
   def build(pool: DataFrame, target: DataFrame, dir: String,
-      buckets: Int = 1024): Unit = {
+      buckets: Int = 1024,
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): Unit = {
     val spark = pool.sparkSession
     import spark.implicits._
-    val ct = Retrieval.dsirBinCounts(target, buckets, "c_t")
-    val cr = Retrieval.dsirBinCounts(pool, buckets, "c_r")
+    val ct = Retrieval.dsirBinCounts(target, buckets, "c_t", tok)
+    val cr = Retrieval.dsirBinCounts(pool, buckets, "c_r", tok)
     ct.write.mode("overwrite").parquet(s"$dir/target_counts")
     cr.write.mode("overwrite").parquet(s"$dir/raw_counts")
     val ctRows = countRows(spark.read.parquet(s"$dir/target_counts"), "c_t")
     val crRows = countRows(spark.read.parquet(s"$dir/raw_counts"), "c_r")
     Seq((buckets, ctRows.size.toLong, crRows.size.toLong,
-      signature(ctRows, crRows)))
-      .toDF("buckets", "n_target_bins", "n_raw_bins", "sig")
+      signature(ctRows, crRows), tok.name))
+      .toDF("buckets", "n_target_bins", "n_raw_bins", "sig", "dtok")
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
   /** Score a batch under the STORED model — identical arithmetic to
     * [[Retrieval.dsirScores]], with the count tables read from the
-    * artifact instead of recomputed. Validates the signature first (a
+    * artifact instead of recomputed and the feature stream drawn from
+    * the STORED tokenizer surface. Validates the signature first (a
     * torn model must not silently steer selection). */
   def score(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     val (buckets, _, _, _) = requireValid(spark, dir)
+    val tok = storedTok(spark, dir)
     val ct = spark.read.parquet(s"$dir/target_counts")
     val cr = spark.read.parquet(s"$dir/raw_counts")
-    Retrieval.dsirScoreAgainst(docs, ct, cr, buckets)
+    Retrieval.dsirScoreAgainst(docs, ct, cr, buckets, tok)
+  }
+
+  /** The tokenizer the stored histograms were counted on. Layout guard
+    * BEFORE any use ([[DeconIndex]]'s reasoning): a params table written
+    * by the pre-tokenizer layout must fail loudly — silently assuming
+    * Ascii would mis-weight a Unicode-trained model's every score. */
+  private def storedTok(spark: SparkSession,
+      dir: String): DedupOps.Tokenizer = {
+    val row = spark.read.parquet(s"$dir/params").head()
+    require(row.schema.fieldNames.contains("dtok"),
+      s"DSIR index at '$dir' predates the stored-tokenizer layout — " +
+        "rebuild it (scoring must use the surface the model was " +
+        "trained on, and this artifact does not record it)")
+    row.getAs[String]("dtok") match {
+      case "ascii" => DedupOps.Tokenizer.Ascii
+      case "unicode" => DedupOps.Tokenizer.Unicode
+      case other => throw new IllegalStateException(
+        s"DSIR index at '$dir' stores unknown tokenizer '$other'")
+    }
   }
 
   /**
@@ -104,10 +131,17 @@ object DsirIndex {
     val all = ctRows ++ crRows
     val rangeOk = all.forall { case (b, c) => b >= 0 && b < buckets && c > 0 }
     val sigOk = signature(ctRows, crRows) == sig
-    Seq((buckets, ctRows.size.toLong, crRows.size.toLong, binsOk, rangeOk,
-      sigOk, binsOk && rangeOk && sigOk))
-      .toDF("buckets", "n_target_bins", "n_raw_bins", "bins_ok", "range_ok",
-        "sig_ok", "healthy")
+    // tok_ok REPORTS what storedTok/score would throw on: a
+    // pre-tokenizer-layout params row or an unknown stored name.
+    val pRow = spark.read.parquet(s"$dir/params").head()
+    val tokName =
+      if (pRow.schema.fieldNames.contains("dtok")) pRow.getAs[String]("dtok")
+      else "(pre-tokenizer layout)"
+    val tokOk = tokName == "ascii" || tokName == "unicode"
+    Seq((buckets, ctRows.size.toLong, crRows.size.toLong, tokName, binsOk,
+      rangeOk, sigOk, tokOk, binsOk && rangeOk && sigOk && tokOk))
+      .toDF("buckets", "n_target_bins", "n_raw_bins", "tok", "bins_ok",
+        "range_ok", "sig_ok", "tok_ok", "healthy")
   }
 
   private def requireValid(spark: SparkSession,

@@ -751,6 +751,67 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style repetition COVERAGE (Rae et al. 2021, table A1): per
+   * (document, n) the exact character mass covered by repeated
+   * n-grams — the boilerplate detector [[repetitionSignals]]' modal
+   * word and distinct-shingle ratio summarize coarsely. Two readouts:
+   *
+   *  - `top_cov` — max over the doc's n-grams of count·charlen: the
+   *    character coverage of the single heaviest n-gram. (Gopher picks
+   *    "the most frequent n-gram" and measures its chars; maximizing
+   *    the coverage product directly is tie-free — when two grams share
+   *    the top count, the one covering more characters IS the filter's
+   *    concern — and engine-portable with no tie-break convention.)
+   *  - `dup_cov` — Σ over grams occurring ≥ 2× of count·charlen: the
+   *    repeated-mass signal for the larger n rungs. Overlapping
+   *    occurrences are NOT de-overlapped (each occurrence counts its
+   *    full span, as in the standard implementations), so the fraction
+   *    can exceed 1 on degenerate all-repetition docs — a threshold
+   *    gate reads that as "maximally repetitive", which is correct.
+   *
+   * Small n rungs (2–4) read `top_frac` (one dominant phrase), large
+   * rungs (5, 10) read `dup_frac` (any repeated long run) — the paper's
+   * split. All coverages exact integers; fractions are fround'd ratios.
+   *
+   * Scale shape: one explode per rung (linear rows: Σ|doc| per rung)
+   * through a two-level map-side-combined aggregate keyed (doc, n,
+   * gram) then (doc, n) — the [[repetitionSignals]] modal-word shape;
+   * per-row O(tokens·distinct) array folds would be quadratic in
+   * document length. Text bytes never shuffle; gram strings do (they
+   * are the aggregation key, same class as every shingle pass).
+   */
+  def repetitionCoverage(docs: DataFrame,
+      ns: Seq[Int] = Seq(2, 3, 4, 5, 10)): DataFrame = {
+    require(ns.nonEmpty, "repetitionCoverage needs at least one rung")
+    val base = docs.select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("t"))
+      .withColumn("ws", filter(split(col("t"), " "), w => w =!= ""))
+    val grams = ns.map { n =>
+      base.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(transform(sequence(lit(0), size(col("ws")) - n),
+            i => array_join(slice(col("ws"), i + 1, lit(n)), " "))).as("gram"))
+    }.reduce(_ unionByName _)
+    val agg = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(max(col("cnt") * length(col("gram")).cast("long")).as("top_cov"),
+        coalesce(sum(when(col("cnt") >= 2,
+          col("cnt") * length(col("gram")).cast("long"))), lit(0L))
+          .as("dup_cov"))
+    base.select(col("doc_id"), length(col("t")).cast("long").as("n_chars"))
+      .withColumn("n", explode(array(ns.map(lit): _*)))
+      .join(agg, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"), col("n_chars"),
+        coalesce(col("top_cov"), lit(0L)).as("top_cov"),
+        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"))
+      .withColumn("top_frac", fround(col("top_cov").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"), 4))
+      .withColumn("dup_frac", fround(col("dup_cov").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"), 4))
+  }
+
+  /**
    * Pipeline stage funnel: one row per named stage frame with its
    * document count and whitespace-token mass, in pipeline order. The
    * composed-pipeline complement of [[filterFunnel]] (which attributes

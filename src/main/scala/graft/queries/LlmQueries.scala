@@ -6856,6 +6856,69 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  // q206 — Gopher repetition coverage (Rae et al. 2021 table A1): per
+  // (doc, n) the exact char mass of the heaviest n-gram (top_cov, read
+  // at n = 2–4: one dominant phrase) and of all repeated n-grams
+  // (dup_cov, read at n = 5/10: any repeated long run). q56's signals
+  // summarize repetition coarsely (modal word, distinct-shingle ratio);
+  // this is the per-rung bundle the paper actually thresholds.
+  val q206 = Q(
+    "q206_repetition_coverage",
+    (s, d) => TextAnalysis.repetitionCoverage(Tables.documents(s, d))
+      .orderBy("doc_id", "n"),
+    Some(
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+         |             list_filter(string_split(coalesce(text, ''), ' '),
+         |               w -> w <> '') AS ws
+         |           FROM documents),
+         |ns AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
+         |g AS (SELECT doc_id, n,
+         |        array_to_string(list_slice(ws, i + 1, i + n), ' ') AS gram
+         |      FROM (SELECT doc_id, n, ws, unnest(range(len(ws) - n + 1)) AS i
+         |            FROM d CROSS JOIN ns WHERE len(ws) >= n)),
+         |c AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM g GROUP BY 1, 2, 3),
+         |a AS (SELECT doc_id, n,
+         |        CAST(max(cnt * length(gram)) AS BIGINT) AS top_cov,
+         |        CAST(coalesce(sum(CASE WHEN cnt >= 2
+         |          THEN cnt * length(gram) END), 0) AS BIGINT) AS dup_cov
+         |      FROM c GROUP BY 1, 2)
+         |SELECT d.doc_id, ns.n, CAST(length(d.t) AS BIGINT) AS n_chars,
+         |  coalesce(a.top_cov, 0) AS top_cov,
+         |  coalesce(a.dup_cov, 0) AS dup_cov,
+         |  ${Det.frSql(
+             "CAST(coalesce(a.top_cov, 0) AS DOUBLE) / greatest(length(d.t), 1)", 4)} AS top_frac,
+         |  ${Det.frSql(
+             "CAST(coalesce(a.dup_cov, 0) AS DOUBLE) / greatest(length(d.t), 1)", 4)} AS dup_frac
+         |FROM d CROSS JOIN ns
+         |LEFT JOIN a ON a.doc_id = d.doc_id AND a.n = ns.n
+         |ORDER BY d.doc_id, ns.n""".stripMargin))
+
+  // q207 — the DSIR model artifact under the UNICODE surface, served:
+  // DsirIndex now stores the TOKENIZER it was trained on (the DeconIndex
+  // invariant — a model scored under a different surface than its
+  // histograms is silent mis-weighting), and score() derives its feature
+  // stream from the INDEX. Build on the normalized surface, score the
+  // corpus by loading the artifact — ≡ q198's inline chain (oracle = the
+  // same parameterized DSIR CTEs, score table, no rank cut).
+  private def dsirUniIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_dsir_uni_model", d, "params") { dir =>
+      val docs = Tables.documents(s, d)
+      graft.llm.DsirIndex.build(docs,
+        docs.filter(col("doc_id") % 4 === 0), dir, buckets = 1024,
+        tok = DedupOps.Tokenizer.Unicode)
+    }
+  val q207 = Q(
+    "q207_dsir_index_unicode",
+    (s, d) => graft.llm.DsirIndex.score(s, dsirUniIndexDir(s, d),
+      Tables.documents(s, d)).orderBy("doc_id"),
+    Some(
+      s"""WITH ${dsirCtesOver(
+           "trim(regexp_replace(regexp_replace(lower(coalesce(text, ''))," +
+             " '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))")}
+         |SELECT doc_id, n_feats, lr_bits, lr_scaled FROM ss
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6867,5 +6930,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205)
+    q204, q205, q206, q207)
 }

@@ -833,10 +833,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 205 uniquely-named queries, 201 oracle-checked, qNN prefixes unique") {
+  test("registry: 207 uniquely-named queries, 203 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 205)
-    assert(all.count(_.oracle.isDefined) === 201)
+    assert(all.size === 207)
+    assert(all.count(_.oracle.isDefined) === 203)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -1165,6 +1165,73 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lk0.length === 1)
     assert(lk0.head.getString(0) === "test" && lk0.head.getString(1) === "test")
     assert(lk0.head.getLong(2) === nEdges)
+  }
+
+  // ------------------------------------------------ q206 repetition coverage
+
+  test("repetitionCoverage: exact char coverage per rung on a planted repeater") {
+    val corpus = Seq(
+      (1L, "a b a b a b"),                      // 11 chars, 6 words
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionCoverage(corpus)
+      .select("doc_id", "n", "n_chars", "top_cov", "dup_cov")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    // doc 1: "a b"x3 "b a"x2 (len 3); "a b a"x2 "b a b"x2 (len 5);
+    //        "a b a b"x2 "b a b a"x1 (len 7); width-5 grams unique; no width-10
+    assert(r((1L, 2)) === ((11L, 9L, 15L)))
+    assert(r((1L, 3)) === ((11L, 10L, 20L)))
+    assert(r((1L, 4)) === ((11L, 14L, 14L)))
+    assert(r((1L, 5)) === ((11L, 9L, 0L)))
+    assert(r((1L, 10)) === ((11L, 0L, 0L)))
+    // all-distinct doc: zero duplicated mass at every rung
+    Seq(2, 3, 4, 5, 10).foreach(n => assert(r((2L, n))._3 === 0L))
+    // null text: zero everything, rows still present
+    Seq(2, 3, 4, 5, 10).foreach(n => assert(r((3L, n)) === ((0L, 0L, 0L))))
+  }
+
+  // ------------------------------------------------ q207 DSIR stored tokenizer
+
+  test("DsirIndex: stored tokenizer drives score; pre-tokenizer layout refuses") {
+    import graft.llm.DsirIndex
+    val corpus = Seq(
+      (1L, "The quick Brown fox!"),
+      (2L, "the quick brown fox"),
+      (3L, "wholly novel content sits here")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 2L)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_uni_spec").toString
+    DsirIndex.build(corpus, target, dir, buckets = 1024,
+      tok = graft.llm.DedupOps.Tokenizer.Unicode)
+    val stored = DsirIndex.score(spark, dir, corpus)
+      .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val inline = Retrieval.dsirScores(corpus, target, buckets = 1024,
+      tok = graft.llm.DedupOps.Tokenizer.Unicode)
+      .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stored.toSeq === inline.toSeq)
+    // under the stored Unicode surface the case/punct clone scores
+    // exactly like the clean target text
+    assert(stored(0)._2 === stored(1)._2 && stored(0)._3 === stored(1)._3)
+    // healthCheck reports the stored surface
+    val h = DsirIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[String]("tok") === "unicode" && h.getAs[Boolean]("tok_ok"))
+    // a params row written by the pre-tokenizer layout refuses loudly
+    val dir2 = java.nio.file.Files.createTempDirectory("dsir_old_spec").toString
+    DsirIndex.build(corpus, target, dir2, buckets = 1024)
+    val p = spark.read.parquet(s"$dir2/params").drop("dtok")
+    p.write.mode("overwrite").parquet(s"$dir2/params_tmp")
+    spark.read.parquet(s"$dir2/params_tmp").write.mode("overwrite")
+      .parquet(s"$dir2/params")
+    val e = intercept[IllegalArgumentException] {
+      DsirIndex.score(spark, dir2, corpus).count()
+    }
+    assert(e.getMessage.contains("predates the stored-tokenizer layout"),
+      e.getMessage)
+    val h2 = DsirIndex.healthCheck(spark, dir2).head()
+    assert(!h2.getAs[Boolean]("tok_ok") && !h2.getAs[Boolean]("healthy"))
   }
 
   // ------------------------------------------------ q94 compression ratio
