@@ -91,6 +91,48 @@ object DsirIndex {
     Retrieval.dsirScoreAgainst(docs, ct, cr, buckets, tok)
   }
 
+  /** STREAM-SAFE scoring under the stored model — [[score]]'s verdict
+    * re-expressed so an ingest stream can run it ([[DeconIndex
+    * .probeWinnowStream]]'s reasoning): the batch path's explode →
+    * broadcast join → per-doc aggregate → join-back is a stream-stream
+    * join in Structured Streaming's eyes, so here the two ≤ `buckets`-
+    * row count tables ride ONE static broadcast row as maps and the
+    * score is a pure per-row array fold over the doc's own bigram bins
+    * (multiplicity preserved — each occurrence is one feature, exactly
+    * as the exploded path counts it). No aggregate, no join-back —
+    * append-mode legal in front of any landing sink, so selection-by-
+    * target-likeness can run AT INGEST, not only as a batch pass.
+    * Row-identical to [[score]] on the same corpus (spec-pinned).
+    * Output: the corpus row + (n_feats, lr_bits, lr_scaled). The static
+    * side re-reads per micro-batch (two few-KB parquet tables + 1-row
+    * aggregates) — cache the session's static frame if the trigger rate
+    * ever makes that visible. */
+  def scoreStream(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val (buckets, _, _, _) = requireValid(spark, dir)
+    val tok = storedTok(spark, dir)
+    val model = spark.read.parquet(s"$dir/target_counts")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c_t"))))
+        .as("ct_map"))
+      .crossJoin(spark.read.parquet(s"$dir/raw_counts")
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c_r"))))
+          .as("cr_map")))
+    docs.crossJoin(broadcast(model))
+      .withColumn("graft_bs",
+        Retrieval.bigramBinValues(col("text"), buckets, tok))
+      .withColumn("n_feats", size(col("graft_bs")).cast("long"))
+      .withColumn("lr_bits", aggregate(col("graft_bs"), lit(0L), (acc, b) =>
+        acc + (length(bin(coalesce(element_at(col("ct_map"), b), lit(0L))
+            + lit(1L))) -
+          length(bin(coalesce(element_at(col("cr_map"), b), lit(0L))
+            + lit(1L)))).cast("long")))
+      .withColumn("lr_scaled",
+        when(col("n_feats") > 0,
+          expr("CAST((lr_bits + 64 * n_feats) * 10000 AS BIGINT) div n_feats"))
+          .otherwise(lit(0L)))
+      .drop("graft_bs", "ct_map", "cr_map")
+  }
+
   /** The tokenizer the stored histograms were counted on. Layout guard
     * BEFORE any use ([[DeconIndex]]'s reasoning): a params table written
     * by the pre-tokenizer layout must fail loudly — silently assuming

@@ -349,6 +349,25 @@ object Retrieval {
     explode(transform(sequence(lit(0), size(ws) - 2), i =>
       struct(element_at(ws, i + 1).as("w1"), element_at(ws, i + 2).as("w2"))))
 
+  /** Per-row ARRAY of hashed-bigram bin values — the un-exploded form of
+    * [[dsirScores]]' feature stream (multiplicity PRESERVED: each
+    * occurrence is one feature, exactly as the exploded path counts it;
+    * [[DedupOps.winnowPrintValues]]' reasoning applied to DSIR). Pure
+    * scan-stage array expression, which is what makes the streaming
+    * score gate ([[DsirIndex.scoreStream]]) stream-static legal. Empty
+    * array for docs with < 2 words — the batch path's n_feats = 0
+    * convention. */
+  private[llm] def bigramBinValues(text: Column, buckets: Int,
+      tok: Tokenizer = Tokenizer.Ascii): Column = {
+    val ws = filter(TextFunctions.words(tok.prep(coalesce(text, lit("")))),
+      w => w =!= "")
+    val bins = transform(sequence(lit(0), size(ws) - 2), i =>
+      TextFunctions.polyHash(concat(
+        element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))) %
+        lit(buckets.toLong))
+    when(size(ws) >= 2, bins).otherwise(array().cast("array<long>"))
+  }
+
   /**
    * Bigram-LM surprisal scoring — the CCNet/KenLM quality-filter shape:
    * train an add-one-smoothed bigram model on a reference slice, score

@@ -6919,6 +6919,43 @@ object LlmQueries {
          |SELECT doc_id, n_feats, lr_bits, lr_scaled FROM ss
          |ORDER BY doc_id""".stripMargin))
 
+  // q208 — the streaming SELECTION commit path: q197/q203's
+  // at-least-once file feed scored AT INGEST by DsirIndex.scoreStream
+  // (the stored model rides one broadcast row as maps; the score is a
+  // pure per-row array fold — no aggregate, no join-back), landed
+  // idempotently, replays repaired by distinct. Scoring is per-row, so
+  // the landed table is batch-split invariant by construction and the
+  // batch oracle (q150's stored-model chain) pins a genuinely streaming
+  // execution. Dedup (q197), decon (q203), and now SELECTION all cross
+  // the driver's hash gate through a real checkpointed stream.
+  val q208 = Q(
+    "q208_stream_dsir_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = dsirIndexDir(s, d)
+      val stage = java.nio.file.Files.createTempDirectory("graft_q208_stage").toString
+      val land = java.nio.file.Files.createTempDirectory("graft_q208_land").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q208_ckpt").toString
+      docs.repartition(4).write.mode("append").parquet(stage)
+      docs.repartition(4).write.mode("append").parquet(stage)
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          graft.llm.DsirIndex.scoreStream(s, idxDir, b.toDF())
+            .select(col("doc_id"), col("n_feats"), col("lr_bits"),
+              col("lr_scaled")), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(land).drop("batch").distinct().orderBy("doc_id")
+    },
+    Some(
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_feats, lr_bits, lr_scaled FROM ss
+         |ORDER BY doc_id""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -6930,5 +6967,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207)
+    q204, q205, q206, q207, q208)
 }

@@ -833,10 +833,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 207 uniquely-named queries, 203 oracle-checked, qNN prefixes unique") {
+  test("registry: 208 uniquely-named queries, 204 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 207)
-    assert(all.count(_.oracle.isDefined) === 203)
+    assert(all.size === 208)
+    assert(all.count(_.oracle.isDefined) === 204)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
@@ -1232,6 +1232,30 @@ class CorpusOpsSpec extends SparkSpec {
       e.getMessage)
     val h2 = DsirIndex.healthCheck(spark, dir2).head()
     assert(!h2.getAs[Boolean]("tok_ok") && !h2.getAs[Boolean]("healthy"))
+  }
+
+  // ------------------------------------------------ q208 stream DSIR score
+
+  test("DsirIndex.scoreStream: per-row gate equals batch score row-for-row") {
+    import graft.llm.DsirIndex
+    val corpus = Seq(
+      (1L, Option("the quick brown fox jumps over the lazy dog")),
+      (2L, Option("the quick brown fox")),
+      (3L, Option("solo")),                        // < 2 words: n_feats 0
+      (4L, None: Option[String])                   // null text: n_feats 0
+    ).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 2L)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream_spec").toString
+    DsirIndex.build(corpus, target, dir, buckets = 1024)
+    val batch = DsirIndex.score(spark, dir, corpus)
+      .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val perRow = DsirIndex.scoreStream(spark, dir, corpus)
+      .select("doc_id", "n_feats", "lr_bits", "lr_scaled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(perRow.toSeq === batch.toSeq)
+    assert(perRow.find(_._1 == 3L).get._2 === 0L)
+    assert(perRow.find(_._1 == 4L).get._2 === 0L)
   }
 
   // ------------------------------------------------ q94 compression ratio
