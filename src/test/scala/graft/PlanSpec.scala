@@ -429,4 +429,33 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q183_curation_v10").contains("CartesianProduct"),
       "v10 pipeline planned a cross product")
   }
+
+  test("q200: calibration — the trained model broadcasts, no sort-merge join") {
+    val p = planOf("q200_classifier_calibration")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid model lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "calibration shuffled the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q202: split leakage — split labels join the pair list, no cross product") {
+    val p = planOf("q202_split_leakage")
+    assert(!p.contains("CartesianProduct"),
+      "split-leakage audit planned a cross product")
+  }
+
+  test("q206: repetition coverage — two-level hash agg, never a global window") {
+    val p = planOf("q206_repetition_coverage")
+    assert(!p.contains("Window"),
+      "repetition coverage planned a window — the per-(doc,n,gram) " +
+        "aggregate must stay a hash agg")
+    assert(p.contains("HashAggregate"), "expected map-side-combined aggs")
+  }
+
+  test("q199/q204: multilingual + rewrite-first flagships — no cross product") {
+    assert(!planOf("q199_curation_v11").contains("CartesianProduct"),
+      "v11 pipeline planned a cross product")
+    assert(!planOf("q204_curation_v12").contains("CartesianProduct"),
+      "v12 pipeline planned a cross product")
+  }
 }
