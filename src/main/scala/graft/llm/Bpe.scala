@@ -53,6 +53,64 @@ object Bpe {
   private def wordsNonEmpty(text: Column): Column =
     filter(TextFunctions.words(text), w => w =!= "")
 
+  /**
+   * Pre-tokenization mode — HOW raw text becomes the word stream the
+   * learn/encode surface runs over (the [[DedupOps.Tokenizer]] pattern:
+   * a scan-stage text PREPROCESSOR, codegen'd, zero-shuffle). The
+   * whitespace presplit is blind on whitespace-free scripts: a CJK
+   * document is ONE "word", so the word-TYPE histogram degenerates
+   * toward the corpus (every sentence a distinct type — [[learnMerges]]
+   * learns sentence fragments, [[mergeUtilization]]/fertility go blind).
+   * [[PreTok.chunked]] caps every pre-token at `maxLen` code points —
+   * on CJK text that yields bounded-length char n-gram chunks (the
+   * histogram is bounded by the distinct-L-gram population, not the
+   * corpus), and merges learn real multi-character tokens WITHIN chunks.
+   * Compose with [[TextFunctions.normalizeUnicode]] upstream for the
+   * case/punctuation-folded surface when wanted.
+   *
+   * `prep` rewrites the TEXT column (chunk boundaries become spaces), so
+   * every existing learn/encode/count path — including the native
+   * codegen'd [[graft.functions.BpeCountExpr]]/BpeTokensExpr, whose
+   * per-word loop splits on spaces — works on the chunked surface
+   * unchanged: `tokenCount(PreTok.chunked(L).prep(text), merges)`.
+   */
+  final case class PreTok(name: String, prep: Column => Column)
+  object PreTok {
+    val Whitespace = PreTok("whitespace", identity)
+    def chunked(maxLen: Int): PreTok = {
+      require(maxLen >= 1, s"chunk length must be >= 1 (got $maxLen)")
+      PreTok(s"chunked:$maxLen", c => chunkText(c, maxLen))
+    }
+    /** Inverse of `PreTok#name` — how [[BpeIndex]] rehydrates the stored
+      * mode (a vocabulary served under a different pre-tokenization than
+      * it was learned on silently mis-tokenizes; the DsirIndex stored-
+      * tokenizer invariant). */
+    def parse(name: String): PreTok = name match {
+      case "whitespace" => Whitespace
+      case s if s.startsWith("chunked:") => chunked(s.drop(8).toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unknown BPE pre-tokenization '$other'")
+    }
+  }
+
+  /** Non-empty whitespace words, each split into `maxLen`-code-point
+    * chunks (the last chunk of a word may be shorter) — pure per-row
+    * array expression. Chunk count per word is exact integer arithmetic
+    * in doubles (word lengths ≪ 2^52). */
+  def chunkWords(text: Column, maxLen: Int): Column =
+    flatten(transform(wordsNonEmpty(coalesce(text, lit(""))), w =>
+      transform(
+        sequence(lit(0),
+          ceil(length(w).cast("double") / lit(maxLen.toDouble)).cast("int")
+            - lit(1)),
+        i => w.substr(i * lit(maxLen) + lit(1), lit(maxLen)))))
+
+  /** The chunked surface as TEXT: [[chunkWords]] re-joined on single
+    * spaces, so chunk boundaries are word boundaries for every
+    * downstream split-on-space path. */
+  def chunkText(text: Column, maxLen: Int): Column =
+    array_join(chunkWords(text, maxLen), " ")
+
   /** Word-TYPE histogram: (word, cnt) over non-empty whitespace tokens.
     * The one corpus-sized aggregate in the learn path. */
   def wordHistogram(docs: DataFrame): DataFrame =
@@ -106,13 +164,53 @@ object Bpe {
   }
 
   /**
-   * Learn `k` ordered merges. Each round: pair counts over the word-type
-   * frame, ONE argmax row collected (count DESC, lhs, rhs), the merge
-   * folded into every word's tokenization. Stops early if no adjacent
-   * pair remains (every word fully fused). `checkpointEvery` bounds the
-   * lineage of the iterated frame exactly like duplicateClusters' rounds.
+   * Learn `k` ordered merges over the word-TYPE histogram.
+   *
+   * DISPATCH (the production-k design): the histogram is bounded by the
+   * corpus VOCABULARY, not its volume — one map-side-combined aggregate
+   * collapses 100 TB of text to a few million (word, cnt) rows. When it
+   * fits under `maxLocalTypes` it is collected ONCE and the entire merge
+   * loop runs driver-local ([[learnMergesLocal]]) with incremental
+   * pair-count maintenance — O(total deltas), no per-round Spark job. A
+   * real 32k–100k-merge vocabulary as sequential distributed rounds is
+   * tens of thousands of driver-coordinated jobs with the cluster idle
+   * between argmaxes (≥50 ms scheduling floor each: 32k merges ≈ 30+ min
+   * of pure orchestration before any compute); driver-local the same
+   * learn is seconds. The distributed loop ([[learnMergesDistributed]])
+   * remains the fallback for histograms that genuinely don't fit one
+   * machine, announced loudly — silence would hide a 1000× slowdown.
+   *
+   * Both paths produce BYTE-IDENTICAL merge lists (BpeSpec pins ≡ on the
+   * fixture corpus): same weighted pair counts, same (count DESC, lhs,
+   * rhs) argmax under UTF-8 byte order (Spark's UTF8String/DuckDB binary
+   * collation — NOT Java's UTF-16 compareTo, which diverges above the
+   * BMP), same single-pass greedy merge application.
    */
   def learnMerges(docs: DataFrame, k: Int,
+      checkpointEvery: Int = 4,
+      maxLocalTypes: Int = 4000000): Seq[Merge] = {
+    val head = wordHistogram(docs).head(maxLocalTypes + 1)
+    if (head.length <= maxLocalTypes)
+      learnMergesLocal(head.map(r => (r.getString(0), r.getLong(1))), k)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Bpe.learnMerges: word-type histogram exceeds maxLocalTypes=" +
+          s"$maxLocalTypes — falling back to the O(k)-sequential-jobs " +
+          "distributed loop; expect k scheduling round-trips")
+      learnMergesDistributed(docs, k, checkpointEvery)
+    }
+  }
+
+  /**
+   * The distributed merge loop. Each round: pair counts over the
+   * word-type frame, ONE argmax row collected (count DESC, lhs, rhs),
+   * the merge folded into every word's tokenization. Stops early if no
+   * adjacent pair remains (every word fully fused). `checkpointEvery`
+   * bounds the lineage of the iterated frame exactly like
+   * duplicateClusters' rounds. O(k) sequential jobs — the scale path
+   * only when the histogram can't be collected ([[learnMerges]]).
+   */
+  private[graft] def learnMergesDistributed(docs: DataFrame, k: Int,
       checkpointEvery: Int = 4): Seq[Merge] = {
     var cur = wordHistogram(docs)
       .withColumn("toks", charToks(col("word")))
@@ -133,6 +231,132 @@ object Bpe {
           if (r % checkpointEvery == 0) cur = cur.localCheckpoint()
           r += 1
         case _ => exhausted = true
+      }
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte order on strings — the order Spark's UTF8String binary
+    * compare (and DuckDB's default collation) sorts by. Java's
+    * `String.compareTo` orders UTF-16 code units instead, which ranks
+    * supplementary-plane text (surrogates 0xD800–0xDFFF) BELOW
+    * U+E000–U+FFFF — the local argmax must not diverge from the
+    * distributed one on a non-BMP corpus. */
+  private[graft] val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /**
+   * Driver-local merge learn over a collected word-TYPE histogram —
+   * semantics ≡ [[learnMergesDistributed]], cost O(k log k + total
+   * pair-count deltas) instead of O(k) cluster round-trips.
+   *
+   * Incremental maintenance (the standard Sennrich-et-al learn shape):
+   * exact pair counts live in a hash map; a pair → word-ids index
+   * restricts each merge's re-tokenization to the words that CONTAIN the
+   * pair; the argmax comes from a lazy-deletion max-heap — every count
+   * change pushes a fresh (count, lhs, rhs) entry, and stale entries are
+   * discarded on pop by checking against the live map. Tie-break and
+   * merge application match the distributed loop exactly: (count DESC,
+   * lhs ASC, rhs ASC) under [[utf8Ordering]]; single-pass greedy
+   * left-to-right fusion; initial tokens are CODE POINTS (Java regex
+   * `split("")` never splits a surrogate pair, so the distributed
+   * char-split is code-point granular too).
+   */
+  private[graft] def learnMergesLocal(hist: Array[(String, Long)],
+      k: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    require(!hist.exists(_._1.contains(Sep)),
+      s"BPE separator '$Sep' occurs inside a corpus word")
+    val toks: Array[Array[String]] = hist.map(_._1.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))))
+    val cnts: Array[Long] = hist.map(_._2)
+
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // max-heap: highest count first, then SMALLEST (lhs, rhs) in UTF-8 order
+    val heapOrd: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = utf8Ordering.compare(b._2, a._2)
+          if (l != 0) l else utf8Ordering.compare(b._3, a._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    def bump(p: (String, String), delta: Long, wordId: Int): Unit = {
+      val n = stats.getOrElse(p, 0L) + delta
+      if (n <= 0L) { stats.remove(p); return }
+      stats(p) = n
+      if (delta > 0 && wordId >= 0)
+        index.getOrElseUpdate(p, mutable.BitSet.empty) += wordId
+      heap.enqueue((n, p._1, p._2))
+    }
+    var w = 0
+    while (w < toks.length) {
+      val t = toks(w)
+      var i = 0
+      while (i + 1 < t.length) { bump((t(i), t(i + 1)), cnts(w), w); i += 1 }
+      w += 1
+    }
+
+    // single-pass greedy fusion — [[applyMerge]]'s fold, imperative
+    def fuse(t: Array[String], lhs: String, rhs: String,
+        merged: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == lhs && t(i + 1) == rhs) {
+          out += merged; i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val out = Vector.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      // pop until an entry matches the live count for its pair
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (stats.get((e._2, e._3)).contains(e._1)) top = Some(e)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((cnt, lhs, rhs)) =>
+          val merged = lhs + rhs
+          out += Merge(r, lhs, rhs, merged, cnt)
+          val members = index.remove((lhs, rhs)).getOrElse(mutable.BitSet.empty)
+          stats.remove((lhs, rhs))
+          members.foreach { wid =>
+            val old = toks(wid)
+            val neu = fuse(old, lhs, rhs, merged)
+            if (neu.length != old.length) {
+              var i = 0
+              while (i + 1 < old.length) {
+                bump((old(i), old(i + 1)), -cnts(wid), -1); i += 1
+              }
+              i = 0
+              while (i + 1 < neu.length) {
+                bump((neu(i), neu(i + 1)), cnts(wid), wid); i += 1
+              }
+              toks(wid) = neu
+            }
+          }
+          r += 1
       }
     }
     out.result()

@@ -63,11 +63,18 @@ object BpeIndex {
     h
   }
 
-  /** Learn `k` merges from `docs` and persist them under `dir`. */
-  def build(docs: DataFrame, dir: String, k: Int): Unit = {
+  /** Learn `k` merges from `docs` (over `pretok`'s surface) and persist
+    * them under `dir`. The pre-tokenization mode is part of the stored
+    * artifact — a vocabulary learned on the chunked surface and served
+    * on the whitespace surface (or vice versa) silently mis-tokenizes
+    * every word, so [[loadWithPreTok]] derives the encode surface from
+    * the INDEX (the [[DsirIndex]] stored-tokenizer invariant). */
+  def build(docs: DataFrame, dir: String, k: Int,
+      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ms = Bpe.learnMerges(docs, k)
+    val ms = Bpe.learnMerges(
+      docs.withColumn("text", pretok.prep(col("text"))), k)
     spark.createDataFrame(ms)
       .select(col("rank"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
       .write.mode("overwrite").parquet(s"$dir/merges")
@@ -75,7 +82,8 @@ object BpeIndex {
     // a fully-fused corpus) plus the merge-list content signature, so the
     // load-side torn-index check compares against what this build really
     // stored — not just its shape.
-    Seq((ms.size, Bpe.Sep, signature(ms))).toDF("k", "sep", "sig")
+    Seq((ms.size, Bpe.Sep, signature(ms), pretok.name))
+      .toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -91,8 +99,14 @@ object BpeIndex {
     * is k rows (k ≪ data volume — it IS the vocabulary size knob), and
     * literals are the scan-stage plan. Validates the stored separator
     * against this build's [[Bpe.Sep]]. */
-  def load(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
-    val (k, sep, sig) = requireIndex(spark, dir)
+  def load(spark: SparkSession, dir: String): Seq[Bpe.Merge] =
+    loadWithPreTok(spark, dir)._1
+
+  /** [[load]] plus the stored pre-tokenization mode — callers encoding
+    * text MUST prep it with the returned mode ([[build]]'s invariant). */
+  def loadWithPreTok(spark: SparkSession,
+      dir: String): (Seq[Bpe.Merge], Bpe.PreTok) = {
+    val (k, sep, sig, pretokName) = requireIndex(spark, dir)
     require(sep == Bpe.Sep,
       s"BPE index at '$dir' was built with separator '$sep' but this " +
         s"build uses '${Bpe.Sep}' — encoding would silently diverge")
@@ -108,7 +122,7 @@ object BpeIndex {
     require(signature(ms) == sig,
       s"BPE index at '$dir' is torn: the stored merges do not match the " +
         "params content signature (interleaved or partial build) — rebuild")
-    ms
+    (ms, Bpe.PreTok.parse(pretokName))
   }
 
   /**
@@ -131,7 +145,7 @@ object BpeIndex {
    * Throws only on an absent index (params missing), like every loader. */
   def healthCheck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (k, sep, sig) = requireIndex(spark, dir)
+    val (k, sep, sig, pretokName) = requireIndex(spark, dir)
     val ms = spark.read.parquet(s"$dir/merges")
       .orderBy("rank").collect()
       .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
@@ -142,16 +156,21 @@ object BpeIndex {
     val kOk = ms.size == k
     val sigOk = signature(ms) == sig
     val ranksOk = ms.map(_.rank) == (1 to ms.size)
-    Seq((k, ms.size.toLong, sepOk, kOk, sigOk, ranksOk,
-      sepOk && kOk && sigOk && ranksOk))
+    val pretokOk =
+      try { Bpe.PreTok.parse(pretokName); true }
+      catch { case _: IllegalArgumentException => false }
+    Seq((k, ms.size.toLong, sepOk, kOk, sigOk, ranksOk, pretokOk,
+      sepOk && kOk && sigOk && ranksOk && pretokOk))
       .toDF("k", "n_merges", "sep_ok", "k_ok", "sig_ok", "ranks_ok",
-        "healthy")
+        "pretok_ok", "healthy")
   }
 
-  private def requireIndex(spark: SparkSession, dir: String): (Int, String, Long) =
+  private def requireIndex(spark: SparkSession,
+      dir: String): (Int, String, Long, String) =
     try {
       val row = spark.read.parquet(s"$dir/params").head()
-      (row.getAs[Int]("k"), row.getAs[String]("sep"), row.getAs[Long]("sig"))
+      (row.getAs[Int]("k"), row.getAs[String]("sep"), row.getAs[Long]("sig"),
+        row.getAs[String]("pretok"))
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(

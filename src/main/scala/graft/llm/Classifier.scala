@@ -154,11 +154,7 @@ object Classifier {
       buckets: Int = 10,
       tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame = {
     require(buckets > 0, "calibrationReport needs at least one bucket")
-    val q = TextFunctions.fround(
-      least(col("n_raw").cast("double") / 100.0, lit(1.0)) * 0.4
-        + (col("n_distinct").cast("double") / col("n_raw")) * 0.3
-        + (lit(1.0) - col("n_stop").cast("double") / col("n_raw")) * 0.3,
-      4)
+    val q = qualityBlend
     val feats = withFeatures(docs, tok)
       .withColumn("label", qualityTeacher(threshold).cast("int"))
       .withColumn("qs",
@@ -186,12 +182,20 @@ object Classifier {
       tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame =
     centroidGate(docs, qualityTeacher(threshold), tok)
 
-  /** The q37 heuristic blend as a reusable teacher column (over
-    * [[withFeatures]]' stat columns). */
-  private[llm] def qualityTeacher(threshold: Double): Column =
+  /** The q37 heuristic quality blend (fround'd to 4 decimals) over
+    * [[withFeatures]]' raw-token stats — the ONE definition both the
+    * teacher threshold ([[qualityTeacher]]) and the calibration bucket
+    * axis ([[calibrationReport]]) read, so the two can never drift
+    * (the gopherMeasures/gopherRules single-sourcing pattern). */
+  private def qualityBlend: Column =
     TextFunctions.fround(
       least(col("n_raw").cast("double") / 100.0, lit(1.0)) * 0.4
         + (col("n_distinct").cast("double") / col("n_raw")) * 0.3
         + (lit(1.0) - col("n_stop").cast("double") / col("n_raw")) * 0.3,
-      4) >= threshold
+      4)
+
+  /** The q37 heuristic blend as a reusable teacher column (over
+    * [[withFeatures]]' stat columns). */
+  private[llm] def qualityTeacher(threshold: Double): Column =
+    qualityBlend >= threshold
 }

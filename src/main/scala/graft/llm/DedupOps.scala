@@ -54,6 +54,19 @@ object DedupOps {
   object Tokenizer {
     val Ascii = Tokenizer("ascii", identity)
     val Unicode = Tokenizer("unicode", TextFunctions.normalizeUnicode)
+    /** POSITION-PRESERVING unicode normalization: each whitespace word
+      * case-folds and drops `[^\p{L}\p{N}]` IN PLACE (a word that
+      * normalizes to nothing stays as an empty slot), so the prepped
+      * stream's word index i is the raw stream's word index i. This is
+      * the surface a REWRITE gate must fingerprint on: [[Tokenizer
+      * .Unicode]]'s whitespace collapse drops emptied words and shifts
+      * every later position, so spans flagged on that stream would cut
+      * the WRONG raw words. Gates that only DROP documents keep using
+      * Unicode (strictly better normalization); the scrub family
+      * ([[winnowScrubVerified]]) takes this one. */
+    val UnicodeAligned = Tokenizer("unicode_aligned", t =>
+      array_join(transform(split(t, " "), w =>
+        regexp_replace(lower(w), "[^\\p{L}\\p{N}]", "")), " "))
   }
 
   /** Column-metadata keys recording the shingle width and tokenizer a

@@ -68,7 +68,12 @@ object IvfIndex {
     * BECAUSE they are sequential. */
   def append(vectors: DataFrame, dir: String): Unit = {
     val spark = vectors.sparkSession
-    val unseen = vectors.join(
+    // dropDuplicates: an at-least-once FEED can deliver the same vector
+    // twice WITHIN one batch (two replayed files landing in the same
+    // micro-batch) — the stored-snapshot anti-join alone would insert
+    // both copies. Replay copies are identical rows, so which one
+    // survives is immaterial.
+    val unseen = vectors.dropDuplicates("vec_id").join(
       spark.read.parquet(s"$dir/assignments").select("vec_id"),
       Seq("vec_id"), "left_anti").localCheckpoint(true)
     if (!unseen.isEmpty)
@@ -121,39 +126,65 @@ object IvfIndex {
       iters: Int = 2): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
     val stored = spark.read.parquet(s"$dir/assignments")
       .select(col("vec_id"), col("embedding")).localCheckpoint(true)
     require(!stored.isEmpty, s"rebuild: no vectors indexed at '$dir'")
-    SimilaritySearch.kmeansCentroids(stored, nCells, iters)
-      .write.mode("overwrite").parquet(s"$dir/centroids__graft_tmp")
-    // assign against the WRITTEN staged centroids ([[build]]'s
-    // byte-identity reasoning)
-    SimilaritySearch.assignCells(stored,
-      spark.read.parquet(s"$dir/centroids__graft_tmp"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/assignments__graft_tmp")
-    val hasPq = new Path(s"$dir/pq_codes").getFileSystem(conf)
-      .exists(new Path(s"$dir/pq_codes"))
-    if (hasPq)
-      spark.read.parquet(s"$dir/pq_codes").drop("cell")
-        .join(spark.read.parquet(s"$dir/assignments__graft_tmp")
-          .select(col("vec_id"), col("cell")), "vec_id")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/pq_codes__graft_tmp")
-    def swap(name: String): Unit = {
-      val live = new Path(s"$dir/$name")
-      val tmp = new Path(s"$dir/${name}__graft_tmp")
-      val old = new Path(s"$dir/${name}__graft_old")
-      val f = live.getFileSystem(conf)
-      if (f.exists(old)) f.delete(old, true)
-      require(f.rename(live, old), s"rebuild: rename $live -> $old failed")
-      require(f.rename(tmp, live), s"rebuild: rename $tmp -> $live failed")
-      f.delete(old, true)
+    val allTables = Seq("centroids", "assignments", "pq_codes")
+    // pre-clean staging left by a PREVIOUS failed rebuild, so a stale
+    // *__graft_tmp can never be mistaken for this run's staged state
+    // during manual inspection of a torn index
+    allTables.foreach { t =>
+      val stale = new Path(s"$dir/${t}__graft_tmp")
+      if (fs.exists(stale)) fs.delete(stale, true)
     }
-    swap("centroids")
-    swap("assignments")
-    if (hasPq) swap("pq_codes")
+    var staged = false
+    try {
+      SimilaritySearch.kmeansCentroids(stored, nCells, iters)
+        .write.mode("overwrite").parquet(s"$dir/centroids__graft_tmp")
+      // assign against the WRITTEN staged centroids ([[build]]'s
+      // byte-identity reasoning)
+      SimilaritySearch.assignCells(stored,
+        spark.read.parquet(s"$dir/centroids__graft_tmp"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/assignments__graft_tmp")
+      val hasPq = fs.exists(new Path(s"$dir/pq_codes"))
+      if (hasPq)
+        spark.read.parquet(s"$dir/pq_codes").drop("cell")
+          .join(spark.read.parquet(s"$dir/assignments__graft_tmp")
+            .select(col("vec_id"), col("cell")), "vec_id")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/pq_codes__graft_tmp")
+      staged = true
+      // Swap in two phases. Phase 1 renames every table (live → old,
+      // staged → live) WITHOUT deleting anything: a crash between two
+      // renames leaves each table's previous copy intact under
+      // *__graft_old, so a torn index (new centroids + old assignments
+      // would silently route partial-probe searches wrong) is
+      // RECOVERABLE — every table still exists in some complete
+      // version. Phase 2 deletes the old copies only after ALL tables
+      // are live on the new layout.
+      val tables = Seq("centroids", "assignments") ++
+        (if (hasPq) Seq("pq_codes") else Nil)
+      tables.foreach { name =>
+        val live = new Path(s"$dir/$name")
+        val tmp = new Path(s"$dir/${name}__graft_tmp")
+        val old = new Path(s"$dir/${name}__graft_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(live, old), s"rebuild: rename $live -> $old failed")
+        require(fs.rename(tmp, live), s"rebuild: rename $tmp -> $live failed")
+      }
+      tables.foreach(name =>
+        fs.delete(new Path(s"$dir/${name}__graft_old"), true))
+    } finally {
+      // a failure before the swaps leaves only staging dirs — remove
+      // them so distinct failures don't accumulate *__graft_tmp debris
+      if (!staged) allTables.foreach { t =>
+        val tmp = new Path(s"$dir/${t}__graft_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
   }
 
   /**

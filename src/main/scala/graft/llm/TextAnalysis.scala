@@ -985,19 +985,29 @@ object TextAnalysis {
    * batches. One row per (group, run_len): how many maximal runs of
    * exactly that length the order contains.
    *
-   * Shape: gap-and-islands via two GROUP-keyed windows (`ord −
-   * row_number() within group` is constant exactly on a maximal run) —
-   * partitions are per-group, never the whole order — then two tiny
-   * keyed aggregates. Same (doc_id, ord) + meta contract as
-   * [[shuffleQuality]].
+   * Shape: gap-and-islands (`ord − row_number() within group` is
+   * constant exactly on a maximal run), with the within-group rank
+   * computed by [[graft.ops.PrefixRank.keyedPrefix]] — a window
+   * partitioned only by the group column would send EVERY row of a
+   * group to one task, and a 90%-one-source pretraining mix makes that
+   * partition ≈ the whole order (the exact hot-source serialization
+   * keyedPrefix exists to kill). `ord` is the bucketable order key: a
+   * training order's positions are a dense 1..N, so `keyBound = max(ord)
+   * + 1` comes from one 1-row aggregate over the two-column order frame
+   * (the collect-the-model pattern) and buckets are perfectly balanced.
+   * Then two tiny keyed aggregates. Same (doc_id, ord) + meta contract
+   * as [[shuffleQuality]].
    */
   def orderRunLengths(ordered: DataFrame, meta: DataFrame,
       groupCol: String = "source"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = ordered.select(col("doc_id"), col("ord"))
       .join(meta.select(col("doc_id"), col(groupCol)), "doc_id")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"))
-    o.withColumn("island", col("ord") - row_number().over(w))
+    val bound = 1L + ordered
+      .agg(coalesce(max(col("ord")), lit(0L)).cast("long")).head().getLong(0)
+    graft.ops.PrefixRank.keyedPrefix(o, Seq(groupCol),
+        orderKey = col("ord"), keyBound = bound,
+        tieBreaker = col("doc_id"), rankName = "grp_rnk")
+      .withColumn("island", col("ord") - col("grp_rnk"))
       .groupBy(col(groupCol), col("island"))
       .agg(count(lit(1)).as("run_len"))
       .groupBy(col(groupCol), col("run_len"))

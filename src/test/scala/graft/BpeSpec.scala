@@ -265,22 +265,115 @@ class BpeSpec extends SparkSpec {
     val goodSig = BpeIndex.signature(stored)
     val realK = stored.size
     // separator drift: params claim a different sep than this build's
-    Seq((realK, "|", goodSig)).toDF("k", "sep", "sig")
+    Seq((realK, "|", goodSig, "whitespace")).toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
     val e1 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e1.getMessage.contains("separator"))
     // torn artifact: params' k disagrees with the stored merge count
-    Seq((5, Bpe.Sep, goodSig)).toDF("k", "sep", "sig")
+    Seq((5, Bpe.Sep, goodSig, "whitespace")).toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
     val e2 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e2.getMessage.contains("torn"))
     // interleaved builders: k and sep both match the stored merges but
     // the params row belongs to a DIFFERENT build — only the content
     // signature catches the mix
-    Seq((realK, Bpe.Sep, goodSig ^ 0x5aL)).toDF("k", "sep", "sig")
+    Seq((realK, Bpe.Sep, goodSig ^ 0x5aL, "whitespace"))
+      .toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
     val e3 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e3.getMessage.contains("signature"))
+  }
+
+  test("driver-local learn == the distributed merge loop on the real corpus") {
+    // the production-k path: the word-TYPE histogram is collected once
+    // and the whole merge loop runs driver-local with incremental
+    // pair-count maintenance — byte-identical to the O(k)-jobs
+    // distributed loop (same weighted counts, same (cnt DESC, lhs, rhs)
+    // argmax, same greedy fusion). q107/q129's oracle hashes ride on
+    // this equivalence.
+    val docs = Tables.documents(spark, sfDir)
+    val hist = Bpe.wordHistogram(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val local = Bpe.learnMergesLocal(hist, 10)
+    val dist = Bpe.learnMergesDistributed(docs, 10)
+    assert(local == dist)
+  }
+
+  test("learnMerges dispatch: oversized histogram falls back to the distributed loop, identically") {
+    val docs = Seq((1L, "low low lower newest newest"))
+      .toDF("doc_id", "text")
+    val viaLocal = Bpe.learnMerges(docs, 5)
+    val viaDist = Bpe.learnMerges(docs, 5, maxLocalTypes = 1)
+    assert(viaLocal.nonEmpty && viaLocal == viaDist)
+  }
+
+  test("local argmax ties break in UTF-8 byte order, not UTF-16 (non-BMP lhs)") {
+    // U+E000 is EE 80 80 in UTF-8 (< U+1F600's F0 9F 98 80) but its
+    // UTF-16 unit 0xE000 sorts ABOVE the surrogate 0xD83D — a Java
+    // compareTo tie-break would pick the emoji; Spark's UTF8String
+    // binary compare picks U+E000. Both paths must agree.
+    val w1 = "😀a" // 😀a
+    val w2 = "b"
+    val docs = Seq((1L, s"$w1 $w2"), (2L, s"$w2 $w1")).toDF("doc_id", "text")
+    val dist = Bpe.learnMergesDistributed(docs, 1)
+    val local = Bpe.learnMergesLocal(
+      Bpe.wordHistogram(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1))), 1)
+    assert(local == dist)
+    assert(local.head.lhs == "" && local.head.rhs == "b")
+  }
+
+  test("chunked pre-tokenization: CJK corpus learns multi-char merges, histogram stays bounded") {
+    // whitespace-free script: under the whitespace presplit every
+    // SENTENCE is one word type (the histogram degenerates toward the
+    // corpus and merges learn sentence fragments); under chunked(4) the
+    // histogram is bounded by the distinct-4-gram population and merges
+    // learn real multi-character tokens.
+    val sent1 = "你好世界你好世界你好"
+    val sent2 = "你好世界真好"
+    val docs = Seq((1L, sent1), (2L, sent2), (3L, sent1))
+      .toDF("doc_id", "text")
+    assert(Bpe.wordHistogram(docs).count() == 2) // == distinct sentences
+    val chunked = docs.withColumn("text", Bpe.chunkText(col("text"), 4))
+    // chunk stream: 你好世界 (cnt 5), 你好 (2), 真好 (1)
+    assert(Bpe.wordHistogram(chunked).count() == 3)
+    val merges = Bpe.learnMerges(chunked, 3)
+    assert(merges.map(m => (m.lhs, m.rhs, m.cnt)) == Seq(
+      ("你", "好", 7L), ("世", "界", 5L), ("你好", "世界", 5L)))
+    // encode under the SAME chunked surface: doc2 = [你好世界] [真,好]
+    // (merge 3 fully fuses the dominant chunk)
+    val n = docs.filter(col("doc_id") === 2L)
+      .select(Bpe.tokenCount(Bpe.chunkText(col("text"), 4), merges))
+      .head.getLong(0)
+    assert(n == 3L)
+    // decode roundtrips the chunked surface
+    val rt = docs.select(Bpe.decode(
+      Bpe.encodeWords(Bpe.chunkText(col("text"), 4), merges)).as("t"),
+      Bpe.chunkText(col("text"), 4).as("want"))
+      .collect()
+    rt.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("BpeIndex: stored pre-tokenization mode round-trips and drives the encode surface") {
+    val docs = Seq((1L, "你好世界你好世界你好"), (2L, "你好世界真好"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_chunked")
+    BpeIndex.build(docs, dir, k = 3, pretok = Bpe.PreTok.chunked(4))
+    val (ms, pt) = BpeIndex.loadWithPreTok(spark, dir)
+    assert(pt.name == "chunked:4")
+    assert(ms == Bpe.learnMerges(
+      docs.withColumn("text", Bpe.chunkText(col("text"), 4)), 3))
+    val h = BpeIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Boolean]("pretok_ok") && h.getAs[Boolean]("healthy"))
+    // a caller must encode on the index's surface — counts via the
+    // loaded mode equal the inline chunked chain
+    val viaIdx = docs.select(Bpe.tokenCount(pt.prep(col("text")), ms))
+      .collect().map(_.getLong(0)).toSeq
+    val inline = docs.select(Bpe.tokenCount(
+      Bpe.chunkText(col("text"), 4), ms)).collect().map(_.getLong(0)).toSeq
+    assert(viaIdx == inline)
+    // unknown stored mode refuses to parse
+    intercept[IllegalArgumentException] { Bpe.PreTok.parse("bogus") }
   }
 
   test("mergeUtilization: superseded merge reads as a dead slot, stream shares exact") {

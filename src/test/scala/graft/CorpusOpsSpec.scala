@@ -833,10 +833,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 208 uniquely-named queries, 204 oracle-checked, qNN prefixes unique") {
+  test("registry: 210 uniquely-named queries, 206 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 208)
-    assert(all.count(_.oracle.isDefined) === 204)
+    assert(all.size === 210)
+    assert(all.count(_.oracle.isDefined) === 206)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -227,6 +227,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q185: run-length islands rank bucketed — no per-source window over the order") {
+    // gap-and-islands needs row_number within source; partitioning the
+    // corpus-length training order by source alone puts a 90%-share
+    // source on ONE task — the rank must ride the bucketed prefix
+    // operator like every other per-source rank (q89/q101/q118/q119)
+    val p = planOf("q185_order_run_lengths")
+    assert(!p.contains("windowspecdefinition(source#"),
+      "q185 ranks through a per-source corpus window again")
+    assert(p.contains("windowspecdefinition(__graft_bkt"),
+      "q185 lost the bucketed cell window")
+  }
+
   test("q120/q117: perceptual and containment pairing stay equi-joins") {
     for (q <- Seq("q120_phash_pairs", "q117_containment_pairs")) {
       val p = planOf(q)

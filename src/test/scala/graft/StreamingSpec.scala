@@ -698,4 +698,43 @@ class StreamingSpec extends SparkSpec {
       assert(landed.toSet === batchKept)
     } finally q.stop()
   }
+
+  test("streaming IVF append: at-least-once feed and full fresh-checkpoint replay never double-index") {
+    import graft.llm.IvfIndex
+    val e = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream_spec").toString
+    IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir, nCells = 4, iters = 1)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    // at-least-once feed: the odd half delivered TWICE across 6 files;
+    // maxFilesPerTrigger=2 makes micro-batches straddle the two copies,
+    // so the same vec_id arrives both within one batch and across batches
+    val stage = java.nio.file.Files.createTempDirectory("graft_ivf_stream_feed").toString
+    odd.repartition(3).write.mode("append").parquet(stage)
+    odd.repartition(3).write.mode("append").parquet(stage)
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_stream_ck").toString
+      val q = spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          IvfIndex.append(b, dir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val n1 = spark.read.parquet(s"$dir/assignments").count()
+    assert(n1 === e.count(), "every vector indexed exactly once")
+    val queries = e.filter(col("vec_id") % 100 === 1)
+    def searched() = IvfIndex.search(queries, dir, k = 3, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank").collect().toSeq
+    val res1 = searched()
+    assert(res1.nonEmpty)
+    // a crashed-and-restarted ingest replays the WHOLE feed through a
+    // fresh checkpoint: the index (and every answer) must not change
+    run()
+    assert(spark.read.parquet(s"$dir/assignments").count() === n1)
+    assert(searched() === res1)
+  }
 }
