@@ -449,19 +449,37 @@ object DedupOps {
    * text byte-identical.
    */
   def winnowScrub(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-      w: Int = 4, minShared: Long = 2L): DataFrame =
+      w: Int = 4, minShared: Long = 2L,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame =
     winnowScrubAgainst(docs,
-      winnowFingerprints(benchmark, n, w).select(col("fp")).distinct(),
-      n, w, minShared)
+      winnowFingerprints(benchmark, n, w, tok).select(col("fp")).distinct(),
+      n, w, minShared, tok)
+
+  /** The scrub family's tokenizer contract: fingerprint positions must
+    * index the RAW word stream the rewrite cuts from, so only
+    * POSITION-PRESERVING preps are legal — [[Tokenizer.Unicode]]'s
+    * whitespace collapse drops emptied words and would shift every
+    * later cut onto the wrong raw words (use [[Tokenizer
+    * .UnicodeAligned]], built for exactly this). */
+  private def requirePositionPreserving(tok: Tokenizer): Unit =
+    require(tok.name != Tokenizer.Unicode.name,
+      "winnowScrub: Tokenizer.Unicode collapses whitespace and shifts " +
+        "word positions — a scrub under it would cut the wrong raw " +
+        "words; use Tokenizer.UnicodeAligned (position-preserving)")
 
   /** One scrub pass against an ALREADY materialized distinct benchmark
     * print-value set (`bp`: one `fp` column) — the [[winnowProbe]]
     * pattern applied to the rewrite, shared by the one-pass gate and
     * [[winnowScrubVerified]]'s fixpoint loop so the per-round pass can
-    * never drift from the public operator. */
+    * never drift from the public operator. Fingerprints come from
+    * `tok`'s surface; the rewrite always cuts the RAW word stream
+    * (position-preserving preps only — see
+    * [[requirePositionPreserving]]). */
   private[llm] def winnowScrubAgainst(docs: DataFrame, bp: DataFrame,
-      n: Int, w: Int, minShared: Long): DataFrame = {
-    val dp = winnowFingerprints(docs, n, w)
+      n: Int, w: Int, minShared: Long,
+      tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    requirePositionPreserving(tok)
+    val dp = winnowFingerprints(docs, n, w, tok)
     val hits = dp.join(broadcast(bp), "fp")
     val shared = hits.select(col("doc_id"), col("fp")).distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -528,11 +546,12 @@ object DedupOps {
    */
   def winnowScrubVerified(docs: DataFrame, benchmark: DataFrame,
       n: Int = 3, w: Int = 4, minShared: Long = 2L,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(maxRounds >= 1, "winnowScrubVerified needs at least one round")
-    val bp = winnowFingerprints(benchmark, n, w).select(col("fp")).distinct()
+    val bp = winnowFingerprints(benchmark, n, w, tok)
+      .select(col("fp")).distinct()
       .localCheckpoint()
-    val first = winnowScrubAgainst(docs, bp, n, w, minShared)
+    val first = winnowScrubAgainst(docs, bp, n, w, minShared, tok)
       .localCheckpoint()
     var clean = first.filter(col("n_removed") === 0L)
     var active = first.filter(col("n_removed") > 0L)
@@ -541,7 +560,7 @@ object DedupOps {
     while (!converged && rounds < maxRounds) {
       rounds += 1
       val s = winnowScrubAgainst(
-          active.select(col("doc_id"), col("text")), bp, n, w, minShared)
+          active.select(col("doc_id"), col("text")), bp, n, w, minShared, tok)
         .select(col("doc_id"), col("n_removed").as("nr_k"),
           col("text").as("text_k"))
       val merged = active.join(s, "doc_id")

@@ -3879,11 +3879,12 @@ object LlmQueries {
   /** The DSIR chain parameterized over the tokenized text surface —
     * `dsirCtes` is the raw (Ascii) instantiation; q198 passes the q142
     * normalization front for `Tokenizer.Unicode`. */
-  private def dsirCtesOver(textSql: String): String =
+  private def dsirCtesOver(textSql: String,
+      poolSrc: String = "documents"): String =
     s"""pw AS (
        |  SELECT doc_id,
        |    list_filter(string_split($textSql, ' '), w -> w <> '') AS ws
-       |  FROM documents),
+       |  FROM $poolSrc),
        |pb AS (
        |  SELECT doc_id,
        |    ${polyHashSql("ws[i+1] || ' ' || ws[i+2]")} % 1024 AS b
@@ -3908,7 +3909,7 @@ object LlmQueries {
        |  SELECT d.doc_id,
        |    CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
        |    CAST(coalesce(sc.lr_bits, 0) AS BIGINT) AS lr_bits
-       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |  FROM $poolSrc d LEFT JOIN sc USING (doc_id)),
        |ss AS (
        |  SELECT doc_id, n_feats, lr_bits,
        |    CASE WHEN n_feats > 0
@@ -4642,8 +4643,9 @@ object LlmQueries {
     * the match-span extraction (q175) and the contamination attribution
     * (q176), so the three can never drift. Yields CTEs dw/h0/hw/sel/u/
     * keep/ui/pr. */
-  private def winnowCtesFrom(src: String, pfx: String = ""): String =
-    s"""${pfx}dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
+  private def winnowCtesFrom(src: String, pfx: String = "",
+      wordsSql: String = "string_split(text, ' ')"): String =
+    s"""${pfx}dw AS (SELECT doc_id, $wordsSql AS words FROM $src),
          |${pfx}h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
          |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
          |       FROM ${pfx}dw),
@@ -6269,8 +6271,9 @@ object LlmQueries {
     * (doc_id, n_shared, n_removed, text). The fully-scrubbed doc reads
     * '' (coalesce — DuckDB's array_to_string(∅) is NULL, Spark's
     * array_join(∅) is ''). */
-  private def scrubRoundCtes(p: String, src: String): String =
-    s"""${p}dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $src),
+  private def scrubRoundCtes(p: String, src: String,
+      wordsSql: String = "string_split(text, ' ')"): String =
+    s"""${p}dw AS (SELECT doc_id, $wordsSql AS words FROM $src),
        |${p}h0 AS (SELECT doc_id, list_transform(range(len(words) - 2), i ->
        |         ${polyHashSql("words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]")}) AS hs
        |       FROM ${p}dw),
@@ -6293,7 +6296,7 @@ object LlmQueries {
        |       FROM ${p}hits h JOIN ${p}shr USING (doc_id)
        |       WHERE n_shared >= 2 GROUP BY 1),
        |${p}sws AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
-       |${p}out AS (
+       |${p}out AS MATERIALIZED (
        |  SELECT s.doc_id,
        |    CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
        |    CASE WHEN st.starts IS NULL THEN CAST(0 AS BIGINT)
@@ -6351,11 +6354,11 @@ object LlmQueries {
   // SLIDING width-8 window double-hashed, corpus-duplicated
   // non-canonical instances flagged under the keep-first
   // (min doc_id·2^20+idx) policy — q86's tile chain at stride 1.
-  private val extentFlagCtes: String =
+  private def extentFlagCtesFrom(src: String): String =
     s"""base AS (
        |  SELECT doc_id, ws
        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-       |        FROM documents)),
+       |        FROM $src)),
        |sp AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS idx, ws
        |       FROM base WHERE len(ws) >= 8),
        |spans AS (
@@ -6368,6 +6371,8 @@ object LlmQueries {
        |        FROM spans GROUP BY h, h2),
        |fl AS (SELECT s.doc_id, s.idx FROM spans s JOIN grp g USING (h, h2)
        |       WHERE g.cnt > 1 AND s.doc_id * 1048576 + s.idx <> g.first_k)""".stripMargin
+
+  private def extentFlagCtes: String = extentFlagCtesFrom("documents")
 
   // q195 — variable-length exact-substring extents (the Lee et al. 2021
   // ExactSubstr shape): every duplicated word run ≥ 8 surfaces as ONE
@@ -7097,6 +7102,141 @@ object LlmQueries {
          |SELECT query_id, neighbor_id, FLOOR((cos) * 10000.0 + 0.5) / 10000.0 AS cos, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  // q211 — curation v13, the CAPSTONE composition (round-15 judge task
+  // 7): v11 (q199) selects multilingually but DROPS near-dup docs; v12
+  // (q204) rewrites spans but reads the ASCII surface. v13 is the chain
+  // where every stage reads the surface it should AND no document is
+  // dropped for containing removable content:
+  //   1 Unicode Gopher gate (q193's bundle — \p{L} alpha, normalized
+  //     stopwords, raw-surface symbols);
+  //   2 variable-length extent-rewrite dedup (q196) over the gated
+  //     slice — deliberately on the RAW surface: the rewrite must
+  //     round-trip the original text, and a normalized extent hash
+  //     would mis-align cut boundaries with the raw word stream (the
+  //     DedupOps span-family contract);
+  //   3 VERIFIED winnow scrub (q194's fixpoint) under Tokenizer
+  //     .UnicodeAligned — the position-PRESERVING per-word
+  //     normalization, so case/punct-variant benchmark leaks are cut
+  //     from the raw words at the right positions (the collapsing
+  //     Unicode tokenizer would shift every cut; refused by the
+  //     operator);
+  //   4 DSIR selection (q198) under Tokenizer.Unicode over the
+  //     SCRUBBED text, target = the raw %4 = 0 in-domain slice;
+  //   5 per-LANGUAGE report over the selected, scrubbed corpus.
+  // Oracle = the gate CTEs seeding the extent-rewrite CTEs seeding
+  // three unrolled aligned scrub rounds seeding the DSIR chain seeding
+  // the report CTEs — one stage-CTE replay of the whole pipeline.
+  val q211 = Q(
+    "q211_curation_v13",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // checkpoint each stage boundary: every stage feeds ONE consumer
+      // downstream but its own expression chain (regex gate, window
+      // hashes, scrub folds) must not be re-planned into the next
+      // stage's self-joins (the v7 checkpoint lesson)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2, tok = DedupOps.Tokenizer.Unicode)
+        .localCheckpoint(true)
+      val rew = DedupOps.spanExtentDedupApply(gated, width = 8)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+        .select(col("doc_id"), col("text"))
+      val scrubbed = DedupOps.winnowScrubVerified(
+        rew.filter(col("doc_id") % 41 =!= 3), bench, n = 3, w = 4,
+        minShared = 2L, tok = DedupOps.Tokenizer.UnicodeAligned)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val sel = Retrieval.dsirSelect(scrubbed,
+        docs.filter(col("doc_id") % 4 === 0), buckets = 1024,
+        keepPermille = 500L, tok = DedupOps.Tokenizer.Unicode)
+      val fin = scrubbed.join(sel.select(col("doc_id")), "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextAnalysis.corpusReport(fin, "lang").orderBy("lang")
+    },
+    Some {
+      val alignedWords = "list_transform(string_split(text, ' '), " +
+        "w -> regexp_replace(lower(w), '[^\\p{L}\\p{N}]', '', 'g'))"
+      val uniNorm = "trim(regexp_replace(regexp_replace(lower(" +
+        "coalesce(text, '')), '[^\\p{L}\\p{N}\\s]', '', 'g'), " +
+        "'\\s+', ' ', 'g'))"
+      s"""WITH gn AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(
+         |      trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+         |        '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+         |      x -> x <> '') AS gws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(gws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(gws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(gws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM gn),
+         |gk AS (SELECT doc_id FROM gm
+         |       WHERE n_words >= 30 AND n_words <= 100000
+         |         AND n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words
+         |         AND 10 * n_symbols <= n_words
+         |         AND 5 * n_alpha >= 4 * n_words
+         |         AND n_required >= 2),
+         |gd AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN gk USING (doc_id)),
+         |${extentFlagCtesFrom("gd")},
+         |st0 AS (SELECT doc_id, list(idx) AS starts FROM fl GROUP BY doc_id),
+         |rew AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    CASE WHEN st0.starts IS NULL THEN array_to_string(ws, ' ')
+         |         ELSE coalesce(array_to_string(list_transform(
+         |           list_filter(range(len(ws)), i ->
+         |             len(list_filter(st0.starts, x -> x <= i AND i <= x + 7)) = 0),
+         |           i -> ws[i + 1]), ' '), '') END AS text
+         |  FROM base b LEFT JOIN st0 USING (doc_id)),
+         |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 3),
+         |${winnowCtesFrom("bdocs", "b", alignedWords)},
+         |bp AS MATERIALIZED (SELECT DISTINCT h AS fp FROM bu),
+         |corp AS MATERIALIZED (SELECT doc_id, text FROM rew WHERE doc_id % 41 <> 3),
+         |${scrubRoundCtes("r1", "corp", alignedWords)},
+         |${scrubRoundCtes("r2", "r1out", alignedWords)},
+         |${scrubRoundCtes("r3", "r2out", alignedWords)},
+         |scr AS MATERIALIZED (SELECT doc_id, text FROM r3out),
+         |${dsirCtesOver(uniNorm, "scr")},
+         |seld AS (SELECT doc_id FROM sr WHERE rnk * 1000 <= n_total * 500),
+         |fd AS (SELECT r.doc_id, dd.lang, r.text
+         |       FROM scr r JOIN seld USING (doc_id)
+         |       JOIN documents dd USING (doc_id)),
+         |rw AS (SELECT doc_id, lang, text,
+         |         string_split(text, ' ') AS ws FROM fd),
+         |rc AS (SELECT doc_id, lang, text,
+         |  $qualityCountsSql
+         |FROM rw),
+         |rq AS (SELECT doc_id, lang,
+         |         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+         |           x -> x <> '')) AS BIGINT) AS n_toks,
+         |         coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs,
+         |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |              ELSE ${polyHashSql("coalesce(text, '')")} END AS fp
+         |       FROM rc),
+         |rp AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |              CAST(sum(qs) AS BIGINT) AS q_sum
+         |       FROM rq GROUP BY 1),
+         |rd AS (SELECT lang, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT lang, fp, count(*) AS c FROM rq GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_langs
+         |       FROM (SELECT DISTINCT lang AS lang, lang AS l2 FROM rq)
+         |       GROUP BY 1)
+         |SELECT rp.lang, n_docs, n_tokens, n_dup_docs, n_langs,
+         |  ${Det.frSql(
+             "CAST(q_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)", 4)} AS mean_quality
+         |FROM rp JOIN rd USING (lang) JOIN rl USING (lang)
+         |ORDER BY rp.lang""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7108,5 +7248,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210)
+    q204, q205, q206, q207, q208, q209, q210, q211)
 }

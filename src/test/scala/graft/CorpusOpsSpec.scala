@@ -635,15 +635,17 @@ class CorpusOpsSpec extends SparkSpec {
     // k and sep match, only the signature catches it; healthCheck
     // REPORTS (a monitoring row) where load throws
     val stored = BpeIndex.load(spark, dir)
-    Seq((stored.size, Bpe.Sep, BpeIndex.signature(stored) ^ 0x77L))
-      .toDF("k", "sep", "sig")
+    Seq((stored.size, Bpe.Sep, BpeIndex.signature(stored) ^ 0x77L,
+        "whitespace"))
+      .toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
     val hMixed = BpeIndex.healthCheck(spark, dir).head()
     assert(!hMixed.getAs[Boolean]("healthy") && !hMixed.getAs[Boolean]("sig_ok"))
     assert(hMixed.getAs[Boolean]("k_ok") && hMixed.getAs[Boolean]("sep_ok"))
     // torn artifact: params' k disagrees with the stored merge count
-    Seq((stored.size + 2, Bpe.Sep, BpeIndex.signature(stored)))
-      .toDF("k", "sep", "sig")
+    Seq((stored.size + 2, Bpe.Sep, BpeIndex.signature(stored),
+        "whitespace"))
+      .toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
     val hTorn = BpeIndex.healthCheck(spark, dir).head()
     assert(!hTorn.getAs[Boolean]("healthy") && !hTorn.getAs[Boolean]("k_ok"))
@@ -833,10 +835,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 210 uniquely-named queries, 206 oracle-checked, qNN prefixes unique") {
+  test("registry: 211 uniquely-named queries, 207 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 210)
-    assert(all.count(_.oracle.isDefined) === 206)
+    assert(all.size === 211)
+    assert(all.count(_.oracle.isDefined) === 207)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -384,4 +384,59 @@ class DedupSpec extends SparkSpec {
       w = 1, minShared = 2L).orderBy("doc_id").collect()
     assert(verified === onePass)
   }
+
+  test("winnowScrubVerified under UnicodeAligned: case/punct-variant leak cut from RAW words, flanks intact") {
+    import graft.llm.DedupOps
+    import graft.llm.DedupOps.Tokenizer
+    // benchmark publishes the clean lowercase run; the corpus carries a
+    // case/punctuation variant of it ("Leak1," vs "leak1") embedded in
+    // clean text — invisible to the raw-surface scrub, caught on the
+    // position-preserving aligned surface, and the CUT must hit the raw
+    // punctuated words (not a normalized rewrite of the document)
+    val leakRaw = (1 to 16).map(i => s"Leak$i,").mkString(" ")
+    val leakBench = (1 to 16).map(i => s"leak$i").mkString(" ")
+    val before = "my clean words before"
+    val after = "and clean words after"
+    val corpus = Seq((1L, s"$before $leakRaw $after"),
+      (2L, "totally unrelated clean document text here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, leakBench)).toDF("doc_id", "text")
+
+    // raw-surface scrub: no shared prints, nothing removed
+    val ascii = DedupOps.winnowScrubVerified(corpus, bench, n = 3, w = 4,
+      minShared = 2L).orderBy("doc_id").collect()
+    assert(ascii.forall(_.getAs[Long]("n_removed") == 0L))
+    assert(ascii(0).getAs[String]("text") == s"$before $leakRaw $after")
+
+    // aligned scrub: the variant is cut from the RAW word stream
+    val out = DedupOps.winnowScrubVerified(corpus, bench, n = 3, w = 4,
+      minShared = 2L, tok = Tokenizer.UnicodeAligned)
+      .orderBy("doc_id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_removed") >= 1L)
+    val rawWords = s"$before $leakRaw $after".split(" ").toSet
+    val outWords = d1.getAs[String]("text").split(" ").filter(_.nonEmpty)
+    // cuts, not rewrites: every surviving word is a raw word verbatim
+    assert(outWords.forall(rawWords.contains))
+    // cut spans lie inside the leak: both flanks survive whole
+    assert(d1.getAs[String]("text").startsWith(before))
+    assert(d1.getAs[String]("text").endsWith(after))
+    // untouched doc passes byte-identical
+    assert(out(1).getAs[Long]("n_removed") == 0L)
+
+    // verified-clean on the SAME surface: no output doc still trips the gate
+    val outDf = Seq((1L, d1.getAs[String]("text"))).toDF("doc_id", "text")
+    val shared = DedupOps.winnowFingerprints(outDf, 3, 4, Tokenizer.UnicodeAligned)
+      .join(DedupOps.winnowFingerprints(bench, 3, 4, Tokenizer.UnicodeAligned)
+        .select(col("fp")).distinct(), "fp")
+      .select("doc_id", "fp").distinct().count()
+    assert(shared < 2L)
+
+    // the collapsing Unicode tokenizer is position-UNSAFE for a rewrite
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.winnowScrubVerified(corpus, bench, n = 3, w = 4,
+        minShared = 2L, tok = Tokenizer.Unicode)
+    }
+    assert(e.getMessage.contains("UnicodeAligned"))
+  }
 }
