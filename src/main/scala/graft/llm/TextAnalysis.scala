@@ -1000,9 +1000,13 @@ object TextAnalysis {
    */
   def orderRunLengths(ordered: DataFrame, meta: DataFrame,
       groupCol: String = "source"): DataFrame = {
+    // checkpoint the 3-column joined frame FIRST: the keyBound aggregate
+    // and the rank pass would otherwise each re-evaluate the order's
+    // whole upstream lineage (trainingOrder is itself a ranked pass)
     val o = ordered.select(col("doc_id"), col("ord"))
       .join(meta.select(col("doc_id"), col(groupCol)), "doc_id")
-    val bound = 1L + ordered
+      .localCheckpoint(true)
+    val bound = 1L + o
       .agg(coalesce(max(col("ord")), lit(0L)).cast("long")).head().getLong(0)
     graft.ops.PrefixRank.keyedPrefix(o, Seq(groupCol),
         orderKey = col("ord"), keyBound = bound,

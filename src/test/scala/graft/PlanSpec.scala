@@ -239,6 +239,16 @@ class PlanSpec extends SparkSpec {
       "q185 lost the bucketed cell window")
   }
 
+  test("q211: the v13 capstone plans with no cartesian and no per-source corpus window") {
+    // five stages composed; a lost broadcast or a non-equi condition in
+    // any of them would surface as a nested-loop join over corpus rows
+    val p = planOf("q211_curation_v13")
+    assert(!p.contains("CartesianProduct"), "v13 must stay equi-join only")
+    assert(!p.contains("windowspecdefinition(source#") &&
+      !p.contains("windowspecdefinition(lang#"),
+      "v13 must not rank through a per-group corpus window")
+  }
+
   test("q120/q117: perceptual and containment pairing stay equi-joins") {
     for (q <- Seq("q120_phash_pairs", "q117_containment_pairs")) {
       val p = planOf(q)
