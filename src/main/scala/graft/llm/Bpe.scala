@@ -282,7 +282,12 @@ object Bpe {
     val cnts: Array[Long] = hist.map(_._2)
 
     val stats = mutable.HashMap.empty[(String, String), Long]
-    val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // pair → word ids that contain it, APPEND-ONLY with duplicates
+    // (deduped at consume time): a per-pair bitmap over word ids costs
+    // |types|/8 bytes PER PAIR — 62 KB each at 500k types, fatal at
+    // production merge counts — while the buffer's total size is
+    // bounded by the total number of pair-count updates.
+    val index = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     // max-heap: highest count first, then SMALLEST (lhs, rhs) in UTF-8 order
     val heapOrd: Ordering[(Long, String, String)] =
       (a: (Long, String, String), b: (Long, String, String)) => {
@@ -300,16 +305,26 @@ object Bpe {
       if (n <= 0L) { stats.remove(p); return }
       stats(p) = n
       if (delta > 0 && wordId >= 0)
-        index.getOrElseUpdate(p, mutable.BitSet.empty) += wordId
+        index.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wordId
       heap.enqueue((n, p._1, p._2))
     }
+    // initial build: accumulate counts and the membership index first,
+    // then seed the heap with ONE entry per distinct pair — enqueueing
+    // per occurrence (every intermediate cumulative value) would push
+    // |total tokens| stale tuples before the first merge
     var w = 0
     while (w < toks.length) {
       val t = toks(w)
       var i = 0
-      while (i + 1 < t.length) { bump((t(i), t(i + 1)), cnts(w), w); i += 1 }
+      while (i + 1 < t.length) {
+        val p = (t(i), t(i + 1))
+        stats(p) = stats.getOrElse(p, 0L) + cnts(w)
+        index.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += w
+        i += 1
+      }
       w += 1
     }
+    stats.foreach { case ((l, r), n) => heap.enqueue((n, l, r)) }
 
     // single-pass greedy fusion — [[applyMerge]]'s fold, imperative
     def fuse(t: Array[String], lhs: String, rhs: String,
@@ -339,21 +354,25 @@ object Bpe {
         case Some((cnt, lhs, rhs)) =>
           val merged = lhs + rhs
           out += Merge(r, lhs, rhs, merged, cnt)
-          val members = index.remove((lhs, rhs)).getOrElse(mutable.BitSet.empty)
+          val members = index.remove((lhs, rhs))
+            .getOrElse(mutable.ArrayBuffer.empty[Int])
           stats.remove((lhs, rhs))
+          val seen = new java.util.HashSet[Integer](members.size * 2)
           members.foreach { wid =>
-            val old = toks(wid)
-            val neu = fuse(old, lhs, rhs, merged)
-            if (neu.length != old.length) {
-              var i = 0
-              while (i + 1 < old.length) {
-                bump((old(i), old(i + 1)), -cnts(wid), -1); i += 1
+            if (seen.add(wid)) {
+              val old = toks(wid)
+              val neu = fuse(old, lhs, rhs, merged)
+              if (neu.length != old.length) {
+                var i = 0
+                while (i + 1 < old.length) {
+                  bump((old(i), old(i + 1)), -cnts(wid), -1); i += 1
+                }
+                i = 0
+                while (i + 1 < neu.length) {
+                  bump((neu(i), neu(i + 1)), cnts(wid), wid); i += 1
+                }
+                toks(wid) = neu
               }
-              i = 0
-              while (i + 1 < neu.length) {
-                bump((neu(i), neu(i + 1)), cnts(wid), wid); i += 1
-              }
-              toks(wid) = neu
             }
           }
           r += 1
