@@ -858,4 +858,93 @@ class DedupFuzzSpec extends SparkSpec {
     assert(applied(0) === ((1L, 17L, s"p1 p2 p3 $block q1 q2")))
     assert(applied(1) === ((2L, 8L, "r1 r2 r3 r4 r5 r6 r7 s1")))
   }
+
+  test("fuzz: UnicodeAligned scrub matches the sequential aligned reference; cuts hit raw words") {
+    // 15th family: the position-preserving unicode scrub. Corpus words
+    // get seeded case/punctuation NOISE (word-preserving transforms), so
+    // the raw stream shares nothing with the clean benchmark while the
+    // per-word-normalized stream shares everything; the reference
+    // fingerprints the NORMALIZED stream and cuts the RAW one — exactly
+    // the operator's contract. Dense vocab, w = 2 (family-12 regime).
+    val (n, w, minShared) = (3, 2, 2L)
+    def normWord(x: String): String =
+      x.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}]", "")
+    def alignedGramHashes(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1).map(normWord)
+      (0 to ws.length - n).map(i => polyHash(ws.slice(i, i + n).mkString(" ")))
+    }
+    def winnowRefA(t: String): Set[(Long, Long)] = {
+      val hs = alignedGramHashes(t)
+      if (hs.isEmpty) Set.empty
+      else {
+        val wl = math.min(w, hs.size)
+        (0 to hs.size - wl).map { i =>
+          val sl = hs.slice(i, i + wl)
+          val mn = sl.min
+          ((i + sl.lastIndexOf(mn)).toLong, mn)
+        }.toSet
+      }
+    }
+    def scrubRefA(t: String, bp: Set[Long]): (Long, Long, String) = {
+      val prints = winnowRefA(t)
+      val nShared = (prints.map(_._2) intersect bp).size.toLong
+      if (nShared < minShared) (nShared, 0L, t)
+      else {
+        val ws = t.split(" ", -1)
+        val starts = prints.filter(p => bp.contains(p._2)).map(_._1)
+        val kept = ws.indices.filterNot(i =>
+          starts.exists(s => s <= i && i <= s + n - 1))
+        (nShared, (ws.length - kept.size).toLong, kept.map(ws).mkString(" "))
+      }
+    }
+    def verifiedRefA(t: String, bp: Set[Long]): (Long, Long, String) = {
+      val first = scrubRefA(t, bp)
+      var (total, cur, last) = (first._2, first._3, first._2)
+      while (last > 0) {
+        val r = scrubRefA(cur, bp)
+        last = r._2; total += last; cur = r._3
+      }
+      (first._1, total, cur)
+    }
+    def noisy(t: String, rnd: scala.util.Random): String =
+      t.split(" ", -1).map { x =>
+        val up = if (x.nonEmpty && rnd.nextInt(10) < 3) x.toUpperCase else x
+        rnd.nextInt(10) match {
+          case 0 => up + ","
+          case 1 => up + "!"
+          case 2 => "\"" + up
+          case _ => up
+        }
+      }.mkString(" ")
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed + 7)
+      val corpus = randomCorpus(seed, 20, denseVocab, 18)
+        .map { case (id, t) => (id, noisy(t, rnd)) }
+      val bench = randomCorpus(seed + 1000, 6, denseVocab, 18)
+      val bp = bench.flatMap { case (_, t) => winnowRefA(t).map(_._2) }.toSet
+      val want = corpus.map { case (id, t) => id -> verifiedRefA(t, bp) }.toMap
+      val got = graft.llm.DedupOps.winnowScrubVerified(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          n, w, minShared,
+          tok = graft.llm.DedupOps.Tokenizer.UnicodeAligned)
+        .select("doc_id", "n_shared", "n_removed", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === want, s"seed $seed")
+      assert(want.values.exists(_._2 > 0L), s"seed $seed: vacuous (nothing scrubbed)")
+      assert(want.values.exists(_._2 == 0L), s"seed $seed: vacuous (everything scrubbed)")
+      // the RAW-surface scrub sees none of it: every shared print needs
+      // the aligned normalization (noise touched the corpus only)
+      val raw = graft.llm.DedupOps.winnowScrubVerified(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          n, w, minShared)
+        .select("doc_id", "n_removed").as[(Long, Long)].collect()
+      // noise is probabilistic per word, so SOME doc may stay clean-
+      // cased and raw-visible; the sharp claim is corpus-total: aligned
+      // strictly out-removes the raw-surface scrub on a noised corpus
+      val rawTotal = raw.map(_._2).sum
+      val alignedTotal = want.values.map(_._2).sum
+      assert(alignedTotal > rawTotal, s"seed $seed: aligned found no extra leakage")
+    }
+  }
 }
