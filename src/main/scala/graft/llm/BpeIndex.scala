@@ -99,8 +99,17 @@ object BpeIndex {
     * is k rows (k ≪ data volume — it IS the vocabulary size knob), and
     * literals are the scan-stage plan. Validates the stored separator
     * against this build's [[Bpe.Sep]]. */
-  def load(spark: SparkSession, dir: String): Seq[Bpe.Merge] =
-    loadWithPreTok(spark, dir)._1
+  def load(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    val (ms, pt) = loadWithPreTok(spark, dir)
+    // a caller that doesn't consume the stored mode would silently
+    // encode a chunked-learned vocabulary on the whitespace surface —
+    // the exact mis-serving the stored mode exists to prevent
+    require(pt.name == Bpe.PreTok.Whitespace.name,
+      s"BPE index at '$dir' was learned under pre-tokenization " +
+        s"'${pt.name}' — use loadWithPreTok and prep encode inputs " +
+        "with the returned mode")
+    ms
+  }
 
   /** [[load]] plus the stored pre-tokenization mode — callers encoding
     * text MUST prep it with the returned mode ([[build]]'s invariant). */

@@ -374,6 +374,10 @@ class BpeSpec extends SparkSpec {
     assert(viaIdx == inline)
     // unknown stored mode refuses to parse
     intercept[IllegalArgumentException] { Bpe.PreTok.parse("bogus") }
+    // plain load on a non-whitespace index refuses — a caller that
+    // ignores the stored mode would encode on the wrong surface
+    val e = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
+    assert(e.getMessage.contains("loadWithPreTok"))
   }
 
   test("mergeUtilization: superseded merge reads as a dead slot, stream shares exact") {
