@@ -302,6 +302,51 @@ object TextAnalysis {
   }
 
   /**
+   * Quality-ANNEALED training order — the "end training on your best
+   * data" curriculum (the phase-2/annealing schedule of recent
+   * pretraining recipes: the final steps see the highest-quality slice,
+   * where gradient updates matter most): documents order by ascending
+   * quality BUCKET (the q37 blend, integer-scaled then cut into
+   * `nBuckets` rungs), and within a bucket by [[trainingOrder]]'s
+   * salted content hash — so each rung is internally shuffled and the
+   * whole order stays a pure function of (content, salt, nBuckets).
+   *
+   * Shape: quality and the salted key are one scan-stage select; the
+   * contiguous rank is ONE groupless [[graft.ops.PrefixRank
+   * .keyedPrefix]] over the composite key `bucket·P + hash` (exact in
+   * longs: nBuckets·P·shufflePartitions ≪ 2^52) — never a global
+   * window, never a per-bucket window (a bucket holds a corpus-scale
+   * share by construction).
+   */
+  def annealedOrder(docs: DataFrame, salt: String = "anneal0",
+      nBuckets: Int = 4): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 1024,
+      s"nBuckets must be in [1, 1024] (got $nBuckets)")
+    val ws = words(col("text"))
+    val allStops = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
+    val nT = size(ws).cast("long")
+    val nD = size(array_distinct(ws)).cast("long")
+    val nS = size(filter(ws, w => array_contains(allStops, w))).cast("long")
+    val quality = fround(
+      least(nT.cast("double") / 100.0, lit(1.0)) * 0.4
+        + (nD.cast("double") / nT) * 0.3
+        + (lit(1.0) - nS.cast("double") / nT) * 0.3,
+      4)
+    val base = docs.select(col("doc_id"),
+      coalesce(floor(quality * 10000d + lit(0.5)).cast("long"), lit(0L))
+        .as("qs"),
+      saltedKey(salt).as("hkey"))
+      .withColumn("bucket",
+        least(expr(s"qs * $nBuckets div 10000"), lit(nBuckets - 1L)))
+    graft.ops.PrefixRank.keyedPrefix(base,
+      groupCols = Nil,
+      orderKey = col("bucket") * lit(P) + col("hkey"),
+      keyBound = nBuckets.toLong * P,
+      tieBreaker = col("doc_id"), rankName = "ord")
+      .select(col("doc_id"), col("qs"), col("bucket"), col("ord"))
+  }
+
+  /**
    * Sequence packing (concat-and-chunk shard assignment): documents are
    * hash-bucketed into `shards`, ordered within each shard, and cut into
    * fixed `budgetTokens` bins by cumulative token count — the shape of a

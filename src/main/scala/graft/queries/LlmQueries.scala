@@ -7237,6 +7237,33 @@ object LlmQueries {
          |ORDER BY rp.lang""".stripMargin
     })
 
+  // q212 — quality-ANNEALED training order (the phase-2/annealing
+  // curriculum: the run's final steps see the highest-quality rung):
+  // ascending q37-quality bucket major, q100's salted content-hash
+  // shuffle within each rung — one groupless PrefixRank over the
+  // composite key bucket·P + hash, never a global or per-bucket window.
+  // Complements q100 (uniform shuffle) and q119 (epoch-interleaved):
+  // this is the order a quality-curriculum run actually consumes.
+  val q212 = Q(
+    "q212_annealed_order",
+    (s, d) => TextAnalysis.annealedOrder(Tables.documents(s, d),
+      salt = "anneal0", nBuckets = 4).orderBy("ord"),
+    Some(
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  $qualityCountsSql
+         |FROM w),
+         |q AS (SELECT doc_id, text,
+         |        coalesce(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT), 0) AS qs
+         |      FROM c),
+         |b AS (SELECT doc_id, qs,
+         |        least(qs * 4 // 10000, 3) AS bucket,
+         |        ${polyHashSql("'anneal0#' || coalesce(text, '')")} AS hkey
+         |      FROM q)
+         |SELECT doc_id, qs, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(row_number() OVER (ORDER BY bucket, hkey, doc_id) AS BIGINT) AS ord
+         |FROM b ORDER BY ord""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7248,5 +7275,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212)
 }

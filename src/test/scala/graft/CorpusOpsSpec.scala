@@ -835,10 +835,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 211 uniquely-named queries, 207 oracle-checked, qNN prefixes unique") {
+  test("registry: 212 uniquely-named queries, 208 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 211)
-    assert(all.count(_.oracle.isDefined) === 207)
+    assert(all.size === 212)
+    assert(all.count(_.oracle.isDefined) === 208)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

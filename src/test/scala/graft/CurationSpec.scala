@@ -475,4 +475,28 @@ class CurationSpec extends SparkSpec {
     assert(out2(0) === (("X", 8L, 4L, 800L, 500L, -300L)))
     assert(out2(2) === (("Z", 0L, 4L, 0L, 500L, 500L)))
   }
+
+  test("annealedOrder: contiguous permutation, buckets ascend, within-rung order == the salted shuffle") {
+    import graft.llm.TextAnalysis
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val out = TextAnalysis.annealedOrder(docs, salt = "anneal0", nBuckets = 4)
+      .orderBy("ord")
+      .select("doc_id", "qs", "bucket", "ord")
+      .as[(Long, Long, Long, Long)].collect()
+    // contiguous 1..N permutation
+    assert(out.map(_._4).toSeq === (1L to out.length.toLong))
+    assert(out.map(_._1).distinct.length === out.length)
+    // quality buckets never descend along the order (the curriculum)
+    assert(out.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // more than one rung actually populated (non-vacuous on the corpus)
+    assert(out.map(_._3).distinct.length >= 2)
+    // within a rung, relative order is exactly the salted shuffle's
+    val shuffled = TextAnalysis.trainingOrder(docs, salt = "anneal0")
+      .select("doc_id", "ord").as[(Long, Long)].collect().toMap
+    out.groupBy(_._3).values.foreach { rung =>
+      val byCurriculum = rung.sortBy(_._4).map(_._1).toSeq
+      val byShuffle = rung.map(_._1).sortBy(shuffled).toSeq
+      assert(byCurriculum === byShuffle)
+    }
+  }
 }

@@ -249,6 +249,14 @@ class PlanSpec extends SparkSpec {
       "v13 must not rank through a per-group corpus window")
   }
 
+  test("q212: annealed order ranks bucketed — no global and no per-rung window") {
+    val p = planOf("q212_annealed_order")
+    assert(p.contains("windowspecdefinition(__graft_bkt"),
+      "annealed rank should come from the bucketed cell window")
+    assert(!p.contains("windowspecdefinition(bucket#"),
+      "a per-quality-rung window is a corpus-share single task")
+  }
+
   test("q120/q117: perceptual and containment pairing stay equi-joins") {
     for (q <- Seq("q120_phash_pairs", "q117_containment_pairs")) {
       val p = planOf(q)
