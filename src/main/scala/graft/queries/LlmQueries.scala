@@ -7264,6 +7264,81 @@ object LlmQueries {
          |  CAST(row_number() OVER (ORDER BY bucket, hkey, doc_id) AS BIGINT) AS ord
          |FROM b ORDER BY ord""".stripMargin))
 
+  // q213 — the TWO-PHASE curriculum budget (the mixture side of q212's
+  // annealing order): phase 1 draws the main budget with the standard
+  // √-temperature source quotas over the whole corpus (q101); phase 2 —
+  // the annealing steps — draws a smaller budget from the HIGH-QUALITY
+  // slice only (q37 blend ≥ 0.64, the q76 gate), EXCLUDING phase-1
+  // picks so the annealing data is fresh. One row per selected doc with
+  // its phase — the manifest a curriculum run consumes. Each phase is
+  // one bucketed-PrefixRank mixture pass; the exclusion is an anti-join
+  // against the checkpointed phase-1 pick list.
+  val q213 = Q(
+    "q213_curriculum_phases",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val p1 = TextAnalysis.mixtureSampleTokens(docs, "source",
+        tokenBudget = 4000L).localCheckpoint(true)
+      val hq = docs.join(TextAnalysis.qualityScore(docs)
+          .filter(col("quality") >= 0.64).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val pool2 = hq.join(p1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val p2 = TextAnalysis.mixtureSampleTokens(pool2, "source",
+        tokenBudget = 2000L)
+      p1.withColumn("phase", lit(1L))
+        .unionByName(p2.withColumn("phase", lit(2L)))
+        .select(col("phase"), col("doc_id"), col("source"),
+          col("n_tokens"), col("rnk"), col("cum_tokens"))
+        .orderBy("phase", "source", "rnk")
+    },
+    Some {
+      def mixCtes(pfx: String, src: String, budget: Long): String =
+        s"""${pfx}wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+           |        FROM $src GROUP BY 1),
+           |${pfx}w AS (SELECT source,
+           |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+           |      FROM ${pfx}wts),
+           |${pfx}tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM ${pfx}w),
+           |${pfx}quotas AS (SELECT source,
+           |             CAST((CAST($budget AS HUGEINT) * w) // w_total AS BIGINT) AS quota
+           |           FROM ${pfx}w CROSS JOIN ${pfx}tot),
+           |${pfx}ranked AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY source
+           |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk,
+           |    CAST(sum(n_tokens) OVER (
+           |      PARTITION BY source
+           |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM $src),
+           |${pfx}picks AS (
+           |  SELECT r.doc_id, r.source, r.n_tokens, r.rnk, r.cum_tokens
+           |  FROM ${pfx}ranked r JOIN ${pfx}quotas q USING (source)
+           |  WHERE r.cum_tokens - r.n_tokens < q.quota)""".stripMargin
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, source, text,
+         |    CAST(coalesce(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${mixCtes("p1", "toks", 4000L)},
+         |qw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |qc AS (SELECT doc_id,
+         |  $qualityCountsSql
+         |FROM qw),
+         |qq AS (SELECT doc_id, $qualityExprSql AS quality FROM qc),
+         |toks2 AS MATERIALIZED (
+         |  SELECT t.* FROM toks t JOIN qq USING (doc_id)
+         |  WHERE qq.quality >= 0.64
+         |    AND t.doc_id NOT IN (SELECT doc_id FROM p1picks)),
+         |${mixCtes("p2", "toks2", 2000L)}
+         |SELECT CAST(1 AS BIGINT) AS phase, doc_id, source, n_tokens, rnk, cum_tokens
+         |FROM p1picks
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS phase, doc_id, source, n_tokens, rnk, cum_tokens
+         |FROM p2picks
+         |ORDER BY phase, source, rnk""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7275,5 +7350,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 }
