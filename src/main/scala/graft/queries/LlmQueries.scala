@@ -1974,7 +1974,7 @@ object LlmQueries {
        |        FROM bt${r - 1} WHERE len(string_split(toks, '$bpeSep')) >= 2)
        |  GROUP BY 1, 2),
        |bb$r AS (SELECT lhs, rhs, c FROM bp$r ORDER BY c DESC, lhs, rhs LIMIT 1),
-       |bt$r AS (
+       |bt$r AS MATERIALIZED (
        |  SELECT word, cnt, list_reduce(string_split(toks, '$bpeSep'), (acc, x) ->
        |    CASE WHEN x = b.rhs AND (acc = b.lhs OR ends_with(acc, '$bpeSep' || b.lhs))
        |         THEN acc || x ELSE acc || '$bpeSep' || x END) AS toks
@@ -2001,7 +2001,7 @@ object LlmQueries {
     * rounds over `wordSrc`'s stream — the shared prefix of every BPE
     * oracle. */
   private def bpeChainCtesOver(wordSrc: String): String =
-    (s"""bt0 AS (
+    (s"""bt0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
        |         array_to_string(string_split(word, ''), '$bpeSep') AS toks
        |  FROM ($wordSrc)
@@ -7339,6 +7339,55 @@ object LlmQueries {
          |ORDER BY phase, source, rnk""".stripMargin
     })
 
+  // q214 — vocabulary-size LADDER (the tokenizer-sizing curve): corpus
+  // token mass and fertility (tokens per word, truncating permille)
+  // under PREFIXES of the stored ordered merge list — a k-merge prefix
+  // IS the k-size vocabulary, so one learn at k_max prices every
+  // smaller vocabulary for free. The table a tokenizer owner reads
+  // before picking k: fertility flattening between rungs = the next
+  // slots stop earning (q180's per-slot view is the complement).
+  // Spark side: ONE corpus scan with a codegen'd BpeCountExpr per rung,
+  // a 1-row aggregate, then stack() over the tiny row. Oracle: the
+  // merge-round chain already materializes the word-type table at every
+  // round — rung k reads bt{k} directly.
+  val q214 = Q(
+    "q214_vocab_size_ladder",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeMergesFor(s, d)
+      val rungs = Seq(2, 5, 10)
+      val nw = size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "")).cast("long")
+      val cols = nw.as("nw") +:
+        rungs.map(k => Bpe.tokenCount(col("text"), merges.take(k)).as(s"nt_$k"))
+      val aggs = sum(col("nw")).as("n_words") +:
+        rungs.map(k => sum(col(s"nt_$k")).as(s"t_$k"))
+      docs.select(cols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_words",
+          "stack(" + rungs.size + ", " +
+            rungs.map(k => s"CAST($k AS BIGINT), t_$k").mkString(", ") +
+            ") AS (k, n_tokens)")
+        .select(col("k"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_words, 1)")
+            .as("fertility_permille"))
+        .orderBy("k")
+    },
+    Some {
+      def rung(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(sum(len(string_split(b.toks, '$bpeSep'))) AS BIGINT) AS n_tokens
+           |FROM dw JOIN bt$k b USING (word)""".stripMargin
+      s"""WITH $bpeChainCtes,
+         |dw AS MATERIALIZED (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+         |         w -> w <> '')) AS word FROM documents),
+         |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM dw),
+         |ladder AS (${rung(2)} UNION ALL ${rung(5)} UNION ALL ${rung(10)})
+         |SELECT k, n_words, n_tokens,
+         |  n_tokens * 1000 // greatest(n_words, 1) AS fertility_permille
+         |FROM ladder CROSS JOIN nw ORDER BY k""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7350,5 +7399,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
 }
