@@ -1273,10 +1273,17 @@ object LlmQueries {
   // partitions").
   private val scratchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Tracked one-shot temp dirs live in their OWN collection: q210's
+  // build lambda runs INSIDE scratchDirs.compute, and a put() into the
+  // same ConcurrentHashMap from within compute throws "Recursive
+  // update" whenever the two keys hash to one bin — i.e. flakily, by
+  // temp-dir name.
+  private val trackedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val scratchCleanup: Unit =
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._
-      scratchDirs.values.asScala.foreach { dir =>
+      (scratchDirs.values.asScala ++ trackedDirs.asScala).foreach { dir =>
         try {
           java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
             .asScala.toSeq.reverse
@@ -1312,7 +1319,7 @@ object LlmQueries {
   private def trackedTempDir(prefix: String): String = {
     scratchCleanup
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-    scratchDirs.put(dir, dir)
+    trackedDirs.add(dir)
     dir
   }
 
