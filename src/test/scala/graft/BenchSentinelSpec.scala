@@ -179,6 +179,60 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(line.contains(""""contended":true"""))
   }
 
+  // ---- end-of-sweep retime adjudication ----------------------------------
+
+  test("r16 shape: burst-victim flags clear when the retime reads clean") {
+    // q135/q155 sweep readings were contaminated (median 1.10/1.72, min
+    // 0.50/0.78) by a burst between probes; their retimes read at the
+    // clean level (0.31/0.29). Both the contention flag and the >3x
+    // regression flag must clear; the genuine regression below must not.
+    val retimed = Map(
+      "q135" -> BenchSentinel.Retime(0.31, 0.30),
+      "q155" -> BenchSentinel.Retime(0.29, 0.27),
+      "q999" -> BenchSentinel.Retime(2.10, 2.05)) // real 8x regression
+    val sweepMin = Map("q135" -> 0.50, "q155" -> 0.78, "q999" -> 2.2)
+    val baseline = Map("q135" -> 0.247, "q155" -> 0.238, "q999" -> 0.25)
+    val (f, r) = BenchSentinel.adjudicate(
+      flagged = Seq("q135", "q155"),
+      regressed = Seq("q135", "q155", "q999"),
+      retimed = retimed, sweepMin = sweepMin, baseline = baseline)
+    assert(f === Nil)
+    assert(r === Seq("q999"))
+  }
+
+  test("a still-contended retime window keeps the flag") {
+    // Retime median 2.6x over the best-known min and +0.9 s: the machine
+    // was still loaded at retime — nothing proven, flag survives.
+    val retimed = Map("q01" -> BenchSentinel.Retime(1.50, 1.40))
+    val (f, _) = BenchSentinel.adjudicate(
+      Seq("q01"), Nil, retimed, sweepMin = Map("q01" -> 0.55), baseline = Map.empty)
+    assert(f === Seq("q01"))
+  }
+
+  test("missing or failed retime keeps raw flags (fail-closed)") {
+    val failed = Map("q02" -> BenchSentinel.Retime(-1.0, -1.0))
+    val (f, r) = BenchSentinel.adjudicate(
+      Seq("q01", "q02"), Seq("q01"), failed,
+      sweepMin = Map("q01" -> 0.5, "q02" -> 0.5),
+      baseline = Map("q01" -> 0.1))
+    assert(f === Seq("q01", "q02"))
+    assert(r === Seq("q01"))
+  }
+
+  test("stdoutLine carries retimed_cs; empty by default") {
+    val line = BenchSentinel.stdoutLine(
+      total = "1", queries = Seq(("q01", 0.5)), queriesMin = Nil,
+      errors = Nil, flagged = Nil, probes = Seq(0.5), spiked = Set.empty,
+      regressed = Nil, isContended = false, sf = "sf",
+      retimed = Seq(("q135", 0.307)))
+    assert(line.contains(""""retimed_cs":{"q135":31}"""))
+    val empty = BenchSentinel.stdoutLine(
+      total = "1", queries = Seq(("q01", 0.5)), queriesMin = Nil,
+      errors = Nil, flagged = Nil, probes = Seq(0.5), spiked = Set.empty,
+      regressed = Nil, isContended = false, sf = "sf")
+    assert(empty.contains(""""retimed_cs":{}"""))
+  }
+
   // ---- previous-artifact parsing ----------------------------------------
 
   test("parsePrevQueries extracts the queries map from a bench_out.json") {
