@@ -99,6 +99,17 @@ object ClassifierIndex {
       .withColumn("pred", Classifier.predExpr)
       .select(col("doc_id"), col("pred"))
 
+  /** Classify one STREAMING micro-batch under the stored model — the
+    * quality gate at ingest ([[DsirIndex.scoreStream]]'s contract).
+    * Classification is a pure per-row decision against a frozen 1-row
+    * model (no aggregate, no join-back across rows), so the landed
+    * stream is batch-split invariant by construction and a batch oracle
+    * pins the streaming execution. The signature re-validates on every
+    * batch: a rebuild racing the stream loads loudly, never silently. */
+  def scoreStream(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    score(spark, dir, docs)
+
   /** Operational report: params present, model-row count, signature
     * validity, class counts — the scheduled-job check ([[DedupIndex
     * .healthCheck]]'s contract: REPORTS where loaders throw). */

@@ -6120,12 +6120,12 @@ object LlmQueries {
       graft.llm.ClassifierIndex.build(Tables.documents(s, d), dir,
         thresholdPermille = 500L)
     }
-  val q191 = Q(
-    "q191_classifier_index",
-    (s, d) => graft.llm.ClassifierIndex.score(s,
-      classifierIndexDir(s, d), Tables.documents(s, d))
-      .orderBy("doc_id"),
-    Some {
+  // Shared by q191 (batch serve) and q215 (streaming gate): the oracle
+  // replays q112's training CTEs and classifies every document under the
+  // resulting centroids — i.e. exactly what the STORED model must
+  // reproduce, so a torn/stale index or a batch-split-variant streaming
+  // execution changes the hash.
+  private lazy val classifierGateOracleSql: String = {
       val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
       val absDist = (pfx: String, cnt: String) => (1 to 5).map(i =>
         s"abs(CAST(f$i AS HUGEINT) * $cnt - $pfx$i)").mkString(" + ")
@@ -6171,7 +6171,14 @@ object LlmQueries {
          |       THEN 1 ELSE 0 END AS pred
          |FROM feat CROSS JOIN c
          |ORDER BY doc_id""".stripMargin
-    })
+  }
+
+  val q191 = Q(
+    "q191_classifier_index",
+    (s, d) => graft.llm.ClassifierIndex.score(s,
+      classifierIndexDir(s, d), Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some(classifierGateOracleSql))
 
   // q192 — UNICODE bigram surprisal: q113's CCNet-shaped quality score
   // with the selection stack's round-15 multilingual on-ramp — the
@@ -7395,6 +7402,39 @@ object LlmQueries {
          |FROM ladder CROSS JOIN nw ORDER BY k""".stripMargin
     })
 
+  // q215 — the streaming QUALITY-GATE commit path (fifth streaming qNN):
+  // dedup (q197), decon (q203), selection scoring (q208) and index
+  // ingest (q210) all have stream paths; this closes the last curation
+  // stage that couldn't run on a stream — the frozen classifier gate.
+  // The q197-shaped at-least-once file feed is classified AT INGEST by
+  // ClassifierIndex.scoreStream (the stored 1-row centroid model rides
+  // one broadcast row; keep/drop is a pure per-row decision, so the
+  // landed table is batch-split invariant by construction), landed
+  // idempotently, replays repaired by distinct. Oracle = q191's stored-
+  // model replay: a torn index, a drifting per-batch retrain, or a
+  // batch-split-variant execution all change the hash.
+  val q215 = Q(
+    "q215_stream_quality_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = classifierIndexDir(s, d)
+      val stage = streamFeedDir(s, d)
+      val land = trackedTempDir("graft_q215_land")
+      val ckpt = trackedTempDir("graft_q215_ckpt")
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          graft.llm.ClassifierIndex.scoreStream(s, idxDir, b.toDF())
+            .select(col("doc_id"), col("pred")), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(land).drop("batch").distinct().orderBy("doc_id")
+    },
+    Some(classifierGateOracleSql))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7406,5 +7446,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 }
