@@ -50,7 +50,7 @@ object Bpe {
   final case class Merge(rank: Int, lhs: String, rhs: String,
       merged: String, cnt: Long)
 
-  private def wordsNonEmpty(text: Column): Column =
+  private[llm] def wordsNonEmpty(text: Column): Column =
     filter(TextFunctions.words(text), w => w =!= "")
 
   /**

@@ -70,21 +70,104 @@ object BpeIndex {
     * every word, so [[loadWithPreTok]] derives the encode surface from
     * the INDEX (the [[DsirIndex]] stored-tokenizer invariant). */
   def build(docs: DataFrame, dir: String, k: Int,
-      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit = {
+      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit =
+    writeTables(docs, dir, k, pretok, suffix = "")
+
+  /** Learn and write merges + params under `dir`, table names suffixed
+    * (""= live build, [[StagedSwap]]'s "__graft_tmp" = rebuild staging). */
+  private def writeTables(docs: DataFrame, dir: String, k: Int,
+      pretok: Bpe.PreTok, suffix: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = Bpe.learnMerges(
       docs.withColumn("text", pretok.prep(col("text"))), k)
     spark.createDataFrame(ms)
       .select(col("rank"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
-      .write.mode("overwrite").parquet(s"$dir/merges")
+      .write.mode("overwrite").parquet(s"$dir/merges$suffix")
     // params record the ACTUAL learned count (learnMerges stops early on
     // a fully-fused corpus) plus the merge-list content signature, so the
     // load-side torn-index check compares against what this build really
-    // stored — not just its shape.
-    Seq((ms.size, Bpe.Sep, signature(ms), pretok.name))
-      .toDF("k", "sep", "sig", "pretok")
-      .write.mode("overwrite").parquet(s"$dir/params")
+    // stored — not just its shape. The training-corpus fertility
+    // (tokens per word, permille, integer floor) is the [[driftCheck]]
+    // reference point: serving fertility is only interpretable relative
+    // to what the vocabulary achieved on the corpus it was LEARNED on.
+    Seq((ms.size, Bpe.Sep, signature(ms), pretok.name,
+      fertilityPermille(docs, ms, pretok)))
+      .toDF("k", "sep", "sig", "pretok", "fert_permille")
+      .write.mode("overwrite").parquet(s"$dir/params$suffix")
+  }
+
+  /** Corpus fertility under `ms`: tokens per word in integer permille
+    * (floor division — exact cross-engine arithmetic, the Det rule).
+    * One scan-stage aggregate; the token counter is the native codegen'd
+    * [[graft.functions.BpeCountExpr]]. */
+  private def fertilityPermille(docs: DataFrame, ms: Seq[Bpe.Merge],
+      pretok: Bpe.PreTok): Long = {
+    val prepped = pretok.prep(col("text"))
+    val row = docs.agg(
+      coalesce(sum(Bpe.tokenCount(prepped, ms)), lit(0L)).as("nt"),
+      coalesce(sum(size(Bpe.wordsNonEmpty(coalesce(prepped, lit(""))))
+        .cast("long")), lit(0L)).as("nw")).head()
+    val nt = row.getAs[Long]("nt")
+    val nw = row.getAs[Long]("nw")
+    nt * 1000L / math.max(nw, 1L)
+  }
+
+  /**
+   * Vocabulary drift report — the rebuild-cadence decision
+   * ([[IvfIndex.rebalanceCheck]]'s parity for the tokenizer lifecycle):
+   * one row comparing the stored vocabulary's fertility on a NEW corpus
+   * snapshot against the training-corpus fertility stamped at [[build]].
+   * Fertility (tokens per word) is the metric a tokenizer owner actually
+   * alerts on: a vocabulary learned on a drifted corpus fuses the wrong
+   * pairs, every downstream token budget inflates, and the drift is
+   * visible as `fert_now - fert_train` rising. Integer permille
+   * throughout, so the gate a caller writes (`drift_permille > T`) is
+   * exact cross-engine arithmetic. One scan-stage aggregate over `docs`
+   * (the k-row merge list bakes into expression literals — no join). */
+  def driftCheck(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (ms, pt) = loadWithPreTok(spark, dir)
+    val params = spark.read.parquet(s"$dir/params").head()
+    require(params.schema.fieldNames.contains("fert_permille"),
+      s"BPE index at '$dir' predates the stored-fertility layout — " +
+        "rebuild it (drift is only interpretable against the training " +
+        "fertility, and this artifact does not record it)")
+    val fertTrain = params.getAs[Long]("fert_permille")
+    val fertNow = fertilityPermille(docs, ms, pt)
+    Seq((ms.size, fertTrain, fertNow, fertNow - fertTrain))
+      .toDF("k", "fert_train_permille", "fert_now_permille",
+        "drift_permille")
+  }
+
+  /**
+   * Re-learn the vocabulary on a new corpus snapshot and swap it live —
+   * the [[IvfIndex.rebuild]] lifecycle for the tokenizer. Rebuild, not
+   * append: BPE merges are order-sensitive (see object scaladoc), so
+   * vocabulary evolution replaces the whole artifact. Both tables stage
+   * under `__graft_tmp` and go live via [[StagedSwap.swapAll]] — a crash
+   * mid-swap can never leave NEW params over OLD merges (the k/sep/sig
+   * torn-index case [[load]] detects but a swap should never create),
+   * and a phase-1 failure rolls back onto the previous version. The old
+   * copies are deleted only after both tables are live. */
+  def rebuild(docs: DataFrame, dir: String, k: Int,
+      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    requireIndex(spark, dir) // rebuild replaces an index; build creates one
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = Seq("merges", "params")
+    StagedSwap.precleanTmp(fs, dir, tables)
+    var staged = false
+    try {
+      writeTables(docs, dir, k, pretok, suffix = "__graft_tmp")
+      staged = true
+      StagedSwap.swapAll(fs, dir, tables)
+    } finally {
+      if (!staged) StagedSwap.cleanupTmp(fs, dir, tables)
+    }
   }
 
   /** The stored vocabulary table (rank, lhs, rhs, merged, cnt) — the

@@ -131,13 +131,7 @@ object IvfIndex {
       .select(col("vec_id"), col("embedding")).localCheckpoint(true)
     require(!stored.isEmpty, s"rebuild: no vectors indexed at '$dir'")
     val allTables = Seq("centroids", "assignments", "pq_codes")
-    // pre-clean staging left by a PREVIOUS failed rebuild, so a stale
-    // *__graft_tmp can never be mistaken for this run's staged state
-    // during manual inspection of a torn index
-    allTables.foreach { t =>
-      val stale = new Path(s"$dir/${t}__graft_tmp")
-      if (fs.exists(stale)) fs.delete(stale, true)
-    }
+    StagedSwap.precleanTmp(fs, dir, allTables)
     var staged = false
     try {
       SimilaritySearch.kmeansCentroids(stored, nCells, iters)
@@ -157,33 +151,18 @@ object IvfIndex {
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$dir/pq_codes__graft_tmp")
       staged = true
-      // Swap in two phases. Phase 1 renames every table (live → old,
-      // staged → live) WITHOUT deleting anything: a crash between two
-      // renames leaves each table's previous copy intact under
-      // *__graft_old, so a torn index (new centroids + old assignments
-      // would silently route partial-probe searches wrong) is
-      // RECOVERABLE — every table still exists in some complete
-      // version. Phase 2 deletes the old copies only after ALL tables
-      // are live on the new layout.
+      // Two-phase swap with phase-1 rollback (shared [[StagedSwap]]): a
+      // torn index (new centroids + old assignments would silently route
+      // partial-probe searches wrong) is never left mixed — a mid-swap
+      // failure rolls back onto the previous version, and old copies are
+      // deleted only after ALL tables are live on the new layout.
       val tables = Seq("centroids", "assignments") ++
         (if (hasPq) Seq("pq_codes") else Nil)
-      tables.foreach { name =>
-        val live = new Path(s"$dir/$name")
-        val tmp = new Path(s"$dir/${name}__graft_tmp")
-        val old = new Path(s"$dir/${name}__graft_old")
-        if (fs.exists(old)) fs.delete(old, true)
-        require(fs.rename(live, old), s"rebuild: rename $live -> $old failed")
-        require(fs.rename(tmp, live), s"rebuild: rename $tmp -> $live failed")
-      }
-      tables.foreach(name =>
-        fs.delete(new Path(s"$dir/${name}__graft_old"), true))
+      StagedSwap.swapAll(fs, dir, tables)
     } finally {
       // a failure before the swaps leaves only staging dirs — remove
       // them so distinct failures don't accumulate *__graft_tmp debris
-      if (!staged) allTables.foreach { t =>
-        val tmp = new Path(s"$dir/${t}__graft_tmp")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-      }
+      if (!staged) StagedSwap.cleanupTmp(fs, dir, allTables)
     }
   }
 

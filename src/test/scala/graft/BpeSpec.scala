@@ -284,6 +284,83 @@ class BpeSpec extends SparkSpec {
     assert(e3.getMessage.contains("signature"))
   }
 
+  test("BpeIndex: rebuild re-learns on the new corpus and swaps cleanly") {
+    val a = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val b = Seq((1L, "new newer newest new"),
+      (2L, "wide wider widest")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_rb")
+    BpeIndex.build(a, dir, k = 6)
+    BpeIndex.rebuild(b, dir, k = 6)
+    assert(BpeIndex.load(spark, dir) == Bpe.learnMerges(b, 6))
+    // staging and old copies are gone after a clean swap
+    for (t <- Seq("merges", "params"); sfx <- Seq("__graft_tmp", "__graft_old"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$t$sfx")), s"$t$sfx left behind")
+    val h = BpeIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Boolean]("healthy"))
+    // rebuild requires an existing index (build creates, rebuild replaces)
+    intercept[IllegalStateException] {
+      BpeIndex.rebuild(b, tmpDir("bpe_idx_rb_none"), k = 2)
+    }
+  }
+
+  test("StagedSwap: a failed mid-swap rolls back onto the old version") {
+    val v1 = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_rollback")
+    BpeIndex.build(v1, dir, k = 2)
+    val before = BpeIndex.load(spark, dir)
+    // stage a NEW merges copy but no staged params: table 1 (merges)
+    // swaps fully, table 2 (params) half-swaps (live -> old succeeds,
+    // tmp -> live fails) — the exact torn state phase-1 rollback exists
+    // for. Without rollback the index would be left mixed: new merges
+    // under old params, which the content signature would catch only at
+    // the NEXT load, after the artifact is already torn on disk.
+    spark.read.parquet(s"$dir/merges").withColumn("cnt", lit(999L))
+      .write.parquet(s"$dir/merges__graft_tmp")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // RawLocalFileSystem throws FileNotFoundException on a missing
+    // rename source where HDFS would return false (-> require): either
+    // way swapAll's catch-all rollback must run before rethrowing
+    val e = intercept[Exception] {
+      graft.llm.StagedSwap.swapAll(fs, dir, Seq("merges", "params"))
+    }
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[java.io.FileNotFoundException])
+    // the live index is the intact OLD version, signature and all
+    assert(BpeIndex.load(spark, dir) == before)
+    assert(BpeIndex.healthCheck(spark, dir).head().getAs[Boolean]("healthy"))
+    // no __graft_old debris; the staged merges copy is re-staged intact
+    for (t <- Seq("merges", "params"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/${t}__graft_old")))
+    assert(spark.read.parquet(s"$dir/merges__graft_tmp")
+      .select(max(col("cnt"))).head().getLong(0) == 999L)
+  }
+
+  test("BpeIndex: driftCheck is zero on the training corpus, rises under drift") {
+    val train = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_drift")
+    BpeIndex.build(train, dir, k = 1) // merge (a,b): 'ab' is ONE token
+    val same = BpeIndex.driftCheck(train, dir).head()
+    assert(same.getAs[Long]("fert_train_permille") == 1000L)
+    assert(same.getAs[Long]("drift_permille") == 0L)
+    // a drifted corpus introduces types the vocabulary can't fuse
+    val drifted = train.union(Seq((2L, "cd cd cd")).toDF("doc_id", "text"))
+    val d = BpeIndex.driftCheck(drifted, dir).head()
+    assert(d.getAs[Long]("fert_now_permille") == 1500L) // 9 toks / 6 words
+    assert(d.getAs[Long]("drift_permille") == 500L)
+    // a pre-fertility-layout artifact refuses driftCheck loudly
+    val stored = BpeIndex.load(spark, dir)
+    Seq((stored.size, Bpe.Sep, BpeIndex.signature(stored), "whitespace"))
+      .toDF("k", "sep", "sig", "pretok")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val e = intercept[IllegalArgumentException] {
+      BpeIndex.driftCheck(train, dir)
+    }
+    assert(e.getMessage.contains("fertility"))
+  }
+
   test("driver-local learn == the distributed merge loop on the real corpus") {
     // the production-k path: the word-TYPE histogram is collected once
     // and the whole merge loop runs driver-local with incremental

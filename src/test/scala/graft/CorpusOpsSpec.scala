@@ -835,10 +835,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 215 uniquely-named queries, 211 oracle-checked, qNN prefixes unique") {
+  test("registry: 216 uniquely-named queries, 212 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 215)
-    assert(all.count(_.oracle.isDefined) === 211)
+    assert(all.size === 216)
+    assert(all.count(_.oracle.isDefined) === 212)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings
