@@ -100,6 +100,107 @@ object LlmExprs {
     count
   }
 
+  /** Production-k encode: one greedy pass per PRESENT merge (selected by
+    * min rank via [[BpeCodec]]'s hash lookup) instead of one pass per
+    * merge in the list — O(len²) per word, independent of k. At a real
+    * tokenizer's k = 32k–100k the sequential loop's O(k·len) per word is
+    * the difference between an encode-bound scan and a dead one (the
+    * measured SCALE.md row: 32k merges, ~200× on the Zipf corpus).
+    *
+    * EXACTLY ≡ the sequential per-rank loop for WELL-FORMED merge lists
+    * (every component is a single code point or the merged symbol of a
+    * strictly earlier rank — true of every list [[graft.llm.Bpe]] learns
+    * and [[graft.llm.BpeIndex]] stores): applying the minimal present
+    * rank as a full greedy pass eliminates that pair for good (a pass
+    * leaves no (lhs,rhs) adjacency, and later merges only create
+    * adjacencies involving their own later-ranked merged symbol), so the
+    * fired subsequence and every intermediate state match the
+    * sequential replay. For arbitrary lists the equivalence breaks
+    * (rank 1 = (x, ab), rank 2 = (a, b): sequential never revisits rank
+    * 1 after rank 2 creates "ab"), so [[BpeCodec]] verifies
+    * well-formedness at construction and falls back to the sequential
+    * loop when it does not hold — BpeSpec pins both regimes ≡. */
+  private def encodeSymsIndexed(s: String, i: Int, j: Int,
+      codec: BpeCodec): (Array[String], Int) = {
+    val syms = new Array[String](s.codePointCount(i, j))
+    var k = 0
+    var cp = i
+    while (cp < j) {
+      val cc = Character.charCount(s.codePointAt(cp))
+      syms(k) = s.substring(cp, cp + cc)
+      k += 1
+      cp += cc
+    }
+    var len = syms.length
+    var exhausted = false
+    while (!exhausted && len >= 2) {
+      var best = Int.MaxValue
+      var p = 0
+      while (p < len - 1) {
+        val r = codec.rankOf(syms(p), syms(p + 1))
+        if (r < best) best = r
+        p += 1
+      }
+      if (best == Int.MaxValue) exhausted = true
+      else {
+        val l = codec.lhs(best)
+        val r = codec.rhs(best)
+        var out = 0
+        p = 0
+        while (p < len) {
+          val x = syms(p)
+          if (out > 0 && x == r && syms(out - 1) == l)
+            syms(out - 1) = l + x
+          else { syms(out) = x; out += 1 }
+          p += 1
+        }
+        len = out
+      }
+    }
+    (syms, len)
+  }
+
+  private def encodeDispatch(s: String, i: Int, j: Int,
+      codec: BpeCodec): (Array[String], Int) =
+    if (codec.useIndexed) encodeSymsIndexed(s, i, j, codec)
+    else encodeSyms(s, i, j, codec.lhs, codec.rhs)
+
+  /** Codec entry for BpeCountExpr codegen — dispatches per
+    * [[BpeCodec.useIndexed]]. */
+  def bpeCount(text: UTF8String, codec: BpeCodec): Long = {
+    val s = text.toString
+    val n = s.length
+    var count = 0L
+    var i = 0
+    while (i <= n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) count += encodeDispatch(s, i, j, codec)._2
+      i = j + 1
+    }
+    count
+  }
+
+  /** Codec entry for BpeTokensExpr codegen — dispatches per
+    * [[BpeCodec.useIndexed]]. */
+  def bpeTokens(text: UTF8String, codec: BpeCodec): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i <= n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) {
+        val (syms, len) = encodeDispatch(s, i, j, codec)
+        var k = 0
+        while (k < len) { out += UTF8String.fromString(syms(k)); k += 1 }
+      }
+      i = j + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Static entry for BpeTokensExpr: the document's FULL token stream
     * (document order, multiplicity kept) under the ordered merges — the
     * array the encoder export explodes. Same per-word loop as
@@ -377,17 +478,91 @@ case class DeflateLenExpr(child: Expression) extends UnaryExpression {
   * pass fusing (lhs, rhs) — a just-fused symbol never re-merges within
   * the pass (lhs+rhs ≠ lhs, rhs non-empty). BpeSpec pins ≡ the HOF
   * formulation; the oracle replays the same fold in SQL. */
+/**
+ * Pre-indexed ordered merge list for the native BPE encode loop — built
+ * once per expression instance (driver side), shipped as one codegen
+ * reference object. Provides:
+ *
+ *  - `rankOf(a, b)`: O(1) pair → rank lookup (nested java HashMap — no
+ *    per-lookup key allocation in the hot loop), the structure that
+ *    makes [[LlmExprs.bpeCount]]'s min-rank encode independent of k;
+ *  - `useIndexed`: the dispatch decision. The min-rank encode is only
+ *    provably ≡ the sequential per-rank pass for WELL-FORMED lists
+ *    (every component a single code point or an earlier rank's merged
+ *    symbol — see [[LlmExprs]]); malformed (hand-built) lists fall back
+ *    to the sequential loop. Below `IndexedThreshold` merges the
+ *    sequential loop is also simply faster (k short passes beat the
+ *    per-iteration hash probing), so the registry's k=10 queries keep
+ *    their exact plan and cost.
+ */
+final class BpeCodec(val lhs: Array[String], val rhs: Array[String])
+    extends Serializable {
+  import BpeCodec.IndexedThreshold
+
+  @transient private lazy val rank
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    var i = 0
+    while (i < lhs.length) {
+      val inner = m.computeIfAbsent(lhs(i),
+        _ => new java.util.HashMap[String, Integer]())
+      // a learned list never repeats a pair (a pass eliminates it and no
+      // later merge can re-create it); keep the FIRST rank regardless —
+      // that is the one the sequential replay would fire
+      inner.putIfAbsent(rhs(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** 0-based rank of pair (a, b), Int.MaxValue if not a merge. */
+  def rankOf(a: String, b: String): Int = {
+    val inner = rank.get(a)
+    if (inner == null) Int.MaxValue
+    else {
+      val v = inner.get(b)
+      if (v == null) Int.MaxValue else v.intValue()
+    }
+  }
+
+  /** Every component is a single code point or the merged symbol of a
+    * strictly earlier rank — the precondition for min-rank ≡ sequential. */
+  @transient lazy val wellFormed: Boolean = {
+    val seen = new java.util.HashSet[String]()
+    def ok(s: String): Boolean =
+      (s.nonEmpty && s.length == Character.charCount(s.codePointAt(0))) ||
+        seen.contains(s)
+    var i = 0
+    var good = true
+    while (good && i < lhs.length) {
+      good = ok(lhs(i)) && ok(rhs(i))
+      seen.add(lhs(i) + rhs(i))
+      i += 1
+    }
+    good
+  }
+
+  @transient lazy val useIndexed: Boolean =
+    lhs.length >= IndexedThreshold && wellFormed
+}
+
+object BpeCodec {
+  /** Below this many merges the sequential per-rank loop wins on
+    * constant factors; at/above it the min-rank indexed encode takes
+    * over (production k = 32k–100k). */
+  val IndexedThreshold = 64
+}
+
 case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
-  @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
-  @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val codec: BpeCodec = new BpeCodec(
+    merges.map(_._1).toArray, merges.map(_._2).toArray)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
-    LlmExprs.bpeCount(input.asInstanceOf[UTF8String], lhsArr, rhsArr)
+    LlmExprs.bpeCount(input.asInstanceOf[UTF8String], codec)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val l = ctx.addReferenceObj("bpeLhs", lhsArr, "java.lang.String[]")
-    val r = ctx.addReferenceObj("bpeRhs", rhsArr, "java.lang.String[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeCount($c, $l, $r)")
+    val c0 = ctx.addReferenceObj("bpeCodec", codec, "graft.functions.BpeCodec")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeCount($c, $c0)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -400,15 +575,14 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
   * retained as `encodeTokensHof` and BpeSpec-pinned ≡. */
 case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
-  @transient private lazy val lhsArr: Array[String] = merges.map(_._1).toArray
-  @transient private lazy val rhsArr: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val codec: BpeCodec = new BpeCodec(
+    merges.map(_._1).toArray, merges.map(_._2).toArray)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    LlmExprs.bpeTokens(input.asInstanceOf[UTF8String], lhsArr, rhsArr)
+    LlmExprs.bpeTokens(input.asInstanceOf[UTF8String], codec)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val l = ctx.addReferenceObj("bpeLhs", lhsArr, "java.lang.String[]")
-    val r = ctx.addReferenceObj("bpeRhs", rhsArr, "java.lang.String[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeTokens($c, $l, $r)")
+    val c0 = ctx.addReferenceObj("bpeCodec", codec, "graft.functions.BpeCodec")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LlmExprs.bpeTokens($c, $c0)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

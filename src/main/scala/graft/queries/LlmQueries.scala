@@ -7472,6 +7472,83 @@ object LlmQueries {
     },
     Some(classifierGateOracleSql))
 
+  // q217 — the PRODUCTION-DISPATCH vocabulary ladder: q214's sizing
+  // curve continued past the registry's k=10 into the regime where the
+  // native encoder switches loops (BpeCodec.IndexedThreshold = 64: below
+  // it one greedy pass per rank, at/above it the min-rank indexed encode
+  // whose cost is independent of k — the 32k-merge production shape,
+  // measured in SCALE.md on the synthetic Zipf corpus because THIS
+  // corpus's 31-type vocabulary exhausts at ~89 merges). Rungs
+  // {16, 64, 80} from ONE stored k=80 index: rung 16 encodes through
+  // the sequential loop, rungs 64/80 through the indexed loop, and all
+  // three are hash-checked against the same DuckDB replay — the
+  // dispatch can never change a value, only its cost. The oracle chain
+  // is EXHAUSTION-PROOF (LEFT JOIN carry-forward rounds): the learner
+  // stops early once every word is fully fused, and at small SFs that
+  // can happen below k, so a post-exhaustion round must carry the fused
+  // table forward, not annihilate it with an empty CROSS JOIN.
+  private val deepK = 80
+  private def bpeDeepRoundCtes(r: Int, pfx: String): String =
+    s"""${pfx}bp$r AS (
+       |  SELECT s[i+1] AS lhs, s[i+2] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT string_split(toks, '$bpeSep') AS s, cnt,
+       |               unnest(range(len(string_split(toks, '$bpeSep')) - 1)) AS i
+       |        FROM ${pfx}bt${r - 1} WHERE len(string_split(toks, '$bpeSep')) >= 2)
+       |  GROUP BY 1, 2),
+       |${pfx}bb$r AS (SELECT lhs, rhs, c FROM ${pfx}bp$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+       |${pfx}bt$r AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    CASE WHEN b.lhs IS NULL THEN toks ELSE ${bpeApplySql("toks")} END AS toks
+       |  FROM ${pfx}bt${r - 1} LEFT JOIN ${pfx}bb$r b ON TRUE)""".stripMargin
+  private def bpeDeepChainCtes(pfx: String, maxK: Int): String =
+    (s"""${pfx}bt0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |         array_to_string(string_split(word, ''), '$bpeSep') AS toks
+       |  FROM ($bpeWordSrc)
+       |  GROUP BY 1)""".stripMargin +:
+      (1 to maxK).map(r => bpeDeepRoundCtes(r, pfx))).mkString(",\n")
+  private def bpeDeepIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_bpe_deep", d, "params") { dir =>
+      graft.llm.BpeIndex.build(Tables.documents(s, d), dir, deepK)
+    }
+  val q217 = Q(
+    "q217_production_ladder",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.llm.BpeIndex.load(s, bpeDeepIndexDir(s, d))
+      val rungs = Seq(16, 64, deepK)
+      val nw = size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "")).cast("long")
+      val cols = nw.as("nw") +:
+        rungs.map(k => Bpe.tokenCount(col("text"), merges.take(k)).as(s"nt_$k"))
+      val aggs = sum(col("nw")).as("n_words") +:
+        rungs.map(k => sum(col(s"nt_$k")).as(s"t_$k"))
+      docs.select(cols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_words",
+          "stack(" + rungs.size + ", " +
+            rungs.map(k => s"CAST($k AS BIGINT), t_$k").mkString(", ") +
+            ") AS (k, n_tokens)")
+        .select(col("k"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_words, 1)")
+            .as("fertility_permille"))
+        .orderBy("k")
+    },
+    Some {
+      def rung(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  CAST(sum(len(string_split(b.toks, '$bpeSep'))) AS BIGINT) AS n_tokens
+           |FROM pdw JOIN pbt$k b USING (word)""".stripMargin
+      s"""WITH ${bpeDeepChainCtes("p", deepK)},
+         |pdw AS MATERIALIZED (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+         |         w -> w <> '')) AS word FROM documents),
+         |pnw AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM pdw),
+         |ladder AS (${rung(16)} UNION ALL ${rung(64)} UNION ALL ${rung(deepK)})
+         |SELECT k, n_words, n_tokens,
+         |  n_tokens * 1000 // greatest(n_words, 1) AS fertility_permille
+         |FROM ladder CROSS JOIN pnw ORDER BY k""".stripMargin
+    })
+
   // q216 — the BPE REBUILD lifecycle, hash-checked end-to-end (q129
   // checks build→load; the rebuild operator would otherwise be
   // spec-only, the exact gap the round-16 judge flagged): build the
@@ -7543,5 +7620,5 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
 }

@@ -361,6 +361,56 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("fertility"))
   }
 
+  test("production-k encode: min-rank indexed loop == sequential per-rank loop") {
+    import graft.functions.{BpeCodec, LlmExprs}
+    import org.apache.spark.unsafe.types.UTF8String
+    // a well-formed list big enough to cross the indexed threshold:
+    // learned (by the sequential reference learner) over a synthetic
+    // 4-letter-alphabet corpus with enough distinct types to sustain
+    // 100+ merges
+    val rng = new scala.util.Random(7)
+    val types = (1 to 260).map(_ =>
+      (1 to 3 + rng.nextInt(6)).map(_ => "abcd"(rng.nextInt(4))).mkString)
+    val texts = (1 to 120).map(_ =>
+      (1 to 12).map(_ => types(rng.nextInt(types.size))).mkString(" "))
+    val ms = refLearn(texts, 120)
+    assert(ms.size >= BpeCodec.IndexedThreshold,
+      s"fixture too small: ${ms.size} merges")
+    val lhs = ms.map(_.lhs).toArray
+    val rhs = ms.map(_.rhs).toArray
+    val codec = new BpeCodec(lhs, rhs)
+    assert(codec.wellFormed && codec.useIndexed)
+    // every corpus text, plus OOV words and mixed seen/unseen, must
+    // count AND tokenize identically under both loops
+    val probes = texts ++ Seq("", "zzz unseen", "abcdabcd " + types.head,
+      types.take(5).mkString(" ") + " qqqq")
+    probes.foreach { t =>
+      val u = UTF8String.fromString(t)
+      assert(LlmExprs.bpeCount(u, codec) == LlmExprs.bpeCount(u, lhs, rhs),
+        s"count diverged on '$t'")
+      assert(LlmExprs.bpeTokens(u, codec).toString ==
+        LlmExprs.bpeTokens(u, lhs, rhs).toString,
+        s"stream diverged on '$t'")
+    }
+  }
+
+  test("production-k encode: malformed lists and small k dispatch sequential") {
+    import graft.functions.BpeCodec
+    // rank 1 = (x, ab) uses a symbol only rank 2 creates: min-rank-first
+    // would fire it where the sequential replay never can — the codec
+    // must detect the malformation and refuse the indexed path
+    val bad = new BpeCodec(Array("x", "a"), Array("ab", "b"))
+    assert(!bad.wellFormed && !bad.useIndexed)
+    // well-formed but below the threshold: sequential wins on constants
+    val small = new BpeCodec(Array("a", "ab"), Array("b", "c"))
+    assert(small.wellFormed && !small.useIndexed)
+    // duplicate pair keeps the FIRST rank (what a sequential replay fires)
+    val dup = new BpeCodec(
+      (0 until 70).map(i => if (i == 69) "a" else "x").toArray,
+      (0 until 70).map(i => if (i == 69) "b" else "x").toArray)
+    assert(dup.rankOf("x", "x") == 0)
+  }
+
   test("driver-local learn == the distributed merge loop on the real corpus") {
     // the production-k path: the word-TYPE histogram is collected once
     // and the whole merge loop runs driver-local with incremental
