@@ -30,6 +30,102 @@ import org.apache.spark.sql.functions._
  * so search-after-build equals the inline operator row-for-row.
  */
 object IvfIndex {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  // ----------------------------------------------------- swap manifest
+  // A multi-table swap that dies mid-flight is RECOVERABLE (StagedSwap
+  // keeps every table in some complete version) but without a marker it
+  // is not DETECTABLE: a reader served centroids from one rebuild and
+  // assignments from another would silently route partial-probe
+  // searches wrong. Every build/rebuild stamps each table directory
+  // with a per-table version file (underscore-prefixed — Spark's file
+  // index ignores it) and writes the one-line-per-table manifest LAST,
+  // after every rename: the serving paths refuse a table set whose
+  // stamps disagree with the manifest, so a torn swap fails loudly at
+  // the first read instead of degrading answers. Cost per search CALL
+  // (not per row): one manifest + one stamp read per table — a few
+  // filesystem metadata ops.
+
+  private val ManifestName = "_graft_manifest"
+  private val VersionName = "_graft_version"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+
+  private def newVersion(): String = java.util.UUID.randomUUID().toString
+
+  private def stampTables(fs: FileSystem, dir: String, tables: Seq[String],
+      version: String, suffix: String = ""): Unit =
+    tables.foreach(t =>
+      writeSmall(fs, new Path(s"$dir/$t$suffix/$VersionName"), version))
+
+  private def readManifest(fs: FileSystem,
+      dir: String): Option[Map[String, String]] =
+    readSmall(fs, new Path(s"$dir/$ManifestName")).map(
+      _.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap)
+
+  private def writeManifest(fs: FileSystem, dir: String,
+      entries: Map[String, String]): Unit =
+    writeSmall(fs, new Path(s"$dir/$ManifestName"),
+      entries.toSeq.sortBy(_._1).map { case (t, v) => s"$t=$v" }
+        .mkString("\n"))
+
+  /** Loud version check for the serving paths: the manifest must exist
+    * and every table it lists must carry the matching stamp. */
+  private def verifyVersions(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val man = readManifest(fs, dir).getOrElse(throw new IllegalStateException(
+      s"IVF index at '$dir' has no swap manifest — it predates the " +
+        "manifest layout or the build died before the manifest write; " +
+        "rebuild the index"))
+    man.foreach { case (t, v) =>
+      val got = readSmall(fs, new Path(s"$dir/$t/$VersionName"))
+      if (!got.contains(v))
+        throw new IllegalStateException(
+          s"IVF index at '$dir' failed its version check: table '$t' is " +
+            s"at ${got.getOrElse("<unstamped>")} but the manifest expects " +
+            s"$v — torn swap; rebuild the index")
+    }
+  }
+
+  /** Operational report for the manifest layout ([[graft.llm.DedupIndex
+    * .healthCheck]]'s contract: REPORTS where the serving paths throw):
+    * manifest presence, per-table stamp agreement, and the conjunction a
+    * monitoring rule alerts on. */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val man = readManifest(fs, dir)
+    val hasManifest = man.isDefined
+    val entries = man.getOrElse(Map.empty)
+    val stale = entries.filter { case (t, v) =>
+      !readSmall(fs, new Path(s"$dir/$t/$VersionName")).contains(v)
+    }.keys.toSeq.sorted
+    Seq((hasManifest, entries.size.toLong, stale.mkString(","),
+      hasManifest && stale.isEmpty))
+      .toDF("has_manifest", "n_tables", "stale_tables", "healthy")
+  }
 
   def centroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
@@ -45,6 +141,11 @@ object IvfIndex {
     // append() and search() see the identical values byte-for-byte
     SimilaritySearch.assignCells(corpus, centroids(spark, dir))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    val fs = fsOf(spark, dir)
+    val v = newVersion()
+    stampTables(fs, dir, Seq("centroids", "assignments"), v)
+    writeManifest(fs, dir,
+      Map("centroids" -> v, "assignments" -> v))
   }
 
   /** Assign new vectors against the frozen centroids and append —
@@ -89,12 +190,20 @@ object IvfIndex {
     * content, and therefore every search answer, is unchanged.
     * `centroids`/`pq_codebooks` are single-write tables and never need
     * it. Run on a schedule, not in the append path. */
-  def compact(spark: SparkSession, dir: String): Unit =
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val man = readManifest(fs, dir).getOrElse(Map.empty)
     Seq("assignments", "pq_codes").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
         graft.pipeline.Maintenance.compactHivePartitioned(spark, s"$dir/$t", "cell")
+        // the compaction swap rewrites the table directory, dropping its
+        // version stamp — re-stamp from the manifest (row content and
+        // therefore the VERSION are unchanged; only the file layout is)
+        man.get(t).foreach(v => stampTables(fs, dir, Seq(t), v))
+      }
     }
+  }
 
   /**
    * Rebuild-from-drift: re-learn centroids from the STORED vectors and
@@ -155,10 +264,21 @@ object IvfIndex {
       // torn index (new centroids + old assignments would silently route
       // partial-probe searches wrong) is never left mixed — a mid-swap
       // failure rolls back onto the previous version, and old copies are
-      // deleted only after ALL tables are live on the new layout.
+      // deleted only after ALL tables are live on the new layout. The
+      // staged dirs are stamped with the NEW version BEFORE the swap and
+      // the manifest is rewritten LAST, after every rename: a crash
+      // anywhere in between leaves stamps that disagree with the old
+      // manifest, which the serving paths refuse loudly
+      // ([[verifyVersions]]) instead of serving mixed. pq_codebooks is
+      // not swapped (codes encode the vector, not its routing) and keeps
+      // its manifest entry.
       val tables = Seq("centroids", "assignments") ++
         (if (hasPq) Seq("pq_codes") else Nil)
+      val v = newVersion()
+      stampTables(fs, dir, tables, v, suffix = "__graft_tmp")
       StagedSwap.swapAll(fs, dir, tables)
+      writeManifest(fs, dir, readManifest(fs, dir).getOrElse(Map.empty) ++
+        tables.map(_ -> v).toMap)
     } finally {
       // a failure before the swaps leaves only staging dirs — remove
       // them so distinct failures don't accumulate *__graft_tmp debris
@@ -215,6 +335,7 @@ object IvfIndex {
   def search(queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    verifyVersions(spark, dir)
     val probes = SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe)
     val assigned = prunedRead(spark, s"$dir/assignments", probes)
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -241,6 +362,11 @@ object IvfIndex {
       .join(spark.read.parquet(s"$dir/assignments").select("vec_id", "cell"),
         "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/pq_codes")
+    val fs = fsOf(spark, dir)
+    val v = newVersion()
+    stampTables(fs, dir, Seq("pq_codebooks", "pq_codes"), v)
+    writeManifest(fs, dir, readManifest(fs, dir).getOrElse(Map.empty) ++
+      Map("pq_codebooks" -> v, "pq_codes" -> v))
   }
 
   /** Top-`k` by asymmetric distance over the persisted PQ codes of the
@@ -251,6 +377,7 @@ object IvfIndex {
   def searchPq(queries: DataFrame, dir: String, k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    verifyVersions(spark, dir)
     searchPqWithProbes(queries, dir, k,
       SimilaritySearch.probeCells(queries, centroids(spark, dir), nprobe))
   }
@@ -299,6 +426,7 @@ object IvfIndex {
       nprobe: Int = 4, refine: Int = 64): DataFrame = {
     require(refine >= k, s"refine ($refine) must be >= k ($k)")
     val spark = queries.sparkSession
+    verifyVersions(spark, dir)
     val probes = SimilaritySearch.probeCells(queries,
       centroids(spark, dir), nprobe)
     val cand = searchPqWithProbes(queries, dir, refine, probes)

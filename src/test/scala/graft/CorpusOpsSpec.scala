@@ -390,6 +390,61 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().toSet === onceRows)
   }
 
+  test("IvfIndex manifest: torn swaps are detectable, not just recoverable") {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_manifest_spec").toString
+    graft.llm.IvfIndex.build(e.filter(col("vec_id") < 100), dir,
+      nCells = 4, iters = 1)
+    val queries = e.filter(col("vec_id") < 4)
+    // a freshly built index serves and reports healthy
+    assert(graft.llm.IvfIndex.search(queries, dir, k = 3, nprobe = 4).count() > 0)
+    val h0 = graft.llm.IvfIndex.healthCheck(spark, dir).head()
+    assert(h0.getAs[Boolean]("has_manifest") && h0.getAs[Boolean]("healthy"))
+    assert(h0.getAs[Long]("n_tables") === 2L)
+    // simulate a torn swap: one table carries a stamp the manifest
+    // doesn't expect (crash between a rename and the manifest write).
+    // Write through the Hadoop fs (as the product does) so the local
+    // filesystem's .crc sidecar stays consistent with the content.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stamp = new org.apache.hadoop.fs.Path(s"$dir/assignments/_graft_version")
+    val orig = {
+      val in = fs.open(stamp)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+    }
+    def writeStamp(s: String): Unit = {
+      val out = fs.create(stamp, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeStamp("some-other-version")
+    val e1 = intercept[IllegalStateException] {
+      graft.llm.IvfIndex.search(queries, dir, k = 3, nprobe = 4)
+    }
+    assert(e1.getMessage.contains("version check") &&
+      e1.getMessage.contains("assignments"))
+    val h1 = graft.llm.IvfIndex.healthCheck(spark, dir).head()
+    assert(!h1.getAs[Boolean]("healthy") &&
+      h1.getAs[String]("stale_tables") === "assignments")
+    writeStamp(orig)
+    // a missing manifest (pre-layout artifact or build died before the
+    // final write) refuses to serve
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest"), false)
+    val e2 = intercept[IllegalStateException] {
+      graft.llm.IvfIndex.search(queries, dir, k = 3, nprobe = 4)
+    }
+    assert(e2.getMessage.contains("manifest"))
+    assert(!graft.llm.IvfIndex.healthCheck(spark, dir).head()
+      .getAs[Boolean]("has_manifest"))
+    // rebuild (build is fine too) restores a serving index
+    graft.llm.IvfIndex.build(e.filter(col("vec_id") < 100), dir,
+      nCells = 4, iters = 1)
+    assert(graft.llm.IvfIndex.search(queries, dir, k = 3, nprobe = 4).count() > 0)
+  }
+
   test("IvfIndex.rebuild: drifted append re-clusters, skew drops, full-probe answers preserved") {
     val e = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString
