@@ -182,17 +182,15 @@ object Classifier {
       tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): DataFrame =
     centroidGate(docs, qualityTeacher(threshold), tok)
 
-  /** The q37 heuristic quality blend (fround'd to 4 decimals) over
-    * [[withFeatures]]' raw-token stats — the ONE definition both the
-    * teacher threshold ([[qualityTeacher]]) and the calibration bucket
-    * axis ([[calibrationReport]]) read, so the two can never drift
-    * (the gopherMeasures/gopherRules single-sourcing pattern). */
+  /** The q37 heuristic quality blend over [[withFeatures]]' raw-token
+    * stats — delegates to [[TextAnalysis.qualityBlendOf]], the ONE
+    * formula the teacher threshold ([[qualityTeacher]]), the
+    * calibration bucket axis ([[calibrationReport]]),
+    * [[TextAnalysis.qualityScore]] and [[TextAnalysis.annealedOrder]]
+    * all read, so none can drift. */
   private def qualityBlend: Column =
-    TextFunctions.fround(
-      least(col("n_raw").cast("double") / 100.0, lit(1.0)) * 0.4
-        + (col("n_distinct").cast("double") / col("n_raw")) * 0.3
-        + (lit(1.0) - col("n_stop").cast("double") / col("n_raw")) * 0.3,
-      4)
+    TextAnalysis.qualityBlendOf(col("n_raw"), col("n_distinct"),
+      col("n_stop"))
 
   /** The q37 heuristic blend as a reusable teacher column (over
     * [[withFeatures]]' stat columns). */

@@ -112,22 +112,35 @@ object TextAnalysis {
    * web text before training. Returns the components and the blended
    * score so downstream thresholds stay tunable.
    */
+  /** The flattened stopword list as an array literal — every consumer
+    * of the q37 blend's n_stop component reads this one value. */
+  private[llm] lazy val allStopLits: Column =
+    array(stopwords.flatMap(_._2).distinct.map(lit): _*)
+
+  /** The q37 heuristic quality blend (fround'd to 4 decimals) over raw
+    * token counts — the ONE formula [[qualityScore]], [[annealedOrder]]
+    * and [[Classifier]]'s teacher/calibration all read, so the four can
+    * never drift (the gopherMeasures/gopherRules single-sourcing
+    * pattern). */
+  private[llm] def qualityBlendOf(nTokens: Column, nDistinct: Column,
+      nStop: Column): Column =
+    fround(
+      least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.4
+        + (nDistinct.cast("double") / nTokens) * 0.3
+        + (lit(1.0) - nStop.cast("double") / nTokens) * 0.3,
+      4)
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val allStops = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
     docs.select(
       col("doc_id"),
       size(ws).cast("long").as("n_tokens"),
       size(array_distinct(ws)).cast("long").as("n_distinct"),
-      size(filter(ws, w => array_contains(allStops, w))).cast("long").as("n_stop"))
+      size(filter(ws, w => array_contains(allStopLits, w))).cast("long").as("n_stop"))
       .withColumn("ttr",
         fround(col("n_distinct").cast("double") / col("n_tokens"), 4))
       .withColumn("quality",
-        fround(
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
-            + (col("n_distinct").cast("double") / col("n_tokens")) * 0.3
-            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3,
-          4))
+        qualityBlendOf(col("n_tokens"), col("n_distinct"), col("n_stop")))
   }
 
   /**
@@ -323,15 +336,10 @@ object TextAnalysis {
     require(nBuckets >= 1 && nBuckets <= 1024,
       s"nBuckets must be in [1, 1024] (got $nBuckets)")
     val ws = words(col("text"))
-    val allStops = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
     val nT = size(ws).cast("long")
     val nD = size(array_distinct(ws)).cast("long")
-    val nS = size(filter(ws, w => array_contains(allStops, w))).cast("long")
-    val quality = fround(
-      least(nT.cast("double") / 100.0, lit(1.0)) * 0.4
-        + (nD.cast("double") / nT) * 0.3
-        + (lit(1.0) - nS.cast("double") / nT) * 0.3,
-      4)
+    val nS = size(filter(ws, w => array_contains(allStopLits, w))).cast("long")
+    val quality = qualityBlendOf(nT, nD, nS)
     val base = docs.select(col("doc_id"),
       coalesce(floor(quality * 10000d + lit(0.5)).cast("long"), lit(0L))
         .as("qs"),
@@ -1550,15 +1558,10 @@ object TextAnalysis {
   private[graft] def reportFeatures(docs: DataFrame,
       groupCol: String): DataFrame = {
     val ws = words(col("text"))
-    val allStops = array(stopwords.flatMap(_._2).distinct.map(lit): _*)
     val nT = size(ws).cast("long")
     val nD = size(array_distinct(ws)).cast("long")
-    val nS = size(filter(ws, w => array_contains(allStops, w))).cast("long")
-    val quality = fround(
-      least(nT.cast("double") / 100.0, lit(1.0)) * 0.4
-        + (nD.cast("double") / nT) * 0.3
-        + (lit(1.0) - nS.cast("double") / nT) * 0.3,
-      4)
+    val nS = size(filter(ws, w => array_contains(allStopLits, w))).cast("long")
+    val quality = qualityBlendOf(nT, nD, nS)
     docs.select(col(groupCol), col("doc_id"), col("lang"),
       size(filter(words(coalesce(col("text"), lit(""))), w => w =!= ""))
         .cast("long").as("n_tokens"),
