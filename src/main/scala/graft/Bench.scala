@@ -214,6 +214,13 @@ object Bench {
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
         }
+        // one UNTIMED warm-up (mirroring the sweep's per-query protocol):
+        // the unpersist above just dropped every cached RDD, so the first
+        // invocation carries re-read/warm-up cost — timing it inflates
+        // the retime median and adjudicate's median>2×min test would then
+        // KEEP exactly the false contention flags the retime exists to
+        // clear (round-17 advice).
+        timedOnce()
         val ok = List(timedOnce(), timedOnce(), timedOnce())
           .filter(_ >= 0).sorted
         val r =

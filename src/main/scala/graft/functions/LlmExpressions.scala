@@ -526,7 +526,15 @@ final class BpeCodec(val lhs: Array[String], val rhs: Array[String])
   }
 
   /** Every component is a single code point or the merged symbol of a
-    * strictly earlier rank — the precondition for min-rank ≡ sequential. */
+    * strictly earlier rank, AND every merged symbol is unique — the
+    * precondition for min-rank ≡ sequential. Uniqueness matters: a list
+    * that re-creates an already-merged string at a later rank (e.g.
+    * (a,b),(b,c),(a,bc),(x,abc),(ab,c) on word "xabc") makes the
+    * sequential replay stop at [x, abc] while the min-rank loop would
+    * fire the earlier (x,abc) rank on the late-recreated "abc" — a
+    * learned list never does this (a merged pair is eliminated and
+    * cannot reappear), so treating reuse as malformed only demotes
+    * hand-built lists to the sequential fallback. */
   @transient lazy val wellFormed: Boolean = {
     val seen = new java.util.HashSet[String]()
     def ok(s: String): Boolean =
@@ -535,8 +543,7 @@ final class BpeCodec(val lhs: Array[String], val rhs: Array[String])
     var i = 0
     var good = true
     while (good && i < lhs.length) {
-      good = ok(lhs(i)) && ok(rhs(i))
-      seen.add(lhs(i) + rhs(i))
+      good = ok(lhs(i)) && ok(rhs(i)) && seen.add(lhs(i) + rhs(i))
       i += 1
     }
     good

@@ -189,15 +189,25 @@ object Bpe {
   def learnMerges(docs: DataFrame, k: Int,
       checkpointEvery: Int = 4,
       maxLocalTypes: Int = 4000000): Seq[Merge] = {
-    val head = wordHistogram(docs).head(maxLocalTypes + 1)
-    if (head.length <= maxLocalTypes)
-      learnMergesLocal(head.map(r => (r.getString(0), r.getLong(1))), k)
+    // ONE corpus scan: the histogram (bounded by vocabulary, not volume)
+    // is materialized on the EXECUTORS first, so the size probe below is
+    // an executor-side limit+count — the driver holds zero rows until
+    // the dispatch decision is made. Collecting head(maxLocalTypes + 1)
+    // straight away would ship up to 4,000,001 rows to the driver even
+    // when the distributed fallback then discards them (and sizes the
+    // required driver heap by the PROBE, not the chosen path: ~maxLocal
+    // Types × (avg word bytes + 24) ≈ 200–400 MB at the 4M default —
+    // see SCALE.md "BPE driver memory").
+    val hist = wordHistogram(docs).localCheckpoint(true)
+    if (histogramFits(hist, maxLocalTypes))
+      learnMergesLocal(
+        hist.collect().map(r => (r.getString(0), r.getLong(1))), k)
     else {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Bpe.learnMerges: word-type histogram exceeds maxLocalTypes=" +
           s"$maxLocalTypes — falling back to the O(k)-sequential-jobs " +
           "distributed loop; expect k scheduling round-trips")
-      learnMergesDistributed(docs, k, checkpointEvery)
+      learnMergesDistributedHist(hist, k, checkpointEvery)
     }
   }
 
@@ -210,9 +220,24 @@ object Bpe {
    * duplicateClusters' rounds. O(k) sequential jobs — the scale path
    * only when the histogram can't be collected ([[learnMerges]]).
    */
+  /** The dispatch predicate: does the word-type histogram fit the
+    * driver-local learner? An executor-side limit+count — exactly
+    * maxLocalTypes rows still fit (boundary inclusive); the driver
+    * receives one long either way. */
+  private[graft] def histogramFits(hist: DataFrame,
+      maxLocalTypes: Int): Boolean =
+    hist.limit(maxLocalTypes + 1).count() <= maxLocalTypes
+
   private[graft] def learnMergesDistributed(docs: DataFrame, k: Int,
-      checkpointEvery: Int = 4): Seq[Merge] = {
-    var cur = wordHistogram(docs)
+      checkpointEvery: Int = 4): Seq[Merge] =
+    learnMergesDistributedHist(wordHistogram(docs), k, checkpointEvery)
+
+  /** [[learnMergesDistributed]] body over an already-computed (possibly
+    * already-materialized) histogram frame, so [[learnMerges]]'s
+    * dispatch probe and the fallback loop share one corpus scan. */
+  private def learnMergesDistributedHist(hist: DataFrame, k: Int,
+      checkpointEvery: Int): Seq[Merge] = {
+    var cur = hist
       .withColumn("toks", charToks(col("word")))
       .localCheckpoint()
     require(cur.filter(col("word").contains(Sep)).head(1).isEmpty,

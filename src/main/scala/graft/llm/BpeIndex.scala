@@ -70,8 +70,20 @@ object BpeIndex {
     * every word, so [[loadWithPreTok]] derives the encode surface from
     * the INDEX (the [[DsirIndex]] stored-tokenizer invariant). */
   def build(docs: DataFrame, dir: String, k: Int,
-      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit =
+      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit = {
     writeTables(docs, dir, k, pretok, suffix = "")
+    // version stamps + manifest LAST ([[SwapManifest]], [[IvfIndex]]
+    // parity): the load paths refuse a table set whose stamps disagree,
+    // so a build that died between the two table writes — or a torn
+    // rebuild swap — fails loudly even when k/sep/sig happen to agree
+    val spark = docs.sparkSession
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tableNames, v)
+    SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
+  }
+
+  private val tableNames = Seq("merges", "params")
 
   /** Learn and write merges + params under `dir`, table names suffixed
     * (""= live build, [[StagedSwap]]'s "__graft_tmp" = rebuild staging). */
@@ -142,6 +154,52 @@ object BpeIndex {
   }
 
   /**
+   * Streaming form of [[driftCheck]]'s measurement — per-document token
+   * and word counts under the FROZEN stored vocabulary, the
+   * scoreStream contract ([[ClassifierIndex.scoreStream]]): a pure
+   * per-row function of the document text, so the landed rows are
+   * batch-split invariant BY CONSTRUCTION and an at-least-once feed's
+   * replays are literal duplicate rows an idempotent landing collapses.
+   * [[driftReportFrom]] then folds the unique per-doc rows into the
+   * exact one-row report batch [[driftCheck]] computes — the
+   * scheduled-rebuild trigger run as a stream instead of a scan. The
+   * k-row merge list bakes into scan-stage expression literals per
+   * micro-batch (a few-KB parquet read per trigger, no join). */
+  def driftScoreStream(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (ms, pt) = loadWithPreTok(spark, dir)
+    val prepped = pt.prep(col("text"))
+    batch.select(col("doc_id"),
+      coalesce(Bpe.tokenCount(prepped, ms), lit(0L)).as("n_toks"),
+      coalesce(size(Bpe.wordsNonEmpty(coalesce(prepped, lit(""))))
+        .cast("long"), lit(0L)).as("n_words"))
+  }
+
+  /** Fold [[driftScoreStream]]'s accumulated per-document rows (one row
+    * per unique doc — the caller dedupes replays) into [[driftCheck]]'s
+    * one-row report: same integer-permille fertility, same drift gate,
+    * so a monitoring rule can consume either interchangeably. */
+  def driftReportFrom(spark: SparkSession, dir: String,
+      perDoc: DataFrame): DataFrame = {
+    import spark.implicits._
+    requireIndex(spark, dir)
+    SwapManifest.verify(spark, dir, "BPE index")
+    val params = spark.read.parquet(s"$dir/params").head()
+    require(params.schema.fieldNames.contains("fert_permille"),
+      s"BPE index at '$dir' predates the stored-fertility layout — " +
+        "rebuild it (drift is only interpretable against the training " +
+        "fertility, and this artifact does not record it)")
+    val fertTrain = params.getAs[Long]("fert_permille")
+    val agg = perDoc.agg(
+      coalesce(sum(col("n_toks")), lit(0L)),
+      coalesce(sum(col("n_words")), lit(0L))).head()
+    val fertNow = agg.getLong(0) * 1000L / math.max(agg.getLong(1), 1L)
+    Seq((params.getAs[Int]("k"), fertTrain, fertNow, fertNow - fertTrain))
+      .toDF("k", "fert_train_permille", "fert_now_permille",
+        "drift_permille")
+  }
+
+  /**
    * Re-learn the vocabulary on a new corpus snapshot and swap it live —
    * the [[IvfIndex.rebuild]] lifecycle for the tokenizer. Rebuild, not
    * append: BPE merges are order-sensitive (see object scaladoc), so
@@ -158,13 +216,20 @@ object BpeIndex {
     requireIndex(spark, dir) // rebuild replaces an index; build creates one
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tables = Seq("merges", "params")
+    val tables = tableNames
     StagedSwap.precleanTmp(fs, dir, tables)
     var staged = false
     try {
       writeTables(docs, dir, k, pretok, suffix = "__graft_tmp")
+      // stamp the staged copies with the NEW version BEFORE the swap and
+      // rewrite the manifest LAST, after every rename ([[IvfIndex
+      // .rebuild]]'s protocol): a crash anywhere between leaves stamps
+      // that disagree with the old manifest, which the load paths refuse
+      val v = SwapManifest.newVersion()
+      SwapManifest.stampTables(fs, dir, tables, v, suffix = "__graft_tmp")
       staged = true
       StagedSwap.swapAll(fs, dir, tables)
+      SwapManifest.writeManifest(fs, dir, tables.map(_ -> v).toMap)
     } finally {
       if (!staged) StagedSwap.cleanupTmp(fs, dir, tables)
     }
@@ -174,6 +239,7 @@ object BpeIndex {
     * registry-facing roundtrip read; errors if the index is absent. */
   def loadVocab(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
+    SwapManifest.verify(spark, dir, "BPE index")
     spark.read.parquet(s"$dir/merges")
   }
 
@@ -199,6 +265,10 @@ object BpeIndex {
   def loadWithPreTok(spark: SparkSession,
       dir: String): (Seq[Bpe.Merge], Bpe.PreTok) = {
     val (k, sep, sig, pretokName) = requireIndex(spark, dir)
+    // stamp agreement BEFORE the content checks: the manifest names the
+    // torn-SWAP case outright (and catches tears the k/sep/sig content
+    // signature can't see, e.g. a manifest-era table replaced wholesale)
+    SwapManifest.verify(spark, dir, "BPE index")
     require(sep == Bpe.Sep,
       s"BPE index at '$dir' was built with separator '$sep' but this " +
         s"build uses '${Bpe.Sep}' — encoding would silently diverge")
@@ -229,6 +299,10 @@ object BpeIndex {
    *    (interleaved-builder mix, the [[signature]] scaladoc's case);
    *  - `ranks_ok` — ranks are exactly 1..k with no gaps or dupes (a
    *    partially-written merges table can pass a bare count);
+   *  - `has_manifest` / `stale_tables` — [[SwapManifest]] agreement
+   *    ([[IvfIndex.healthCheck]]'s columns): the manifest exists and
+   *    every table carries its expected version stamp — the torn-swap
+   *    facts the load paths throw on, reported;
    *  - `healthy` — the conjunction a monitoring rule alerts on.
    *
    * Unlike [[load]] (which throws — a consumer must not encode under a
@@ -251,10 +325,14 @@ object BpeIndex {
     val pretokOk =
       try { Bpe.PreTok.parse(pretokName); true }
       catch { case _: IllegalArgumentException => false }
+    val (hasManifest, stale) =
+      SwapManifest.staleTables(SwapManifest.fsOf(spark, dir), dir)
     Seq((k, ms.size.toLong, sepOk, kOk, sigOk, ranksOk, pretokOk,
-      sepOk && kOk && sigOk && ranksOk && pretokOk))
+      hasManifest, stale.mkString(","),
+      sepOk && kOk && sigOk && ranksOk && pretokOk &&
+        hasManifest && stale.isEmpty))
       .toDF("k", "n_merges", "sep_ok", "k_ok", "sig_ok", "ranks_ok",
-        "pretok_ok", "healthy")
+        "pretok_ok", "has_manifest", "stale_tables", "healthy")
   }
 
   private def requireIndex(spark: SparkSession,

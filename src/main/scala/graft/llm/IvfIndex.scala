@@ -32,82 +32,16 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  // ----------------------------------------------------- swap manifest
-  // A multi-table swap that dies mid-flight is RECOVERABLE (StagedSwap
-  // keeps every table in some complete version) but without a marker it
-  // is not DETECTABLE: a reader served centroids from one rebuild and
-  // assignments from another would silently route partial-probe
-  // searches wrong. Every build/rebuild stamps each table directory
-  // with a per-table version file (underscore-prefixed — Spark's file
-  // index ignores it) and writes the one-line-per-table manifest LAST,
-  // after every rename: the serving paths refuse a table set whose
-  // stamps disagree with the manifest, so a torn swap fails loudly at
-  // the first read instead of degrading answers. Cost per search CALL
-  // (not per row): one manifest + one stamp read per table — a few
-  // filesystem metadata ops.
+  // Torn-swap detection: per-table version stamps + last-written
+  // manifest, shared with [[BpeIndex]] — see [[SwapManifest]]. A torn
+  // IVF set (centroids from one rebuild, assignments from another)
+  // would silently route partial-probe searches wrong; the serving
+  // paths refuse it loudly instead.
+  import SwapManifest.{fsOf, newVersion, stampTables, readManifest,
+    writeManifest}
 
-  private val ManifestName = "_graft_manifest"
-  private val VersionName = "_graft_version"
-
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readSmall(fs: FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
-
-  private def newVersion(): String = java.util.UUID.randomUUID().toString
-
-  private def stampTables(fs: FileSystem, dir: String, tables: Seq[String],
-      version: String, suffix: String = ""): Unit =
-    tables.foreach(t =>
-      writeSmall(fs, new Path(s"$dir/$t$suffix/$VersionName"), version))
-
-  private def readManifest(fs: FileSystem,
-      dir: String): Option[Map[String, String]] =
-    readSmall(fs, new Path(s"$dir/$ManifestName")).map(
-      _.split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('=')
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap)
-
-  private def writeManifest(fs: FileSystem, dir: String,
-      entries: Map[String, String]): Unit =
-    writeSmall(fs, new Path(s"$dir/$ManifestName"),
-      entries.toSeq.sortBy(_._1).map { case (t, v) => s"$t=$v" }
-        .mkString("\n"))
-
-  /** Loud version check for the serving paths: the manifest must exist
-    * and every table it lists must carry the matching stamp. */
-  private def verifyVersions(spark: SparkSession, dir: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val man = readManifest(fs, dir).getOrElse(throw new IllegalStateException(
-      s"IVF index at '$dir' has no swap manifest — it predates the " +
-        "manifest layout or the build died before the manifest write; " +
-        "rebuild the index"))
-    man.foreach { case (t, v) =>
-      val got = readSmall(fs, new Path(s"$dir/$t/$VersionName"))
-      if (!got.contains(v))
-        throw new IllegalStateException(
-          s"IVF index at '$dir' failed its version check: table '$t' is " +
-            s"at ${got.getOrElse("<unstamped>")} but the manifest expects " +
-            s"$v — torn swap; rebuild the index")
-    }
-  }
+  private def verifyVersions(spark: SparkSession, dir: String): Unit =
+    SwapManifest.verify(spark, dir, "IVF index")
 
   /** Operational report for the manifest layout ([[graft.llm.DedupIndex
     * .healthCheck]]'s contract: REPORTS where the serving paths throw):
@@ -116,13 +50,9 @@ object IvfIndex {
   def healthCheck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, dir)
-    val man = readManifest(fs, dir)
-    val hasManifest = man.isDefined
-    val entries = man.getOrElse(Map.empty)
-    val stale = entries.filter { case (t, v) =>
-      !readSmall(fs, new Path(s"$dir/$t/$VersionName")).contains(v)
-    }.keys.toSeq.sorted
-    Seq((hasManifest, entries.size.toLong, stale.mkString(","),
+    val (hasManifest, stale) = SwapManifest.staleTables(fs, dir)
+    val nTables = readManifest(fs, dir).map(_.size.toLong).getOrElse(0L)
+    Seq((hasManifest, nTables, stale.mkString(","),
       hasManifest && stale.isEmpty))
       .toDF("has_manifest", "n_tables", "stale_tables", "healthy")
   }
@@ -131,7 +61,20 @@ object IvfIndex {
     spark.read.parquet(s"$dir/centroids")
 
   /** Build centroids (k-means over a deterministic hash sample) and the
-    * cell-partitioned assignment table. */
+    * cell-partitioned assignment table.
+    *
+    * Re-running build() over a directory that previously ran [[buildPq]]
+    * DELETES the PQ layout (pq_codebooks/pq_codes): the stored codes are
+    * partitioned under the OLD cells and routed by the OLD clustering,
+    * so serving them against the new centroids would be exactly the
+    * mixed-version answer the manifest exists to prevent — and the
+    * manifest alone can't catch it, because build()'s manifest lists
+    * only its own two tables, so [[verifyVersions]] would pass. With
+    * the delete, [[searchPq]] fails loudly ("no PQ index … run
+    * buildPq()") until buildPq reruns. Crash windows stay detectable:
+    * a crash before the delete leaves the overwritten centroids/
+    * assignments unstamped (overwrite clears the version file), which
+    * every serving path refuses. */
   def build(corpus: DataFrame, dir: String, nCells: Int = 16,
       iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
@@ -142,6 +85,10 @@ object IvfIndex {
     SimilaritySearch.assignCells(corpus, centroids(spark, dir))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
     val fs = fsOf(spark, dir)
+    Seq("pq_codebooks", "pq_codes").foreach { t =>
+      val p = new Path(s"$dir/$t")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val v = newVersion()
     stampTables(fs, dir, Seq("centroids", "assignments"), v)
     writeManifest(fs, dir,
@@ -166,14 +113,26 @@ object IvfIndex {
     * them — duplicated vec_ids, visible as repeated neighbor rows. The
     * ingest lifecycle that owns an index must serialize its appends
     * (the same contract as [[DeconIndex.append]]); replays are safe
-    * BECAUSE they are sequential. */
+    * BECAUSE they are sequential.
+    *
+    * CONFLICTING IDS ARE UNDEFINED: a single batch carrying the same
+    * vec_id with DIFFERENT embeddings keeps an arbitrary one (the
+    * dropDuplicates survivor is partition-order-dependent), and an id
+    * already indexed keeps its STORED embedding regardless of what the
+    * new batch carries — append is insert-if-absent, not upsert. vec_id
+    * is the identity of an immutable vector; a feed that re-keys
+    * different embeddings under one id is a producer bug this layer
+    * cannot repair, only bound (at most one row per id is ever stored).
+    * To CHANGE a vector, delete-and-rebuild or use a new id. Pinned in
+    * CorpusOpsSpec. */
   def append(vectors: DataFrame, dir: String): Unit = {
     val spark = vectors.sparkSession
     // dropDuplicates: an at-least-once FEED can deliver the same vector
     // twice WITHIN one batch (two replayed files landing in the same
     // micro-batch) — the stored-snapshot anti-join alone would insert
     // both copies. Replay copies are identical rows, so which one
-    // survives is immaterial.
+    // survives is immaterial; differing rows under one id are the
+    // undefined-input case documented above.
     val unseen = vectors.dropDuplicates("vec_id").join(
       spark.read.parquet(s"$dir/assignments").select("vec_id"),
       Seq("vec_id"), "left_anti").localCheckpoint(true)

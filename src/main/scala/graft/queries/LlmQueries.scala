@@ -1280,16 +1280,18 @@ object LlmQueries {
   // temp-dir name.
   private val trackedDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
   private lazy val scratchCleanup: Unit =
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._
-      (scratchDirs.values.asScala ++ trackedDirs.asScala).foreach { dir =>
-        try {
-          java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
-            .asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
-      }
+      (scratchDirs.values.asScala ++ trackedDirs.asScala)
+        .foreach(deleteRecursively)
     }
   /** Build-once scratch index per (JVM, sfDir) for the persisted-serving
     * registry entries (q102/q106). compute (not computeIfAbsent): a
@@ -1321,6 +1323,25 @@ object LlmQueries {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
     trackedDirs.add(dir)
     dir
+  }
+  /** Per-invocation reap for the streaming commit-path queries: the
+    * result is PINNED first (eager localCheckpoint cuts the lineage back
+    * to the landing dir, so the returned frame never re-reads it), then
+    * the invocation's land/ckpt dirs are deleted IMMEDIATELY — a
+    * long-lived session stays at a constant /tmp footprint instead of
+    * growing one corpus copy per invocation. The shutdown hook above
+    * remains the backstop for dirs a failed invocation strands (the
+    * exception path never reaches this call). Single-consumer by
+    * construction: each dir is created by, and only readable through,
+    * the one invocation that is discarding it. Pinned in ScratchReapSpec. */
+  private def reapAfter(df: org.apache.spark.sql.DataFrame,
+      dirs: String*): org.apache.spark.sql.DataFrame = {
+    val pinned = df.localCheckpoint(true)
+    dirs.foreach { dir =>
+      trackedDirs.remove(dir)
+      deleteRecursively(dir)
+    }
+    pinned
   }
 
   /** The at-least-once file feed the streaming commit-path queries
@@ -1972,7 +1993,12 @@ object LlmQueries {
     * word-type frame → the (count DESC, lhs, rhs) argmax → the greedy
     * left-fold application (`list_reduce` mirrors [[Bpe.applyMerge]]'s
     * fold bit-for-bit: a merge appends the rhs with no separator, fusing
-    * it into the accumulator's last symbol). */
+    * it into the accumulator's last symbol). EXHAUSTION-PROOF: the
+    * learner stops early once every word is fully fused, and on a small
+    * corpus (or slice — q216's round-17 advice) that can happen below
+    * k; a post-exhaustion round must CARRY the fused table forward (the
+    * LEFT JOIN keeps every word when `bb` is empty), not annihilate it
+    * with an empty CROSS JOIN. */
   private def bpeRoundCtes(r: Int, pfx: String = ""): String =
     s"""${pfx}bp$r AS (
        |  SELECT s[i+1] AS lhs, s[i+2] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
@@ -1982,8 +2008,9 @@ object LlmQueries {
        |  GROUP BY 1, 2),
        |${pfx}bb$r AS (SELECT lhs, rhs, c FROM ${pfx}bp$r ORDER BY c DESC, lhs, rhs LIMIT 1),
        |${pfx}bt$r AS MATERIALIZED (
-       |  SELECT word, cnt, ${bpeApplySql("toks")} AS toks
-       |  FROM ${pfx}bt${r - 1} CROSS JOIN ${pfx}bb$r b)""".stripMargin
+       |  SELECT word, cnt,
+       |    CASE WHEN b.lhs IS NULL THEN toks ELSE ${bpeApplySql("toks")} END AS toks
+       |  FROM ${pfx}bt${r - 1} LEFT JOIN ${pfx}bb$r b ON TRUE)""".stripMargin
 
   /** The greedy left-fold merge application over a `$bpeSep`-joined
     * tokenization column; the merge row must be CROSS JOINed under alias
@@ -2015,13 +2042,14 @@ object LlmQueries {
   /** Word-type histogram (char-split tokenizations) + the K merge
     * rounds over `wordSrc`'s stream — the shared prefix of every BPE
     * oracle. */
-  private def bpeChainCtesOver(wordSrc: String, pfx: String = ""): String =
+  private def bpeChainCtesOver(wordSrc: String, pfx: String = "",
+      rounds: Int = bpeK): String =
     (s"""${pfx}bt0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
        |         array_to_string(string_split(word, ''), '$bpeSep') AS toks
        |  FROM ($wordSrc)
        |  GROUP BY 1)""".stripMargin +:
-      (1 to bpeK).map(r => bpeRoundCtes(r, pfx))).mkString(",\n")
+      (1 to rounds).map(r => bpeRoundCtes(r, pfx))).mkString(",\n")
 
   /** Tokenize the word-TYPE histogram of `wordSrc` under an ALREADY
     * LEARNED chain's per-round merge tables (`<mergePfx>bb1..bbK`) —
@@ -2038,8 +2066,9 @@ object LlmQueries {
        |  GROUP BY 1)""".stripMargin +:
       (1 to bpeK).map(r =>
         s"""${pfx}t$r AS MATERIALIZED (
-           |  SELECT word, cnt, ${bpeApplySql("toks")} AS toks
-           |  FROM ${pfx}t${r - 1} CROSS JOIN ${mergePfx}bb$r b)""".stripMargin))
+           |  SELECT word, cnt,
+           |    CASE WHEN b.lhs IS NULL THEN toks ELSE ${bpeApplySql("toks")} END AS toks
+           |  FROM ${pfx}t${r - 1} LEFT JOIN ${mergePfx}bb$r b ON TRUE)""".stripMargin))
       .mkString(",\n")
 
   /** Corpus fertility (tokens per word, integer permille, floor) read
@@ -6504,8 +6533,10 @@ object LlmQueries {
         .foreachBatch(landOne)
         .start()
       q.processAllAvailable(); q.stop()
-      DedupOps.exactDedup(s.read.parquet(land).drop("batch").distinct())
-        .select(outCols: _*).orderBy("doc_id")
+      reapAfter(
+        DedupOps.exactDedup(s.read.parquet(land).drop("batch").distinct())
+          .select(outCols: _*).orderBy("doc_id"),
+        land, ckpt)
     },
     Some {
       val p48 = graft.functions.LlmExprs.P48.toString
@@ -6830,8 +6861,10 @@ object LlmQueries {
         .foreachBatch(landOne)
         .start()
       q.processAllAvailable(); q.stop()
-      s.read.parquet(land).drop("batch").distinct()
-        .select(outCols: _*).orderBy("doc_id")
+      reapAfter(
+        s.read.parquet(land).drop("batch").distinct()
+          .select(outCols: _*).orderBy("doc_id"),
+        land, ckpt)
     },
     Some(
       s"""WITH cd AS (SELECT doc_id, text FROM documents),
@@ -7051,7 +7084,9 @@ object LlmQueries {
         .foreachBatch(landOne)
         .start()
       q.processAllAvailable(); q.stop()
-      s.read.parquet(land).drop("batch").distinct().orderBy("doc_id")
+      reapAfter(
+        s.read.parquet(land).drop("batch").distinct().orderBy("doc_id"),
+        land, ckpt)
     },
     Some(
       s"""WITH $dsirCtes
@@ -7132,6 +7167,9 @@ object LlmQueries {
         .foreachBatch(appendOne)
         .start()
       q.processAllAvailable(); q.stop()
+      // the feed and checkpoint served only this one build — the index
+      // at `dir` is what persists; reap them now, not at JVM exit
+      Seq(stage, ckpt).foreach { t => trackedDirs.remove(t); deleteRecursively(t) }
     }
   val q210 = Q(
     "q210_stream_ivf_append",
@@ -7468,7 +7506,9 @@ object LlmQueries {
         .foreachBatch(landOne)
         .start()
       q.processAllAvailable(); q.stop()
-      s.read.parquet(land).drop("batch").distinct().orderBy("doc_id")
+      reapAfter(
+        s.read.parquet(land).drop("batch").distinct().orderBy("doc_id"),
+        land, ckpt)
     },
     Some(classifierGateOracleSql))
 
@@ -7483,30 +7523,12 @@ object LlmQueries {
   // the sequential loop, rungs 64/80 through the indexed loop, and all
   // three are hash-checked against the same DuckDB replay — the
   // dispatch can never change a value, only its cost. The oracle chain
-  // is EXHAUSTION-PROOF (LEFT JOIN carry-forward rounds): the learner
-  // stops early once every word is fully fused, and at small SFs that
-  // can happen below k, so a post-exhaustion round must carry the fused
-  // table forward, not annihilate it with an empty CROSS JOIN.
+  // rides the shared exhaustion-proof rounds (bpeRoundCtes' LEFT JOIN
+  // carry-forward — since round 18 the shape of EVERY BPE oracle): the
+  // learner stops early once every word is fully fused, and at small
+  // SFs that can happen below k, so a post-exhaustion round must carry
+  // the fused table forward, not annihilate it with an empty CROSS JOIN.
   private val deepK = 80
-  private def bpeDeepRoundCtes(r: Int, pfx: String): String =
-    s"""${pfx}bp$r AS (
-       |  SELECT s[i+1] AS lhs, s[i+2] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
-       |  FROM (SELECT string_split(toks, '$bpeSep') AS s, cnt,
-       |               unnest(range(len(string_split(toks, '$bpeSep')) - 1)) AS i
-       |        FROM ${pfx}bt${r - 1} WHERE len(string_split(toks, '$bpeSep')) >= 2)
-       |  GROUP BY 1, 2),
-       |${pfx}bb$r AS (SELECT lhs, rhs, c FROM ${pfx}bp$r ORDER BY c DESC, lhs, rhs LIMIT 1),
-       |${pfx}bt$r AS MATERIALIZED (
-       |  SELECT word, cnt,
-       |    CASE WHEN b.lhs IS NULL THEN toks ELSE ${bpeApplySql("toks")} END AS toks
-       |  FROM ${pfx}bt${r - 1} LEFT JOIN ${pfx}bb$r b ON TRUE)""".stripMargin
-  private def bpeDeepChainCtes(pfx: String, maxK: Int): String =
-    (s"""${pfx}bt0 AS MATERIALIZED (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
-       |         array_to_string(string_split(word, ''), '$bpeSep') AS toks
-       |  FROM ($bpeWordSrc)
-       |  GROUP BY 1)""".stripMargin +:
-      (1 to maxK).map(r => bpeDeepRoundCtes(r, pfx))).mkString(",\n")
   private def bpeDeepIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_bpe_deep", d, "params") { dir =>
       graft.llm.BpeIndex.build(Tables.documents(s, d), dir, deepK)
@@ -7539,7 +7561,7 @@ object LlmQueries {
         s"""SELECT CAST($k AS BIGINT) AS k,
            |  CAST(sum(len(string_split(b.toks, '$bpeSep'))) AS BIGINT) AS n_tokens
            |FROM pdw JOIN pbt$k b USING (word)""".stripMargin
-      s"""WITH ${bpeDeepChainCtes("p", deepK)},
+      s"""WITH ${bpeChainCtesOver(bpeWordSrc, "p", deepK)},
          |pdw AS MATERIALIZED (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
          |         w -> w <> '')) AS word FROM documents),
          |pnw AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM pdw),
@@ -7609,6 +7631,58 @@ object LlmQueries {
          |FROM sel ORDER BY rank""".stripMargin
     })
 
+  // q218 — the STREAMING DRIFT MONITOR, closing the tokenizer
+  // lifecycle loop: q216 hash-checks the rebuild decision as a batch
+  // scan; this runs the measurement that TRIGGERS it per micro-batch
+  // over the at-least-once feed. The per-doc token/word counts under
+  // the FROZEN slice-learned vocabulary are a pure per-row function
+  // (BpeIndex.driftScoreStream — q215's batch-split-invariance
+  // argument), landed idempotently; the final fold
+  // (BpeIndex.driftReportFrom) reproduces driftCheck's one-row report
+  // exactly: same integer-permille fertility, same drift gate. The
+  // oracle replays the slice-learned chain and the full-corpus serve
+  // chain (q216's CTEs) — a monitor that under- or over-counts a
+  // replayed batch, or a serve surface that drifted from the stored
+  // pre-tokenization mode, changes the hash.
+  private def bpeDriftMonDir(s: SparkSession, d: String): String =
+    scratchDir("graft_bpe_driftmon", d, "params") { dir =>
+      graft.llm.BpeIndex.build(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir, bpeK)
+    }
+  val q218 = Q(
+    "q218_stream_drift_monitor",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = bpeDriftMonDir(s, d)
+      val stage = streamFeedDir(s, d)
+      val land = trackedTempDir("graft_q218_land")
+      val ckpt = trackedTempDir("graft_q218_ckpt")
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          graft.llm.BpeIndex.driftScoreStream(s, idxDir, b.toDF()), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      reapAfter(
+        graft.llm.BpeIndex.driftReportFrom(s, idxDir,
+          s.read.parquet(land).drop("batch").distinct()),
+        land, ckpt)
+    },
+    Some {
+      val learnedK = (1 to bpeK)
+        .map(r => s"(SELECT count(*) FROM abb$r)").mkString(" + ")
+      s"""WITH ${bpeChainCtesOver(bpeSliceWordSrc, "a")},
+         |${bpeServeCtesOver(bpeWordSrc, "sv", "a")}
+         |SELECT CAST(($learnedK) AS INT) AS k,
+         |  ${bpeFertSql(s"abt$bpeK")} AS fert_train_permille,
+         |  ${bpeFertSql(s"svt$bpeK")} AS fert_now_permille,
+         |  ${bpeFertSql(s"svt$bpeK")} - ${bpeFertSql(s"abt$bpeK")}
+         |    AS drift_permille""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7620,5 +7694,6 @@ object LlmQueries {
     q156, q157, q158, q159, q160, q161, q162, q163, q164, q165, q166,
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
+    q218)
 }

@@ -264,14 +264,24 @@ class BpeSpec extends SparkSpec {
     val stored = BpeIndex.load(spark, dir)
     val goodSig = BpeIndex.signature(stored)
     val realK = stored.size
+    // the hand overwrites below replace the params DIRECTORY, dropping
+    // its version stamp — re-stamp from the manifest so the CONTENT
+    // checks under test are reached (the stamp tear itself is pinned in
+    // the manifest test below)
+    val fs = graft.llm.SwapManifest.fsOf(spark, dir)
+    def restampParams(): Unit = graft.llm.SwapManifest.stampTables(
+      fs, dir, Seq("params"),
+      graft.llm.SwapManifest.readManifest(fs, dir).get.apply("params"))
     // separator drift: params claim a different sep than this build's
     Seq((realK, "|", goodSig, "whitespace")).toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
+    restampParams()
     val e1 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e1.getMessage.contains("separator"))
     // torn artifact: params' k disagrees with the stored merge count
     Seq((5, Bpe.Sep, goodSig, "whitespace")).toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
+    restampParams()
     val e2 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e2.getMessage.contains("torn"))
     // interleaved builders: k and sep both match the stored merges but
@@ -280,8 +290,35 @@ class BpeSpec extends SparkSpec {
     Seq((realK, Bpe.Sep, goodSig ^ 0x5aL, "whitespace"))
       .toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
+    restampParams()
     val e3 = intercept[IllegalArgumentException] { BpeIndex.load(spark, dir) }
     assert(e3.getMessage.contains("signature"))
+  }
+
+  test("BpeIndex manifest: a torn swap fails loudly at load and is reported by healthCheck") {
+    val docs = Seq((1L, "ab ab b cd cd")).toDF("doc_id", "text")
+    val dir = tmpDir("bpe_idx_manifest")
+    BpeIndex.build(docs, dir, k = 3)
+    val h0 = BpeIndex.healthCheck(spark, dir).head()
+    assert(h0.getAs[Boolean]("has_manifest") &&
+      h0.getAs[String]("stale_tables") == "" && h0.getAs[Boolean]("healthy"))
+    // tear the swap by hand: merges carries a stamp the manifest doesn't
+    // expect (exactly the state a crash between swapAll's renames and
+    // the manifest rewrite leaves behind)
+    val fs = graft.llm.SwapManifest.fsOf(spark, dir)
+    graft.llm.SwapManifest.stampTables(fs, dir, Seq("merges"), "other-version")
+    val e = intercept[IllegalStateException] { BpeIndex.load(spark, dir) }
+    assert(e.getMessage.contains("version check") &&
+      e.getMessage.contains("torn swap"))
+    intercept[IllegalStateException] { BpeIndex.loadVocab(spark, dir) }
+    val h1 = BpeIndex.healthCheck(spark, dir).head()
+    assert(h1.getAs[Boolean]("has_manifest") &&
+      h1.getAs[String]("stale_tables") == "merges" &&
+      !h1.getAs[Boolean]("healthy"))
+    // rebuild restores a consistent stamped version
+    BpeIndex.rebuild(docs, dir, k = 3)
+    assert(BpeIndex.healthCheck(spark, dir).head().getAs[Boolean]("healthy"))
+    assert(BpeIndex.load(spark, dir).nonEmpty)
   }
 
   test("BpeIndex: rebuild re-learns on the new corpus and swaps cleanly") {
@@ -355,10 +392,39 @@ class BpeSpec extends SparkSpec {
     Seq((stored.size, Bpe.Sep, BpeIndex.signature(stored), "whitespace"))
       .toDF("k", "sep", "sig", "pretok")
       .write.mode("overwrite").parquet(s"$dir/params")
+    // re-stamp: the overwrite replaced the params dir (stamp and all);
+    // the layout check under test sits BEHIND the manifest check
+    val fs = graft.llm.SwapManifest.fsOf(spark, dir)
+    graft.llm.SwapManifest.stampTables(fs, dir, Seq("params"),
+      graft.llm.SwapManifest.readManifest(fs, dir).get.apply("params"))
     val e = intercept[IllegalArgumentException] {
       BpeIndex.driftCheck(train, dir)
     }
     assert(e.getMessage.contains("fertility"))
+  }
+
+  test("driftScoreStream + driftReportFrom == batch driftCheck, split- and replay-invariant") {
+    val train = Seq((1L, "ab ab"), (3L, "ab cd")).toDF("doc_id", "text")
+    val serve = train.union(Seq((2L, "cd cd cd"), (4L, "ef gh"))
+      .toDF("doc_id", "text"))
+    val dir = tmpDir("bpe_idx_driftmon")
+    BpeIndex.build(train, dir, k = 2)
+    val batch = BpeIndex.driftCheck(serve, dir).head()
+    // any split of the serve corpus, with replays, folds to the same
+    // report: the per-doc rows are a pure function of the document
+    val half1 = serve.filter(col("doc_id") <= 2L)
+    val half2 = serve.filter(col("doc_id") > 2L)
+    val perDoc = BpeIndex.driftScoreStream(spark, dir, half1)
+      .union(BpeIndex.driftScoreStream(spark, dir, half2))
+      .union(BpeIndex.driftScoreStream(spark, dir, half1)) // replay
+      .distinct()
+    val streamed = BpeIndex.driftReportFrom(spark, dir, perDoc).head()
+    for (c <- Seq("k", "fert_train_permille", "fert_now_permille",
+        "drift_permille"))
+      assert(streamed.getAs[Any](c) == batch.getAs[Any](c),
+        s"column $c diverged: streamed=$streamed batch=$batch")
+    assert(streamed.getAs[Long]("drift_permille") > 0L,
+      "the drifted serve corpus must show positive drift")
   }
 
   test("production-k encode: min-rank indexed loop == sequential per-rank loop") {
@@ -411,6 +477,43 @@ class BpeSpec extends SparkSpec {
     assert(dup.rankOf("x", "x") == 0)
   }
 
+  test("production-k encode: merged-string REUSE is malformed (indexed would diverge on it)") {
+    import graft.functions.{BpeCodec, LlmExprs}
+    import org.apache.spark.unsafe.types.UTF8String
+    // the round-17 advice fixture: every component is a single code
+    // point or an earlier merged string, but rank 5 (ab,c) RE-CREATES
+    // rank 3's merged string "abc" — on word "xabc" the sequential
+    // replay yields [x, abc] while a min-rank loop would fire rank 4
+    // (x,abc) on the late-recreated "abc" and yield [xabc]. A learned
+    // list never re-creates an eliminated pair's output, so uniqueness
+    // of merged strings is part of well-formedness; this list must
+    // dispatch sequential.
+    val head = Seq(("a", "b"), ("b", "c"), ("a", "bc"), ("x", "abc"),
+      ("ab", "c"))
+    val pad = (0 until 64).map(i => (s"p$i!", s"q$i!")) // keep length ≥ threshold
+    // pad pairs use multi-char components never created earlier, which
+    // already makes them malformed — so build the reuse fixture FIRST
+    // and assert on a codec of just the head padded with single-char
+    // self-merges that stay well-formed
+    val padOk = for {
+      c <- "defghijklmnopqrstuvwxyz"; d <- "0123"
+    } yield (c.toString, d.toString) // merged "d0","d1",… all unique
+    val all = head ++ padOk.take(64)
+    assert(all.size >= BpeCodec.IndexedThreshold)
+    val codec = new BpeCodec(all.map(_._1).toArray, all.map(_._2).toArray)
+    assert(!codec.wellFormed && !codec.useIndexed,
+      "merged-string reuse must be treated as malformed")
+    // and the public API stays correct: count/stream on 'xabc' follow
+    // the sequential semantics
+    val lhs = all.map(_._1).toArray
+    val rhs = all.map(_._2).toArray
+    val u = UTF8String.fromString("xabc")
+    assert(LlmExprs.bpeCount(u, codec) == LlmExprs.bpeCount(u, lhs, rhs))
+    assert(LlmExprs.bpeTokens(u, codec).toString ==
+      LlmExprs.bpeTokens(u, lhs, rhs).toString)
+    assert(LlmExprs.bpeCount(u, codec) == 2L) // [x, abc]
+  }
+
   test("driver-local learn == the distributed merge loop on the real corpus") {
     // the production-k path: the word-TYPE histogram is collected once
     // and the whole merge loop runs driver-local with incremental
@@ -432,6 +535,21 @@ class BpeSpec extends SparkSpec {
     val viaLocal = Bpe.learnMerges(docs, 5)
     val viaDist = Bpe.learnMerges(docs, 5, maxLocalTypes = 1)
     assert(viaLocal.nonEmpty && viaLocal == viaDist)
+  }
+
+  test("learnMerges dispatch: the fit probe is boundary-inclusive and drives the path choice") {
+    // 3 word types: exactly maxLocalTypes rows still run driver-local;
+    // one fewer tips to the distributed fallback. The probe is an
+    // executor-side limit+count — the driver never collects a histogram
+    // it will discard (the round-17 advice: head(maxLocalTypes+1) sized
+    // the driver heap by the probe, not the chosen path).
+    val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs)
+    assert(hist.count() == 3)
+    assert(Bpe.histogramFits(hist, 3))
+    assert(!Bpe.histogramFits(hist, 2))
+    assert(Bpe.learnMerges(docs, 4, maxLocalTypes = 3) ==
+      Bpe.learnMerges(docs, 4, maxLocalTypes = 2))
   }
 
   test("local argmax ties break in UTF-8 byte order, not UTF-16 (non-BMP lhs)") {

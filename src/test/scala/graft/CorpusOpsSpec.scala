@@ -445,6 +445,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.llm.IvfIndex.search(queries, dir, k = 3, nprobe = 4).count() > 0)
   }
 
+  test("IvfIndex.build after buildPq deletes the stale PQ layout — searchPq refuses loudly") {
+    // round-17 advice: re-running build() used to leave pq_codes
+    // partitioned under the OLD cells with no manifest entry, so
+    // verifyVersions passed and searchPq silently served candidates
+    // routed by the old clustering against the new centroids
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild_pq_spec").toString
+    graft.llm.IvfIndex.buildPq(e.filter(col("vec_id") < 200), dir,
+      nCells = 4, iters = 1)
+    val queries = e.filter(col("vec_id") < 4)
+    assert(graft.llm.IvfIndex.searchPq(queries, dir, k = 3, nprobe = 4)
+      .count() > 0)
+    // coarse-only rebuild over the same dir: the PQ layout is invalid
+    // against the new clustering and must be GONE, not stale
+    graft.llm.IvfIndex.build(e.filter(col("vec_id") < 300), dir,
+      nCells = 8, iters = 1)
+    for (t <- Seq("pq_codes", "pq_codebooks"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$t")),
+        s"$t must be deleted by a coarse build()")
+    val ex = intercept[IllegalStateException] {
+      graft.llm.IvfIndex.searchPq(queries, dir, k = 3, nprobe = 8)
+    }
+    assert(ex.getMessage.contains("no PQ index") &&
+      ex.getMessage.contains("buildPq"))
+    // the coarse index itself serves and reports healthy (2 tables)
+    assert(graft.llm.IvfIndex.search(queries, dir, k = 3, nprobe = 8).count() > 0)
+    val h = graft.llm.IvfIndex.healthCheck(spark, dir).head()
+    assert(h.getAs[Boolean]("healthy") && h.getAs[Long]("n_tables") === 2L)
+    // buildPq re-establishes the PQ serving path
+    graft.llm.IvfIndex.buildPq(e.filter(col("vec_id") < 300), dir,
+      nCells = 4, iters = 1)
+    assert(graft.llm.IvfIndex.searchPq(queries, dir, k = 3, nprobe = 4)
+      .count() > 0)
+  }
+
+  test("IvfIndex.append: conflicting embeddings under one vec_id store at most one row, never update") {
+    // the documented contract: append is insert-if-absent on vec_id —
+    // an id already stored keeps its STORED embedding regardless of the
+    // new batch, and a batch carrying one id twice with DIFFERENT
+    // embeddings keeps an arbitrary single row (undefined which)
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_conflict_spec").toString
+    graft.llm.IvfIndex.build(e.filter(col("vec_id") < 50), dir,
+      nCells = 4, iters = 1)
+    val storedBefore = spark.read.parquet(s"$dir/assignments")
+      .filter(col("vec_id") === 7L).select("embedding").head()
+      .getSeq[Float](0)
+    // same-batch conflict on a NEW id (9999) + a conflicting re-send of
+    // an EXISTING id (7)
+    val base = e.filter(col("vec_id") === 8L).select("embedding")
+      .head().getSeq[Float](0)
+    import spark.implicits._
+    val batch = Seq(
+      (9999L, base.map(_ + 1.0f)),
+      (9999L, base.map(_ + 2.0f)),
+      (7L, base.map(_ + 3.0f))).toDF("vec_id", "embedding")
+    graft.llm.IvfIndex.append(batch, dir)
+    val stored = spark.read.parquet(s"$dir/assignments")
+    assert(stored.filter(col("vec_id") === 9999L).count() === 1L,
+      "at most one row per vec_id")
+    assert(stored.filter(col("vec_id") === 7L).count() === 1L)
+    assert(stored.filter(col("vec_id") === 7L).select("embedding").head()
+      .getSeq[Float](0) == storedBefore,
+      "an already-indexed id keeps its stored embedding (insert-if-absent)")
+  }
+
   test("IvfIndex.rebuild: drifted append re-clusters, skew drops, full-probe answers preserved") {
     val e = Tables.embeddings(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString
