@@ -757,3 +757,205 @@ case class HyperplaneBucketExpr(child: Expression, nbits: Int, bitOffset: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Unigram-LM (SentencePiece-family) Viterbi segmenter — the vocabulary
+ * (piece → integer cost) plus the per-chunk dynamic program, shipped as
+ * ONE codegen reference object so encode is scan-stage like the BPE
+ * [[BpeCodec]] (no join against a vocabulary table, nothing shuffled).
+ *
+ * Determinism contract (what the DuckDB oracle replays CTE-for-CTE):
+ *  - pre-tokenization: split text on single spaces, drop empties, cut
+ *    each word into `chunkLen`-CODE-POINT chunks (graft.llm.Bpe
+ *    .chunkWords semantics — a surrogate pair is one position, matching
+ *    Spark's substring and DuckDB's character indexing);
+ *  - per chunk, Viterbi over code-point positions: a piece of length
+ *    l ≤ `maxPieceLen` ending at position j extends the best state at
+ *    j−l; a single code point NOT in the vocabulary is admitted at
+ *    `unkCost` (coverage can never fail), longer out-of-vocabulary
+ *    substrings are not candidates;
+ *  - states compare by (total cost ASC, piece count ASC, packed
+ *    segmentation ASC in UTF-8 byte order) — exactly the oracle's
+ *    `min(lpad(cost, 4) || lpad(np, 2) || seg)` over VARCHAR under
+ *    binary collation, so every tie resolves identically on both
+ *    engines. Costs are integer surprisal bits (bitlen(total) −
+ *    bitlen(freq), the q113 `length(bin(n))` discipline) — no floats
+ *    anywhere in learn or encode.
+ */
+final class UnigramCodec(val pieces: Array[String], val costs: Array[Long],
+    val chunkLen: Int, val maxPieceLen: Int, val unkCost: Long)
+    extends Serializable {
+
+  @transient private lazy val cost: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < pieces.length) {
+      // duplicate pieces never happen in a learned vocabulary (singleton
+      // and multi-char selections are disjoint); keep the first
+      m.putIfAbsent(pieces(i), java.lang.Long.valueOf(costs(i)))
+      i += 1
+    }
+    m
+  }
+
+  /** Cost of `p`, or Long.MaxValue when it is not in the vocabulary. */
+  private def costOf(p: String): Long = {
+    val v = cost.get(p)
+    if (v == null) Long.MaxValue else v.longValue()
+  }
+
+  /** UTF-8 byte comparison (Spark UTF8String / DuckDB binary collation
+    * order — NOT Java's UTF-16 compareTo, which ranks supplementary
+    * planes below U+E000). Mirrors graft.llm.Bpe.utf8Ordering. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** Viterbi over ONE chunk `s[from, until)` (char offsets). Returns the
+    * winning packed segmentation ("p1~p2~…") — piece count is its '~'
+    * count + 1, so count and stream can never disagree. */
+  private def viterbiChunk(s: String, from: Int, until: Int): String = {
+    // code-point boundaries: off(i) = char offset of the i-th code point
+    val off = new Array[Int](s.codePointCount(from, until) + 1)
+    var cp = from
+    var k = 0
+    while (cp < until) {
+      off(k) = cp
+      cp += Character.charCount(s.codePointAt(cp))
+      k += 1
+    }
+    off(k) = until
+    val n = k
+    val bCost = new Array[Long](n + 1)
+    val bNp = new Array[Int](n + 1)
+    val bSeg = new Array[String](n + 1)
+    bSeg(0) = ""
+    var j = 1
+    while (j <= n) {
+      var bestC = Long.MaxValue
+      var bestN = Int.MaxValue
+      var bestS: String = null
+      var l = 1
+      val lMax = math.min(j, maxPieceLen)
+      while (l <= lMax) {
+        val piece = s.substring(off(j - l), off(j))
+        var pc = costOf(piece)
+        if (pc == Long.MaxValue && l == 1) pc = unkCost
+        if (pc != Long.MaxValue) {
+          val cc = bCost(j - l) + pc
+          val nn = bNp(j - l) + 1
+          if (cc < bestC || (cc == bestC && nn < bestN)) {
+            bestC = cc; bestN = nn
+            bestS = if (bSeg(j - l).isEmpty) piece
+              else bSeg(j - l) + "~" + piece
+          } else if (cc == bestC && nn == bestN) {
+            val cand = if (bSeg(j - l).isEmpty) piece
+              else bSeg(j - l) + "~" + piece
+            if (utf8Compare(cand, bestS) < 0) bestS = cand
+          }
+        }
+        l += 1
+      }
+      bCost(j) = bestC; bNp(j) = bestN; bSeg(j) = bestS
+      j += 1
+    }
+    bSeg(n)
+  }
+
+  /** Chunk boundaries of one word `s[i, j)`: every `chunkLen` code
+    * points. Invokes `f` per chunk's (fromChar, untilChar). */
+  private def foreachChunk(s: String, i: Int, j: Int,
+      f: (Int, Int) => Unit): Unit = {
+    var start = i
+    while (start < j) {
+      var cp = start
+      var c = 0
+      while (cp < j && c < chunkLen) {
+        cp += Character.charCount(s.codePointAt(cp))
+        c += 1
+      }
+      f(start, cp)
+      start = cp
+    }
+  }
+
+  /** Codegen entry: total Viterbi piece count of `text`. */
+  def count(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i <= n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) foreachChunk(s, i, j, (a, b) => {
+        val seg = viterbiChunk(s, a, b)
+        var t = 1L
+        var p = seg.indexOf('~')
+        while (p >= 0) { t += 1; p = seg.indexOf('~', p + 1) }
+        total += t
+      })
+      i = j + 1
+    }
+    total
+  }
+
+  /** Codegen entry: the document's full Viterbi token stream (document
+    * order, multiplicity kept). Same per-chunk DP as [[count]]. */
+  def tokens(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i <= n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) foreachChunk(s, i, j, (a, b) => {
+        viterbiChunk(s, a, b).split('~').foreach(p =>
+          out += UTF8String.fromString(p))
+      })
+      i = j + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native unigram-LM Viterbi token counter — scan-stage, codegen'd
+  * (mirrors [[BpeCountExpr]]). Backs [[graft.llm.UnigramLm.tokenCount]]. */
+case class UnigramCountExpr(child: Expression, codec: UnigramCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    codec.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c0 = ctx.addReferenceObj("ugCodec", codec, "graft.functions.UnigramCodec")
+    defineCodeGen(ctx, ev, c => s"$c0.count($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The unigram segmenter's token STREAM as a native array expression —
+  * [[UnigramCountExpr]]'s collecting sibling (both route through one
+  * shared per-chunk Viterbi, so count and stream can never disagree). */
+case class UnigramTokensExpr(child: Expression, codec: UnigramCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    codec.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c0 = ctx.addReferenceObj("ugCodec", codec, "graft.functions.UnigramCodec")
+    defineCodeGen(ctx, ev, c => s"$c0.tokens($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

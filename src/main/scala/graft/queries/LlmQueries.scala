@@ -7683,6 +7683,215 @@ object LlmQueries {
          |    AS drift_permille""".stripMargin
     })
 
+  // ------------------------------------------------- unigram-LM tokenizer
+  // The SentencePiece-family Viterbi segmenter next to the BPE surface
+  // (llm/UnigramLm.scala): integer surprisal-bit costs (the q113
+  // length(bin(n)) discipline), chunked pre-tokenization (ugChunkLen
+  // code points — which also bounds the oracle's DP unroll to a FIXED
+  // CTE chain), min-key tie-break pinned byte-identical on both engines.
+
+  private val ugChunkLen = 6
+  private val ugPieceLen = 3
+  private val ugMinCount = 3L
+  private val ugVocabSize = 40
+
+  private val ugVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.UnigramLm.Piece]]()
+  private def ugVocabFor(s: SparkSession, d: String): Seq[graft.llm.UnigramLm.Piece] =
+    ugVocabCache.computeIfAbsent(d, _ =>
+      graft.llm.UnigramLm.learnVocab(Tables.documents(s, d), ugChunkLen,
+        ugPieceLen, ugMinCount, ugVocabSize))
+  private val ugVocab2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.UnigramLm.Piece]]()
+  private def ugVocab2For(s: SparkSession, d: String): Seq[graft.llm.UnigramLm.Piece] =
+    ugVocab2Cache.computeIfAbsent(d, _ =>
+      graft.llm.UnigramLm.reestimate(Tables.documents(s, d), ugVocabFor(s, d),
+        ugChunkLen, ugPieceLen))
+
+  /** Chunk histograms + vocabulary + cost CTEs — the learn replay.
+    * `uchs` keeps (source, word, cnt) for per-source reports; `uch` is
+    * the global chunk-type frame the DP runs over. */
+  private val ugLearnCtes: String =
+    s"""uws AS (SELECT source, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+       |           x -> x <> '')) AS w0 FROM documents),
+       |uck AS (SELECT source, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
+       |        FROM (SELECT source, w0,
+       |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
+       |              FROM uws)),
+       |uchs AS MATERIALIZED (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM uck GROUP BY 1, 2),
+       |uch AS MATERIALIZED (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM uchs GROUP BY 1),
+       |ucnd0 AS (SELECT word, cnt, unnest(range(length(word))) AS s FROM uch),
+       |ucnd1 AS (SELECT word, cnt, s, unnest([${(1 to ugPieceLen).mkString(", ")}]) AS l FROM ucnd0),
+       |ucnd AS MATERIALIZED (SELECT substring(word, CAST(s AS INT) + 1, CAST(l AS INT)) AS piece,
+       |           CAST(sum(cnt) AS BIGINT) AS freq
+       |         FROM ucnd1 WHERE s + l <= length(word) GROUP BY 1),
+       |usg1 AS (SELECT piece, freq FROM ucnd WHERE length(piece) = 1),
+       |umult AS (SELECT piece, freq FROM ucnd
+       |          WHERE length(piece) >= 2 AND freq >= $ugMinCount
+       |          ORDER BY freq DESC, piece LIMIT $ugVocabSize),
+       |uvoc AS (SELECT * FROM usg1 UNION ALL SELECT * FROM umult),
+       |utot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM uvoc),
+       |uvc AS MATERIALIZED (SELECT piece, freq,
+       |          CAST(length(bin(t.tot)) - length(bin(freq)) AS BIGINT) AS cost,
+       |          length(piece) AS plen
+       |        FROM uvoc CROSS JOIN utot t),
+       |uunk AS MATERIALIZED (SELECT CAST(length(bin(tot)) - 1 AS BIGINT) AS c FROM utot)""".stripMargin
+
+  /** One Viterbi transition: extend the packed state key (lpad(cost, 4)
+    * || lpad(np, 2) || seg) by one piece. */
+  private def ugStep(pieceSql: String, costSql: String): String =
+    s"""lpad(CAST(CAST(substring(b.key, 1, 4) AS INTEGER) + $costSql AS VARCHAR), 4, '0') ||
+       |  lpad(CAST(CAST(substring(b.key, 5, 2) AS INTEGER) + 1 AS VARCHAR), 2, '0') ||
+       |  CASE WHEN length(b.key) = 6 THEN $pieceSql
+       |       ELSE substring(b.key, 7) || '~' || $pieceSql END""".stripMargin
+
+  /** The unrolled Viterbi DP: `p`0..`p`$ugChunkLen position CTEs (state =
+    * min packed key per chunk type) + `p`e, the per-chunk winning key.
+    * Chain length is STRUCTURAL (the chunked pre-tokenization bounds
+    * every pre-token at $ugChunkLen code points), independent of corpus. */
+  private def ugDpCtes(p: String, vc: String, unkCte: String,
+      src: String): String = {
+    // every position CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs
+    // at every reference, and p_j is referenced by up to ugPieceLen later
+    // steps — un-materialized, the chain re-expands ~3^6-fold and the
+    // compare dies on file handles (the q223 double chain found this)
+    val init = s"${p}0 AS MATERIALIZED (SELECT word, cnt, '000000' AS key FROM $src)"
+    val steps = (1 to ugChunkLen).map { j =>
+      val branches = (1 to math.min(j, ugPieceLen)).map { l =>
+        val prev = s"$p${j - l}"
+        if (l == 1)
+          s"""SELECT b.word, b.cnt, ${ugStep(s"substring(b.word, $j, 1)",
+               "coalesce(v.cost, u.c)")} AS k
+             |FROM $prev b
+             |LEFT JOIN $vc v ON v.plen = 1 AND v.piece = substring(b.word, $j, 1)
+             |CROSS JOIN $unkCte u
+             |WHERE length(b.word) >= $j""".stripMargin
+        else
+          s"""SELECT b.word, b.cnt, ${ugStep("v.piece", "v.cost")} AS k
+             |FROM $prev b
+             |JOIN $vc v ON v.plen = $l AND v.piece = substring(b.word, ${j - l + 1}, $l)
+             |WHERE length(b.word) >= $j""".stripMargin
+      }
+      s"""$p$j AS MATERIALIZED (SELECT word, cnt, min(k) AS key FROM (
+         |${branches.mkString("\nUNION ALL\n")}) GROUP BY 1, 2)""".stripMargin
+    }
+    val enc = s"${p}e AS MATERIALIZED (" + (1 to ugChunkLen)
+      .map(j => s"SELECT word, cnt, key FROM $p$j WHERE length(word) = $j")
+      .mkString(" UNION ALL ") + ")"
+    (init +: steps :+ enc).mkString(",\n")
+  }
+
+  /** Per-source fertility report off an encoded relation `enc` (np rides
+    * in the state key at positions 5–6). */
+  private def ugReportSql(enc: String): String =
+    s"""SELECT s.source,
+       |  CAST(sum(s.cnt) AS BIGINT) AS n_chunks,
+       |  CAST(sum(s.cnt * CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s.cnt * CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) * 1000
+       |    // greatest(CAST(sum(s.cnt) AS BIGINT), 1) AS fertility_permille
+       |FROM uchs s JOIN $enc e USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hard-EM usage re-estimation CTEs over the round-1 encode `ue`. */
+  private val ugEmCtes: String =
+    s"""uuse AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_uses FROM (
+       |    SELECT cnt, unnest(string_split(substring(key, 7), '~')) AS piece FROM ue)
+       |  GROUP BY 1),
+       |utot2 AS (SELECT CAST(sum(n_uses) AS BIGINT) AS tot FROM uuse),
+       |uvc2 AS MATERIALIZED (SELECT v.piece, CAST(coalesce(u.n_uses, 0) AS BIGINT) AS n_uses,
+       |           CAST(length(bin(t.tot)) - length(bin(coalesce(u.n_uses, 0))) AS BIGINT) AS cost,
+       |           v.plen
+       |         FROM uvc v LEFT JOIN uuse u USING (piece) CROSS JOIN utot2 t),
+       |uunk2 AS MATERIALIZED (SELECT CAST(length(bin(tot)) - 1 AS BIGINT) AS c FROM utot2)""".stripMargin
+
+  // q220 — the learned unigram vocabulary: every single code point of
+  // the corpus (coverage floor) + top-V multi-char substrings by
+  // weighted frequency, with integer surprisal-bit costs. The learn is
+  // histogram-bounded (chunk types, not corpus volume) and the top-V a
+  // distributed TakeOrderedAndProject — no single-partition window.
+  val q220 = Q(
+    "q220_unigram_vocab",
+    (s, d) => graft.llm.UnigramLm.learnVocabDf(Tables.documents(s, d),
+      ugChunkLen, ugPieceLen, ugMinCount, ugVocabSize).orderBy("piece"),
+    Some(
+      s"""WITH $ugLearnCtes
+         |SELECT piece, freq, cost FROM uvc ORDER BY piece""".stripMargin))
+
+  // q221 — corpus encode under the learned vocabulary: per-source chunk
+  // and Viterbi token mass + fertility. Spark side is ONE scan-stage
+  // pass (the codegen'd UnigramCountExpr, vocabulary riding the closure
+  // — no join, no shuffle beyond the per-source aggregate); the oracle
+  // Viterbi-segments the chunk-TYPE table through the unrolled DP chain
+  // and re-weights by per-source counts.
+  val q221 = Q(
+    "q221_unigram_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
+        ugPieceLen)
+      docs.groupBy("source")
+        .agg(
+          sum(graft.llm.UnigramLm.chunkCount(col("text"), ugChunkLen))
+            .as("n_chunks"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), codec))
+            .as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+            .as("fertility_permille"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")}
+         |${ugReportSql("ue")}""".stripMargin))
+
+  // q222 — ONE hard-EM round: Viterbi usage counts under the round-1
+  // costs, SAME piece set re-costed against usage totals (a never-used
+  // piece gets cost(0) — pruned in effect, single-code-point coverage
+  // kept). Usage counting runs over the chunk-type histogram (each
+  // distinct chunk segments once, weighted by corpus count — the
+  // mergeUtilization pattern), so the EM step is vocabulary-bounded too.
+  val q222 = Q(
+    "q222_unigram_em_vocab",
+    (s, d) => graft.llm.UnigramLm.reestimateDf(Tables.documents(s, d),
+      ugVocabFor(s, d), ugChunkLen, ugPieceLen).orderBy("piece"),
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |$ugEmCtes
+         |SELECT piece, n_uses, cost FROM uvc2 ORDER BY piece""".stripMargin))
+
+  // q223 — re-encode under the EM-refreshed costs: the full unigram
+  // lifecycle (learn → encode → re-estimate → encode) closed with a
+  // hash check. The oracle runs the DP chain TWICE — once under uvc,
+  // once under uvc2 — so any drift between the Scala re-costing and the
+  // SQL replay (usage totals, bitlen edge at n_uses = 0, tie-breaks
+  // under the new costs) changes the hash.
+  val q223 = Q(
+    "q223_unigram_em_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val codec2 = graft.llm.UnigramLm.codecOf(ugVocab2For(s, d), ugChunkLen,
+        ugPieceLen)
+      docs.groupBy("source")
+        .agg(
+          sum(graft.llm.UnigramLm.chunkCount(col("text"), ugChunkLen))
+            .as("n_chunks"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), codec2))
+            .as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+            .as("fertility_permille"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |$ugEmCtes,
+         |${ugDpCtes("f", "uvc2", "uunk2", "uch")}
+         |${ugReportSql("fe")}""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7695,5 +7904,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218)
+    q218, q220, q221, q222, q223)
 }

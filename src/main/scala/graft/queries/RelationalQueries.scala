@@ -428,6 +428,64 @@ object RelationalQueries {
          |      FROM orders)
          |GROUP BY zcell ORDER BY zcell""".stripMargin))
 
+  // --------------------------------------------------- bucketed layout
+  // Build-once bucketed copies of the two FACT tables, both bucketed (and
+  // sorted) on the join key into the same bucket count. This is the
+  // co-located fact-fact join layout for 100 TB: both sides' bucket files
+  // are partitioned identically ON DISK, so the join needs NO exchange on
+  // either side (PlanSpec asserts zero ShuffleExchange with broadcast
+  // disabled) — at scale that's the difference between re-shuffling
+  // terabytes per query and a local merge per bucket pair. Tables are
+  // external (data under a reaped temp dir), registered in the session
+  // catalog once per (JVM, sf).
+  private val bucketedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def bucketedPair(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    bucketedDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      Tables.lineitem(s, d).write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/lineitem").saveAsTable(lt)
+      Tables.orders(s, d).write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/orders").saveAsTable(ot)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete()
+        }
+        rm(new java.io.File(dir))
+      }))
+      dir
+    })
+    (s.table(lt), s.table(ot))
+  }
+
+  // q219 — the co-located join itself: lineitem ⋈ orders on the shared
+  // bucket key, rolled up per order priority. The oracle is the plain
+  // logical join over the raw parquet — bucketing is a physical layout
+  // choice and must never change a result.
+  val q219 = Q(
+    "q219_bucketed_join",
+    (s, d) => {
+      val (l, o) = bucketedPair(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+         |       ${Det.dsumSql("l_quantity")} AS sum_qty,
+         |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61, q67, q74, q75, q90, q103)
+    q25, q57, q60, q61, q67, q74, q75, q90, q103, q219)
 }

@@ -36,7 +36,13 @@ class CodegenSpec extends SparkSpec {
         Seq(("a", "b"), ("ab", "c")))).as("bpec"),
       org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.BpeTokensExpr(
         org.apache.spark.sql.GraftColumnBridge.exprOf(coalesce(col("text"), lit(""))),
-        Seq(("a", "b"), ("ab", "c")))).as("bpet"))
+        Seq(("a", "b"), ("ab", "c")))).as("bpet"),
+      graft.llm.UnigramLm.tokenCount(col("text"),
+        new graft.functions.UnigramCodec(Array("a", "b", "ab"),
+          Array(1L, 1L, 1L), 6, 3, 5L)).as("ugc"),
+      graft.llm.UnigramLm.tokens(col("text"),
+        new graft.functions.UnigramCodec(Array("a", "b", "ab"),
+          Array(1L, 1L, 1L), 6, 3, 5L)).as("ugt"))
       .count() > 0)
     assert(embs.select(
       dotProduct(col("embedding"), col("embedding")).as("dot"),

@@ -488,4 +488,24 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q204_curation_v12").contains("CartesianProduct"),
       "v12 pipeline planned a cross product")
   }
+
+  test("q219: bucketed fact-fact join needs NO exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    // broadcast and AQE off: prove it is the BUCKETING that removes the
+    // shuffle, not a small-side broadcast or a runtime rewrite. At 100 TB
+    // neither side broadcasts — this layout is what makes the join local.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val (l, o) = graft.queries.RelationalQueries.bucketedPair(s2, sfDir)
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderpriority"))
+    j.count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join: $p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles: $p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan does not report bucketed read")
+  }
 }

@@ -1,0 +1,229 @@
+package graft
+
+import graft.functions.UnigramCodec
+import graft.llm.UnigramLm
+import graft.llm.UnigramLm.Piece
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM tokenizer semantics the hash-checked oracles (q220–q223)
+ * can't pin from the outside: the Viterbi tie-break order (cost, piece
+ * count, packed segmentation in UTF-8 byte order), the unknown-single-
+ * code-point fallback, chunk boundaries as hard segmentation walls,
+ * code-point (not UTF-16 unit) indexing, and learn/re-estimate
+ * determinism. The reference implementations here are sequential Scala —
+ * deliberately independent of both the codegen'd codec and the DuckDB
+ * DP-chain replay.
+ */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Code points of a string, each as its own String. */
+  private def cps(s: String): Vector[String] =
+    s.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
+  /** Reference chunking: whitespace words cut every `cl` code points. */
+  private def refChunks(text: String, cl: Int): Seq[Vector[String]] =
+    text.split(" ").filter(_.nonEmpty).toSeq
+      .flatMap(w => cps(w).grouped(cl).toSeq)
+
+  /** Reference Viterbi over one chunk — exhaustive DP with explicit
+    * (cost, np, seg) state comparison. */
+  private def refViterbi(chunk: Vector[String], vocab: Map[String, Long],
+      unk: Long, maxL: Int): Seq[String] = {
+    final case class St(cost: Long, np: Int, seg: String)
+    def better(a: St, b: St): Boolean =
+      a.cost < b.cost || (a.cost == b.cost &&
+        (a.np < b.np || (a.np == b.np && utf8Lt(a.seg, b.seg))))
+    val n = chunk.length
+    val best = new Array[St](n + 1)
+    best(0) = St(0L, 0, "")
+    for (j <- 1 to n) {
+      var b: St = null
+      for (l <- 1 to math.min(j, maxL)) {
+        val piece = chunk.slice(j - l, j).mkString
+        val pc = vocab.get(piece) match {
+          case Some(c) => Some(c)
+          case None if l == 1 => Some(unk)
+          case None => None
+        }
+        pc.foreach { c =>
+          val prev = best(j - l)
+          val cand = St(prev.cost + c, prev.np + 1,
+            if (prev.seg.isEmpty) piece else prev.seg + "~" + piece)
+          if (b == null || better(cand, b)) b = cand
+        }
+      }
+      best(j) = b
+    }
+    best(n).seg.split('~').toSeq
+  }
+
+  private def refTokens(text: String, vocab: Map[String, Long], unk: Long,
+      cl: Int, maxL: Int): Seq[String] =
+    refChunks(text, cl).flatMap(c => refViterbi(c, vocab, unk, maxL))
+
+  private def codecOf(vocab: Map[String, Long], unk: Long, cl: Int,
+      maxL: Int): UnigramCodec = {
+    val ps = vocab.toArray.sortBy(_._1)
+    new UnigramCodec(ps.map(_._1), ps.map(_._2), cl, maxL, unk)
+  }
+
+  private def sparkTokens(texts: Seq[String], codec: UnigramCodec): Seq[Seq[String]] =
+    texts.toDF("text")
+      .select(UnigramLm.tokens(col("text"), codec).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+
+  test("codec ≡ reference Viterbi on a mixed fixture (codegen path)") {
+    val vocab = Map[String, Long]("a" -> 3, "b" -> 3, "c" -> 4, "n" -> 2,
+      "ab" -> 4, "ba" -> 5, "an" -> 3, "na" -> 3, "ana" -> 4, "ban" -> 5)
+    val unk = 6L
+    val texts = Seq("banana band", "abab ab a", "cabba", "nan ban anna",
+      "a b c", "xyz abx", "")
+    val got = sparkTokens(texts, codecOf(vocab, unk, 6, 3))
+    val want = texts.map(t => refTokens(t, vocab, unk, 6, 3))
+    assert(got == want)
+  }
+
+  test("tie on cost prefers fewer pieces") {
+    // "ab" as one piece (cost 2) ties [a, b] (1 + 1): np breaks the tie
+    val vocab = Map[String, Long]("a" -> 1, "b" -> 1, "ab" -> 2)
+    val got = sparkTokens(Seq("ab"), codecOf(vocab, 9, 6, 3))
+    assert(got == Seq(Seq("ab")))
+  }
+
+  test("tie on cost and count breaks on packed segmentation bytes") {
+    // [ab, c] and [a, bc] both cost 2 with 2 pieces; "ab~c" < "a~bc" in
+    // UTF-8 bytes ('b' 0x62 < '~' 0x7e) so [ab, c] must win — on both
+    // engines (the oracle's min() over VARCHAR keys picks the same).
+    val vocab = Map[String, Long]("a" -> 1, "b" -> 1, "c" -> 1,
+      "ab" -> 1, "bc" -> 1)
+    val got = sparkTokens(Seq("abc"), codecOf(vocab, 9, 6, 3))
+    assert(got == Seq(Seq("ab", "c")))
+  }
+
+  test("unknown single code point falls back to unkCost; longer OOV never a piece") {
+    val vocab = Map[String, Long]("a" -> 1)
+    // "xa": x is OOV → single-char unk piece; "xx" never considered
+    val got = sparkTokens(Seq("xxa"), codecOf(vocab, 5, 6, 3))
+    assert(got == Seq(Seq("x", "x", "a")))
+  }
+
+  test("chunk boundaries are segmentation walls") {
+    // chunkLen 3: "abcd" → chunks [abc][d]; "cd" is in vocab but may not
+    // span the boundary
+    val vocab = Map[String, Long]("a" -> 1, "b" -> 1, "c" -> 1, "d" -> 1,
+      "cd" -> 1, "abc" -> 1)
+    val got = sparkTokens(Seq("abcd"), codecOf(vocab, 9, 3, 3))
+    assert(got == Seq(Seq("abc", "d")))
+  }
+
+  test("count ≡ tokens length, nulls and empties are zero") {
+    val vocab = Map[String, Long]("a" -> 1, "b" -> 2, "ab" -> 2)
+    val codec = codecOf(vocab, 7, 4, 3)
+    val df = Seq(Some("abab baa x"), Some(""), None, Some("   "))
+      .toDF("text")
+      .select(UnigramLm.tokenCount(col("text"), codec).as("n"),
+        size(UnigramLm.tokens(col("text"), codec)).cast("long").as("m"))
+    assert(df.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    assert(df.collect().map(_.getLong(0)).drop(1).forall(_ == 0L))
+  }
+
+  test("code-point indexing: supplementary-plane chars are single positions") {
+    // 𝄞 (U+1D11E) is one code point / two UTF-16 units; with chunkLen 2
+    // the word "𝄞a𝄞" must chunk [𝄞a][𝄞], never split a surrogate pair
+    val vocab = Map[String, Long]("𝄞" -> 1, "a" -> 1,
+      "𝄞a" -> 1)
+    val got = sparkTokens(Seq("𝄞a𝄞"),
+      codecOf(vocab, 9, 2, 2))
+    val want = refTokens("𝄞a𝄞", vocab, 9, 2, 2)
+    assert(got == Seq(want))
+    assert(got == Seq(Seq("𝄞a", "𝄞")))
+  }
+
+  /** Independent brute-force learn over the fixture: substring counts,
+    * singleton floor, top-V multi-char selection, bitlen costs. */
+  private def refLearn(texts: Seq[String], cl: Int, maxL: Int,
+      minCount: Long, vocabSize: Int): Seq[Piece] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => refChunks(t, cl).foreach { ch =>
+      for (s <- ch.indices; l <- 1 to math.min(maxL, ch.length - s)) {
+        val p = ch.slice(s, s + l).mkString
+        freq(p) = freq.getOrElse(p, 0L) + 1L
+      }
+    })
+    def cpsLen(s: String) = s.codePointCount(0, s.length)
+    val sing = freq.filter { case (p, _) => cpsLen(p) == 1 }.toSeq
+    val multi = freq.filter { case (p, f) => cpsLen(p) >= 2 && f >= minCount }
+      .toSeq.sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+      .take(vocabSize)
+    val sel = sing ++ multi
+    val tot = sel.map(_._2).sum
+    def bl(n: Long) = if (n <= 0) 1L else (64 - java.lang.Long.numberOfLeadingZeros(n)).toLong
+    sel.map { case (p, f) => Piece(p, f, bl(tot) - bl(f)) }
+      .sortWith((a, b) => utf8Lt(a.piece, b.piece))
+  }
+
+  test("learnVocab ≡ independent brute force on a fixture corpus") {
+    val texts = Seq("banana band banana", "ababab cabbage", "a cab can nab",
+      "bandana ban")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = UnigramLm.learnVocab(docs, chunkLen = 6, maxPieceLen = 3,
+      minCount = 3L, vocabSize = 5)
+    val want = refLearn(texts, 6, 3, 3L, 5)
+    assert(got == want)
+  }
+
+  test("reestimate counts usage exactly and re-costs the same piece set") {
+    val texts = Seq("banana band banana", "ababab cabbage", "a cab can nab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val v1 = UnigramLm.learnVocab(docs, 6, 3, 3L, 5)
+    val v2 = UnigramLm.reestimate(docs, v1, 6, 3)
+    assert(v2.map(_.piece) == v1.map(_.piece))
+    // independent usage count: encode every text with the reference
+    // Viterbi under v1's costs and tally pieces
+    val vocab = v1.map(p => p.piece -> p.cost).toMap
+    val unk = UnigramLm.codecOf(v1, 6, 3).unkCost
+    val want = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => refTokens(t, vocab, unk, 6, 3)
+      .foreach(p => want(p) = want.getOrElse(p, 0L) + 1L))
+    v2.foreach(p => assert(p.freq == want.getOrElse(p.piece, 0L),
+      s"usage mismatch for '${p.piece}'"))
+    // totals agree with the corpus token count
+    val codec1 = UnigramLm.codecOf(v1, 6, 3)
+    val totalToks = docs
+      .agg(sum(UnigramLm.tokenCount(col("text"), codec1))).head.getLong(0)
+    assert(v2.map(_.freq).sum == totalToks)
+  }
+
+  test("registry vocabulary on the sf0.001 corpus: coverage and cost sanity") {
+    val docs = Tables.documents(spark, sfDir)
+    val v = UnigramLm.learnVocab(docs)
+    // every corpus code point is covered
+    val corpusChars = docs.select(explode(split(regexp_replace(
+        coalesce(col("text"), lit("")), " ", ""), "")).as("c"))
+      .filter(col("c") =!= "").distinct().as[String].collect().toSet
+    val singles = v.map(_.piece).filter(p => p.codePointCount(0, p.length) == 1).toSet
+    assert(corpusChars.subsetOf(singles))
+    // costs are the bitlen formula against the vocabulary total
+    val tot = v.map(_.freq).sum
+    def bl(n: Long) = if (n <= 0) 1L else (64 - java.lang.Long.numberOfLeadingZeros(n)).toLong
+    v.foreach(p => assert(p.cost == bl(tot) - bl(p.freq)))
+  }
+}
