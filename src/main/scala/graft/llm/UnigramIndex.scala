@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted unigram-LM vocabulary — the fifth index lifecycle beside
+ * [[DedupIndex]], [[IvfIndex]], [[DeconIndex]] and [[BpeIndex]]: the
+ * SentencePiece-family tokenizer artifact every job that budgets or
+ * packs by unigram tokens must share (a vocabulary that drifted between
+ * jobs makes their token counts mutually inconsistent — the BpeIndex
+ * argument, applied to the second tokenizer family).
+ *
+ * Layout (the [[BpeIndex]] shape):
+ *  - `pieces` — (piece, freq, cost), the learned vocabulary with its
+ *    integer surprisal-bit costs, piece-ordered;
+ *  - `params` — one row (n_pieces, chunk_len, max_piece_len, unk_cost,
+ *    sig, fert_permille): encode geometry derives from the INDEX, never
+ *    the caller — serving a chunk-6 vocabulary with chunk-8 boundaries
+ *    silently re-segments every word ([[DedupIndex]]'s wrong-param
+ *    rule) — plus the content signature and the training-corpus
+ *    fertility (tokens per chunk, integer permille) that anchors
+ *    [[driftCheck]].
+ *
+ * Rebuild, not append: costs are global functions of the vocabulary
+ * total (bitlen(tot) − bitlen(freq)), so ANY frequency change re-prices
+ * every piece — vocabulary evolution replaces the whole artifact via
+ * [[StagedSwap]], stamped and manifest-gated by [[SwapManifest]] so a
+ * torn swap fails loudly at first read.
+ *
+ * Reference behavior: the reference has no tokenizer
+ * (`server/metrics/metrics.go:35` counts payload sizes only); this
+ * persists the engine's own training-data vocabulary.
+ */
+object UnigramIndex {
+
+  import UnigramLm.Piece
+
+  /** Content signature of a piece-ordered vocabulary — FNV-1a over every
+    * field in order ([[BpeIndex.signature]]'s role: ties params to the
+    * exact piece rows they were written with, so interleaved or partial
+    * table overwrites are detectable even when shapes agree). */
+  def signature(ps: Seq[Piece]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1e; h *= 0x100000001b3L // field separator
+    }
+    ps.foreach { p => mix(p.piece); mix(p.freq.toString); mix(p.cost.toString) }
+    h
+  }
+
+  private val tableNames = Seq("pieces", "params")
+
+  /** Learn the vocabulary from `docs` and persist it under `dir`
+    * (version-stamped, manifest LAST — the [[BpeIndex.build]] protocol). */
+  def build(docs: DataFrame, dir: String, chunkLen: Int = 6,
+      maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit = {
+    writeTables(docs, dir, chunkLen, maxPieceLen, minCount, vocabSize,
+      suffix = "")
+    val spark = docs.sparkSession
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tableNames, v)
+    SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
+  }
+
+  private def writeTables(docs: DataFrame, dir: String, chunkLen: Int,
+      maxPieceLen: Int, minCount: Long, vocabSize: Int,
+      suffix: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
+      vocabSize)
+    ps.toDF("piece", "freq", "cost")
+      .write.mode("overwrite").parquet(s"$dir/pieces$suffix")
+    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    Seq((ps.size, chunkLen, maxPieceLen, codec.unkCost, signature(ps),
+      fertilityPermille(docs, ps, chunkLen, maxPieceLen)))
+      .toDF("n_pieces", "chunk_len", "max_piece_len", "unk_cost", "sig",
+        "fert_permille")
+      .write.mode("overwrite").parquet(s"$dir/params$suffix")
+  }
+
+  /** Corpus fertility under `ps`: Viterbi tokens per CHUNK in integer
+    * permille (floor — exact cross-engine arithmetic). One scan-stage
+    * aggregate via the codegen'd codec. */
+  private def fertilityPermille(docs: DataFrame, ps: Seq[Piece],
+      chunkLen: Int, maxPieceLen: Int): Long = {
+    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    val row = docs.agg(
+      coalesce(sum(UnigramLm.tokenCount(col("text"), codec)), lit(0L)).as("nt"),
+      coalesce(sum(UnigramLm.chunkCount(col("text"), chunkLen)), lit(0L))
+        .as("nc")).head()
+    row.getAs[Long]("nt") * 1000L / math.max(row.getAs[Long]("nc"), 1L)
+  }
+
+  /** Vocabulary drift report ([[BpeIndex.driftCheck]]'s parity): stored
+    * vocabulary's fertility on a NEW corpus snapshot vs the training
+    * fertility stamped at [[build]] — the rebuild-cadence gate, integer
+    * permille throughout. */
+  def driftCheck(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (ps, chunkLen, maxPieceLen) = loadWithGeometry(spark, dir)
+    val fertTrain = spark.read.parquet(s"$dir/params").head()
+      .getAs[Long]("fert_permille")
+    val fertNow = fertilityPermille(docs, ps, chunkLen, maxPieceLen)
+    Seq((ps.size, fertTrain, fertNow, fertNow - fertTrain))
+      .toDF("n_pieces", "fert_train_permille", "fert_now_permille",
+        "drift_permille")
+  }
+
+  /** Re-learn on a new corpus snapshot and swap live ([[BpeIndex
+    * .rebuild]]'s staged protocol: stage under __graft_tmp, stamp the NEW
+    * version, swap both tables, manifest LAST; phase-1 failure rolls
+    * back, and any tear is refused by the load paths). */
+  def rebuild(docs: DataFrame, dir: String, chunkLen: Int = 6,
+      maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    requireIndex(spark, dir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.precleanTmp(fs, dir, tableNames)
+    var staged = false
+    try {
+      writeTables(docs, dir, chunkLen, maxPieceLen, minCount, vocabSize,
+        suffix = "__graft_tmp")
+      val v = SwapManifest.newVersion()
+      SwapManifest.stampTables(fs, dir, tableNames, v, suffix = "__graft_tmp")
+      staged = true
+      StagedSwap.swapAll(fs, dir, tableNames)
+      SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
+    } finally {
+      if (!staged) StagedSwap.cleanupTmp(fs, dir, tableNames)
+    }
+  }
+
+  /** The stored vocabulary table (piece, freq, cost), piece-ordered —
+    * the registry-facing roundtrip read. */
+  def loadVocab(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    SwapManifest.verify(spark, dir, "unigram index")
+    spark.read.parquet(s"$dir/pieces")
+  }
+
+  /** The vocabulary, ready for [[UnigramLm.codecOf]] — model-sized,
+    * driver-side by design. Validates the content signature and count
+    * against params (torn-overwrite detection) and the cost formula
+    * itself (every stored cost must equal bitlen(tot) − bitlen(freq) —
+    * a price drifted from its own frequencies is a corrupt model even
+    * when internally consistent in shape). */
+  def load(spark: SparkSession, dir: String): Seq[Piece] =
+    loadWithGeometry(spark, dir)._1
+
+  /** [[load]] plus the stored encode geometry — callers MUST build the
+    * codec with the returned (chunkLen, maxPieceLen); serving under
+    * different boundaries silently re-segments every word. */
+  def loadWithGeometry(spark: SparkSession,
+      dir: String): (Seq[Piece], Int, Int) = {
+    val p = requireIndex(spark, dir)
+    SwapManifest.verify(spark, dir, "unigram index")
+    val ps = spark.read.parquet(s"$dir/pieces")
+      .orderBy("piece").collect()
+      .map(r => Piece(r.getAs[String]("piece"), r.getAs[Long]("freq"),
+        r.getAs[Long]("cost")))
+      .toSeq
+    require(ps.size == p.nPieces,
+      s"unigram index at '$dir' is torn: params say n_pieces=${p.nPieces} " +
+        s"but ${ps.size} pieces are stored — rebuild")
+    require(signature(ps) == p.sig,
+      s"unigram index at '$dir' is torn: the stored pieces do not match " +
+        "the params content signature (interleaved or partial build) — rebuild")
+    val tot = ps.map(_.freq).sum
+    require(ps.forall(x =>
+        x.cost == UnigramLm.bitlen(tot) - UnigramLm.bitlen(x.freq)),
+      s"unigram index at '$dir' is corrupt: stored costs disagree with " +
+        "the surprisal-bit formula over the stored frequencies — rebuild")
+    require(p.unkCost == UnigramLm.bitlen(tot) - 1L,
+      s"unigram index at '$dir' is corrupt: stored unk_cost disagrees " +
+        "with the vocabulary total — rebuild")
+    (ps, p.chunkLen, p.maxPieceLen)
+  }
+
+  /** Operational health report ([[BpeIndex.healthCheck]]'s columns):
+    * REPORTS what the load paths throw on — count/signature agreement,
+    * piece uniqueness, the cost-formula invariant, manifest/stamp
+    * agreement — one row a scheduled monitor lands per index. */
+  def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = requireIndex(spark, dir)
+    val ps = spark.read.parquet(s"$dir/pieces")
+      .orderBy("piece").collect()
+      .map(r => Piece(r.getAs[String]("piece"), r.getAs[Long]("freq"),
+        r.getAs[Long]("cost")))
+      .toSeq
+    val nOk = ps.size == p.nPieces
+    val sigOk = signature(ps) == p.sig
+    val uniqueOk = ps.map(_.piece).distinct.size == ps.size
+    val tot = ps.map(_.freq).sum
+    val costOk = ps.forall(x =>
+      x.cost == UnigramLm.bitlen(tot) - UnigramLm.bitlen(x.freq)) &&
+      p.unkCost == UnigramLm.bitlen(tot) - 1L
+    val (hasManifest, stale) =
+      SwapManifest.staleTables(SwapManifest.fsOf(spark, dir), dir)
+    Seq((p.nPieces.toLong, ps.size.toLong, nOk, sigOk, uniqueOk, costOk,
+      hasManifest, stale.mkString(","),
+      nOk && sigOk && uniqueOk && costOk && hasManifest && stale.isEmpty))
+      .toDF("n_pieces", "n_stored", "n_ok", "sig_ok", "unique_ok",
+        "cost_ok", "has_manifest", "stale_tables", "healthy")
+  }
+
+  private final case class Params(nPieces: Int, chunkLen: Int,
+      maxPieceLen: Int, unkCost: Long, sig: Long)
+
+  private def requireIndex(spark: SparkSession, dir: String): Params =
+    try {
+      val r = spark.read.parquet(s"$dir/params").head()
+      Params(r.getAs[Int]("n_pieces"), r.getAs[Int]("chunk_len"),
+        r.getAs[Int]("max_piece_len"), r.getAs[Long]("unk_cost"),
+        r.getAs[Long]("sig"))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"load: no unigram index at '$dir' — the params table is " +
+            "missing; run build() first", e)
+    }
+}

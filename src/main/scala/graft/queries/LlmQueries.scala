@@ -7711,16 +7711,23 @@ object LlmQueries {
   /** Chunk histograms + vocabulary + cost CTEs — the learn replay.
     * `uchs` keeps (source, word, cnt) for per-source reports; `uch` is
     * the global chunk-type frame the DP runs over. */
-  private val ugLearnCtes: String =
-    s"""uws AS (SELECT source, unnest(list_filter(string_split(coalesce(text, ''), ' '),
-       |           x -> x <> '')) AS w0 FROM documents),
-       |uck AS (SELECT source, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
+  /** Chunk histograms over (optionally filtered) documents, prefixed so
+    * a serve query can run a SECOND (slice) histogram beside the learn
+    * one: `pfx`chs = per-(source, chunk) counts, `pfx`ch = the global
+    * chunk-type frame the DP runs over. */
+  private def ugChunkCtes(pfx: String, whereSql: String): String =
+    s"""${pfx}ws AS (SELECT source, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+       |           x -> x <> '')) AS w0 FROM documents $whereSql),
+       |${pfx}ck AS (SELECT source, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
        |        FROM (SELECT source, w0,
        |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
-       |              FROM uws)),
-       |uchs AS MATERIALIZED (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
-       |         FROM uck GROUP BY 1, 2),
-       |uch AS MATERIALIZED (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM uchs GROUP BY 1),
+       |              FROM ${pfx}ws)),
+       |${pfx}chs AS MATERIALIZED (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM ${pfx}ck GROUP BY 1, 2),
+       |${pfx}ch AS MATERIALIZED (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM ${pfx}chs GROUP BY 1)""".stripMargin
+
+  private val ugLearnCtes: String =
+    s"""${ugChunkCtes("u", "")},
        |ucnd0 AS (SELECT word, cnt, unnest(range(length(word))) AS s FROM uch),
        |ucnd1 AS (SELECT word, cnt, s, unnest([${(1 to ugPieceLen).mkString(", ")}]) AS l FROM ucnd0),
        |ucnd AS MATERIALIZED (SELECT substring(word, CAST(s AS INT) + 1, CAST(l AS INT)) AS piece,
@@ -7784,13 +7791,13 @@ object LlmQueries {
 
   /** Per-source fertility report off an encoded relation `enc` (np rides
     * in the state key at positions 5–6). */
-  private def ugReportSql(enc: String): String =
+  private def ugReportSql(enc: String, chs: String = "uchs"): String =
     s"""SELECT s.source,
        |  CAST(sum(s.cnt) AS BIGINT) AS n_chunks,
        |  CAST(sum(s.cnt * CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens,
        |  CAST(sum(s.cnt * CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) * 1000
        |    // greatest(CAST(sum(s.cnt) AS BIGINT), 1) AS fertility_permille
-       |FROM uchs s JOIN $enc e USING (word)
+       |FROM $chs s JOIN $enc e USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hard-EM usage re-estimation CTEs over the round-1 encode `ue`. */
@@ -7892,6 +7899,88 @@ object LlmQueries {
          |${ugDpCtes("f", "uvc2", "uunk2", "uch")}
          |${ugReportSql("fe")}""".stripMargin))
 
+  // q224 — the persisted unigram vocabulary SERVED: build the
+  // UnigramIndex once (llm/UnigramIndex.scala — pieces + params with
+  // content signature, swap manifest, stored encode geometry), then
+  // load and encode the even-doc slice under the STORED model. The
+  // oracle replays the learn inline over the full corpus and segments
+  // the slice — so a torn store, a drifted reload, or serving under the
+  // wrong chunk geometry all change the hash (the q129/q191 stored-
+  // artifact discipline for the fifth index lifecycle).
+  private def unigramIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_ug_idx", d, "params") { dir =>
+      graft.llm.UnigramIndex.build(Tables.documents(s, d), dir, ugChunkLen,
+        ugPieceLen, ugMinCount, ugVocabSize)
+    }
+  val q224 = Q(
+    "q224_unigram_index_serve",
+    (s, d) => {
+      val (ps, cl, mpl) = graft.llm.UnigramIndex.loadWithGeometry(s,
+        unigramIndexDir(s, d))
+      val codec = graft.llm.UnigramLm.codecOf(ps, cl, mpl)
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .groupBy("source")
+        .agg(
+          sum(graft.llm.UnigramLm.chunkCount(col("text"), cl)).as("n_chunks"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), codec))
+            .as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+            .as("fertility_permille"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugChunkCtes("s", "WHERE doc_id % 2 = 0")},
+         |${ugDpCtes("g", "uvc", "uunk", "sch")}
+         |${ugReportSql("ge", "schs")}""".stripMargin))
+
+  // q225 — the tokenizer BAKEOFF: both stored tokenizer families
+  // (BpeIndex k=10 merges, the unigram vocabulary) encode the same
+  // corpus in ONE scan — two codegen'd per-row counters side by side —
+  // and report per-WORD fertility on a shared denominator. This is the
+  // table a tokenizer owner reads to pick a family before sizing it
+  // (q214/q217 size the chosen family). The oracle replays the BPE
+  // merge chain and the unigram DP chain independently and must land on
+  // the same two rows.
+  val q225 = Q(
+    "q225_tokenizer_bakeoff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeMergesFor(s, d)
+      val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
+        ugPieceLen)
+      val nw = size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
+        w => w =!= "")).cast("long")
+      docs.select(nw.as("nw"),
+          Bpe.tokenCount(col("text"), merges).as("tb"),
+          graft.llm.UnigramLm.tokenCount(col("text"), codec).as("tu"))
+        .agg(sum(col("nw")).as("n_words"), sum(col("tb")).as("tb"),
+          sum(col("tu")).as("tu"))
+        .selectExpr("n_words",
+          "stack(2, 'bpe', tb, 'unigram', tu) AS (tokenizer, n_tokens)")
+        .select(col("tokenizer"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_words, 1)")
+            .as("fertility_permille"))
+        .orderBy("tokenizer")
+    },
+    Some(
+      s"""WITH $bpeChainCtes,
+         |$ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |nw AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_words FROM bt$bpeK),
+         |lad AS (
+         |  SELECT 'bpe' AS tokenizer,
+         |    (SELECT CAST(coalesce(sum(cnt * len(string_split(toks, '$bpeSep'))), 0) AS BIGINT)
+         |     FROM bt$bpeK) AS n_tokens
+         |  UNION ALL
+         |  SELECT 'unigram',
+         |    (SELECT CAST(coalesce(sum(cnt * CAST(substring(key, 5, 2) AS INTEGER)), 0) AS BIGINT)
+         |     FROM ue))
+         |SELECT tokenizer, n_words, n_tokens,
+         |  n_tokens * 1000 // greatest(n_words, 1) AS fertility_permille
+         |FROM lad CROSS JOIN nw ORDER BY tokenizer""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7904,5 +7993,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223)
+    q218, q220, q221, q222, q223, q224, q225)
 }

@@ -212,6 +212,130 @@ class UnigramSpec extends SparkSpec {
     assert(v2.map(_.freq).sum == totalToks)
   }
 
+  test("UnigramIndex: build→load roundtrip ≡ learnVocab, geometry stored") {
+    import graft.llm.UnigramIndex
+    val texts = Seq("banana band banana", "ababab cabbage", "a cab can nab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ug_idx_spec").toString
+    UnigramIndex.build(docs, dir, chunkLen = 5, maxPieceLen = 2,
+      minCount = 2L, vocabSize = 6)
+    val (ps, cl, mpl) = UnigramIndex.loadWithGeometry(spark, dir)
+    assert((cl, mpl) == (5, 2))
+    assert(ps == UnigramLm.learnVocab(docs, 5, 2, 2L, 6))
+    // the stored table reads back piece-ordered and value-identical
+    val tbl = UnigramIndex.loadVocab(spark, dir).orderBy("piece")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tbl == ps.map(p => (p.piece, p.freq, p.cost)))
+  }
+
+  test("UnigramIndex: rebuild swaps live; a torn stamp refuses to load; healthCheck reports") {
+    import graft.llm.UnigramIndex
+    val a = Seq((1L, "banana band banana"), (2L, "ababab cab"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "queue quiz quartz"), (2L, "squid quorum"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ug_idx_swap").toString
+    UnigramIndex.build(a, dir)
+    UnigramIndex.rebuild(b, dir)
+    assert(UnigramIndex.load(spark, dir) == UnigramLm.learnVocab(b))
+    assert(UnigramIndex.healthCheck(spark, dir).head().getAs[Boolean]("healthy"))
+    // torn swap: one table's version stamp disagrees with the manifest
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stamp = new org.apache.hadoop.fs.Path(s"$dir/pieces/_graft_version")
+    val orig = {
+      val in = fs.open(stamp)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+    }
+    val out = fs.create(stamp, true)
+    try out.write("some-other-version".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException](UnigramIndex.load(spark, dir))
+    assert(e.getMessage.contains("version check") &&
+      e.getMessage.contains("pieces"))
+    val h = UnigramIndex.healthCheck(spark, dir).head()
+    assert(!h.getAs[Boolean]("healthy") &&
+      h.getAs[String]("stale_tables") === "pieces")
+    val out2 = fs.create(stamp, true)
+    try out2.write(orig.getBytes("UTF-8")) finally out2.close()
+    assert(UnigramIndex.healthCheck(spark, dir).head().getAs[Boolean]("healthy"))
+  }
+
+  test("UnigramIndex: mixed params and drifted costs report unhealthy; load throws") {
+    import graft.llm.UnigramIndex
+    val docs = Seq((1L, "banana band banana"), (2L, "ababab cab"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ug_idx_health").toString
+    UnigramIndex.build(docs, dir)
+    val ps = UnigramIndex.load(spark, dir)
+    // a hand-tampered table wipes its version stamp, which the manifest
+    // check would catch FIRST; re-stamp after each overwrite so the
+    // CONTENT checks (signature, cost formula) are what's exercised
+    import graft.llm.SwapManifest
+    def restamp(): Unit = {
+      val fs = SwapManifest.fsOf(spark, dir)
+      val v = SwapManifest.newVersion()
+      SwapManifest.stampTables(fs, dir, Seq("pieces", "params"), v)
+      SwapManifest.writeManifest(fs, dir,
+        Map("pieces" -> v, "params" -> v))
+    }
+    // mixed artifact: params from a different build over old pieces —
+    // only the content signature catches it
+    val codec = UnigramLm.codecOf(ps, 6, 3)
+    Seq((ps.size, 6, 3, codec.unkCost, UnigramIndex.signature(ps) ^ 0x77L,
+        0L))
+      .toDF("n_pieces", "chunk_len", "max_piece_len", "unk_cost", "sig",
+        "fert_permille")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    restamp()
+    val hMixed = UnigramIndex.healthCheck(spark, dir).head()
+    assert(!hMixed.getAs[Boolean]("healthy") && !hMixed.getAs[Boolean]("sig_ok"))
+    assert(hMixed.getAs[Boolean]("n_ok") && hMixed.getAs[Boolean]("cost_ok"))
+    intercept[IllegalArgumentException](UnigramIndex.load(spark, dir))
+    // rebuild restores; then a cost drifted from its own frequencies —
+    // internally consistent shape, wrong prices — trips the formula check
+    UnigramIndex.rebuild(docs, dir)
+    val ps2 = UnigramIndex.load(spark, dir)
+    val broken = ps2.map(p => (p.piece, p.freq, p.cost + 1L))
+    broken.toDF("piece", "freq", "cost")
+      .write.mode("overwrite").parquet(s"$dir/pieces")
+    Seq((ps2.size, 6, 3, UnigramLm.codecOf(ps2, 6, 3).unkCost,
+        UnigramIndex.signature(broken.map(t => Piece(t._1, t._2, t._3))),
+        0L))
+      .toDF("n_pieces", "chunk_len", "max_piece_len", "unk_cost", "sig",
+        "fert_permille")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    restamp()
+    val hCost = UnigramIndex.healthCheck(spark, dir).head()
+    assert(!hCost.getAs[Boolean]("healthy") && !hCost.getAs[Boolean]("cost_ok"))
+    assert(hCost.getAs[Boolean]("sig_ok"))
+    intercept[IllegalArgumentException](UnigramIndex.load(spark, dir))
+  }
+
+  test("UnigramIndex.driftCheck: zero drift on the training corpus, report is exact") {
+    import graft.llm.UnigramIndex
+    val docs = Seq((1L, "banana band banana"), (2L, "ababab cab nab"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ug_idx_drift").toString
+    UnigramIndex.build(docs, dir)
+    val r = UnigramIndex.driftCheck(docs, dir).head()
+    assert(r.getAs[Long]("drift_permille") === 0L)
+    assert(r.getAs[Long]("fert_now_permille") ===
+      r.getAs[Long]("fert_train_permille"))
+    // a shifted snapshot (unseen chars → unk pieces) moves fertility and
+    // the report's arithmetic stays consistent
+    val drifted = Seq((1L, "zzzz qqqq zzzz"), (2L, "xyxy xy"))
+      .toDF("doc_id", "text")
+    val r2 = UnigramIndex.driftCheck(drifted, dir).head()
+    assert(r2.getAs[Long]("drift_permille") ===
+      r2.getAs[Long]("fert_now_permille") -
+        r2.getAs[Long]("fert_train_permille"))
+  }
+
   test("registry vocabulary on the sf0.001 corpus: coverage and cost sanity") {
     val docs = Tables.documents(spark, sfDir)
     val v = UnigramLm.learnVocab(docs)
