@@ -2832,19 +2832,24 @@ object LlmQueries {
   // cut into 100-row shards, one row per shard with row count, token
   // mass and ord span — the WebDataset-style index a distributed data
   // loader assigns to ranks.
+  /** Shared by q127 (batch) and q226 (streamed landing): the manifest is
+    * a deterministic fold of the document SET, so both executions must
+    * land on the same rows. */
+  private lazy val shardManifestOracle: String =
+    s"""WITH $epochOrderCtes
+       |SELECT CAST((ord - 1) // 100 AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(min(ord) AS BIGINT) AS start_ord,
+       |  CAST(max(ord) AS BIGINT) AS end_ord
+       |FROM ordered GROUP BY 1 ORDER BY shard""".stripMargin
+
   val q127 = Q(
     "q127_shard_manifest",
     (s, d) => TextAnalysis.shardManifest(Tables.documents(s, d), "source",
       tokenBudget = 70000L, maxEpochs = 3, shardSize = 100L)
       .orderBy("shard"),
-    Some(
-      s"""WITH $epochOrderCtes
-         |SELECT CAST((ord - 1) // 100 AS BIGINT) AS shard,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(min(ord) AS BIGINT) AS start_ord,
-         |  CAST(max(ord) AS BIGINT) AS end_ord
-         |FROM ordered GROUP BY 1 ORDER BY shard""".stripMargin))
+    Some(shardManifestOracle))
 
   // q128 — curation pipeline v2, composing this round's operators
   // end-to-end in ONE Catalyst job: df-capped near-dup keep-list (q84's
@@ -7981,6 +7986,41 @@ object LlmQueries {
          |  n_tokens * 1000 // greatest(n_words, 1) AS fertility_permille
          |FROM lad CROSS JOIN nw ORDER BY tokenizer""".stripMargin))
 
+  // q226 — the streaming EXPORT stage (seventh streaming qNN): the
+  // curation stream chain — dedup q197, decon q203, DSIR q208, IVF
+  // ingest q210, quality gate q215, drift monitor q218 — ends in a
+  // trainer handoff, and this closes it: the q197-shaped at-least-once
+  // feed lands idempotently, replays are repaired by distinct, and the
+  // SHARD MANIFEST (q127's WebDataset-style index) is folded over the
+  // landed set. The manifest is a deterministic function of the
+  // document SET (epoch order = hash order, shard = ord div size), so
+  // the streamed landing must hash-match q127's batch oracle exactly —
+  // a lost batch, a duplicate delivery surviving repair, or any
+  // batch-split sensitivity changes the manifest's ord spans.
+  val q226 = Q(
+    "q226_stream_shard_land",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val stage = streamFeedDir(s, d)
+      val land = trackedTempDir("graft_q226_land")
+      val ckpt = trackedTempDir("graft_q226_ckpt")
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(b.toDF(), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      reapAfter(
+        TextAnalysis.shardManifest(
+          s.read.parquet(land).drop("batch").distinct(), "source",
+          tokenBudget = 70000L, maxEpochs = 3, shardSize = 100L)
+          .orderBy("shard"),
+        land, ckpt)
+    },
+    Some(shardManifestOracle))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -7993,5 +8033,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225)
+    q218, q220, q221, q222, q223, q224, q225, q226)
 }

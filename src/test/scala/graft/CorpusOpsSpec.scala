@@ -956,10 +956,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 225 uniquely-named queries, 221 oracle-checked, qNN prefixes unique") {
+  test("registry: 226 uniquely-named queries, 222 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 225)
-    assert(all.count(_.oracle.isDefined) === 221)
+    assert(all.size === 226)
+    assert(all.count(_.oracle.isDefined) === 222)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

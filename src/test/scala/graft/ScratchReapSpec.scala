@@ -22,7 +22,8 @@ class ScratchReapSpec extends SparkSpec {
   test("q197/q215: repeated invocations leave zero new scratch dirs and a usable result") {
     for ((qname, prefix) <- Seq(
         "q197_stream_ingest_dedup" -> "graft_q197_",
-        "q215_stream_quality_gate" -> "graft_q215_")) {
+        "q215_stream_quality_gate" -> "graft_q215_",
+        "q226_stream_shard_land" -> "graft_q226_")) {
       val before = tmpDirsWith(prefix)
       val r1 = SparkEntry.queries(qname)(spark, sfDir)
       // the land/ckpt dirs are already gone when the body returns, and
