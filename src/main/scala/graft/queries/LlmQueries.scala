@@ -8021,6 +8021,52 @@ object LlmQueries {
     },
     Some(shardManifestOracle))
 
+  // q227 — sequence packing budgeted by UNIGRAM tokens: q109's operator
+  // (packSequencesBy) re-budgeted on the second tokenizer family. The
+  // budget surface is tokenizer-GENERIC by construction — any scan-stage
+  // counter plugs in without changing the one-shuffle shape — and this
+  // pins it: same pack, same bins, the only moving part is the counter.
+  // Oracle: per-doc token mass = the doc's chunk stream joined to the
+  // DP chain's per-chunk piece counts, then q109's shard/cumsum/bin CTEs.
+  val q227 = Q(
+    "q227_pack_unigram_tokens",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
+        ugPieceLen)
+      TextAnalysis.packSequencesBy(docs,
+        graft.llm.UnigramLm.tokenCount(col("text"), codec),
+        packBudget, packShards)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("shard", "bin")
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |udw AS (SELECT doc_id, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
+         |        FROM (SELECT doc_id, w0,
+         |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
+         |              FROM (SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+         |                       x -> x <> '')) AS w0 FROM documents))),
+         |udt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens
+         |  FROM udw JOIN ue e USING (word) GROUP BY 1),
+         |t AS (
+         |  SELECT d.doc_id,
+         |    (CASE WHEN length(text) = 0 THEN 0
+         |          ELSE ${polyHashSql("text")} END) % $packShards AS shard,
+         |    COALESCE(udt.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN udt USING (doc_id)),
+         |c AS (
+         |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cum_before
+         |  FROM t)
+         |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8033,5 +8079,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225, q226)
+    q218, q220, q221, q222, q223, q224, q225, q226, q227)
 }
