@@ -112,6 +112,45 @@ object UnigramIndex {
         "drift_permille")
   }
 
+  /**
+   * Streaming form of [[driftCheck]]'s measurement ([[BpeIndex
+   * .driftScoreStream]]'s parity): per-document Viterbi token and chunk
+   * counts under the FROZEN stored vocabulary — a pure per-row function
+   * of the text, so the landed rows are batch-split invariant BY
+   * CONSTRUCTION and an at-least-once feed's replays are literal
+   * duplicate rows an idempotent landing collapses. The model-sized
+   * vocabulary bakes into the scan-stage codec per micro-batch (a
+   * few-KB parquet read per trigger, no join). */
+  def driftScoreStream(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (ps, chunkLen, maxPieceLen) = loadWithGeometry(spark, dir)
+    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    batch.select(col("doc_id"),
+      coalesce(UnigramLm.tokenCount(col("text"), codec), lit(0L))
+        .as("n_toks"),
+      coalesce(UnigramLm.chunkCount(col("text"), chunkLen), lit(0L))
+        .as("n_chunks"))
+  }
+
+  /** Fold [[driftScoreStream]]'s accumulated per-document rows (one row
+    * per unique doc — the caller dedupes replays) into [[driftCheck]]'s
+    * one-row report: same integer-permille fertility, same drift gate. */
+  def driftReportFrom(spark: SparkSession, dir: String,
+      perDoc: DataFrame): DataFrame = {
+    import spark.implicits._
+    val p = requireIndex(spark, dir)
+    SwapManifest.verify(spark, dir, "unigram index")
+    val fertTrain = spark.read.parquet(s"$dir/params").head()
+      .getAs[Long]("fert_permille")
+    val agg = perDoc.agg(
+      coalesce(sum(col("n_toks")), lit(0L)),
+      coalesce(sum(col("n_chunks")), lit(0L))).head()
+    val fertNow = agg.getLong(0) * 1000L / math.max(agg.getLong(1), 1L)
+    Seq((p.nPieces, fertTrain, fertNow, fertNow - fertTrain))
+      .toDF("n_pieces", "fert_train_permille", "fert_now_permille",
+        "drift_permille")
+  }
+
   /** Re-learn on a new corpus snapshot and swap live ([[BpeIndex
     * .rebuild]]'s staged protocol: stage under __graft_tmp, stamp the NEW
     * version, swap both tables, manifest LAST; phase-1 failure rolls

@@ -7731,9 +7731,12 @@ object LlmQueries {
        |         FROM ${pfx}ck GROUP BY 1, 2),
        |${pfx}ch AS MATERIALIZED (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM ${pfx}chs GROUP BY 1)""".stripMargin
 
-  private val ugLearnCtes: String =
-    s"""${ugChunkCtes("u", "")},
-       |ucnd0 AS (SELECT word, cnt, unnest(range(length(word))) AS s FROM uch),
+  /** Candidate enumeration + vocabulary selection + costs over the
+    * chunk-type frame `ch` — the learn replay, source-parameterized so a
+    * drift query can learn on a SLICE's chunks (q228) while q220–q227
+    * learn on the full corpus. Emits uvc (vocab w/ costs) and uunk. */
+  private def ugVocabCtes(ch: String): String =
+    s"""ucnd0 AS (SELECT word, cnt, unnest(range(length(word))) AS s FROM $ch),
        |ucnd1 AS (SELECT word, cnt, s, unnest([${(1 to ugPieceLen).mkString(", ")}]) AS l FROM ucnd0),
        |ucnd AS MATERIALIZED (SELECT substring(word, CAST(s AS INT) + 1, CAST(l AS INT)) AS piece,
        |           CAST(sum(cnt) AS BIGINT) AS freq
@@ -7749,6 +7752,10 @@ object LlmQueries {
        |          length(piece) AS plen
        |        FROM uvoc CROSS JOIN utot t),
        |uunk AS MATERIALIZED (SELECT CAST(length(bin(tot)) - 1 AS BIGINT) AS c FROM utot)""".stripMargin
+
+  private val ugLearnCtes: String =
+    s"""${ugChunkCtes("u", "")},
+       |${ugVocabCtes("uch")}""".stripMargin
 
   /** One Viterbi transition: extend the packed state key (lpad(cost, 4)
     * || lpad(np, 2) || seg) by one piece. */
@@ -8067,6 +8074,64 @@ object LlmQueries {
          |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
 
+  /** Corpus fertility (Viterbi tokens per chunk, integer permille) read
+    * off a chunk frame `ch` joined to its DP encode `enc`. */
+  private def ugFertSql(ch: String, enc: String): String =
+    s"""(SELECT CAST(coalesce(sum(c.cnt * CAST(substring(e.key, 5, 2) AS INTEGER)), 0) AS BIGINT) * 1000
+       |   // greatest(CAST(coalesce(sum(c.cnt), 0) AS BIGINT), 1)
+       | FROM $ch c JOIN $enc e USING (word))""".stripMargin
+
+  // q228 — the unigram STREAMING DRIFT MONITOR (q218's parity for the
+  // second tokenizer family, closing the lifecycle symmetry): the index
+  // is built on the even-doc slice, the full corpus replays as the
+  // at-least-once feed, each micro-batch scored per-row under the
+  // FROZEN stored vocabulary (UnigramIndex.driftScoreStream — pure
+  // per-row, batch-split invariant by construction), landed
+  // idempotently, replays repaired by distinct, and folded into
+  // driftCheck's exact one-row report. Oracle: learn on the slice's
+  // chunk types, Viterbi both the slice (train fertility) and the full
+  // corpus (serve fertility) under that one vocabulary.
+  private def unigramDriftIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_ug_drift_idx", d, "params") { dir =>
+      graft.llm.UnigramIndex.build(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir,
+        ugChunkLen, ugPieceLen, ugMinCount, ugVocabSize)
+    }
+  val q228 = Q(
+    "q228_stream_unigram_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = unigramDriftIndexDir(s, d)
+      val stage = streamFeedDir(s, d)
+      val land = trackedTempDir("graft_q228_land")
+      val ckpt = trackedTempDir("graft_q228_ckpt")
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          graft.llm.UnigramIndex.driftScoreStream(s, idxDir, b.toDF()),
+          land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      reapAfter(
+        graft.llm.UnigramIndex.driftReportFrom(s, idxDir,
+          s.read.parquet(land).drop("batch").distinct()),
+        land, ckpt)
+    },
+    Some(
+      s"""WITH ${ugChunkCtes("u", "WHERE doc_id % 2 = 0")},
+         |${ugVocabCtes("uch")},
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |${ugChunkCtes("s", "")},
+         |${ugDpCtes("g", "uvc", "uunk", "sch")}
+         |SELECT CAST((SELECT count(*) FROM uvc) AS INT) AS n_pieces,
+         |  ${ugFertSql("uch", "ue")} AS fert_train_permille,
+         |  ${ugFertSql("sch", "ge")} AS fert_now_permille,
+         |  ${ugFertSql("sch", "ge")} - ${ugFertSql("uch", "ue")}
+         |    AS drift_permille""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8079,5 +8144,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225, q226, q227)
+    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 }

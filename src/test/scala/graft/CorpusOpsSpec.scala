@@ -956,10 +956,10 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("registry: 227 uniquely-named queries, 223 oracle-checked, qNN prefixes unique") {
+  test("registry: 228 uniquely-named queries, 224 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 227)
-    assert(all.count(_.oracle.isDefined) === 223)
+    assert(all.size === 228)
+    assert(all.count(_.oracle.isDefined) === 224)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -23,7 +23,8 @@ class ScratchReapSpec extends SparkSpec {
     for ((qname, prefix) <- Seq(
         "q197_stream_ingest_dedup" -> "graft_q197_",
         "q215_stream_quality_gate" -> "graft_q215_",
-        "q226_stream_shard_land" -> "graft_q226_")) {
+        "q226_stream_shard_land" -> "graft_q226_",
+        "q228_stream_unigram_drift" -> "graft_q228_")) {
       val before = tmpDirsWith(prefix)
       val r1 = SparkEntry.queries(qname)(spark, sfDir)
       // the land/ckpt dirs are already gone when the body returns, and
