@@ -61,7 +61,16 @@ object ClassifierIndex {
     val sig = signature(cellsOf(model.head()))
     Seq((thresholdPermille, sig)).toDF("threshold_permille", "sig")
       .write.mode("overwrite").parquet(s"$dir/params")
+    // version stamps + manifest LAST (the SwapManifest protocol shared
+    // with Ivf/Bpe/Unigram/Dsir): a build that died between the two
+    // table writes fails loudly at first read
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tableNames, v)
+    SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
   }
+
+  private val tableNames = Seq("model", "params")
 
   private def loadValidated(spark: SparkSession, dir: String): DataFrame = {
     val params =
@@ -72,6 +81,7 @@ object ClassifierIndex {
             s"score: no classifier index at '$dir' — params missing; " +
               "run build() first", e)
       }
+    SwapManifest.verify(spark, dir, "classifier index")
     val model = spark.read.parquet(s"$dir/model")
     val rows = model.collect()
     require(rows.length == 1,
@@ -135,10 +145,13 @@ object ClassifierIndex {
     val (cPos, cNeg) =
       if (oneRow) (rows.head.getAs[Long]("c_pos"), rows.head.getAs[Long]("c_neg"))
       else (-1L, -1L)
+    val (hasManifest, stale) =
+      SwapManifest.staleTables(SwapManifest.fsOf(spark, dir), dir)
     Seq((params.getAs[Long]("threshold_permille"), rows.length.toLong,
-      oneRow, sigOk, cPos, cNeg,
-      oneRow && sigOk && cPos >= 0L && cNeg >= 0L))
+      oneRow, sigOk, cPos, cNeg, hasManifest, stale.mkString(","),
+      oneRow && sigOk && cPos >= 0L && cNeg >= 0L &&
+        hasManifest && stale.isEmpty))
       .toDF("threshold_permille", "model_rows", "one_row", "sig_ok",
-        "c_pos", "c_neg", "healthy")
+        "c_pos", "c_neg", "has_manifest", "stale_tables", "healthy")
   }
 }

@@ -67,7 +67,18 @@ object DeconIndex {
       .parquet(s"$dir/prints")
     Seq((n, wn, ww, wtok.name)).toDF("n", "wn", "ww", "wtok")
       .write.mode("overwrite").parquet(s"$dir/params")
+    // version stamps + manifest LAST (the SwapManifest protocol): a
+    // build that died between the four table overwrites fails loudly at
+    // first probe. [[append]] writes mode("append") — stamps survive,
+    // and a torn APPEND stays governed by the conservative write-order
+    // contract, not the manifest (appends never change versions).
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tableNames, v)
+    SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
   }
+
+  private val tableNames = Seq("fingerprints", "grams", "prints", "params")
 
   private def paramsRow(spark: SparkSession, dir: String) =
     try spark.read.parquet(s"$dir/params").head()
@@ -118,6 +129,7 @@ object DeconIndex {
     * there (the same contract as [[IvfIndex.append]]). */
   def append(benchmark: DataFrame, dir: String): Unit = {
     val spark = benchmark.sparkSession
+    SwapManifest.verify(spark, dir, "decon index")
     val n = gramN(spark, dir)
     // validate the winnow layout BEFORE the first write — a pre-winnow
     // index must fail here with the rebuild message, not after the
@@ -144,6 +156,7 @@ object DeconIndex {
     * to [[TextAnalysis.decontaminated]] over the indexed benchmark (null
     * text never matches: its fingerprint is null, the anti-join keeps it). */
   def probe(corpus: DataFrame, dir: String): DataFrame = {
+    SwapManifest.verify(corpus.sparkSession, dir, "decon index")
     val fps = corpus.sparkSession.read.parquet(s"$dir/fingerprints")
     corpus.join(fps, normFp(col("text")) === col("fp"), "left_anti")
   }
@@ -153,6 +166,7 @@ object DeconIndex {
     * `n` comes from the stored params. */
   def overlap(corpus: DataFrame, dir: String): DataFrame = {
     val spark = corpus.sparkSession
+    SwapManifest.verify(spark, dir, "decon index")
     val n = gramN(spark, dir)
     val bench = spark.read.parquet(s"$dir/grams").withColumn("hit", lit(1L))
     corpus.select(col("doc_id"),
@@ -187,6 +201,7 @@ object DeconIndex {
   def probeWinnow(corpus: DataFrame, dir: String,
       minShared: Long = 2L): DataFrame = {
     val spark = corpus.sparkSession
+    SwapManifest.verify(spark, dir, "decon index")
     val (wn, ww, wtok) = winnowParams(spark, dir)
     DedupOps.winnowProbe(corpus, spark.read.parquet(s"$dir/prints"),
       wn, ww, minShared, wtok)
@@ -212,6 +227,7 @@ object DeconIndex {
   def probeWinnowStream(corpus: DataFrame, dir: String,
       minShared: Long = 2L): DataFrame = {
     val spark = corpus.sparkSession
+    SwapManifest.verify(spark, dir, "decon index")
     val (wn, ww, wtok) = winnowParams(spark, dir)
     val bset = spark.read.parquet(s"$dir/prints")
       .agg(collect_set(col("fp")).as("bench_fps"))
@@ -234,9 +250,17 @@ object DeconIndex {
    * mix; row content — and therefore every probe answer — is
    * unchanged. Scheduled-job maintenance, never the append path.
    */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
-    Seq("fingerprints", "grams", "prints", "params").foreach(t =>
-      graft.pipeline.Maintenance.compactDir(spark, s"$dir/$t", targetFiles))
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+    val fs = SwapManifest.fsOf(spark, dir)
+    val man = SwapManifest.readManifest(fs, dir).getOrElse(Map.empty[String, String])
+    tableNames.foreach { t =>
+      graft.pipeline.Maintenance.compactDir(spark, s"$dir/$t", targetFiles)
+      // the compaction swap rewrites the table dir, dropping its stamp —
+      // re-stamp from the manifest (content and therefore VERSION are
+      // unchanged; only the file layout is). IvfIndex.compact's rule.
+      man.get(t).foreach(v => SwapManifest.stampTables(fs, dir, Seq(t), v))
+    }
+  }
 
   /**
    * Operational health report — [[DedupIndex.healthCheck]]'s parity for
@@ -271,6 +295,8 @@ object DeconIndex {
     val ps = spark.read.parquet(s"$dir/prints")
       .agg(count(lit(1)).as("n_prints"),
         count_distinct(col("fp")).as("print_distinct"))
+    val (hasManifest, stale) =
+      SwapManifest.staleTables(SwapManifest.fsOf(spark, dir), dir)
     fps.crossJoin(gs).crossJoin(ps).select(
       lit(n).as("n"),
       col("n_fingerprints"),
@@ -279,6 +305,8 @@ object DeconIndex {
       (col("n_grams") - col("gram_distinct")).as("gram_dup_rows"),
       col("n_prints"),
       (col("n_prints") - col("print_distinct")).as("print_dup_rows"),
-      lit(nFiles.toLong).as("data_files"))
+      lit(nFiles.toLong).as("data_files"),
+      lit(hasManifest).as("has_manifest"),
+      lit(stale.mkString(",")).as("stale_tables"))
   }
 }

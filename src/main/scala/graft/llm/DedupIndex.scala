@@ -56,6 +56,15 @@ object DedupIndex {
     Seq((n, perms, bands, rowsPerBand))
       .toDF("n", "perms", "bands", "rows_per_band")
       .write.mode("overwrite").parquet(s"$dir/params")
+    // version stamps + manifest LAST (the SwapManifest protocol): a
+    // build that died between the six table writes fails loudly at first
+    // probe. Appends/commits write mode("append") — stamps survive, and
+    // a torn APPEND stays governed by the conservative write-order
+    // contract above, not the manifest.
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tables :+ "params", v)
+    SwapManifest.writeManifest(fs, dir, (tables :+ "params").map(_ -> v).toMap)
   }
 
   /**
@@ -107,6 +116,10 @@ object DedupIndex {
             s"probe: no dedup index at '$dir' — the params table is " +
               "missing; run build() first", e)
       }
+    // stamp agreement BEFORE the probe reads any table: a torn multi-
+    // table BUILD (not append — appends never change versions) fails
+    // loudly here instead of answering from a mixed artifact
+    SwapManifest.verify(spark, dir, "dedup index")
     (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
   }
 
@@ -189,9 +202,17 @@ object DedupIndex {
    * like any table maintenance job: on a schedule, not in the append
    * path.
    */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
-    tables.foreach(t =>
-      graft.pipeline.Maintenance.compactDir(spark, s"$dir/$t", targetFiles))
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+    val fs = SwapManifest.fsOf(spark, dir)
+    val man = SwapManifest.readManifest(fs, dir).getOrElse(Map.empty[String, String])
+    tables.foreach { t =>
+      graft.pipeline.Maintenance.compactDir(spark, s"$dir/$t", targetFiles)
+      // the compaction swap rewrites the table dir, dropping its stamp —
+      // re-stamp from the manifest (IvfIndex.compact's rule: content and
+      // therefore VERSION are unchanged, only the file layout is)
+      man.get(t).foreach(v => SwapManifest.stampTables(fs, dir, Seq(t), v))
+    }
+  }
 
   /**
    * Index health — the dedup analog of [[IvfIndex.rebalanceCheck]]: one
@@ -209,6 +230,8 @@ object DedupIndex {
    * the same alerting-rule reason as rebalanceCheck.
    */
   def healthCheck(spark: SparkSession, dir: String): DataFrame = {
+    val (hasManifest, stale) =
+      SwapManifest.staleTables(SwapManifest.fsOf(spark, dir), dir)
     val nDocs = spark.read.parquet(s"$dir/ids").count()
     val nFiles = tables.map(t =>
       graft.pipeline.Maintenance.dataFiles(spark, s"$dir/$t").size).sum
@@ -226,7 +249,9 @@ object DedupIndex {
         TextFunctions.fround(
           col("max_bucket").cast("double") / guarded, 4).as("skew"),
         lit(nDocs).as("docs_indexed"),
-        lit(nFiles.toLong).as("data_files"))
+        lit(nFiles.toLong).as("data_files"),
+        lit(hasManifest).as("has_manifest"),
+        lit(stale.mkString(",")).as("stale_tables"))
       .orderBy(col("band"))
   }
 

@@ -76,7 +76,17 @@ object DsirIndex {
       signature(ctRows, crRows), tok.name))
       .toDF("buckets", "n_target_bins", "n_raw_bins", "sig", "dtok")
       .write.mode("overwrite").parquet(s"$dir/params")
+    // version stamps + manifest LAST ([[SwapManifest]], the IvfIndex/
+    // BpeIndex/UnigramIndex protocol): a build that died between the
+    // three table writes fails loudly at first read even when the
+    // per-table shapes happen to agree
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tableNames, v)
+    SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
   }
+
+  private val tableNames = Seq("target_counts", "raw_counts", "params")
 
   /** Score a batch under the STORED model — identical arithmetic to
     * [[Retrieval.dsirScores]], with the count tables read from the
@@ -180,15 +190,22 @@ object DsirIndex {
       if (pRow.schema.fieldNames.contains("dtok")) pRow.getAs[String]("dtok")
       else "(pre-tokenizer layout)"
     val tokOk = tokName == "ascii" || tokName == "unicode"
+    val (hasManifest, stale) =
+      SwapManifest.staleTables(SwapManifest.fsOf(spark, dir), dir)
     Seq((buckets, ctRows.size.toLong, crRows.size.toLong, tokName, binsOk,
-      rangeOk, sigOk, tokOk, binsOk && rangeOk && sigOk && tokOk))
+      rangeOk, sigOk, tokOk, hasManifest, stale.mkString(","),
+      binsOk && rangeOk && sigOk && tokOk && hasManifest && stale.isEmpty))
       .toDF("buckets", "n_target_bins", "n_raw_bins", "tok", "bins_ok",
-        "range_ok", "sig_ok", "tok_ok", "healthy")
+        "range_ok", "sig_ok", "tok_ok", "has_manifest", "stale_tables",
+        "healthy")
   }
 
   private def requireValid(spark: SparkSession,
       dir: String): (Int, Long, Long, Long) = {
     val p @ (_, nT, nR, sig) = readParams(spark, dir)
+    // stamp agreement BEFORE the content checks (the BpeIndex ordering):
+    // the manifest names a torn multi-table write outright
+    SwapManifest.verify(spark, dir, "DSIR index")
     val ctRows = countRows(spark.read.parquet(s"$dir/target_counts"), "c_t")
     val crRows = countRows(spark.read.parquet(s"$dir/raw_counts"), "c_r")
     require(ctRows.size.toLong == nT && crRows.size.toLong == nR,

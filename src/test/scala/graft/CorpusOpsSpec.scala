@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** A hand-tampered table wipes its version stamp, which the manifest
+    * check would catch FIRST; tamper tests re-stamp so the CONTENT
+    * checks (signature, counts, layout guards) are what's exercised. */
+  private def restamp(dir: String, tables: Seq[String]): Unit = {
+    import graft.llm.SwapManifest
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, tables, v)
+    SwapManifest.writeManifest(fs, dir, tables.map(_ -> v).toMap)
+  }
+
   private lazy val docs = Tables.documents(spark, sfDir)
 
   // ------------------------------------------------------------ q86 span dedup
@@ -808,6 +819,7 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1)
     spark.createDataFrame(crOld.toSeq.map { case (b, c) => (b, c + 1L) })
       .toDF("b", "c_r").write.mode("overwrite").parquet(s"$dir/raw_counts")
+    restamp(dir, Seq("target_counts", "raw_counts", "params"))
     val hMixed = DsirIndex.healthCheck(spark, dir).head()
     assert(!hMixed.getAs[Boolean]("healthy") && !hMixed.getAs[Boolean]("sig_ok"))
     assert(hMixed.getAs[Boolean]("bins_ok"))
@@ -817,6 +829,7 @@ class CorpusOpsSpec extends SparkSpec {
     // torn artifact: a truncated count table disagrees with params
     spark.createDataFrame(crOld.toSeq.take(3).map { case (b, c) => (b, c) })
       .toDF("b", "c_r").write.mode("overwrite").parquet(s"$dir/raw_counts")
+    restamp(dir, Seq("target_counts", "raw_counts", "params"))
     val hTorn = DsirIndex.healthCheck(spark, dir).head()
     assert(!hTorn.getAs[Boolean]("healthy") && !hTorn.getAs[Boolean]("bins_ok"))
     // absent index throws, like every loader
@@ -954,6 +967,43 @@ class CorpusOpsSpec extends SparkSpec {
         .as[(Long, Long, Boolean)].collect().sortBy(_._1)
       assert(streamed === batch.filter(_._1 != 4L))
     } finally q.stop()
+  }
+
+  test("SwapManifest parity: all six persisted lifecycles refuse a torn stamp and report it") {
+    import graft.llm.SwapManifest
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    // (name, build-at-dir, table to tear, serve call that must refuse)
+    val cases: Seq[(String, String => Unit, String, String => Unit)] = Seq(
+      ("dsir",
+        d => graft.llm.DsirIndex.build(docs, bench, d, buckets = 1024),
+        "raw_counts",
+        d => graft.llm.DsirIndex.score(spark, d, docs).count()),
+      ("classifier",
+        d => graft.llm.ClassifierIndex.build(docs, d, 500L),
+        "model",
+        d => graft.llm.ClassifierIndex.score(spark, d, docs).count()),
+      ("decon",
+        d => graft.llm.DeconIndex.build(bench, d, n = 5),
+        "grams",
+        d => graft.llm.DeconIndex.overlap(docs, d).count()),
+      ("dedup",
+        d => graft.llm.DedupIndex.build(docs, d),
+        "bands",
+        d => graft.llm.DedupIndex.probe(docs.limit(5), d).count()))
+    for ((name, build, table, serve) <- cases) {
+      val dir = java.nio.file.Files.createTempDirectory(s"man_$name").toString
+      build(dir)
+      serve(dir) // a fresh build serves
+      val fs = SwapManifest.fsOf(spark, dir)
+      val stamp = new org.apache.hadoop.fs.Path(s"$dir/$table/_graft_version")
+      val out = fs.create(stamp, true)
+      try out.write("some-other-version".getBytes("UTF-8")) finally out.close()
+      val e = intercept[IllegalStateException](serve(dir))
+      assert(e.getMessage.contains("version check") &&
+        e.getMessage.contains(table), s"$name: ${e.getMessage}")
+      val h = graft.llm.SwapManifest.staleTables(fs, dir)
+      assert(h._1 && h._2 == Seq(table), s"$name staleTables: $h")
+    }
   }
 
   test("registry: 228 uniquely-named queries, 224 oracle-checked, qNN prefixes unique") {
@@ -1348,6 +1398,7 @@ class CorpusOpsSpec extends SparkSpec {
     p.write.mode("overwrite").parquet(s"$dir2/params_tmp")
     spark.read.parquet(s"$dir2/params_tmp").write.mode("overwrite")
       .parquet(s"$dir2/params")
+    restamp(dir2, Seq("target_counts", "raw_counts", "params"))
     val e = intercept[IllegalArgumentException] {
       DsirIndex.score(spark, dir2, corpus).count()
     }
@@ -2098,6 +2149,7 @@ class CorpusOpsSpec extends SparkSpec {
     spark.read.parquet(
         java.nio.file.Paths.get(dir2).toString + "_other/model")
       .write.mode("overwrite").parquet(s"$dir2/model")
+    restamp(dir2, Seq("model", "params"))
     intercept[IllegalArgumentException] {
       graft.llm.ClassifierIndex.score(spark, dir2, docs).collect()
     }
@@ -2128,6 +2180,7 @@ class CorpusOpsSpec extends SparkSpec {
     // geometry, no prints table
     import spark.implicits._
     Seq(5).toDF("n").write.mode("overwrite").parquet(s"$dir/params")
+    restamp(dir, Seq("fingerprints", "grams", "prints", "params"))
     val fpsBefore = spark.read.parquet(s"$dir/fingerprints").count()
     intercept[IllegalArgumentException] {
       graft.llm.DeconIndex.append(docs.filter(col("doc_id") % 50 === 1), dir)
