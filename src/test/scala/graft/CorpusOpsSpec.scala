@@ -969,7 +969,9 @@ class CorpusOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("SwapManifest parity: all six persisted lifecycles refuse a torn stamp and report it") {
+  // Ivf/Bpe/Unigram torn-stamp refusals are pinned in their own suites;
+  // this covers the four lifecycles that gained the manifest in round 18.
+  test("SwapManifest parity: dsir/classifier/decon/dedup refuse a torn stamp and report it") {
     import graft.llm.SwapManifest
     val bench = docs.filter(col("doc_id") % 50 === 0)
     // (name, build-at-dir, table to tear, serve call that must refuse)
