@@ -85,7 +85,22 @@ object UnigramLm {
    * model order).
    */
   def learnVocab(docs: DataFrame, chunkLen: Int = 6, maxPieceLen: Int = 3,
-      minCount: Long = 3L, vocabSize: Int = 40): Seq[Piece] = {
+      minCount: Long = 3L, vocabSize: Int = 40): Seq[Piece] =
+    learnVocabLadder(docs, chunkLen, maxPieceLen, minCount,
+      Seq(vocabSize))(vocabSize)
+
+  /**
+   * [[learnVocab]] at several multi-piece budgets from ONE candidate
+   * pass — the vocabulary-SIZING curve (q214's prefix-ladder argument
+   * for the unigram family, where a smaller vocabulary is not a prefix:
+   * costs are global functions of the selected total, so every rung
+   * re-selects and re-prices — but candidate enumeration, the only
+   * corpus-histogram-sized work, is shared and checkpointed; each rung
+   * is then one distributed top-V over the compact candidate frame).
+   */
+  def learnVocabLadder(docs: DataFrame, chunkLen: Int = 6,
+      maxPieceLen: Int = 3, minCount: Long = 3L,
+      rungs: Seq[Int]): Map[Int, Seq[Piece]] = {
     val hist = chunkHistogram(docs, chunkLen).localCheckpoint(true)
     require(hist.filter(col("word").contains(Sep)).head(1).isEmpty,
       s"unigram separator '$Sep' occurs inside a corpus chunk")
@@ -94,16 +109,18 @@ object UnigramLm {
         explode(allSubstrings(col("word"), maxPieceLen)).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("freq"))
       .localCheckpoint(true)
-    val sing = cand.filter(length(col("piece")) === 1)
-    val multi = cand
+    val sing = cand.filter(length(col("piece")) === 1).collect()
+    val multiAll = cand
       .filter(length(col("piece")) >= 2 && col("freq") >= minCount)
-      .orderBy(col("freq").desc, col("piece")).limit(vocabSize)
-    val rows = sing.unionAll(multi).collect()
-    val tot = rows.map(_.getLong(1)).sum
-    rows.map { r =>
-      val f = r.getLong(1)
-      Piece(r.getString(0), f, bitlen(tot) - bitlen(f))
-    }.sortBy(_.piece)(graft.llm.Bpe.utf8Ordering).toSeq
+    rungs.map { v =>
+      val rows = sing ++ multiAll
+        .orderBy(col("freq").desc, col("piece")).limit(v).collect()
+      val tot = rows.map(_.getLong(1)).sum
+      v -> rows.map { r =>
+        val f = r.getLong(1)
+        Piece(r.getString(0), f, bitlen(tot) - bitlen(f))
+      }.sortBy(_.piece)(graft.llm.Bpe.utf8Ordering).toSeq
+    }.toMap
   }
 
   /** [[learnVocab]] as a DataFrame (piece, freq, cost) — the

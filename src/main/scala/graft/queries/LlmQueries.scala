@@ -7735,23 +7735,32 @@ object LlmQueries {
     * chunk-type frame `ch` — the learn replay, source-parameterized so a
     * drift query can learn on a SLICE's chunks (q228) while q220–q227
     * learn on the full corpus. Emits uvc (vocab w/ costs) and uunk. */
-  private def ugVocabCtes(ch: String): String =
+  private def ugCandCtes(ch: String): String =
     s"""ucnd0 AS (SELECT word, cnt, unnest(range(length(word))) AS s FROM $ch),
        |ucnd1 AS (SELECT word, cnt, s, unnest([${(1 to ugPieceLen).mkString(", ")}]) AS l FROM ucnd0),
        |ucnd AS MATERIALIZED (SELECT substring(word, CAST(s AS INT) + 1, CAST(l AS INT)) AS piece,
        |           CAST(sum(cnt) AS BIGINT) AS freq
        |         FROM ucnd1 WHERE s + l <= length(word) GROUP BY 1),
-       |usg1 AS (SELECT piece, freq FROM ucnd WHERE length(piece) = 1),
-       |umult AS (SELECT piece, freq FROM ucnd
+       |usg1 AS (SELECT piece, freq FROM ucnd WHERE length(piece) = 1)""".stripMargin
+
+  /** Top-`v` multi-piece selection + costs off the shared candidate
+    * frame — per-rung for the sizing ladder (q229); with p = "u" the
+    * names are the default vocabulary every other unigram oracle reads. */
+  private def ugSelectCtes(p: String, v: Int): String =
+    s"""${p}mult AS (SELECT piece, freq FROM ucnd
        |          WHERE length(piece) >= 2 AND freq >= $ugMinCount
-       |          ORDER BY freq DESC, piece LIMIT $ugVocabSize),
-       |uvoc AS (SELECT * FROM usg1 UNION ALL SELECT * FROM umult),
-       |utot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM uvoc),
-       |uvc AS MATERIALIZED (SELECT piece, freq,
+       |          ORDER BY freq DESC, piece LIMIT $v),
+       |${p}voc AS (SELECT * FROM usg1 UNION ALL SELECT * FROM ${p}mult),
+       |${p}tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM ${p}voc),
+       |${p}vc AS MATERIALIZED (SELECT piece, freq,
        |          CAST(length(bin(t.tot)) - length(bin(freq)) AS BIGINT) AS cost,
        |          length(piece) AS plen
-       |        FROM uvoc CROSS JOIN utot t),
-       |uunk AS MATERIALIZED (SELECT CAST(length(bin(tot)) - 1 AS BIGINT) AS c FROM utot)""".stripMargin
+       |        FROM ${p}voc CROSS JOIN ${p}tot t),
+       |${p}unk AS MATERIALIZED (SELECT CAST(length(bin(tot)) - 1 AS BIGINT) AS c FROM ${p}tot)""".stripMargin
+
+  private def ugVocabCtes(ch: String): String =
+    s"""${ugCandCtes(ch)},
+       |${ugSelectCtes("u", ugVocabSize)}""".stripMargin
 
   private val ugLearnCtes: String =
     s"""${ugChunkCtes("u", "")},
@@ -8132,6 +8141,67 @@ object LlmQueries {
          |  ${ugFertSql("sch", "ge")} - ${ugFertSql("uch", "ue")}
          |    AS drift_permille""".stripMargin))
 
+  // q229 — the unigram VOCABULARY-SIZE ladder (q214's sizing curve for
+  // the second family). Unlike BPE, a smaller unigram vocabulary is NOT
+  // a prefix of a larger one — costs are global functions of the
+  // selected total, so every rung re-selects and re-prices — but the
+  // corpus-histogram-sized work (candidate enumeration) is shared and
+  // checkpointed (UnigramLm.learnVocabLadder); each rung is one top-V
+  // over the compact candidate frame, and encode is ONE corpus scan
+  // with a codegen'd counter per rung. Oracle: shared cand CTEs, three
+  // per-rung selections, three DP chains.
+  private val ugRungs = Seq(8, 24, 40)
+  val q229 = Q(
+    "q229_unigram_vocab_ladder",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ladder = graft.llm.UnigramLm.learnVocabLadder(docs, ugChunkLen,
+        ugPieceLen, ugMinCount, ugRungs)
+      val nc = graft.llm.UnigramLm.chunkCount(col("text"), ugChunkLen)
+      val cols = nc.as("nc") +: ugRungs.map(v =>
+        graft.llm.UnigramLm.tokenCount(col("text"),
+          graft.llm.UnigramLm.codecOf(ladder(v), ugChunkLen, ugPieceLen))
+          .as(s"nt_$v"))
+      val aggs = sum(col("nc")).as("n_chunks") +:
+        ugRungs.map(v => sum(col(s"nt_$v")).as(s"t_$v"))
+      val sizes = ugRungs.map(v => v -> ladder(v).size.toLong).toMap
+      docs.select(cols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_chunks",
+          "stack(" + ugRungs.size + ", " +
+            ugRungs.map(v =>
+              s"CAST($v AS BIGINT), CAST(${sizes(v)} AS BIGINT), t_$v")
+              .mkString(", ") +
+            ") AS (v, n_pieces, n_tokens)")
+        .select(col("v"), col("n_pieces"), col("n_chunks"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+            .as("fertility_permille"))
+        .orderBy("v")
+    },
+    Some {
+      val prefixes = Seq("ra", "rb", "rc")
+      val selects = ugRungs.zip(prefixes).map { case (v, p) =>
+        ugSelectCtes(p, v)
+      }.mkString(",\n")
+      val chains = prefixes.map(p =>
+        ugDpCtes(s"${p}d", s"${p}vc", s"${p}unk", "uch")).mkString(",\n")
+      val rows = ugRungs.zip(prefixes).map { case (v, p) =>
+        s"""SELECT CAST($v AS BIGINT) AS v,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}vc) AS n_pieces,
+           |  (SELECT CAST(coalesce(sum(c.cnt * CAST(substring(e.key, 5, 2) AS INTEGER)), 0) AS BIGINT)
+           |   FROM uch c JOIN ${p}de e USING (word)) AS n_tokens""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${ugChunkCtes("u", "")},
+         |${ugCandCtes("uch")},
+         |$selects,
+         |$chains,
+         |nc AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_chunks FROM uch),
+         |lad AS ($rows)
+         |SELECT v, n_pieces, n_chunks, n_tokens,
+         |  n_tokens * 1000 // greatest(n_chunks, 1) AS fertility_permille
+         |FROM lad CROSS JOIN nc ORDER BY v""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8144,5 +8214,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228)
+    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 }
