@@ -8202,6 +8202,61 @@ object LlmQueries {
          |FROM lad CROSS JOIN nc ORDER BY v""".stripMargin
     })
 
+  // q230 — q110's token-budget mixture (√-temperature source quotas)
+  // re-budgeted on UNIGRAM tokens: with q227 (packing) this pins that
+  // BOTH budget operators are tokenizer-generic — quotas now allocate
+  // the second family's subword mass, same one-pass bucketed-rank
+  // shape, only the scan-stage counter moves. Oracle: per-doc unigram
+  // mass from the chunk-stream join, then q110's quota/rank CTEs.
+  val q230 = Q(
+    "q230_mixture_unigram_tokens",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
+        ugPieceLen)
+      TextAnalysis.mixtureSampleTokensBy(docs,
+        graft.llm.UnigramLm.tokenCount(col("text"), codec), "source",
+        tokenBudget = 5000L)
+        .orderBy("source", "rnk")
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |udw AS (SELECT doc_id, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
+         |        FROM (SELECT doc_id, w0,
+         |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
+         |              FROM (SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+         |                       x -> x <> '')) AS w0 FROM documents))),
+         |udt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens
+         |  FROM udw JOIN ue e USING (word) GROUP BY 1),
+         |toks AS (
+         |  SELECT d.doc_id, d.source, d.text, COALESCE(udt.n_tokens, 0) AS n_tokens
+         |  FROM documents d LEFT JOIN udt USING (doc_id)),
+         |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+         |        FROM toks GROUP BY 1),
+         |w AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |quotas AS (SELECT source,
+         |             CAST((CAST(5000 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
+         |           FROM w CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id) AS BIGINT) AS rnk,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM toks)
+         |SELECT r.doc_id, r.source, r.n_tokens, r.rnk, r.cum_tokens
+         |FROM ranked r JOIN quotas q USING (source)
+         |WHERE r.cum_tokens - r.n_tokens < q.quota
+         |ORDER BY source, rnk""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8214,5 +8269,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
 }
