@@ -8060,14 +8060,7 @@ object LlmQueries {
     Some(
       s"""WITH $ugLearnCtes,
          |${ugDpCtes("u", "uvc", "uunk", "uch")},
-         |udw AS (SELECT doc_id, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
-         |        FROM (SELECT doc_id, w0,
-         |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
-         |              FROM (SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
-         |                       x -> x <> '')) AS w0 FROM documents))),
-         |udt AS MATERIALIZED (
-         |  SELECT doc_id, CAST(sum(CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens
-         |  FROM udw JOIN ue e USING (word) GROUP BY 1),
+         |${ugDocTokCtes("documents")},
          |t AS (
          |  SELECT d.doc_id,
          |    (CASE WHEN length(text) = 0 THEN 0
@@ -8082,6 +8075,23 @@ object LlmQueries {
          |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
          |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
          |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin))
+
+  /** Per-DOCUMENT unigram token mass off relation `src` (doc_id, text):
+    * the doc's chunk stream joined to the DP chain's per-chunk piece
+    * counts (`ue`). INNER join — every chunk of `src` must be a chunk
+    * type the DP ran over (true when `src` derives from the DP corpus
+    * by whole-word removal: gates, extent rewrite, scrub); an uncovered
+    * chunk would drop here while the Spark counter prices it, failing
+    * the hash LOUDLY. */
+  private def ugDocTokCtes(src: String): String =
+    s"""udw AS (SELECT doc_id, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
+       |        FROM (SELECT doc_id, w0,
+       |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
+       |              FROM (SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+       |                       x -> x <> '')) AS w0 FROM $src))),
+       |udt AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens
+       |  FROM udw JOIN ue e USING (word) GROUP BY 1)""".stripMargin
 
   /** Corpus fertility (Viterbi tokens per chunk, integer permille) read
     * off a chunk frame `ch` joined to its DP encode `enc`. */
@@ -8222,14 +8232,7 @@ object LlmQueries {
     Some(
       s"""WITH $ugLearnCtes,
          |${ugDpCtes("u", "uvc", "uunk", "uch")},
-         |udw AS (SELECT doc_id, substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
-         |        FROM (SELECT doc_id, w0,
-         |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
-         |              FROM (SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '),
-         |                       x -> x <> '')) AS w0 FROM documents))),
-         |udt AS MATERIALIZED (
-         |  SELECT doc_id, CAST(sum(CAST(substring(e.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens
-         |  FROM udw JOIN ue e USING (word) GROUP BY 1),
+         |${ugDocTokCtes("documents")},
          |toks AS (
          |  SELECT d.doc_id, d.source, d.text, COALESCE(udt.n_tokens, 0) AS n_tokens
          |  FROM documents d LEFT JOIN udt USING (doc_id)),
@@ -8257,6 +8260,134 @@ object LlmQueries {
          |WHERE r.cum_tokens - r.n_tokens < q.quota
          |ORDER BY source, rnk""".stripMargin))
 
+  // q231 — curation v14, the EXPORT-READY capstone under the second
+  // tokenizer family: v13's multilingual rewrite-first front (Unicode
+  // Gopher gate → variable-length extent-rewrite dedup → VERIFIED
+  // aligned winnow scrub) feeding the UNIGRAM-budgeted √-temperature
+  // mixture (the frozen production tokenizer — learned once on the raw
+  // corpus, stored, applied to the CLEANED text) and ending in the
+  // packed-bin layout a loader consumes (q227's packing over the
+  // selected rows). Every stage checkpointed (the v7 lesson); the
+  // oracle replays gate → extent → 3 scrub rounds → unigram DP →
+  // per-doc mass → quota/rank → pack, stage CTEs MATERIALIZED.
+  // Coverage invariant: every cleaned chunk is a raw-corpus chunk type
+  // (stages remove whole words only), so the DP table prices the
+  // cleaned corpus exactly — see ugDocTokCtes.
+  val q231 = Q(
+    "q231_curation_v14",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
+        maxWords = 100000L,
+        requiredWords = Seq("the", "a", "and", "of", "to"),
+        minRequiredHits = 2, tok = DedupOps.Tokenizer.Unicode)
+        .localCheckpoint(true)
+      val rew = DedupOps.spanExtentDedupApply(gated, width = 8)
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 41 === 3)
+        .select(col("doc_id"), col("text"))
+      val scrubbed = DedupOps.winnowScrubVerified(
+        rew.filter(col("doc_id") % 41 =!= 3), bench, n = 3, w = 4,
+        minShared = 2L, tok = DedupOps.Tokenizer.UnicodeAligned)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
+        ugPieceLen)
+      val sel = TextAnalysis.mixtureSampleTokensBy(
+        scrubbed.join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        graft.llm.UnigramLm.tokenCount(col("text"), codec), "source",
+        tokenBudget = 5000L).select(col("doc_id"))
+      TextAnalysis.packSequencesBy(scrubbed.join(sel, "doc_id"),
+        graft.llm.UnigramLm.tokenCount(col("text"), codec),
+        packBudget, packShards)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("shard", "bin")
+    },
+    Some {
+      val alignedWords = "list_transform(string_split(text, ' '), " +
+        "w -> regexp_replace(lower(w), '[^\\p{L}\\p{N}]', '', 'g'))"
+      s"""WITH gn AS (
+         |  SELECT doc_id, coalesce(text, '') AS t,
+         |    list_filter(string_split(
+         |      trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+         |        '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+         |      x -> x <> '') AS gws
+         |  FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(gws) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(gws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |        CAST((length(t) - length(replace(t, '#', '')))
+         |          + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(gws, x -> regexp_matches(x, '\\p{L}'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(list_distinct(gws),
+         |          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT) AS n_required
+         |      FROM gn),
+         |gk AS (SELECT doc_id FROM gm
+         |       WHERE n_words >= 30 AND n_words <= 100000
+         |         AND n_words > 0 AND sum_word_len >= 3 * n_words
+         |         AND sum_word_len <= 10 * n_words
+         |         AND 10 * n_symbols <= n_words
+         |         AND 5 * n_alpha >= 4 * n_words
+         |         AND n_required >= 2),
+         |gd AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d JOIN gk USING (doc_id)),
+         |${extentFlagCtesFrom("gd")},
+         |st0 AS (SELECT doc_id, list(idx) AS starts FROM fl GROUP BY doc_id),
+         |rew AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    CASE WHEN st0.starts IS NULL THEN array_to_string(ws, ' ')
+         |         ELSE coalesce(array_to_string(list_transform(
+         |           list_filter(range(len(ws)), i ->
+         |             len(list_filter(st0.starts, x -> x <= i AND i <= x + 7)) = 0),
+         |           i -> ws[i + 1]), ' '), '') END AS text
+         |  FROM base b LEFT JOIN st0 USING (doc_id)),
+         |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 3),
+         |${winnowCtesFrom("bdocs", "b", alignedWords)},
+         |bp AS MATERIALIZED (SELECT DISTINCT h AS fp FROM bu),
+         |corp AS MATERIALIZED (SELECT doc_id, text FROM rew WHERE doc_id % 41 <> 3),
+         |${scrubRoundCtes("r1", "corp", alignedWords)},
+         |${scrubRoundCtes("r2", "r1out", alignedWords)},
+         |${scrubRoundCtes("r3", "r2out", alignedWords)},
+         |scr AS MATERIALIZED (SELECT doc_id, text FROM r3out),
+         |$ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |${ugDocTokCtes("scr")},
+         |toks AS MATERIALIZED (
+         |  SELECT s2.doc_id, dd.source, s2.text, COALESCE(udt.n_tokens, 0) AS n_tokens
+         |  FROM scr s2 JOIN documents dd USING (doc_id)
+         |  LEFT JOIN udt USING (doc_id)),
+         |wts AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_grp
+         |        FROM toks GROUP BY 1),
+         |w AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(tok_grp AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS w
+         |      FROM wts),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+         |quotas AS (SELECT source,
+         |             CAST((CAST(5000 AS HUGEINT) * w) // w_total AS BIGINT) AS quota
+         |           FROM w CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${polyHashSql("'graft#' || coalesce(text, '')")}, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM toks),
+         |seld AS (SELECT r.doc_id FROM ranked r JOIN quotas q USING (source)
+         |         WHERE r.cum_tokens - r.n_tokens < q.quota),
+         |pt AS (SELECT t.doc_id,
+         |         (CASE WHEN length(t.text) = 0 THEN 0
+         |               ELSE ${polyHashSql("t.text")} END) % $packShards AS shard,
+         |         t.n_tokens
+         |       FROM toks t JOIN seld USING (doc_id)),
+         |pc AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS cum_before
+         |  FROM pt)
+         |SELECT shard, CAST(FLOOR(CAST(cum_before AS DOUBLE) / $packBudget) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM pc GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8269,5 +8400,5 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }

@@ -489,6 +489,11 @@ class PlanSpec extends SparkSpec {
       "v12 pipeline planned a cross product")
   }
 
+  test("q231: the v14 export capstone plans with no cartesian product") {
+    assert(!planOf("q231_curation_v14").contains("CartesianProduct"),
+      "v14 pipeline planned a cross product")
+  }
+
   test("q219: bucketed fact-fact join needs NO exchange on either side") {
     import org.apache.spark.sql.functions.col
     // broadcast and AQE off: prove it is the BUCKETING that removes the
