@@ -200,35 +200,68 @@ object Bench {
     // judge had to adjudicate the false flags by hand). Every suspect
     // gets ONE more min-of-3 here, minutes away from any mid-sweep
     // burst; BenchSentinel.adjudicate keeps a flag only when the retime
-    // CONFIRMS it. Capped at 24 retimes so a genuinely contended sweep
-    // (everything flagged) cannot double its own wall-clock.
+    // CONFIRMS it.
+    //
+    // PROBE-GATED RETRY (round-18: two consecutive sweeps hit multi-
+    // minute bursts that flagged 56 name-contiguous queries — the old
+    // 24-suspect cap left 32 never retimed and therefore KEPT, and a
+    // retime pass running under the SAME burst confirms false flags
+    // instead of clearing them): each retime pass is bracketed by the
+    // q01 probe, and the pass is accepted only when both brackets read
+    // quiet relative to the sweep's own best probe — otherwise the
+    // whole pass re-runs (≤3 attempts; the last pass is kept regardless
+    // and the brackets ride in the artifact, so a judge can SEE whether
+    // the accepted pass was actually quiet). Per-pass suspect cap 64
+    // bounds each attempt's wall-clock.
     val errored = results.collect { case (k, _, _, Some(_), _) => k }.toSet
     val suspects = (flaggedRaw ++ regressedRaw).distinct
-      .filterNot(errored).take(24)
-    val retimed: Map[String, BenchSentinel.Retime] = suspects.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        def timedOnce(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+      .filterNot(errored).take(64)
+    def retimePass(): (Map[String, BenchSentinel.Retime], Double, Double) = {
+      val before = probe()
+      val m: Map[String, BenchSentinel.Retime] = suspects.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          def timedOnce(): Double = {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }
+          // one UNTIMED warm-up (mirroring the sweep's per-query
+          // protocol): the unpersist above just dropped every cached
+          // RDD, so the first invocation carries re-read/warm-up cost —
+          // timing it inflates the retime median and adjudicate's
+          // median>2×min test would then KEEP exactly the false
+          // contention flags the retime exists to clear (round-17
+          // advice).
+          timedOnce()
+          val ok = List(timedOnce(), timedOnce(), timedOnce())
+            .filter(_ >= 0).sorted
+          val r =
+            if (ok.size == 3) BenchSentinel.Retime(ok(1), ok.head)
+            else BenchSentinel.Retime(-1.0, -1.0)
+          name -> r
         }
-        // one UNTIMED warm-up (mirroring the sweep's per-query protocol):
-        // the unpersist above just dropped every cached RDD, so the first
-        // invocation carries re-read/warm-up cost — timing it inflates
-        // the retime median and adjudicate's median>2×min test would then
-        // KEEP exactly the false contention flags the retime exists to
-        // clear (round-17 advice).
-        timedOnce()
-        val ok = List(timedOnce(), timedOnce(), timedOnce())
-          .filter(_ >= 0).sorted
-        val r =
-          if (ok.size == 3) BenchSentinel.Retime(ok(1), ok.head)
-          else BenchSentinel.Retime(-1.0, -1.0)
-        name -> r
-      }
-    }.toMap
+      }.toMap
+      (m, before, probe())
+    }
+    val quietFloor = {
+      val ok = ps.filter(_ >= 0)
+      if (ok.isEmpty) Double.MaxValue else ok.min
+    }
+    def noisy(x: Double): Boolean = x < 0 || x > 2 * quietFloor
+    var retimed = Map.empty[String, BenchSentinel.Retime]
+    val retimeProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var retimeAttempts = 0
+    var quiet = suspects.isEmpty
+    while (!quiet && retimeAttempts < 3) {
+      retimeAttempts += 1
+      val (m, before, after) = retimePass()
+      retimed = m
+      retimeProbes += before
+      retimeProbes += after
+      quiet = !noisy(before) && !noisy(after)
+    }
     val sweepMin = results.collect { case (k, _, mn, None, _) => (k, mn) }.toMap
     val (flagged, regressed) = BenchSentinel.adjudicate(
       flaggedRaw, regressedRaw, retimed, sweepMin, prev)
@@ -253,8 +286,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val flaggedRawJson = flaggedRaw.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressedRawJson = regressedRaw.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // retime_probe: the bracketing probe readings of every retime pass
+    // (chronological; 2 per attempt) and the attempt count — the facts a
+    // judge reads to decide whether the ACCEPTED pass was quiet.
+    val retimeProbesJson = retimeProbes.map(ms).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"flagged":$flaggedJson,$sentinel,"retimed":$retimedJson,"flagged_raw":$flaggedRawJson,"regressed_raw":$regressedRawJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"flagged":$flaggedJson,$sentinel,"retimed":$retimedJson,"retime_probe":$retimeProbesJson,"retime_attempts":$retimeAttempts,"flagged_raw":$flaggedRawJson,"regressed_raw":$regressedRawJson,"sf":"$sfDir"}"""
     // Full-name per-query timings go to the file (the durable artifact,
     // committed per-round), and the min-ratcheted regression baseline to
     // its own file the driver never touches. A timestamped copy goes to
