@@ -102,25 +102,43 @@ object UnigramLm {
       maxPieceLen: Int = 3, minCount: Long = 3L,
       rungs: Seq[Int]): Map[Int, Seq[Piece]] = {
     val hist = chunkHistogram(docs, chunkLen).localCheckpoint(true)
+    try {
+      requireNoSep(hist)
+      selectVocab(hist, maxPieceLen, minCount, rungs)
+    } finally hist.unpersist() // rungs are collected — lineage is done
+  }
+
+  /** The [[Sep]] guard every path that Viterbi-segments a histogram must
+    * run: a "~" inside a chunk makes the packed-segmentation tie-break
+    * ambiguous (the key would split on corpus bytes, not piece joins). */
+  private def requireNoSep(hist: DataFrame): Unit =
     require(hist.filter(col("word").contains(Sep)).head(1).isEmpty,
       s"unigram separator '$Sep' occurs inside a corpus chunk")
+
+  /** Candidate enumeration + per-rung top-V selection over an already-
+    * built (and checkpointed) chunk-type histogram — the learn core
+    * shared by [[learnVocabLadder]] and [[learnEm]]'s seed. */
+  private def selectVocab(hist: DataFrame, maxPieceLen: Int, minCount: Long,
+      rungs: Seq[Int]): Map[Int, Seq[Piece]] = {
     val cand = hist
       .select(col("cnt"),
         explode(allSubstrings(col("word"), maxPieceLen)).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("freq"))
       .localCheckpoint(true)
-    val sing = cand.filter(length(col("piece")) === 1).collect()
-    val multiAll = cand
-      .filter(length(col("piece")) >= 2 && col("freq") >= minCount)
-    rungs.map { v =>
-      val rows = sing ++ multiAll
-        .orderBy(col("freq").desc, col("piece")).limit(v).collect()
-      val tot = rows.map(_.getLong(1)).sum
-      v -> rows.map { r =>
-        val f = r.getLong(1)
-        Piece(r.getString(0), f, bitlen(tot) - bitlen(f))
-      }.sortBy(_.piece)(graft.llm.Bpe.utf8Ordering).toSeq
-    }.toMap
+    try {
+      val sing = cand.filter(length(col("piece")) === 1).collect()
+      val multiAll = cand
+        .filter(length(col("piece")) >= 2 && col("freq") >= minCount)
+      rungs.map { v =>
+        val rows = sing ++ multiAll
+          .orderBy(col("freq").desc, col("piece")).limit(v).collect()
+        val tot = rows.map(_.getLong(1)).sum
+        v -> rows.map { r =>
+          val f = r.getLong(1)
+          Piece(r.getString(0), f, bitlen(tot) - bitlen(f))
+        }.sortBy(_.piece)(graft.llm.Bpe.utf8Ordering).toSeq
+      }.toMap
+    } finally cand.unpersist()
   }
 
   /** [[learnVocab]] as a DataFrame (piece, freq, cost) — the
@@ -135,12 +153,34 @@ object UnigramLm {
 
   /** The codec for [[tokenCount]]/[[tokens]]: vocabulary baked into one
     * serializable reference object. The unknown-single-code-point cost
-    * is cost(freq = 0) = bitlen(total) − 1 under the same formula. */
+    * is cost(freq = 0) = bitlen(total) − 1 under the same formula.
+    *
+    * This overload derives the pricing total as sum(freq) and ASSERTS
+    * every stored cost agrees with it (cost = bitlen(tot) − bitlen(freq),
+    * the check [[UnigramIndex.load]] also runs) — a vocabulary priced
+    * against a DIFFERENT total (an EM round whose usage total includes
+    * pruned-piece or out-of-vocabulary mass) must come through
+    * [[codecPriced]] with that total made explicit, or the unk cost
+    * silently disagrees with the costs it competes against. */
   def codecOf(pieces: Seq[Piece], chunkLen: Int = 6,
       maxPieceLen: Int = 3): UnigramCodec = {
     val tot = pieces.map(_.freq).sum
+    require(pieces.forall(p => p.cost == bitlen(tot) - bitlen(p.freq)),
+      "codecOf: piece costs were not priced against sum(freq) — pass the " +
+        "usage total the costs were actually priced against via codecPriced")
+    codecPriced(pieces, chunkLen, maxPieceLen, tot)
+  }
+
+  /** [[codecOf]] with the pricing total explicit: `pricedTotal` is the
+    * usage/frequency mass the costs were computed against (it exceeds
+    * sum(freq) whenever pruned pieces or unk tokens carried usage). */
+  def codecPriced(pieces: Seq[Piece], chunkLen: Int, maxPieceLen: Int,
+      pricedTotal: Long): UnigramCodec = {
+    require(pieces.forall(p => p.cost == bitlen(pricedTotal) - bitlen(p.freq)),
+      "codecPriced: piece costs disagree with the surprisal-bit formula " +
+        "against the given pricing total")
     new UnigramCodec(pieces.map(_.piece).toArray, pieces.map(_.cost).toArray,
-      chunkLen, maxPieceLen, bitlen(tot) - 1L)
+      chunkLen, maxPieceLen, bitlen(pricedTotal) - 1L)
   }
 
   /** Viterbi token count of a document — a pure per-row codegen'd
@@ -173,18 +213,43 @@ object UnigramLm {
    * sorted by piece.
    */
   def reestimate(docs: DataFrame, pieces: Seq[Piece], chunkLen: Int = 6,
-      maxPieceLen: Int = 3): Seq[Piece] = {
+      maxPieceLen: Int = 3): Seq[Piece] =
+    reestimateWithTotal(docs, pieces, chunkLen, maxPieceLen)._1
+
+  /** [[reestimate]] plus the usage total the new costs were priced
+    * against — the value [[codecPriced]] needs to encode under the
+    * re-estimated model when the total exceeds the surviving pieces' own
+    * mass (out-of-vocabulary code points on a DIFFERENT corpus than the
+    * learn emit unk tokens that carry usage but belong to no piece). */
+  def reestimateWithTotal(docs: DataFrame, pieces: Seq[Piece],
+      chunkLen: Int = 6, maxPieceLen: Int = 3): (Seq[Piece], Long) = {
     val codec = codecOf(pieces, chunkLen, maxPieceLen)
-    val usage = chunkHistogram(docs, chunkLen)
-      .select(col("cnt"), explode(tokens(col("word"), codec)).as("piece"))
+    val hist = chunkHistogram(docs, chunkLen)
+    // same guard as the learn path (UnigramLm.learnVocabLadder): this may
+    // run on a DIFFERENT corpus than the learn, and a "~" inside any of
+    // ITS chunks corrupts the packed-segmentation tie-break just the same
+    requireNoSep(hist)
+    val usage = usageOver(hist, codec)
+    val tot = usage.valuesIterator.sum
+    (recost(pieces, usage, tot), tot)
+  }
+
+  /** Weighted Viterbi piece-usage counts of a chunk-type histogram under
+    * `codec` — the E-step; model-sized output by construction. */
+  private def usageOver(hist: DataFrame,
+      codec: UnigramCodec): Map[String, Long] =
+    hist.select(col("cnt"), explode(tokens(col("word"), codec)).as("piece"))
       .groupBy("piece").agg(sum(col("cnt")).as("n_uses"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tot = usage.valuesIterator.sum
+
+  /** The M-step: the SAME piece set, frequencies replaced by usage and
+    * costs re-priced against `tot` — piece-ordered. */
+  private def recost(pieces: Seq[Piece], usage: Map[String, Long],
+      tot: Long): Seq[Piece] =
     pieces.map { p =>
       val u = usage.getOrElse(p.piece, 0L)
       Piece(p.piece, u, bitlen(tot) - bitlen(u))
     }.sortBy(_.piece)(graft.llm.Bpe.utf8Ordering)
-  }
 
   /** [[reestimate]] as a DataFrame (piece, n_uses, cost). */
   def reestimateDf(docs: DataFrame, pieces: Seq[Piece], chunkLen: Int = 6,
@@ -193,5 +258,161 @@ object UnigramLm {
     import spark.implicits._
     reestimate(docs, pieces, chunkLen, maxPieceLen)
       .toDF("piece", "n_uses", "cost")
+  }
+
+  // ------------------------------------------------ EM learn with prune
+
+  /** One round of [[learnEm]]'s trace: the usage total the round's costs
+    * were priced against (pass it to [[codecPriced]] to encode under
+    * `vocab`), the pieces pruned this round (piece-ordered), and the
+    * surviving vocabulary (piece-ordered, re-priced). */
+  final case class EmRound(round: Int, usageTotal: Long,
+      pruned: Seq[String], vocab: Seq[Piece])
+
+  /**
+   * The multi-piece-count ladder of [[learnEm]]'s prune loop — a PURE
+   * function of (seedSize, targetSize, keepPermille): each round keeps
+   * max(targetSize, floor(nMulti · keepPermille / 1000)) multi-code-point
+   * pieces, until the target size is reached. Shared between the Scala
+   * loop and the oracle-SQL generator so the round structure (how many
+   * DP+prune blocks unroll) can never drift between the two engines.
+   */
+  def emKeepLadder(seedSize: Int, targetSize: Int,
+      keepPermille: Int): Seq[Int] = {
+    require(seedSize > targetSize,
+      s"learnEm needs seedSize ($seedSize) > targetSize ($targetSize)")
+    require(keepPermille > 0 && keepPermille < 1000,
+      s"keepPermille must be in (0, 1000), got $keepPermille")
+    val b = Seq.newBuilder[Int]
+    var cur = seedSize
+    while (cur > targetSize) {
+      cur = math.max(targetSize, cur * keepPermille / 1000)
+      b += cur
+    }
+    b.result()
+  }
+
+  /** Code-point count — the length the SQL replay's `length()` and the
+    * vocabulary's plen column both use. */
+  private def numChars(s: String): Int = s.codePointCount(0, s.length)
+
+  /**
+   * Viterbi cost of segmenting `piece` ITSELF into ≥ 2 parts under
+   * `cost`/`unkCost` — the likelihood-loss denominator of Kudo 2018's
+   * prune criterion, exact in integer surprisal bits. Exclusion of the
+   * piece's own entry is AUTOMATIC: every part of a ≥2-part segmentation
+   * is strictly shorter than the whole, so only sub-pieces price it.
+   * Always finite — single code points fall back to `unkCost`.
+   */
+  private[llm] def altSegCost(piece: String, cost: Map[String, Long],
+      unkCost: Long, maxPieceLen: Int): Long = {
+    val off = new Array[Int](numChars(piece) + 1)
+    var cp = 0
+    var k = 0
+    while (cp < piece.length) {
+      off(k) = cp
+      cp += Character.charCount(piece.codePointAt(cp))
+      k += 1
+    }
+    off(k) = piece.length
+    val n = k
+    val dp = Array.fill[Long](n + 1)(Long.MaxValue)
+    dp(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      val lMax = math.min(j, maxPieceLen)
+      while (l <= lMax) {
+        if (!(j == n && l == n)) { // forbid the single whole-span part
+          val sub = piece.substring(off(j - l), off(j))
+          val pc = cost.getOrElse(sub,
+            if (l == 1) unkCost else Long.MaxValue)
+          if (pc != Long.MaxValue && dp(j - l) != Long.MaxValue)
+            dp(j) = math.min(dp(j), dp(j - l) + pc)
+        }
+        l += 1
+      }
+      j += 1
+    }
+    dp(n)
+  }
+
+  /**
+   * The REAL SentencePiece learn shape (Kudo 2018 §3.2, arXiv:1804.10959):
+   * seed an over-large vocabulary, then alternate hard-EM rounds with
+   * LIKELIHOOD-based pruning until the multi-piece budget reaches
+   * `targetSize`. Each round, over the chunk-type histogram:
+   *
+   *  1. E-step — Viterbi-segment every chunk type under the current
+   *     costs, fold weighted piece-usage counts (corpus-sized work, one
+   *     distributed aggregate; only model-sized usage collects);
+   *  2. M-step — re-price the SAME piece set: cost = bitlen(usageTotal)
+   *     − bitlen(n_uses), exact integers;
+   *  3. Prune — for every multi-code-point piece, the likelihood LOSS of
+   *     removing it is n_uses · (altSegCost − cost): its usage would
+   *     re-segment at the best alternative ≥2-part price. Keep the top
+   *     `keep` by (loss DESC, piece ASC in UTF-8 byte order); single code
+   *     points are never pruned (coverage floor).
+   *
+   * The keep sizes per round come from [[emKeepLadder]], so the loop's
+   * round structure is static given the parameters — the property the
+   * unrolled oracle-SQL replay (q232/q233) depends on. Deviation from
+   * the float original, by design: surprisal-bit integer costs and
+   * one-best (hard) EM, so every round is exact cross-engine arithmetic.
+   * Requires the corpus to yield a FULL seed (exactly `seedSize`
+   * multi-piece candidates with freq ≥ `minCount`) — refused loudly
+   * otherwise, because the ladder (and the replay) assume it.
+   *
+   * Returns the per-round trace; `.last.vocab` is the final model and
+   * `.last.usageTotal` the total [[codecPriced]] needs to encode under it.
+   */
+  def learnEm(docs: DataFrame, chunkLen: Int = 6, maxPieceLen: Int = 3,
+      minCount: Long = 3L, seedSize: Int = 40, targetSize: Int = 10,
+      keepPermille: Int = 625): Seq[EmRound] = {
+    val ladder = emKeepLadder(seedSize, targetSize, keepPermille)
+    val hist = chunkHistogram(docs, chunkLen).localCheckpoint(true)
+    try {
+      requireNoSep(hist)
+      val seed = selectVocab(hist, maxPieceLen, minCount, Seq(seedSize))(seedSize)
+      val nMulti = seed.count(p => numChars(p.piece) >= 2)
+      require(nMulti == seedSize,
+        s"learnEm: corpus yields only $nMulti eligible multi-piece seed " +
+          s"candidates, need the full seedSize=$seedSize (the prune " +
+          "ladder and its oracle replay assume a full seed)")
+      var vocab = seed
+      var tot = seed.map(_.freq).sum
+      val out = Seq.newBuilder[EmRound]
+      ladder.zipWithIndex.foreach { case (keep, i) =>
+        val codec = codecPriced(vocab, chunkLen, maxPieceLen, tot)
+        val usage = usageOver(hist, codec)
+        val newTot = usage.valuesIterator.sum
+        val re = recost(vocab, usage, newTot)
+        val costMap = re.iterator.map(p => p.piece -> p.cost).toMap
+        val unk = bitlen(newTot) - 1L
+        val (multis, singles) = re.partition(p => numChars(p.piece) >= 2)
+        val ranked = multis.sortBy { p =>
+          (-(p.freq * (altSegCost(p.piece, costMap, unk, maxPieceLen)
+            - p.cost)), p.piece)
+        }(Ordering.Tuple2(Ordering.Long, graft.llm.Bpe.utf8Ordering))
+        val kept = ranked.take(keep)
+        val pruned = ranked.drop(keep).map(_.piece)
+          .sorted(graft.llm.Bpe.utf8Ordering)
+        vocab = (singles ++ kept).sortBy(_.piece)(graft.llm.Bpe.utf8Ordering)
+        tot = newTot
+        out += EmRound(i + 1, newTot, pruned, vocab)
+      }
+      out.result()
+    } finally hist.unpersist()
+  }
+
+  /** [[learnEm]]'s final vocabulary as a DataFrame (piece, freq = last
+    * round's usage, cost) — the registry-facing table. */
+  def learnEmDf(docs: DataFrame, chunkLen: Int = 6, maxPieceLen: Int = 3,
+      minCount: Long = 3L, seedSize: Int = 40, targetSize: Int = 10,
+      keepPermille: Int = 625): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnEm(docs, chunkLen, maxPieceLen, minCount, seedSize, targetSize,
+      keepPermille).last.vocab.toDF("piece", "freq", "cost")
   }
 }

@@ -8388,6 +8388,151 @@ object LlmQueries {
          |FROM pc GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
     })
 
+  // ------------------------------------------ unigram EM learn w/ prune
+
+  private val ugEmTarget = 10
+  private val ugEmKeepPermille = 625
+  /** The prune ladder (multi-piece counts per round) — shared between the
+    * Scala loop and the SQL generator, so the number of unrolled DP+prune
+    * CTE blocks below can never drift from what learnEm actually runs. */
+  private val ugEmLadder =
+    graft.llm.UnigramLm.emKeepLadder(ugVocabSize, ugEmTarget,
+      ugEmKeepPermille)
+
+  private val ugEmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.UnigramLm.EmRound]]()
+  private def ugEmFor(s: SparkSession,
+      d: String): Seq[graft.llm.UnigramLm.EmRound] =
+    ugEmCache.computeIfAbsent(d, _ =>
+      graft.llm.UnigramLm.learnEm(Tables.documents(s, d), ugChunkLen,
+        ugPieceLen, ugMinCount, ugVocabSize, ugEmTarget, ugEmKeepPermille))
+
+  /** ≥2-part compositions of `n` with parts ≤ ugPieceLen — the
+    * alternative segmentation patterns an n-code-point piece can
+    * re-segment into when pruned (its own whole-span entry is excluded
+    * by construction: every part is strictly shorter than the whole). */
+  private def emAltPatterns(n: Int): Seq[Seq[Int]] = {
+    def comps(m: Int): Seq[Seq[Int]] =
+      if (m == 0) Seq(Seq.empty)
+      else (1 to math.min(m, ugPieceLen)).flatMap(h =>
+        comps(m - h).map(h +: _))
+    comps(n).filter(_.size >= 2)
+  }
+
+  /** ONE EM+prune round's replay (UnigramLm.learnEm steps 1–3): Viterbi
+    * DP under the previous round's vocab `pv` / unk `pu`, weighted usage
+    * fold off the packed keys, re-cost against the usage total,
+    * alternative-segmentation pricing per multi piece (pattern joins on
+    * sub-pieces — singles always hit, absent sub-pieces just drop their
+    * branch), keep the top `keep` by likelihood loss n_uses·(alt − cost)
+    * with (loss DESC, piece ASC) total order. Emits v{r}c / u{r}k for
+    * the next round's DP. */
+  private def ugEmRoundCtes(r: Int, pv: String, pu: String,
+      keep: Int): String = {
+    val altBranches = (2 to ugPieceLen).flatMap { n =>
+      emAltPatterns(n).map { parts =>
+        val joins = parts.zipWithIndex.map { case (l, i) =>
+          val start = parts.take(i).sum + 1
+          s"JOIN rc$r a$i ON a$i.plen = $l AND a$i.piece = substring(p.piece, $start, $l)"
+        }.mkString("\n  ")
+        val costSum = parts.indices.map(i => s"a$i.cost").mkString(" + ")
+        s"""SELECT p.piece, $costSum AS alt
+           |  FROM rc$r p
+           |  $joins
+           |  WHERE p.plen = $n""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""${ugDpCtes(s"m$r", pv, pu, "uch")},
+       |use$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_uses FROM (
+       |    SELECT cnt, unnest(string_split(substring(key, 7), '~')) AS piece FROM m${r}e)
+       |  GROUP BY 1),
+       |tot$r AS (SELECT CAST(sum(n_uses) AS BIGINT) AS tot FROM use$r),
+       |rc$r AS MATERIALIZED (SELECT v.piece,
+       |          CAST(coalesce(u.n_uses, 0) AS BIGINT) AS freq,
+       |          CAST(length(bin(t.tot)) - length(bin(coalesce(u.n_uses, 0))) AS BIGINT) AS cost,
+       |          v.plen
+       |        FROM $pv v LEFT JOIN use$r u USING (piece) CROSS JOIN tot$r t),
+       |alt$r AS MATERIALIZED (SELECT piece, min(alt) AS alt FROM (
+       |$altBranches
+       |) GROUP BY 1),
+       |keep$r AS MATERIALIZED (
+       |  SELECT c.piece, c.freq, c.cost, c.plen
+       |  FROM rc$r c JOIN alt$r a USING (piece)
+       |  WHERE c.plen >= 2
+       |  ORDER BY c.freq * (a.alt - c.cost) DESC, c.piece LIMIT $keep),
+       |v${r}c AS MATERIALIZED (
+       |  SELECT piece, freq, cost, plen FROM rc$r WHERE plen = 1
+       |  UNION ALL SELECT piece, freq, cost, plen FROM keep$r),
+       |u${r}k AS MATERIALIZED (SELECT CAST(length(bin(tot)) - 1 AS BIGINT) AS c FROM tot$r)""".stripMargin
+  }
+
+  /** Seed learn + every EM round unrolled — the full learnEm replay. */
+  private val ugEmCtesAll: String = {
+    val rounds = ugEmLadder.zipWithIndex.map { case (keep, i) =>
+      val r = i + 1
+      val (pv, pu) =
+        if (r == 1) ("uvc", "uunk") else (s"v${r - 1}c", s"u${r - 1}k")
+      ugEmRoundCtes(r, pv, pu, keep)
+    }.mkString(",\n")
+    s"$ugLearnCtes,\n$rounds"
+  }
+  private val ugEmFinalV = s"v${ugEmLadder.size}c"
+  private val ugEmFinalU = s"u${ugEmLadder.size}k"
+
+  // q232 — the REAL SentencePiece learn shape (Kudo 2018 §3.2): seed the
+  // q220 vocabulary over-large, then alternate hard-EM rounds with
+  // LIKELIHOOD-based pruning — each round re-prices every piece from its
+  // Viterbi usage and drops the multi pieces whose removal costs the
+  // least total likelihood (n_uses · (best-alternative-segmentation
+  // price − own price)), never a raw frequency cut — until the
+  // multi-piece budget hits the target. Every round is exact integer
+  // arithmetic; the oracle unrolls all three DP+prune rounds as CTE
+  // blocks (q222's pattern). Scale: each round is ONE distributed
+  // aggregate over the chunk-type histogram; only model-sized usage
+  // maps collect, and alternative pricing is driver-side over the
+  // model-sized vocabulary.
+  val q232 = Q(
+    "q232_unigram_em_prune",
+    (s, d) => {
+      import s.implicits._
+      ugEmFor(s, d).last.vocab.toDF("piece", "freq", "cost")
+        .orderBy("piece")
+    },
+    Some(
+      s"""WITH $ugEmCtesAll
+         |SELECT piece, freq, cost FROM $ugEmFinalV ORDER BY piece""".stripMargin))
+
+  // q233 — corpus encode under the EM-PRUNED model: q221's per-source
+  // fertility report with the q232 vocabulary and ITS pricing total
+  // (codecPriced — the final costs were priced against a usage total
+  // that includes the pruned pieces' mass, so sum(freq) underprices unk;
+  // threading the explicit total is exactly the contract the codec
+  // asserts). The oracle runs one more DP chain under the final vocab —
+  // a drifted prune order, a wrong unk price, or a tie-break divergence
+  // in ANY of the three rounds changes this hash too (the q223 pattern:
+  // downstream encode re-checks the whole lifecycle).
+  val q233 = Q(
+    "q233_unigram_em_prune_encode",
+    (s, d) => {
+      val em = ugEmFor(s, d).last
+      val codec = graft.llm.UnigramLm.codecPriced(em.vocab, ugChunkLen,
+        ugPieceLen, em.usageTotal)
+      Tables.documents(s, d).groupBy("source")
+        .agg(
+          sum(graft.llm.UnigramLm.chunkCount(col("text"), ugChunkLen))
+            .as("n_chunks"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), codec))
+            .as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+            .as("fertility_permille"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ugEmCtesAll,
+         |${ugDpCtes("z", ugEmFinalV, ugEmFinalU, "uch")}
+         |${ugReportSql("ze")}""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8400,5 +8545,6 @@ object LlmQueries {
     q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+    q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
+    q231, q232, q233)
 }

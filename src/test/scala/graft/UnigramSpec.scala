@@ -336,6 +336,151 @@ class UnigramSpec extends SparkSpec {
         r2.getAs[Long]("fert_train_permille"))
   }
 
+  private def bl(n: Long): Long =
+    if (n <= 0) 1L else (64 - java.lang.Long.numberOfLeadingZeros(n)).toLong
+
+  /** Exhaustive minimum cost of segmenting `piece` into ≥2 parts — the
+    * prune criterion's alternative price, by brute enumeration (every
+    * composition walked recursively), independent of the DP under test. */
+  private def refAltCost(piece: String, costs: Map[String, Long], unk: Long,
+      maxL: Int): Long = {
+    val v = cps(piece)
+    def go(from: Int, nParts: Int): Long =
+      if (from == v.length) { if (nParts >= 2) 0L else Long.MaxValue }
+      else (1 to math.min(maxL, v.length - from)).map { l =>
+        val part = v.slice(from, from + l).mkString
+        val pc = costs.getOrElse(part, if (l == 1) unk else Long.MaxValue)
+        val rest = go(from + l, nParts + 1)
+        if (pc == Long.MaxValue || rest == Long.MaxValue) Long.MaxValue
+        else pc + rest
+      }.min
+    // forbid the single whole-span part: nParts must end >= 2
+    go(0, 0)
+  }
+
+  /** Sequential reference of the full EM+prune learn: seed via refLearn,
+    * then per round — reference-Viterbi usage tally, bitlen re-cost,
+    * brute-force alternative pricing, keep top-k by (loss DESC, piece
+    * ASC). Independent of learnEm's distributed aggregates and of the
+    * codegen'd codec. */
+  private def refLearnEm(texts: Seq[String], cl: Int, maxL: Int,
+      minCount: Long, seedSize: Int, targetSize: Int,
+      keepPm: Int): (Seq[Piece], Long, Seq[Int]) = {
+    var vocab = refLearn(texts, cl, maxL, minCount, seedSize)
+    var tot = vocab.map(_.freq).sum
+    def cpsLen(s: String) = s.codePointCount(0, s.length)
+    // the keep ladder, derived independently (same floor formula)
+    val ladder = {
+      val b = Seq.newBuilder[Int]
+      var cur = seedSize
+      while (cur > targetSize) {
+        cur = math.max(targetSize, cur * keepPm / 1000); b += cur
+      }
+      b.result()
+    }
+    ladder.foreach { keep =>
+      val costs = vocab.map(p => p.piece -> p.cost).toMap
+      val unk = bl(tot) - 1L
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      texts.foreach(t => refTokens(t, costs, unk, cl, maxL)
+        .foreach(p => usage(p) = usage.getOrElse(p, 0L) + 1L))
+      val newTot = usage.valuesIterator.sum
+      val re = vocab.map { p =>
+        val u = usage.getOrElse(p.piece, 0L)
+        Piece(p.piece, u, bl(newTot) - bl(u))
+      }
+      val cm = re.map(p => p.piece -> p.cost).toMap
+      val unk2 = bl(newTot) - 1L
+      val (multis, singles) = re.partition(p => cpsLen(p.piece) >= 2)
+      def loss(p: Piece): Long =
+        p.freq * (refAltCost(p.piece, cm, unk2, maxL) - p.cost)
+      val ranked = multis.sortWith((a, b) =>
+        loss(a) > loss(b) || (loss(a) == loss(b) && utf8Lt(a.piece, b.piece)))
+      vocab = (singles ++ ranked.take(keep))
+        .sortWith((a, b) => utf8Lt(a.piece, b.piece))
+      tot = newTot
+    }
+    (vocab, tot, ladder)
+  }
+
+  test("learnEm ≡ sequential reference across seeded random corpora") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd"
+      def word() = Seq.fill(1 + rnd.nextInt(7))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val texts = Seq.fill(30)(Seq.fill(8)(word()).mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = UnigramLm.learnEm(docs, chunkLen = 6, maxPieceLen = 3,
+        minCount = 2L, seedSize = 8, targetSize = 3, keepPermille = 600)
+      val (wantVocab, wantTot, ladder) =
+        refLearnEm(texts, 6, 3, 2L, 8, 3, 600)
+      assert(got.size == ladder.size)
+      // every round shrinks the multi budget exactly along the ladder
+      got.zip(ladder).foreach { case (r, keep) =>
+        assert(r.vocab.count(p => p.piece.codePointCount(0,
+          p.piece.length) >= 2) == keep, s"round ${r.round} multi count")
+        assert(r.pruned.nonEmpty, s"round ${r.round} pruned nothing")
+      }
+      assert(got.last.vocab == wantVocab, s"corpus seed $seed")
+      assert(got.last.usageTotal == wantTot)
+      // singles are never pruned: coverage floor survives every round
+      val singles0 = UnigramLm.learnVocab(docs, 6, 3, 2L, 8)
+        .map(_.piece).filter(p => p.codePointCount(0, p.length) == 1).toSet
+      assert(singles0.subsetOf(got.last.vocab.map(_.piece).toSet))
+    }
+  }
+
+  test("learnEm refuses a corpus that cannot fill the seed") {
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      UnigramLm.learnEm(docs, 6, 3, 2L, seedSize = 50, targetSize = 10,
+        keepPermille = 600))
+    assert(e.getMessage.contains("seed"))
+  }
+
+  test("codecOf refuses costs priced against a different total; codecPriced accepts it") {
+    // pieces priced against tot = 100 while sum(freq) = 30 — the
+    // EM-after-prune shape (pruned/unk mass carried usage)
+    val tot = 100L
+    val pieces = Seq(Piece("a", 10L, bl(tot) - bl(10L)),
+      Piece("b", 20L, bl(tot) - bl(20L)))
+    intercept[IllegalArgumentException](UnigramLm.codecOf(pieces, 6, 3))
+    val codec = UnigramLm.codecPriced(pieces, 6, 3, tot)
+    assert(codec.unkCost == bl(tot) - 1L)
+    // and a WRONG explicit total is refused too
+    intercept[IllegalArgumentException](
+      UnigramLm.codecPriced(pieces, 6, 3, 100000L))
+    // learnEm's own trace always threads a codec-accepted total
+    val texts = Seq("banana band banana", "ababab cabbage", "a cab can nab",
+      "and band bandana nab an abba", "cancan banana cab and")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val em = UnigramLm.learnEm(docs, 6, 3, 2L, seedSize = 8, targetSize = 3,
+      keepPermille = 600).last
+    UnigramLm.codecPriced(em.vocab, 6, 3, em.usageTotal) // must not throw
+  }
+
+  test("reestimate refuses a separator-bearing corpus on both call paths") {
+    import graft.llm.UnigramIndex
+    val clean = Seq((1L, "banana band banana"), (2L, "ababab cab nab"))
+      .toDF("doc_id", "text")
+    val dirty = Seq((1L, "ban~na band")).toDF("doc_id", "text")
+    val v1 = UnigramLm.learnVocab(clean, 6, 3, 2L, 5)
+    // inline path: the re-estimation corpus, not the learn corpus, is dirty
+    val e = intercept[IllegalArgumentException](
+      UnigramLm.reestimate(dirty, v1, 6, 3))
+    assert(e.getMessage.contains("separator"))
+    // served path: same refusal when the pieces come from a stored index
+    val dir = java.nio.file.Files.createTempDirectory("ug_sep_idx").toString
+    UnigramIndex.build(clean, dir, 6, 3, 2L, 5)
+    val (ps, cl, mpl) = UnigramIndex.loadWithGeometry(spark, dir)
+    val e2 = intercept[IllegalArgumentException](
+      UnigramLm.reestimate(dirty, ps, cl, mpl))
+    assert(e2.getMessage.contains("separator"))
+  }
+
   test("registry vocabulary on the sf0.001 corpus: coverage and cost sanity") {
     val docs = Tables.documents(spark, sfDir)
     val v = UnigramLm.learnVocab(docs)
