@@ -70,6 +70,7 @@ object Maintenance {
    */
   def compactDir(spark: SparkSession, dir: String,
       targetFiles: Int = 1): Unit = {
+    refuseBucketed(spark, dir, "compactDir")
     recoverCompaction(spark, dir)
     val p = new Path(dir)
     val f = fs(spark, p)
@@ -82,6 +83,22 @@ object Maintenance {
     require(f.rename(tmp, p), s"rename $tmp -> $p failed")
     f.delete(old, true)
   }
+
+  /** The bucketed-layout refusal both compaction entry points run FIRST:
+    * a bucketed table's bucket↔file mapping lives in the part-file names
+    * ([[Bucketed]] scaladoc), and a coalesce-rewrite would destroy it
+    * SILENTLY — the catalog would keep promising co-located joins over
+    * files that no longer honor the hash placement, returning wrong
+    * rows. Evolving a bucketed table's layout means re-running
+    * [[Bucketed.write]]. */
+  private def refuseBucketed(spark: SparkSession, dir: String,
+      job: String): Unit =
+    if (Bucketed.isBucketedDir(spark, dir))
+      throw new IllegalStateException(
+        s"$job: '$dir' backs a BUCKETED table (${Bucketed.Marker} " +
+          "present) — a coalesce rewrite would silently destroy the " +
+          "bucket-file mapping every co-located join depends on; " +
+          "re-run Bucketed.write to rewrite this layout instead")
 
   /**
    * Startup/pre-compaction recovery for an interrupted swap. The swap's
@@ -124,6 +141,7 @@ object Maintenance {
    */
   def compactHivePartitioned(spark: SparkSession, dir: String,
       partCol: String): Unit = {
+    refuseBucketed(spark, dir, "compactHivePartitioned")
     recoverCompaction(spark, dir)
     val p = new Path(dir)
     val f = fs(spark, p)

@@ -438,6 +438,7 @@ object RelationalQueries {
   // terabytes per query and a local merge per bucket pair. Tables are
   // external (data under a reaped temp dir), registered in the session
   // catalog once per (JVM, sf).
+  private[graft] val BucketCount = 8
   private val bucketedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def bucketedPair(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -445,12 +446,14 @@ object RelationalQueries {
     val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
     bucketedDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-      Tables.lineitem(s, d).write.format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$dir/lineitem").saveAsTable(lt)
-      Tables.orders(s, d).write.format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$dir/orders").saveAsTable(ot)
+      // the generalized operator: drop-if-exists + overwrite, so a stale
+      // catalog entry from an earlier JVM (persistent metastore) or a
+      // half-failed save never strands TableAlreadyExists; both tables
+      // share ONE bucket count (the must-match rule, Bucketed scaladoc)
+      graft.pipeline.Bucketed.write(Tables.lineitem(s, d), lt,
+        s"$dir/lineitem", "l_orderkey", BucketCount)
+      graft.pipeline.Bucketed.write(Tables.orders(s, d), ot,
+        s"$dir/orders", "o_orderkey", BucketCount)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(p: java.io.File): Unit = {
           val cs = p.listFiles(); if (cs != null) cs.foreach(rm); p.delete()
@@ -459,7 +462,7 @@ object RelationalQueries {
       }))
       dir
     })
-    (s.table(lt), s.table(ot))
+    (graft.pipeline.Bucketed.read(s, lt), graft.pipeline.Bucketed.read(s, ot))
   }
 
   // q219 — the co-located join itself: lineitem ⋈ orders on the shared
@@ -486,6 +489,42 @@ object RelationalQueries {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  // q234 — the read-side complement of q219's co-located join: a
+  // `key = literal` point lookup against the bucketed layout prunes the
+  // scan to ONE bucket file (Spark bucket pruning — the planner hashes
+  // the literal and opens only `part-…_0000k`), so a point query over a
+  // 100 TB fact table reads 1/N of the files before row-group statistics
+  // even apply. RelationalSpec pins `SelectedBucketsCount: 1 out of 8`
+  // in the executed plan; this query pins the VALUES (layout choices
+  // must never change results). The probe key is the corpus minimum —
+  // one aggregate-pushdown scan, then a literal filter both engines run.
+  val q234 = Q(
+    "q234_bucket_point_lookup",
+    (s, d) => {
+      // keep the bucketed scan ON for point lookups: without a downstream
+      // join/agg needing the hash distribution, Spark's
+      // DisableUnnecessaryBucketedScan rule would drop the bucketed read
+      // and with it the bucket-filter pruning. Session-scoped and safe:
+      // the only bucketed tables in the registry are this pair, and
+      // q219's join keeps its bucketed scan under either setting.
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val (l, _) = bucketedPair(s, d)
+      val k = Tables.lineitem(s, d)
+        .agg(org.apache.spark.sql.functions.min(col("l_orderkey"))).head()
+        .getLong(0)
+      l.filter(col("l_orderkey") === lit(k))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy("l_linenumber")
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_returnflag
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin))
+
   val all: Vector[Q] = Vector(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q57, q60, q61, q67, q74, q75, q90, q103, q219)
+    q25, q57, q60, q61, q67, q74, q75, q90, q103, q219, q234)
 }

@@ -152,4 +152,60 @@ class RelationalSpec extends SparkSpec {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() === expected)
   }
+
+  test("Bucketed.write: point lookup prunes to ONE bucket file; rewrite is idempotent") {
+    import graft.pipeline.Bucketed
+    val wh = Files.createTempDirectory("graft_wh_prune").toString
+    val s2 = spark.newSession()
+    // without a downstream join/agg needing the hash distribution, the
+    // DisableUnnecessaryBucketedScan rule turns the bucketed scan off
+    // (and with it the bucket-filter pruning); a point-lookup serving
+    // session keeps it on explicitly
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    Bucketed.write(graft.model.Tables.lineitem(s2, sfDir), "lineitem_bp",
+      s"$wh/lineitem_bp", "l_orderkey", 8)
+    // re-running write must not throw TableAlreadyExists (drop+overwrite)
+    Bucketed.write(graft.model.Tables.lineitem(s2, sfDir), "lineitem_bp",
+      s"$wh/lineitem_bp", "l_orderkey", 8)
+    val k = graft.model.Tables.lineitem(s2, sfDir)
+      .agg(min(col("l_orderkey"))).head().getLong(0)
+    val q = Bucketed.read(s2, "lineitem_bp")
+      .filter(col("l_orderkey") === lit(k))
+    val plan = q.queryExecution.executedPlan.toString
+    // the read-side half of the 100 TB layout argument: the planner
+    // hashes the literal and opens 1 of the 8 bucket files
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected single-bucket pruning in:\n${plan.take(2000)}")
+    val expected = graft.model.Tables.lineitem(s2, sfDir)
+      .filter(col("l_orderkey") === lit(k)).count()
+    assert(q.count() === expected && expected > 0)
+  }
+
+  test("Maintenance refuses to compact a bucketed table directory") {
+    import graft.pipeline.{Bucketed, Maintenance}
+    val wh = Files.createTempDirectory("graft_wh_guard").toString
+    val s2 = spark.newSession()
+    Bucketed.write(graft.model.Tables.orders(s2, sfDir), "orders_bg",
+      s"$wh/orders_bg", "o_orderkey", 4)
+    val filesBefore = Maintenance.dataFiles(s2, s"$wh/orders_bg")
+      .map(_.getName).toSet
+    val e = intercept[IllegalStateException](
+      Maintenance.compactDir(s2, s"$wh/orders_bg"))
+    assert(e.getMessage.contains("BUCKETED") &&
+      e.getMessage.contains("bucket-file mapping"))
+    val e2 = intercept[IllegalStateException](
+      Maintenance.compactHivePartitioned(s2, s"$wh/orders_bg", "o_orderkey"))
+    assert(e2.getMessage.contains("BUCKETED"))
+    // the refusal left the layout untouched: same files, join still
+    // co-located after the attempted compaction
+    assert(Maintenance.dataFiles(s2, s"$wh/orders_bg")
+      .map(_.getName).toSet === filesBefore)
+    // a plain (non-bucketed) dir still compacts fine
+    val flat = s"$wh/flat"
+    graft.model.Tables.orders(s2, sfDir).limit(100)
+      .repartition(4).write.parquet(flat)
+    Maintenance.compactDir(s2, flat)
+    assert(s2.read.parquet(flat).count() === 100L)
+  }
 }
