@@ -72,6 +72,30 @@ object ClassifierIndex {
 
   private val tableNames = Seq("model", "params")
 
+  /** Adopt a PRE-MANIFEST classifier index (stamp + manifest, no
+    * rebuild) — [[DedupIndex.adoptManifest]]'s contract. This lifecycle
+    * has a FULL content check that needs no manifest (the 1-row model
+    * vs the params signature), so adoption here verifies consistency
+    * outright before blessing the table set. */
+  def adoptManifest(spark: SparkSession, dir: String): Unit = {
+    val params =
+      try spark.read.parquet(s"$dir/params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"adopt: no classifier index at '$dir' — params missing; " +
+              "nothing to adopt", e)
+      }
+    val rows = spark.read.parquet(s"$dir/model").collect()
+    require(rows.length == 1,
+      s"adopt: classifier index at '$dir' is torn (${rows.length} model " +
+        "rows) — rebuild instead of adopting")
+    require(signature(cellsOf(rows.head)) == params.getAs[Long]("sig"),
+      s"adopt: classifier index at '$dir' failed its content signature " +
+        "— torn write or interleaved rebuild; rebuild instead of adopting")
+    SwapManifest.adopt(spark, dir, tableNames, "classifier index")
+  }
+
   private def loadValidated(spark: SparkSession, dir: String): DataFrame = {
     val params =
       try spark.read.parquet(s"$dir/params").head()

@@ -80,6 +80,18 @@ object DeconIndex {
 
   private val tableNames = Seq("fingerprints", "grams", "prints", "params")
 
+  /** Adopt a PRE-MANIFEST decon index (stamp + manifest, no rebuild) —
+    * [[DedupIndex.adoptManifest]]'s contract for the decontamination
+    * lifecycle. Pre-checks the stored gram width; refuses via
+    * [[SwapManifest.adopt]] if a manifest already exists or any of the
+    * four tables is missing. */
+  def adoptManifest(spark: SparkSession, dir: String): Unit = {
+    require(gramN(spark, dir) > 0,
+      s"adopt: decon index at '$dir' stores a non-positive gram width — " +
+        "rebuild instead of adopting")
+    SwapManifest.adopt(spark, dir, tableNames, "decon index")
+  }
+
   private def paramsRow(spark: SparkSession, dir: String) =
     try spark.read.parquet(s"$dir/params").head()
     catch {

@@ -192,6 +192,32 @@ object DedupIndex {
     Seq("bands", "shingles", "sizes", "fingerprints", "ids")
 
   /**
+   * Adopt a PRE-MANIFEST dedup index: stamp all six tables and write the
+   * manifest WITHOUT rebuilding — the migration path for artifacts
+   * written before the serve/append paths required a manifest (they now
+   * refuse those with "has no swap manifest"). Pre-checks the stored
+   * params geometry; [[SwapManifest.adopt]] itself refuses when a
+   * manifest already exists or a table directory is missing. Adoption
+   * blesses the CURRENT table set as the consistent version — run
+   * [[healthCheck]] and review its content columns first on any
+   * artifact you don't trust.
+   */
+  def adoptManifest(spark: SparkSession, dir: String): Unit = {
+    val row =
+      try spark.read.parquet(s"$dir/params").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"adopt: no dedup index at '$dir' — the params table is " +
+              "missing; nothing to adopt", e)
+      }
+    require(row.getInt(2) * row.getInt(3) == row.getInt(1),
+      s"adopt: dedup index at '$dir' has inconsistent params " +
+        "(bands*rows_per_band != perms) — rebuild instead of adopting")
+    SwapManifest.adopt(spark, dir, tables :+ "params", "dedup index")
+  }
+
+  /**
    * Small-file compaction: every append lands one file set per table,
    * so a year of daily appends turns each probe's equi-joins into
    * hundreds of footer reads and tiny scan tasks — the file COUNT, not

@@ -88,6 +88,24 @@ object DsirIndex {
 
   private val tableNames = Seq("target_counts", "raw_counts", "params")
 
+  /** Adopt a PRE-MANIFEST DSIR index (stamp + manifest, no rebuild) —
+    * [[DedupIndex.adoptManifest]]'s contract. Runs [[requireValid]]'s
+    * CONTENT checks (bin counts + content signature vs params) without
+    * the manifest gate, then blesses the table set. */
+  def adoptManifest(spark: SparkSession, dir: String): Unit = {
+    val (_, nT, nR, sig) = readParams(spark, dir)
+    val ctRows = countRows(spark.read.parquet(s"$dir/target_counts"), "c_t")
+    val crRows = countRows(spark.read.parquet(s"$dir/raw_counts"), "c_r")
+    require(ctRows.size.toLong == nT && crRows.size.toLong == nR,
+      s"adopt: DSIR index at '$dir' is torn: params say ($nT, $nR) bins " +
+        s"but (${ctRows.size}, ${crRows.size}) are stored — rebuild " +
+        "instead of adopting")
+    require(signature(ctRows, crRows) == sig,
+      s"adopt: DSIR index at '$dir' failed its content signature — " +
+        "rebuild instead of adopting")
+    SwapManifest.adopt(spark, dir, tableNames, "DSIR index")
+  }
+
   /** Score a batch under the STORED model — identical arithmetic to
     * [[Retrieval.dsirScores]], with the count tables read from the
     * artifact instead of recomputed and the feature stream drawn from

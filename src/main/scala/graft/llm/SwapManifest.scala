@@ -79,6 +79,41 @@ object SwapManifest {
         }.keys.toSeq.sorted)
     }
 
+  /**
+   * ONE-SHOT ADOPTION of a PRE-MANIFEST index. Requiring a manifest on
+   * every serve/append path (the r18 hardening) is a hard refusal for
+   * artifacts written before the manifest layout existed — this is the
+   * migration path that doesn't force a full rebuild: stamp every
+   * listed table with one fresh version and write the manifest, data
+   * untouched.
+   *
+   * Adoption records "this exact table set is the blessed version" and
+   * NOTHING more — it cannot tell a clean pre-manifest artifact from a
+   * torn one, so the operator must verify consistency first (each index
+   * exposes the checks: `healthCheck` content columns, `load`'s
+   * signature/cost validation). The per-index `adoptManifest` wrappers
+   * run their cheap structural checks before calling this.
+   *
+   * Refuses loudly if a manifest ALREADY exists (then [[verify]] /
+   * rebuild are the right tools — re-blessing a torn swap would mask
+   * exactly what the manifest exists to catch) and if any listed table
+   * directory is missing (nothing to adopt; rebuild).
+   */
+  def adopt(spark: SparkSession, dir: String, tables: Seq[String],
+      what: String): Unit = {
+    val fs = fsOf(spark, dir)
+    require(readManifest(fs, dir).isEmpty,
+      s"adopt: $what at '$dir' already has a swap manifest — adoption is " +
+        "only for pre-manifest artifacts; run verify (or rebuild) instead")
+    val missing = tables.filterNot(t => fs.exists(new Path(s"$dir/$t")))
+    require(missing.isEmpty,
+      s"adopt: $what at '$dir' is missing table(s) " +
+        s"${missing.mkString(", ")} — nothing to adopt; rebuild the index")
+    val v = newVersion()
+    stampTables(fs, dir, tables, v)
+    writeManifest(fs, dir, tables.map(_ -> v).toMap)
+  }
+
   /** Loud version check for the serving paths: the manifest must exist
     * and every table it lists must carry the matching stamp. `what`
     * names the index kind in the error ("IVF index", "BPE index"). */
