@@ -8533,6 +8533,96 @@ object LlmQueries {
          |${ugDpCtes("z", ugEmFinalV, ugEmFinalU, "uch")}
          |${ugReportSql("ze")}""".stripMargin))
 
+  // q235 — the unified lifecycle HEALTH DASHBOARD: all seven persisted
+  // index healthChecks (Bpe/Classifier/Decon/Dedup/Dsir/Ivf/Unigram)
+  // folded into one long-format (lifecycle, chk, ok, detail) frame —
+  // the scheduled-monitor surface SCALE.md promises per index, landed
+  // as ONE table. An eighth TORN fixture (classifier with a tampered
+  // version stamp, content intact) keeps the dashboard discriminating:
+  // its stale/healthy rows flip to false while its content checks stay
+  // green. Details are data-derived where the learn is already replayed
+  // (unigram piece count via the learn CTEs, dedup corpus count) and
+  // build-parameter literals elsewhere — profile metrics (band skew,
+  // dup-row counts) stay in the per-index healthChecks by design.
+  private def tornClassifierDir(s: SparkSession, d: String): String =
+    scratchDir("graft_clf_torn", d, "params") { dir =>
+      graft.llm.ClassifierIndex.build(Tables.documents(s, d), dir,
+        thresholdPermille = 500L)
+      // tamper ONE stamp: content intact, swap torn — the exact state
+      // SwapManifest.verify exists to catch
+      val fs = graft.llm.SwapManifest.fsOf(s, dir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/model/_graft_version"), true)
+      try out.write("torn-fixture".getBytes("UTF-8")) finally out.close()
+    }
+  val q235 = Q(
+    "q235_lifecycle_health",
+    (s, d) => {
+      import graft.llm.IndexHealth
+      IndexHealth.dashboard(s, Seq(
+        ("bpe", IndexHealth.BpeK, bpeIndexDir(s, d)),
+        ("classifier", IndexHealth.Classifier, classifierIndexDir(s, d)),
+        ("classifier_torn", IndexHealth.Classifier, tornClassifierDir(s, d)),
+        ("decon", IndexHealth.Decon, deconIndexDir(s, d)),
+        ("dedup", IndexHealth.Dedup, dedupIndexDir(s, d)),
+        ("dsir", IndexHealth.Dsir, dsirIndexDir(s, d)),
+        ("ivf", IndexHealth.Ivf, ivfServeDir(s, d)),
+        ("unigram", IndexHealth.Unigram, unigramIndexDir(s, d))))
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |sv AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM uvc) AS u_n,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+         |     WHERE doc_id % 4 <> 0) AS dd_n),
+         |st(lifecycle, chk, ok, detail) AS (VALUES
+         |  ('bpe', 'k', true, CAST($bpeK AS BIGINT)),
+         |  ('bpe', 'sep', true, CAST(NULL AS BIGINT)),
+         |  ('bpe', 'sig', true, CAST(NULL AS BIGINT)),
+         |  ('bpe', 'ranks', true, CAST(NULL AS BIGINT)),
+         |  ('bpe', 'pretok', true, CAST(NULL AS BIGINT)),
+         |  ('bpe', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('bpe', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('bpe', 'healthy', true, CAST($bpeK AS BIGINT)),
+         |  ('classifier', 'one_row', true, CAST(1 AS BIGINT)),
+         |  ('classifier', 'sig', true, CAST(NULL AS BIGINT)),
+         |  ('classifier', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('classifier', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('classifier', 'healthy', true, CAST(500 AS BIGINT)),
+         |  ('classifier_torn', 'one_row', true, CAST(1 AS BIGINT)),
+         |  ('classifier_torn', 'sig', true, CAST(NULL AS BIGINT)),
+         |  ('classifier_torn', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('classifier_torn', 'stale', false, CAST(1 AS BIGINT)),
+         |  ('classifier_torn', 'healthy', false, CAST(500 AS BIGINT)),
+         |  ('decon', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('decon', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('decon', 'healthy', true, CAST(NULL AS BIGINT)),
+         |  ('dedup', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('dedup', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('dedup', 'bands', true, CAST(8 AS BIGINT)),
+         |  ('dsir', 'bins', true, CAST(NULL AS BIGINT)),
+         |  ('dsir', 'range', true, CAST(NULL AS BIGINT)),
+         |  ('dsir', 'sig', true, CAST(NULL AS BIGINT)),
+         |  ('dsir', 'tok', true, CAST(NULL AS BIGINT)),
+         |  ('dsir', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('dsir', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('dsir', 'healthy', true, CAST(1024 AS BIGINT)),
+         |  ('ivf', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('ivf', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('ivf', 'healthy', true, CAST(4 AS BIGINT)),
+         |  ('unigram', 'sig', true, CAST(NULL AS BIGINT)),
+         |  ('unigram', 'unique', true, CAST(NULL AS BIGINT)),
+         |  ('unigram', 'cost', true, CAST(NULL AS BIGINT)),
+         |  ('unigram', 'manifest', true, CAST(NULL AS BIGINT)),
+         |  ('unigram', 'stale', true, CAST(0 AS BIGINT)))
+         |SELECT lifecycle, chk, ok, detail FROM (
+         |  SELECT * FROM st
+         |  UNION ALL SELECT 'unigram', 'n_stored', true, u_n FROM sv
+         |  UNION ALL SELECT 'unigram', 'healthy', true, u_n FROM sv
+         |  UNION ALL SELECT 'dedup', 'docs_indexed', true, dd_n FROM sv
+         |  UNION ALL SELECT 'dedup', 'healthy', true, dd_n FROM sv)
+         |ORDER BY lifecycle, chk""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8546,5 +8636,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233)
+    q231, q232, q233, q235)
 }

@@ -109,6 +109,33 @@ class IndexAdoptionSpec extends SparkSpec {
     assert(e2.getMessage.contains("torn"))
   }
 
+  test("IndexHealth.dashboard: melts healthy and torn lifecycles into one frame") {
+    import graft.llm.IndexHealth
+    val d = docs(1L -> "a long and carefully written paragraph of text",
+      2L -> "!!", 3L -> "another reasonably long and wordy document here")
+    val ok = java.nio.file.Files.createTempDirectory("dash_ok").toString
+    val torn = java.nio.file.Files.createTempDirectory("dash_torn").toString
+    ClassifierIndex.build(d, ok)
+    ClassifierIndex.build(d, torn)
+    val fs = SwapManifest.fsOf(spark, torn)
+    val out = fs.create(new Path(s"$torn/model/${SwapManifest.VersionName}"),
+      true)
+    try out.write("tampered".getBytes("UTF-8")) finally out.close()
+    val rows = IndexHealth.dashboard(spark, Seq(
+      ("clf_ok", IndexHealth.Classifier, ok),
+      ("clf_torn", IndexHealth.Classifier, torn)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    // healthy fixture: every check green; torn fixture: content checks
+    // stay green, stamp agreement and the conjunction flip
+    assert(rows.filter(_._1 == "clf_ok").forall(_._3))
+    val tornMap = rows.filter(_._1 == "clf_torn")
+      .map(t => t._2 -> t._3).toMap
+    assert(tornMap("one_row") && tornMap("sig") && tornMap("manifest"))
+    assert(!tornMap("stale") && !tornMap("healthy"))
+    // long format: (lifecycle, chk) unique, ordered
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+  }
+
   test("DsirIndex: adopt runs the content checks; a drifted count table refuses") {
     val pool = docs(1L -> "alpha beta gamma delta", 2L -> "one two three",
       3L -> "alpha one beta two")
