@@ -132,6 +132,30 @@ object UnigramIndex {
         .as("n_chunks"))
   }
 
+  /**
+   * The loader-facing EXPORT under the FROZEN stored vocabulary: each
+   * document's full Viterbi token stream in long format `(doc_id, pos,
+   * token)` — what a trainer actually reads, produced by the stored
+   * tokenizer artifact rather than an inline learn (two jobs exporting
+   * under drifted vocabularies would emit mutually inconsistent token
+   * ids — the index exists to prevent exactly that).
+   *
+   * Stream-safe by construction: the stream is a pure per-row function
+   * of `(doc_id, text)` ([[graft.functions.UnigramTokensExpr]] +
+   * posexplode — no aggregate, no join), so landed rows are batch-split
+   * invariant and an at-least-once feed's replays are literal duplicate
+   * rows an idempotent landing + distinct collapses ((doc_id, pos) keys
+   * every token). The model-sized vocabulary bakes into the scan-stage
+   * codec per call — a few-KB parquet read, no shuffle.
+   */
+  def tokenStream(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (ps, chunkLen, maxPieceLen) = loadWithGeometry(spark, dir)
+    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    batch.select(col("doc_id"),
+      posexplode(UnigramLm.tokens(col("text"), codec)).as(Seq("pos", "token")))
+  }
+
   /** Fold [[driftScoreStream]]'s accumulated per-document rows (one row
     * per unique doc — the caller dedupes replays) into [[driftCheck]]'s
     * one-row report: same integer-permille fertility, same drift gate. */

@@ -8623,6 +8623,65 @@ object LlmQueries {
          |  UNION ALL SELECT 'dedup', 'healthy', true, dd_n FROM sv)
          |ORDER BY lifecycle, chk""".stripMargin))
 
+  // q236 — the streaming TOKENIZED-SHARD EXPORT (eighth streaming qNN,
+  // closing q226's manifest with the artifact itself): the q197-shaped
+  // at-least-once feed streams through the FROZEN UnigramIndex encode
+  // (UnigramIndex.tokenStream — pure per-row, so landed rows are
+  // batch-split invariant by construction), lands idempotently, and the
+  // replay-repaired (doc_id, pos, token) stream is what a trainer
+  // reads. Oracle: the unigram analog of q136's long format — each
+  // word's chunks joined to the DP chain's packed segmentations, fanned
+  // out by (word offset, chunk index), prefix-summed into document
+  // positions. A lost batch, a replay surviving repair, or any encode
+  // drift between the stored artifact and the inline learn changes the
+  // hash.
+  val q236 = Q(
+    "q236_stream_token_export",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = unigramIndexDir(s, d)
+      val stage = streamFeedDir(s, d)
+      val land = trackedTempDir("graft_q236_land")
+      val ckpt = trackedTempDir("graft_q236_ckpt")
+      val landOne: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => graft.streaming.IdempotentSink.landBatch(
+          graft.llm.UnigramIndex.tokenStream(s, idxDir, b.toDF()), land, id)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "3").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(landOne)
+        .start()
+      q.processAllAvailable(); q.stop()
+      reapAfter(
+        s.read.parquet(land).drop("batch").distinct()
+          .orderBy("doc_id", "pos"),
+        land, ckpt)
+    },
+    Some(
+      s"""WITH $ugLearnCtes,
+         |${ugDpCtes("u", "uvc", "uunk", "uch")},
+         |dws AS (SELECT doc_id,
+         |          list_filter(string_split(coalesce(text, ''), ' '),
+         |            x -> x <> '') AS ws
+         |        FROM documents),
+         |dwo AS (SELECT doc_id, unnest(range(len(ws))) AS o, ws FROM dws),
+         |dw AS (SELECT doc_id, o, ws[o + 1] AS w0 FROM dwo),
+         |dck AS (SELECT doc_id, o, i,
+         |          substring(w0, CAST(i AS INT) * $ugChunkLen + 1, $ugChunkLen) AS word
+         |        FROM (SELECT doc_id, o, w0,
+         |                unnest(range((length(w0) + ${ugChunkLen - 1}) // $ugChunkLen)) AS i
+         |              FROM dw)),
+         |dtl AS MATERIALIZED (
+         |  SELECT doc_id, o, i, string_split(substring(e.key, 7), '~') AS tl
+         |  FROM dck JOIN ue e USING (word)),
+         |p AS (SELECT doc_id, o, i, tl,
+         |        coalesce(SUM(len(tl)) OVER (PARTITION BY doc_id ORDER BY o, i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |      FROM dtl),
+         |x AS (SELECT doc_id, bef, tl, unnest(range(len(tl))) AS ti FROM p)
+         |SELECT doc_id, CAST(bef + ti AS INT) AS pos, tl[ti + 1] AS token
+         |FROM x ORDER BY doc_id, pos""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8636,5 +8695,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235)
+    q231, q232, q233, q235, q236)
 }
