@@ -17,15 +17,70 @@ import org.apache.spark.sql.functions.udf
  * file: `server/sender/kafka.go:111-117`) and its notebook decodes with
  * `from_avro` (ipynb cell 3).
  *
- * The Spark distribution here ships the Avro library but not the
- * spark-avro connector expressions, so the codec is implemented directly on
- * `org.apache.avro` generic records, exposed as UDFs. That is performance-
- * equivalent to the connector for this shape: the connector's
- * AvroDataToCatalyst/CatalystDataToAvro are CodegenFallback expressions, so
- * neither participates in whole-stage codegen. Per-thread encoder/decoder
- * reuse keeps the per-row cost to the raw Avro encode.
+ * NATIVE-PATH READINESS: [[toAvro]]/[[fromAvro]] probe (once, by
+ * reflection) for the spark-avro connector's
+ * `org.apache.spark.sql.avro.functions` and prefer its
+ * `to_avro(data, jsonFormatSchema)` / `from_avro(data, jsonFormatSchema)`
+ * — under the SAME reference wire schema — the day the environment grows
+ * the module jar. The Spark distribution here ships the Avro library but
+ * not the connector expressions (verified each round against
+ * /opt/spark/jars), so today the probe falls back to a codec implemented
+ * directly on `org.apache.avro` generic records, exposed as UDFs. The
+ * fallback is performance-equivalent to the connector for this shape:
+ * the connector's AvroDataToCatalyst/CatalystDataToAvro are
+ * CodegenFallback expressions, so neither participates in whole-stage
+ * codegen; per-thread encoder/decoder reuse keeps the per-row cost to
+ * the raw Avro encode. Values are path-independent: Avro binary encoding
+ * of the same (schema, values) differs at most in map-entry ORDER, which
+ * neither decode nor the length-based T3 size gate observes.
  */
 object AvroCodec {
+
+  /** One probed native surface: `to_avro`/`from_avro` bound to the
+    * reference wire schema. */
+  private[graft] final case class NativeAvro(toAvro: Column => Column,
+      fromAvro: Column => Column)
+
+  /** The connector's functions object. CAUTION: this is API-jar surface —
+    * Spark 4 ships it in spark-sql-api even WITHOUT the connector, where
+    * calling it yields columns that fail at analysis ("avro functions
+    * unusable"). Presence of [[NativeExpressionClass]] is what actually
+    * proves the module jar is on the classpath. */
+  private[graft] val NativeFunctionsClass =
+    "org.apache.spark.sql.avro.functions$"
+
+  /** The from_avro EXPRESSION implementation — ships only with the
+    * spark-avro module jar (verified absent in /opt/spark/jars this
+    * round, while the functions object above resolves). */
+  private[graft] val NativeExpressionClass =
+    "org.apache.spark.sql.avro.AvroDataToCatalyst"
+
+  /** Reflection probe: require `guardClassName` (the class only the real
+    * module ships) to load, then resolve `className` as a Scala object
+    * exposing `to_avro(Column, String)` / `from_avro(Column, String)`
+    * and bind both to [[EventSchema.avroJson]]. Any resolution failure —
+    * class absent, shape mismatch — selects the UDF fallback; never
+    * throws. */
+  private[graft] def probeNative(className: String,
+      guardClassName: String): Option[NativeAvro] =
+    try {
+      Class.forName(guardClassName)
+      val cls = Class.forName(className)
+      val mod = cls.getField("MODULE$").get(null)
+      val toA = cls.getMethod("to_avro", classOf[Column], classOf[String])
+      val fromA = cls.getMethod("from_avro", classOf[Column], classOf[String])
+      Some(NativeAvro(
+        c => toA.invoke(mod, c, EventSchema.avroJson).asInstanceOf[Column],
+        c => fromA.invoke(mod, c, EventSchema.avroJson).asInstanceOf[Column]))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private lazy val native: Option[NativeAvro] =
+    probeNative(NativeFunctionsClass, NativeExpressionClass)
+
+  /** True when the connector jar is present and the native expressions
+    * serve [[toAvro]]/[[fromAvro]] — the readiness flag the spec pins
+    * both ways. */
+  def nativePathActive: Boolean = native.isDefined
 
   @transient private lazy val schema: Schema =
     new Schema.Parser().parse(EventSchema.avroJson)
@@ -72,11 +127,23 @@ object AvroCodec {
 
   private val decodeUdf = udf((bytes: Array[Byte]) => decode(bytes))
 
-  /** Serialize envelope columns to a single-record Avro datum (T5). */
+  /** Serialize envelope columns to a single-record Avro datum (T5) —
+    * native `to_avro` under the wire schema when the connector is
+    * present, the UDF codec otherwise. */
   def toAvro(id: Column, name: Column, props: Column,
-      serverTs: Column, clientTs: Column): Column =
-    encodeUdf(id, name, props, serverTs, clientTs)
+      serverTs: Column, clientTs: Column): Column = native match {
+    case Some(n) =>
+      // the connector encodes a struct; field order must match the
+      // reference wire schema's record field order
+      n.toAvro(org.apache.spark.sql.functions.struct(id.as("id"),
+        name.as("name"), props.as("props"),
+        serverTs.as("serverTimestamp"), clientTs.as("clientTimestamp")))
+    case None => encodeUdf(id, name, props, serverTs, clientTs)
+  }
 
-  /** Decode an Avro datum back to an envelope struct (T6). */
-  def fromAvro(value: Column): Column = decodeUdf(value)
+  /** Decode an Avro datum back to an envelope struct (T6) — native
+    * `from_avro` when the connector is present, the UDF codec otherwise
+    * (both emit the same field names/types, from the same schema). */
+  def fromAvro(value: Column): Column =
+    native.fold(decodeUdf(value))(_.fromAvro(value))
 }
