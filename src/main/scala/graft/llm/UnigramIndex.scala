@@ -57,29 +57,54 @@ object UnigramIndex {
     * (version-stamped, manifest LAST — the [[BpeIndex.build]] protocol). */
   def build(docs: DataFrame, dir: String, chunkLen: Int = 6,
       maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit = {
-    writeTables(docs, dir, chunkLen, maxPieceLen, minCount, vocabSize,
+    val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
+      vocabSize)
+    writeTables(docs, dir, ps, ps.map(_.freq).sum, chunkLen, maxPieceLen,
       suffix = "")
-    val spark = docs.sparkSession
+    stampAll(docs.sparkSession, dir)
+  }
+
+  /**
+   * Persist an EM-PRUNED vocabulary ([[UnigramLm.learnEm]] — the real
+   * SentencePiece learn) as the same artifact: pieces + params, with the
+   * round's USAGE TOTAL stored as `priced_tot`. An EM vocabulary's costs
+   * are priced against mass the surviving pieces no longer sum to
+   * (pruned pieces and unk tokens carried usage), so the artifact must
+   * carry the pricing total or every load would mis-price unk — exactly
+   * the [[UnigramLm.codecPriced]] contract, persisted. Load paths
+   * validate the stored costs against `priced_tot` (not sum(freq)), so
+   * a tampered total is as loud as a tampered cost.
+   */
+  def buildEm(docs: DataFrame, dir: String, chunkLen: Int = 6,
+      maxPieceLen: Int = 3, minCount: Long = 3L, seedSize: Int = 40,
+      targetSize: Int = 10, keepPermille: Int = 625): Unit = {
+    val em = UnigramLm.learnEm(docs, chunkLen, maxPieceLen, minCount,
+      seedSize, targetSize, keepPermille).last
+    writeTables(docs, dir, em.vocab, em.usageTotal, chunkLen, maxPieceLen,
+      suffix = "")
+    stampAll(docs.sparkSession, dir)
+  }
+
+  private def stampAll(spark: SparkSession, dir: String): Unit = {
     val fs = SwapManifest.fsOf(spark, dir)
     val v = SwapManifest.newVersion()
     SwapManifest.stampTables(fs, dir, tableNames, v)
     SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
   }
 
-  private def writeTables(docs: DataFrame, dir: String, chunkLen: Int,
-      maxPieceLen: Int, minCount: Long, vocabSize: Int,
+  private def writeTables(docs: DataFrame, dir: String, ps: Seq[Piece],
+      pricedTot: Long, chunkLen: Int, maxPieceLen: Int,
       suffix: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
-      vocabSize)
     ps.toDF("piece", "freq", "cost")
       .write.mode("overwrite").parquet(s"$dir/pieces$suffix")
-    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    val codec = UnigramLm.codecPriced(ps, chunkLen, maxPieceLen, pricedTot)
     Seq((ps.size, chunkLen, maxPieceLen, codec.unkCost, signature(ps),
-      fertilityPermille(docs, ps, chunkLen, maxPieceLen)))
+      fertilityPermille(docs, ps, chunkLen, maxPieceLen, pricedTot),
+      pricedTot))
       .toDF("n_pieces", "chunk_len", "max_piece_len", "unk_cost", "sig",
-        "fert_permille")
+        "fert_permille", "priced_tot")
       .write.mode("overwrite").parquet(s"$dir/params$suffix")
   }
 
@@ -87,8 +112,8 @@ object UnigramIndex {
     * permille (floor — exact cross-engine arithmetic). One scan-stage
     * aggregate via the codegen'd codec. */
   private def fertilityPermille(docs: DataFrame, ps: Seq[Piece],
-      chunkLen: Int, maxPieceLen: Int): Long = {
-    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+      chunkLen: Int, maxPieceLen: Int, pricedTot: Long): Long = {
+    val codec = UnigramLm.codecPriced(ps, chunkLen, maxPieceLen, pricedTot)
     val row = docs.agg(
       coalesce(sum(UnigramLm.tokenCount(col("text"), codec)), lit(0L)).as("nt"),
       coalesce(sum(UnigramLm.chunkCount(col("text"), chunkLen)), lit(0L))
@@ -103,10 +128,10 @@ object UnigramIndex {
   def driftCheck(docs: DataFrame, dir: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (ps, chunkLen, maxPieceLen) = loadWithGeometry(spark, dir)
+    val (ps, chunkLen, maxPieceLen, tot) = loadModel(spark, dir)
     val fertTrain = spark.read.parquet(s"$dir/params").head()
       .getAs[Long]("fert_permille")
-    val fertNow = fertilityPermille(docs, ps, chunkLen, maxPieceLen)
+    val fertNow = fertilityPermille(docs, ps, chunkLen, maxPieceLen, tot)
     Seq((ps.size, fertTrain, fertNow, fertNow - fertTrain))
       .toDF("n_pieces", "fert_train_permille", "fert_now_permille",
         "drift_permille")
@@ -123,8 +148,8 @@ object UnigramIndex {
    * few-KB parquet read per trigger, no join). */
   def driftScoreStream(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
-    val (ps, chunkLen, maxPieceLen) = loadWithGeometry(spark, dir)
-    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    val (ps, chunkLen, maxPieceLen, tot) = loadModel(spark, dir)
+    val codec = UnigramLm.codecPriced(ps, chunkLen, maxPieceLen, tot)
     batch.select(col("doc_id"),
       coalesce(UnigramLm.tokenCount(col("text"), codec), lit(0L))
         .as("n_toks"),
@@ -150,8 +175,8 @@ object UnigramIndex {
    */
   def tokenStream(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
-    val (ps, chunkLen, maxPieceLen) = loadWithGeometry(spark, dir)
-    val codec = UnigramLm.codecOf(ps, chunkLen, maxPieceLen)
+    val (ps, chunkLen, maxPieceLen, tot) = loadModel(spark, dir)
+    val codec = UnigramLm.codecPriced(ps, chunkLen, maxPieceLen, tot)
     batch.select(col("doc_id"),
       posexplode(UnigramLm.tokens(col("text"), codec)).as(Seq("pos", "token")))
   }
@@ -189,7 +214,9 @@ object UnigramIndex {
     StagedSwap.precleanTmp(fs, dir, tableNames)
     var staged = false
     try {
-      writeTables(docs, dir, chunkLen, maxPieceLen, minCount, vocabSize,
+      val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
+        vocabSize)
+      writeTables(docs, dir, ps, ps.map(_.freq).sum, chunkLen, maxPieceLen,
         suffix = "__graft_tmp")
       val v = SwapManifest.newVersion()
       SwapManifest.stampTables(fs, dir, tableNames, v, suffix = "__graft_tmp")
@@ -216,13 +243,27 @@ object UnigramIndex {
     * a price drifted from its own frequencies is a corrupt model even
     * when internally consistent in shape). */
   def load(spark: SparkSession, dir: String): Seq[Piece] =
-    loadWithGeometry(spark, dir)._1
+    loadModel(spark, dir)._1
 
   /** [[load]] plus the stored encode geometry — callers MUST build the
     * codec with the returned (chunkLen, maxPieceLen); serving under
     * different boundaries silently re-segments every word. */
   def loadWithGeometry(spark: SparkSession,
       dir: String): (Seq[Piece], Int, Int) = {
+    val (ps, cl, mpl, _) = loadModel(spark, dir)
+    (ps, cl, mpl)
+  }
+
+  /** [[loadWithGeometry]] plus the PRICING TOTAL the stored costs were
+    * computed against — pass all four into [[UnigramLm.codecPriced]].
+    * For a [[build]] vocabulary the total is sum(freq); for a
+    * [[buildEm]] one it exceeds it (pruned/unk mass carried usage) and
+    * is stored in params as `priced_tot` (legacy artifacts without the
+    * column are plain-learn by construction — sum(freq)). Validates the
+    * cost formula and unk price against THAT total, so a mispriced or
+    * tampered total refuses as loudly as a tampered cost. */
+  def loadModel(spark: SparkSession,
+      dir: String): (Seq[Piece], Int, Int, Long) = {
     val p = requireIndex(spark, dir)
     SwapManifest.verify(spark, dir, "unigram index")
     val ps = spark.read.parquet(s"$dir/pieces")
@@ -236,15 +277,15 @@ object UnigramIndex {
     require(signature(ps) == p.sig,
       s"unigram index at '$dir' is torn: the stored pieces do not match " +
         "the params content signature (interleaved or partial build) — rebuild")
-    val tot = ps.map(_.freq).sum
+    val tot = p.pricedTot.getOrElse(ps.map(_.freq).sum)
     require(ps.forall(x =>
         x.cost == UnigramLm.bitlen(tot) - UnigramLm.bitlen(x.freq)),
       s"unigram index at '$dir' is corrupt: stored costs disagree with " +
-        "the surprisal-bit formula over the stored frequencies — rebuild")
+        "the surprisal-bit formula against the stored pricing total — rebuild")
     require(p.unkCost == UnigramLm.bitlen(tot) - 1L,
       s"unigram index at '$dir' is corrupt: stored unk_cost disagrees " +
-        "with the vocabulary total — rebuild")
-    (ps, p.chunkLen, p.maxPieceLen)
+        "with the stored pricing total — rebuild")
+    (ps, p.chunkLen, p.maxPieceLen, tot)
   }
 
   /** Operational health report ([[BpeIndex.healthCheck]]'s columns):
@@ -262,7 +303,7 @@ object UnigramIndex {
     val nOk = ps.size == p.nPieces
     val sigOk = signature(ps) == p.sig
     val uniqueOk = ps.map(_.piece).distinct.size == ps.size
-    val tot = ps.map(_.freq).sum
+    val tot = p.pricedTot.getOrElse(ps.map(_.freq).sum)
     val costOk = ps.forall(x =>
       x.cost == UnigramLm.bitlen(tot) - UnigramLm.bitlen(x.freq)) &&
       p.unkCost == UnigramLm.bitlen(tot) - 1L
@@ -276,14 +317,20 @@ object UnigramIndex {
   }
 
   private final case class Params(nPieces: Int, chunkLen: Int,
-      maxPieceLen: Int, unkCost: Long, sig: Long)
+      maxPieceLen: Int, unkCost: Long, sig: Long, pricedTot: Option[Long])
 
   private def requireIndex(spark: SparkSession, dir: String): Params =
     try {
       val r = spark.read.parquet(s"$dir/params").head()
+      // priced_tot: absent on pre-EM-layout artifacts, which are
+      // plain-learn by construction (their total IS sum(freq))
+      val tot =
+        if (r.schema.fieldNames.contains("priced_tot"))
+          Some(r.getAs[Long]("priced_tot"))
+        else None
       Params(r.getAs[Int]("n_pieces"), r.getAs[Int]("chunk_len"),
         r.getAs[Int]("max_piece_len"), r.getAs[Long]("unk_cost"),
-        r.getAs[Long]("sig"))
+        r.getAs[Long]("sig"), tot)
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(

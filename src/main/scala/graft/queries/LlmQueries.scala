@@ -8682,6 +8682,45 @@ object LlmQueries {
          |SELECT doc_id, CAST(bef + ti AS INT) AS pos, tl[ti + 1] AS token
          |FROM x ORDER BY doc_id, pos""".stripMargin))
 
+  // q237 — the EM-PRUNED vocabulary PERSISTED and SERVED (q224's
+  // stored-artifact discipline for the learnEm model): UnigramIndex
+  // .buildEm stores the pruned pieces WITH their pricing total
+  // (priced_tot — EM costs are priced against mass the surviving pieces
+  // no longer sum to, so the artifact must carry the total or every
+  // load would mis-price unk), then the odd-doc slice encodes under the
+  // STORED model via loadModel → codecPriced. The oracle replays the
+  // full three-round learn inline and segments the slice under the
+  // final vocab — a torn store, a dropped/tampered pricing total, or
+  // serving under the wrong geometry all change the hash.
+  private def unigramEmIndexDir(s: SparkSession, d: String): String =
+    scratchDir("graft_ug_em_idx", d, "params") { dir =>
+      graft.llm.UnigramIndex.buildEm(Tables.documents(s, d), dir,
+        ugChunkLen, ugPieceLen, ugMinCount, ugVocabSize, ugEmTarget,
+        ugEmKeepPermille)
+    }
+  val q237 = Q(
+    "q237_unigram_em_index_serve",
+    (s, d) => {
+      val (ps, cl, mpl, tot) = graft.llm.UnigramIndex.loadModel(s,
+        unigramEmIndexDir(s, d))
+      val codec = graft.llm.UnigramLm.codecPriced(ps, cl, mpl, tot)
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+        .groupBy("source")
+        .agg(
+          sum(graft.llm.UnigramLm.chunkCount(col("text"), cl)).as("n_chunks"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), codec))
+            .as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_tokens"),
+          expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+            .as("fertility_permille"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ugEmCtesAll,
+         |${ugChunkCtes("s", "WHERE doc_id % 2 = 1")},
+         |${ugDpCtes("g", ugEmFinalV, ugEmFinalU, "sch")}
+         |${ugReportSql("ge", "schs")}""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8695,5 +8734,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236)
+    q231, q232, q233, q235, q236, q237)
 }

@@ -1008,10 +1008,10 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("registry: 231 uniquely-named queries, 227 oracle-checked, qNN prefixes unique") {
+  test("registry: 237 uniquely-named queries, 233 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 231)
-    assert(all.count(_.oracle.isDefined) === 227)
+    assert(all.size === 237)
+    assert(all.count(_.oracle.isDefined) === 233)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -229,6 +229,41 @@ class UnigramSpec extends SparkSpec {
     assert(tbl == ps.map(p => (p.piece, p.freq, p.cost)))
   }
 
+  test("UnigramIndex.buildEm: EM vocabulary persists with its pricing total; tampering refuses") {
+    import graft.llm.{SwapManifest, UnigramIndex}
+    val texts = Seq("banana band banana", "ababab cabbage", "a cab can nab",
+      "and band bandana nab an abba", "cancan banana cab and")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ug_em_idx").toString
+    UnigramIndex.buildEm(docs, dir, 6, 3, 2L, seedSize = 8, targetSize = 3,
+      keepPermille = 600)
+    val em = UnigramLm.learnEm(docs, 6, 3, 2L, 8, 3, 600).last
+    val (ps, cl, mpl, tot) = UnigramIndex.loadModel(spark, dir)
+    assert(ps == em.vocab && tot == em.usageTotal && (cl, mpl) == ((6, 3)))
+    assert(UnigramIndex.loadWithGeometry(spark, dir)._1 == em.vocab)
+    assert(UnigramIndex.healthCheck(spark, dir).head()
+      .getAs[Boolean]("healthy"))
+    // a tampered pricing total breaks the cost-formula check as loudly
+    // as a tampered cost would (the total IS part of the model)
+    val p = spark.read.parquet(s"$dir/params").head()
+    Seq((p.getAs[Int]("n_pieces"), 6, 3, p.getAs[Long]("unk_cost"),
+        p.getAs[Long]("sig"), p.getAs[Long]("fert_permille"),
+        p.getAs[Long]("priced_tot") * 2 + 1))
+      .toDF("n_pieces", "chunk_len", "max_piece_len", "unk_cost", "sig",
+        "fert_permille", "priced_tot")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val fs = SwapManifest.fsOf(spark, dir)
+    val v = SwapManifest.newVersion()
+    SwapManifest.stampTables(fs, dir, Seq("pieces", "params"), v)
+    SwapManifest.writeManifest(fs, dir, Map("pieces" -> v, "params" -> v))
+    val e = intercept[IllegalArgumentException](
+      UnigramIndex.loadModel(spark, dir))
+    assert(e.getMessage.contains("pricing total"))
+    assert(!UnigramIndex.healthCheck(spark, dir).head()
+      .getAs[Boolean]("cost_ok"))
+  }
+
   test("UnigramIndex: rebuild swaps live; a torn stamp refuses to load; healthCheck reports") {
     import graft.llm.UnigramIndex
     val a = Seq((1L, "banana band banana"), (2L, "ababab cab"))
