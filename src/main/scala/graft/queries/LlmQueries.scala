@@ -8721,6 +8721,32 @@ object LlmQueries {
          |${ugDpCtes("g", ugEmFinalV, ugEmFinalU, "sch")}
          |${ugReportSql("ge", "schs")}""".stripMargin))
 
+  // q238 — the EM prune TRACE: the exact piece set pruned in EVERY
+  // round, hash-checked (q232 pins the final survivor set; this pins
+  // each round's prune DECISIONS directly, so a likelihood-loss tie
+  // broken differently in round 1 — invisible in the final set only if
+  // a later round would have pruned the same piece anyway — still
+  // changes the hash). Oracle: per round, the multi pieces of the
+  // re-costed vocab absent from that round's keep set.
+  val q238 = Q(
+    "q238_unigram_em_prune_trace",
+    (s, d) => {
+      import s.implicits._
+      ugEmFor(s, d).flatMap(r => r.pruned.map(p => (r.round, p)))
+        .toDF("round", "piece").orderBy("round", "piece")
+    },
+    Some {
+      val perRound = ugEmLadder.indices.map { i =>
+        val r = i + 1
+        s"""SELECT CAST($r AS INT) AS round, piece FROM rc$r
+           |WHERE plen >= 2 AND piece NOT IN (SELECT piece FROM keep$r)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ugEmCtesAll
+         |SELECT round, piece FROM (
+         |$perRound
+         |) ORDER BY round, piece""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8734,5 +8760,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237)
+    q231, q232, q233, q235, q236, q237, q238)
 }

@@ -513,4 +513,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
       "scan does not report bucketed read")
   }
+
+  test("tokenStream export is scan-stage: no exchange, no join before landing") {
+    // q236 lands this per micro-batch: the model rides the codec inside
+    // the scan, so the export must plan as scan → project — a join or a
+    // shuffle here would multiply per-batch latency by the corpus at
+    // 100 TB and break the batch-split-invariance argument.
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("plan_ug_idx").toString
+    graft.llm.UnigramIndex.build(docs, dir)
+    val stream = graft.llm.UnigramIndex.tokenStream(spark, dir, docs)
+    stream.count()
+    val p = stream.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"token export shuffles: $p")
+    assert(!p.contains("Join"), s"token export joins: $p")
+    assert(p.contains("Generate"), "posexplode should be a Generate node")
+  }
 }
