@@ -8747,6 +8747,62 @@ object LlmQueries {
          |) ORDER BY round, piece""".stripMargin
     })
 
+  // q239 — the SIZING BAKEOFF between the two unigram models (q225's
+  // pattern applied within one family): the plain 40-multi vocabulary
+  // and the EM-pruned 10-multi model price the same corpus in ONE scan
+  // — two codegen'd counters side by side, per-source fertility deltas
+  // in integer permille. The answer a vocabulary-budget decision
+  // actually needs: how much fertility the 4× smaller EM model costs,
+  // per source. Oracle: both DP chains (plain uvc, EM v3c) over the
+  // shared chunk histogram, reports joined on source.
+  val q239 = Q(
+    "q239_unigram_em_bakeoff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val plain = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
+        ugPieceLen)
+      val em = ugEmFor(s, d).last
+      val pruned = graft.llm.UnigramLm.codecPriced(em.vocab, ugChunkLen,
+        ugPieceLen, em.usageTotal)
+      docs.groupBy("source")
+        .agg(
+          sum(graft.llm.UnigramLm.chunkCount(col("text"), ugChunkLen))
+            .as("n_chunks"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), plain))
+            .as("tok_plain"),
+          sum(graft.llm.UnigramLm.tokenCount(col("text"), pruned))
+            .as("tok_em"))
+        .select(col("source"), col("n_chunks"),
+          col("tok_plain"), col("tok_em"),
+          expr("tok_plain * 1000 div greatest(n_chunks, 1)")
+            .as("fert_plain_permille"),
+          expr("tok_em * 1000 div greatest(n_chunks, 1)")
+            .as("fert_em_permille"),
+          // delta from the two non-negative fertilities — subtracting
+          // AFTER the floor division sidesteps the engines' negative-
+          // division split (Spark div truncates, DuckDB // floors)
+          expr("tok_em * 1000 div greatest(n_chunks, 1) - " +
+            "tok_plain * 1000 div greatest(n_chunks, 1)")
+            .as("delta_permille"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ugEmCtesAll,
+         |${ugDpCtes("w", "uvc", "uunk", "uch")},
+         |${ugDpCtes("z", ugEmFinalV, ugEmFinalU, "uch")},
+         |rp AS (SELECT s.source,
+         |         CAST(sum(s.cnt) AS BIGINT) AS n_chunks,
+         |         CAST(sum(s.cnt * CAST(substring(w.key, 5, 2) AS INTEGER)) AS BIGINT) AS tok_plain,
+         |         CAST(sum(s.cnt * CAST(substring(z.key, 5, 2) AS INTEGER)) AS BIGINT) AS tok_em
+         |       FROM uchs s JOIN we w USING (word) JOIN ze z USING (word)
+         |       GROUP BY 1)
+         |SELECT source, n_chunks, tok_plain, tok_em,
+         |  tok_plain * 1000 // greatest(n_chunks, 1) AS fert_plain_permille,
+         |  tok_em * 1000 // greatest(n_chunks, 1) AS fert_em_permille,
+         |  tok_em * 1000 // greatest(n_chunks, 1)
+         |    - tok_plain * 1000 // greatest(n_chunks, 1) AS delta_permille
+         |FROM rp ORDER BY source""".stripMargin))
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -8760,5 +8816,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238)
+    q231, q232, q233, q235, q236, q237, q238, q239)
 }
