@@ -205,7 +205,32 @@ object UnigramIndex {
     * version, swap both tables, manifest LAST; phase-1 failure rolls
     * back, and any tear is refused by the load paths). */
   def rebuild(docs: DataFrame, dir: String, chunkLen: Int = 6,
-      maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit = {
+      maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit =
+    rebuildWith(docs, dir) { suffix =>
+      val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
+        vocabSize)
+      writeTables(docs, dir, ps, ps.map(_.freq).sum, chunkLen, maxPieceLen,
+        suffix)
+    }
+
+  /** [[rebuild]] for the EM-pruned model ([[buildEm]]'s staged parity):
+    * re-run the full EM learn on a new corpus snapshot and swap live —
+    * same StagedSwap + manifest-LAST protocol, pricing total re-stored. */
+  def rebuildEm(docs: DataFrame, dir: String, chunkLen: Int = 6,
+      maxPieceLen: Int = 3, minCount: Long = 3L, seedSize: Int = 40,
+      targetSize: Int = 10, keepPermille: Int = 625): Unit =
+    rebuildWith(docs, dir) { suffix =>
+      val em = UnigramLm.learnEm(docs, chunkLen, maxPieceLen, minCount,
+        seedSize, targetSize, keepPermille).last
+      writeTables(docs, dir, em.vocab, em.usageTotal, chunkLen, maxPieceLen,
+        suffix)
+    }
+
+  /** The shared staged-swap shell: stage under __graft_tmp via
+    * `writeStaged`, stamp the NEW version, swap both tables, manifest
+    * LAST; phase-1 failure rolls back, any tear refuses at load. */
+  private def rebuildWith(docs: DataFrame, dir: String)(
+      writeStaged: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     requireIndex(spark, dir)
@@ -214,10 +239,7 @@ object UnigramIndex {
     StagedSwap.precleanTmp(fs, dir, tableNames)
     var staged = false
     try {
-      val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
-        vocabSize)
-      writeTables(docs, dir, ps, ps.map(_.freq).sum, chunkLen, maxPieceLen,
-        suffix = "__graft_tmp")
+      writeStaged("__graft_tmp")
       val v = SwapManifest.newVersion()
       SwapManifest.stampTables(fs, dir, tableNames, v, suffix = "__graft_tmp")
       staged = true

@@ -264,6 +264,30 @@ class UnigramSpec extends SparkSpec {
       .getAs[Boolean]("cost_ok"))
   }
 
+  test("UnigramIndex.rebuildEm: staged swap to a re-learned EM model; drift report works on EM artifacts") {
+    import graft.llm.UnigramIndex
+    val a = Seq((1L, "banana band banana"), (2L, "ababab cabbage"),
+      (3L, "a cab can nab"), (4L, "and band bandana nab an abba"),
+      (5L, "cancan banana cab and")).toDF("doc_id", "text")
+    val b = Seq((1L, "queue quiz quartz quest"), (2L, "squid quorum quip"),
+      (3L, "quart quinoa squat"), (4L, "aqua quake quasi quill"),
+      (5L, "equal squeak quench")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ug_em_swap").toString
+    UnigramIndex.buildEm(a, dir, 6, 3, 2L, seedSize = 8, targetSize = 3,
+      keepPermille = 600)
+    UnigramIndex.rebuildEm(b, dir, 6, 3, 2L, seedSize = 8, targetSize = 3,
+      keepPermille = 600)
+    val emB = UnigramLm.learnEm(b, 6, 3, 2L, 8, 3, 600).last
+    val (ps, _, _, tot) = UnigramIndex.loadModel(spark, dir)
+    assert(ps == emB.vocab && tot == emB.usageTotal)
+    assert(UnigramIndex.healthCheck(spark, dir).head()
+      .getAs[Boolean]("healthy"))
+    // driftCheck reads the EM artifact through loadModel/codecPriced:
+    // zero drift on its own training corpus, exact report arithmetic
+    val r = UnigramIndex.driftCheck(b, dir).head()
+    assert(r.getAs[Long]("drift_permille") === 0L)
+  }
+
   test("UnigramIndex: rebuild swaps live; a torn stamp refuses to load; healthCheck reports") {
     import graft.llm.UnigramIndex
     val a = Seq((1L, "banana band banana"), (2L, "ababab cab"))
