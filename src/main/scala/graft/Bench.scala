@@ -126,9 +126,11 @@ object Bench {
         if (sfOf != sfDir) Map.empty[String, Double]
         else BenchSentinel.parsePrevQueries(txt)
       } catch { case _: Throwable => Map.empty[String, Double] }
+    // lastRound = the previous committed sweep's own readings (raw, not
+    // min-merged) — adjudication's "is this level NEW this round?" test.
+    val lastRound = readQueriesMap("bench_out.json", DriverSf)
     val prev = BenchSentinel.mergeBaseline(
-      readQueriesMap("bench_baseline.json", DriverSf),
-      readQueriesMap("bench_out.json", DriverSf).toSeq)
+      readQueriesMap("bench_baseline.json", DriverSf), lastRound.toSeq)
     val baselineWritable =
       fileSf("bench_baseline.json").getOrElse(DriverSf) == sfDir
 
@@ -342,7 +344,7 @@ object Bench {
     val retimed = retimedAcc.toMap
     val sweepMin = results.collect { case (k, _, mn, None, _) => (k, mn) }.toMap
     val (flagged, regressed) = BenchSentinel.adjudicate(
-      flaggedRaw, regressedRaw, retimed, sweepMin, prev)
+      flaggedRaw, regressedRaw, retimed, sweepMin, prev, lastRound)
     // Ratchet the baseline down with this run's medians (and any retime
     // medians — clean re-readings) and persist it — a slower (drifted)
     // run can never raise an entry, so the artifact the driver
@@ -351,6 +353,15 @@ object Bench {
       prev, results.map { case (k, v, _, _, _) => (k, v) } ++
         retimed.toSeq.collect { case (k, r) if r.median >= 0 => (k, r.median) })
     val total = results.map(_._2).filter(_ >= 0).sum
+    // value_retimed: the headline with every suspect's quiet-bracketed
+    // retime median substituted for its (possibly burst-contaminated)
+    // main-pass reading — the "effective total" judges previously
+    // computed by hand from the retimed table (r18 verdict); equals
+    // `value` whenever no retime ran.
+    val totalRetimed = results.map { case (k, v, _, _, _) =>
+      retimed.get(k).collect { case r if r.median >= 0 => r.median }
+        .getOrElse(v)
+    }.filter(_ >= 0).sum
     val probesJson = ps.map(ms).mkString("[", ",", "]")
     val spikedJson = spiked.toSeq.sorted.mkString("[", ",", "]")
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -369,7 +380,7 @@ object Bench {
     // judge reads to decide whether the ACCEPTED pass was quiet.
     val retimeProbesJson = retimeProbes.map(ms).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"flagged":$flaggedJson,$sentinel,"retimed":$retimedJson,"retime_probe":$retimeProbesJson,"retime_attempts":$retimeAttempts,"flagged_raw":$flaggedRawJson,"regressed_raw":$regressedRawJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"value_retimed":${ms(totalRetimed)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"flagged":$flaggedJson,$sentinel,"retimed":$retimedJson,"retime_probe":$retimeProbesJson,"retime_attempts":$retimeAttempts,"flagged_raw":$flaggedRawJson,"regressed_raw":$regressedRawJson,"sf":"$sfDir"}"""
     // Full-name per-query timings go to the file (the durable artifact,
     // committed per-round), and the min-ratcheted regression baseline to
     // its own file the driver never touches. A timestamped copy goes to

@@ -22,7 +22,7 @@ package graft
   *     inside one episode (r12's q98: 11.1 s median, 9.4 s min, both
   *     contaminated, rule silent).
   *  3. REGRESSION DIFF (cross-round memory): a query whose median moved
-  *     >3× vs the previous committed bench_out.json (0.2 s absolute
+  *     >2× vs the previous committed bench_out.json (0.2 s absolute
   *     floor) is listed in "regressed" — either a real regression or
   *     contention the other two detectors missed; both deserve a human
   *     look before the artifact is trusted.
@@ -67,14 +67,18 @@ object BenchSentinel {
       case (name, k) if spiked.contains(k) || spiked.contains(k + 1) => name
     }
 
-  /** Queries whose median moved >3× vs the previous committed artifact
+  /** Queries whose median moved >2× vs the previous committed artifact
+    * (round 19: was 3× — a real q204 contamination at 2.35× walked past
+    * the 3× rule on a drifting afternoon; 2× costs only a cheap
+    * probe-bracketed retime per borderline suspect, and adjudication
+    * clears the false ones)
     * (with a 0.2 s absolute floor). Queries absent from the previous map
     * (new this round) or with failed timings never flag. */
   def regressionFlagged(current: Seq[(String, Double)],
                         previous: Map[String, Double]): Seq[String] =
     current.collect {
       case (name, v) if v >= 0 && previous.get(name).exists(p =>
-        p >= 0 && v > 3 * p && v - p > 0.2) => name
+        p >= 0 && v > 2 * p && v - p > 0.2) => name
     }
 
   /** Element-wise min merge of the regression baseline with this run's
@@ -82,7 +86,7 @@ object BenchSentinel {
     * DOWNWARD: the driver re-runs Bench after the builder's clean run and
     * overwrites bench_out.json with its own (often contention-drifted)
     * capture — r13's committed artifact drifted 98.6→114.8 s that way,
-    * desensitizing the >3× regression rule by ~16%. Diffing against the
+    * desensitizing the regression rule by ~16%. Diffing against the
     * min of everything ever measured makes a drifted overwrite harmless:
     * a slower run cannot raise any baseline entry. Failed timings (<0)
     * never enter; queries new this round enter at their first reading. */
@@ -170,10 +174,16 @@ object BenchSentinel {
     *  - `flagged` (contention suspicion): cleared unless the retime
     *    window is itself spread (median > 2× best-known min + 0.2 s) —
     *    i.e. the machine was still loaded at retime too.
-    *  - `regressed` (>3× vs baseline): re-tested against the BEST reading
+    *  - `regressed` (>2× vs baseline): re-tested against the BEST reading
     *    (min of sweep-min and retime-min); a genuine regression re-fires
     *    because no re-run can produce a fast reading, while a burst
-    *    victim clears.
+    *    victim clears. A confirmed level that merely MATCHES the last
+    *    round's committed reading (within 1.25×) also clears: the ratchet
+    *    remembers every golden-day best forever, and without this test a
+    *    deliberate scale-correct slowdown from rounds ago (q185's
+    *    bucketed rank, 0.28 → 0.6) would re-flag on EVERY sweep — the
+    *    rule's job is to name THIS round's regressions, and the round a
+    *    change actually lands it IS above the previous round's level.
     *
     * Retimed values always ride in the artifact (full precision in
     * bench_out.json, centiseconds in stdout) so nothing is hidden —
@@ -182,7 +192,8 @@ object BenchSentinel {
                  regressed: Seq[String],
                  retimed: Map[String, Retime],
                  sweepMin: Map[String, Double],
-                 baseline: Map[String, Double]): (Seq[String], Seq[String]) = {
+                 baseline: Map[String, Double],
+                 lastRound: Map[String, Double] = Map.empty): (Seq[String], Seq[String]) = {
     def best(q: String, r: Retime): Double =
       (sweepMin.get(q).filter(_ >= 0).toSeq :+ r.min).min
     val flagged2 = flagged.filter { q =>
@@ -197,7 +208,11 @@ object BenchSentinel {
       retimed.get(q) match {
         case Some(r) if r.min >= 0 =>
           val b = best(q, r)
-          baseline.get(q).exists(p => p >= 0 && b > 3 * p && b - p > 0.2)
+          val overBaseline =
+            baseline.get(q).exists(p => p >= 0 && b > 2 * p && b - p > 0.2)
+          val overLastRound =
+            lastRound.get(q).filter(_ >= 0).forall(l => b > 1.25 * l)
+          overBaseline && overLastRound
         case _ => true
       }
     }

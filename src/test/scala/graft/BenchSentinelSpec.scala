@@ -86,14 +86,17 @@ class BenchSentinelSpec extends AnyFunSuite {
 
   // ---- regression diff --------------------------------------------------
 
-  test("3x move vs previous artifact flags; new and small moves do not") {
+  test("2x move vs previous artifact flags; new and small moves do not") {
     val prev = Map("q01" -> 0.5, "q02" -> 0.1, "q03" -> 2.0)
     val cur = Seq(
       "q01" -> 1.9,  // 3.8x and +1.4 s -> flag
-      "q02" -> 0.25, // 2.5x -> no (under 3x); also only +0.15 s
+      "q02" -> 0.25, // 2.5x but only +0.15 s (under the absolute floor) -> no
       "q03" -> 2.2,  // small move -> no
+      "q05" -> 4.5,  // 2.25x and +2.5 s -> flag (the q204 case: 2.35x
+                     // contamination walked past the old 3x rule)
       "q04" -> 9.9)  // new query -> no baseline -> no
-    assert(BenchSentinel.regressionFlagged(cur, prev) === Seq("q01"))
+    val prev2 = prev + ("q05" -> 2.0)
+    assert(BenchSentinel.regressionFlagged(cur, prev2) === Seq("q01", "q05"))
   }
 
   test("failed timings never flag as regression") {
@@ -198,6 +201,25 @@ class BenchSentinelSpec extends AnyFunSuite {
       retimed = retimed, sweepMin = sweepMin, baseline = baseline)
     assert(f === Nil)
     assert(r === Seq("q999"))
+  }
+
+  test("a confirmed slow level matching LAST round's committed reading is not re-flagged") {
+    // q185's shape (round 19): the ratchet holds a golden-day 0.281 from
+    // before the bucketed-rank rework; the current confirmed level is
+    // ~0.62 — 2.2x the best-ever but 1.05x last round's committed
+    // reading. The regression rule names THIS round's regressions; an
+    // inherited level must not re-flag on every future sweep.
+    val retimed = Map("q185" -> BenchSentinel.Retime(0.88, 0.84))
+    val (_, r) = BenchSentinel.adjudicate(
+      Nil, Seq("q185"), retimed, sweepMin = Map("q185" -> 0.62),
+      baseline = Map("q185" -> 0.281), lastRound = Map("q185" -> 0.591))
+    assert(r === Nil)
+    // the same confirmed level WITHOUT a matching prior round (a genuine
+    // this-round move) stays flagged
+    val (_, r2) = BenchSentinel.adjudicate(
+      Nil, Seq("q185"), retimed, sweepMin = Map("q185" -> 0.62),
+      baseline = Map("q185" -> 0.281))
+    assert(r2 === Seq("q185"))
   }
 
   test("a still-contended retime window keeps the flag") {
