@@ -112,28 +112,68 @@ object Bench {
     // ignored on read and left untouched on write; a legacy baseline
     // without the field is the driver's sf0.1.
     val DriverSf = "/root/testdata/sf0.1"
+    // CANONICAL comparison (round-20 advice): the guard used raw string
+    // equality, so a trailing slash, relative path, or symlinked sf dir
+    // silently disabled both the baseline read and the ratchet write with
+    // no diagnostic. Normalize through toRealPath (falling back to an
+    // absolute-normalized form when the path doesn't exist) and say so
+    // on stderr whenever the guard actually blanks something.
+    def canonSf(p: String): String =
+      try java.nio.file.Paths.get(p).toRealPath().toString
+      catch { case _: Throwable =>
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString }
+    val sfCanon = canonSf(sfDir)
     def fileSf(path: String): Option[String] =
       try "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")).map(_.group(1))
       catch { case _: Throwable => None }
-    def readQueriesMap(path: String, defaultSf: String): Map[String, Double] =
+    // Full artifact text, sf-guarded: None when the file is absent OR was
+    // taken at another SF (a scoped sf0.01 run must not read/poison the
+    // driver-SF memory).
+    def readArtifact(path: String): Option[String] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
         val sfOf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse(defaultSf)
-        if (sfOf != sfDir) Map.empty[String, Double]
-        else BenchSentinel.parsePrevQueries(txt)
-      } catch { case _: Throwable => Map.empty[String, Double] }
-    // lastRound = the previous committed sweep's own readings (raw, not
-    // min-merged) — adjudication's "is this level NEW this round?" test.
-    val lastRound = readQueriesMap("bench_out.json", DriverSf)
+          .map(_.group(1)).getOrElse(DriverSf)
+        if (canonSf(sfOf) != sfCanon) {
+          System.err.println(
+            s"[bench] SF guard: ignoring $path (its sf '" + sfOf +
+              s"' != this run's '$sfDir')")
+          None
+        } else Some(txt)
+      } catch { case _: Throwable => None }
+    // lastRound = the previous committed sweep's readings, HARDENED for
+    // the adjudicator (BenchSentinel.parseLastRound: per-query
+    // min(median, min-of-3), minus anything that artifact itself
+    // flagged/regressed) — clearing a regression against a level the
+    // previous run already distrusted would hide it.
+    val lastRoundTxt = readArtifact("bench_out.json")
+    val lastRound = lastRoundTxt.map(BenchSentinel.parseLastRound)
+      .getOrElse(Map.empty[String, Double])
     val prev = BenchSentinel.mergeBaseline(
-      readQueriesMap("bench_baseline.json", DriverSf), lastRound.toSeq)
-    val baselineWritable =
-      fileSf("bench_baseline.json").getOrElse(DriverSf) == sfDir
+      readArtifact("bench_baseline.json")
+        .map(BenchSentinel.parsePrevQueries)
+        .getOrElse(Map.empty[String, Double]),
+      lastRoundTxt.map(BenchSentinel.parsePrevQueries)
+        .getOrElse(Map.empty[String, Double]).toSeq)
+    val baselineWritable = {
+      val ok = canonSf(fileSf("bench_baseline.json").getOrElse(DriverSf)) == sfCanon
+      if (!ok) System.err.println(
+        s"[bench] SF guard: bench_baseline.json is another SF's — this " +
+          s"run ($sfDir) will not ratchet it")
+      ok
+    }
 
+    // Per-query protocol record (round-20 advice): fast-confirm ships a
+    // 1-run or min-of-2 reading in the same "queries" field as
+    // median-of-3, and min-of-2 is biased low vs median-of-3 — so the
+    // artifact now says WHICH estimator produced each reading
+    // ("queries_runs": 1 = ratchet-confirming single, 2 = min-of-2,
+    // 3 = median-of-3, 0 = errored) and judges can normalize
+    // cross-round totals instead of guessing.
+    val runsOf = scala.collection.mutable.Map.empty[String, Int]
     val results = entries.zipWithIndex.map { case ((name, fn), i) =>
       // Several queries (q66/q70/q73/q76/q84) localCheckpoint their edge
       // lists; those block-manager blocks are reclaimed by ContextCleaner
@@ -157,6 +197,7 @@ object Bench {
         val t0 = System.nanoTime()
         run().map(_ => (System.nanoTime() - t0) / 1e9)
       }
+      runsOf(name) = 0
       run() match {
         case Left(err) => (name, -1.0, -1.0, Some(err), interval)
         case Right(_) =>
@@ -182,6 +223,7 @@ object Bench {
           timed() match {
             case Left(err) => (name, -1.0, -1.0, Some(err), interval)
             case Right(v1) if base.exists(v1 <= _) =>
+              runsOf(name) = 1
               (name, v1, v1, None, interval)
             case Right(v1) =>
               timed() match {
@@ -189,6 +231,7 @@ object Bench {
                 case Right(v2) if base.exists(b =>
                     math.min(v1, v2) <= 1.5 * b) =>
                   val mn = math.min(v1, v2)
+                  runsOf(name) = 2
                   (name, mn, mn, None, interval)
                 case Right(v2) =>
                   // Median of 3 timed runs (warm-up above not counted);
@@ -198,6 +241,7 @@ object Bench {
                     case Left(err) => (name, -1.0, -1.0, Some(err), interval)
                     case Right(v3) =>
                       val ts = List(v1, v2, v3).sorted
+                      runsOf(name) = 3
                       (name, ts(1), ts.head, None, interval)
                   }
               }
@@ -236,6 +280,9 @@ object Bench {
     val qs = byName.map { case (k, v, _, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val qsMin = byName.map { case (k, _, mn, _, _) => "\"" + k + "\":" + ms(mn) }
+      .mkString("{", ",", "}")
+    val qsRuns = byName.map { case (k, _, _, _, _) =>
+      "\"" + k + "\":" + runsOf.getOrElse(k, 0) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e), _) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
@@ -380,7 +427,7 @@ object Bench {
     // judge reads to decide whether the ACCEPTED pass was quiet.
     val retimeProbesJson = retimeProbes.map(ms).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${ms(total)},"value_retimed":${ms(totalRetimed)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errs,"flagged":$flaggedJson,$sentinel,"retimed":$retimedJson,"retime_probe":$retimeProbesJson,"retime_attempts":$retimeAttempts,"flagged_raw":$flaggedRawJson,"regressed_raw":$regressedRawJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"value_retimed":${ms(totalRetimed)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_runs":$qsRuns,"errors":$errs,"flagged":$flaggedJson,$sentinel,"retimed":$retimedJson,"retime_probe":$retimeProbesJson,"retime_attempts":$retimeAttempts,"flagged_raw":$flaggedRawJson,"regressed_raw":$regressedRawJson,"sf":"$sfDir"}"""
     // Full-name per-query timings go to the file (the durable artifact,
     // committed per-round), and the min-ratcheted regression baseline to
     // its own file the driver never touches. A timestamped copy goes to

@@ -224,11 +224,17 @@ object BenchSentinel {
     * string scanning (no JSON lib in the dependency set); tolerant of
     * absence: any parse failure yields an empty map, which disables the
     * regression detector rather than failing the bench. */
-  def parsePrevQueries(json: String): Map[String, Double] = {
-    val start = json.indexOf("\"queries\":{")
+  def parsePrevQueries(json: String): Map[String, Double] =
+    parseNumMap(json, "queries")
+
+  /** `"<field>":{"k":1.2,...}` → map. Same tolerant string scan as
+    * [[parsePrevQueries]] (which it generalizes). */
+  def parseNumMap(json: String, field: String): Map[String, Double] = {
+    val tag = "\"" + field + "\":{"
+    val start = json.indexOf(tag)
     if (start < 0) Map.empty
     else {
-      val body = json.substring(start + "\"queries\":{".length)
+      val body = json.substring(start + tag.length)
       val end = body.indexOf('}')
       if (end < 0) Map.empty
       else body.substring(0, end).split(',').iterator.flatMap { kv =>
@@ -240,5 +246,44 @@ object BenchSentinel {
         }
       }.toMap
     }
+  }
+
+  /** `"<field>":["a","b"]` → set. Tolerant: absent/malformed → empty. */
+  def parseStringArray(json: String, field: String): Set[String] = {
+    val tag = "\"" + field + "\":["
+    val start = json.indexOf(tag)
+    if (start < 0) Set.empty
+    else {
+      val body = json.substring(start + tag.length)
+      val end = body.indexOf(']')
+      if (end < 0) Set.empty
+      else body.substring(0, end).split(',').iterator
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSet
+    }
+  }
+
+  /**
+   * The last-round reference levels adjudicate() clears against. Round-19
+   * used the previous artifact's raw medians; that trusts a capture that
+   * may itself have been contention-inflated (the documented r13 failure
+   * mode: the driver overwrites bench_out.json with drifted readings), so
+   * a genuine regression landing within 1.25× of the DRIFTED level was
+   * silently cleared. Hardened (round-20 advice): per query, take
+   * min(median, min-of-3) from the artifact, and drop any query that
+   * artifact itself listed in `flagged`/`regressed` — a reading the
+   * previous run already distrusted is no clearance reference at all.
+   */
+  def parseLastRound(json: String): Map[String, Double] = {
+    val meds = parseNumMap(json, "queries")
+    val mins = parseNumMap(json, "queries_min")
+    val suspect = parseStringArray(json, "flagged") ++
+      parseStringArray(json, "regressed")
+    (meds.keySet ++ mins.keySet).iterator
+      .filterNot(suspect)
+      .flatMap { k =>
+        val ok = (meds.get(k).toList ++ mins.get(k).toList).filter(_ >= 0)
+        if (ok.isEmpty) None else Some(k -> ok.min)
+      }.toMap
   }
 }

@@ -211,7 +211,10 @@ object DedupIndex {
             s"adopt: no dedup index at '$dir' — the params table is " +
               "missing; nothing to adopt", e)
       }
-    require(row.getInt(2) * row.getInt(3) == row.getInt(1),
+    // Named access (not positional): a params schema reorder must fail
+    // loudly here, not validate the wrong columns and adopt a torn index.
+    require(row.getAs[Int]("bands") * row.getAs[Int]("rows_per_band") ==
+        row.getAs[Int]("perms"),
       s"adopt: dedup index at '$dir' has inconsistent params " +
         "(bands*rows_per_band != perms) — rebuild instead of adopting")
     SwapManifest.adopt(spark, dir, tables :+ "params", "dedup index")

@@ -504,19 +504,35 @@ object RelationalQueries {
       // keep the bucketed scan ON for point lookups: without a downstream
       // join/agg needing the hash distribution, Spark's
       // DisableUnnecessaryBucketedScan rule would drop the bucketed read
-      // and with it the bucket-filter pruning. Session-scoped and safe:
-      // the only bucketed tables in the registry are this pair, and
-      // q219's join keeps its bucketed scan under either setting.
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-        "false")
-      val (l, _) = bucketedPair(s, d)
-      val k = Tables.lineitem(s, d)
-        .agg(org.apache.spark.sql.functions.min(col("l_orderkey"))).head()
-        .getLong(0)
-      l.filter(col("l_orderkey") === lit(k))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_returnflag"))
-        .orderBy("l_linenumber")
+      // and with it the bucket-filter pruning. The override is scoped to
+      // THIS query body (prior value restored in a finally): leaking it
+      // on the shared session would silently change plans for any later
+      // bucketed query in the same sweep/suite — ordering-dependent
+      // behavior the plan pins could never catch.
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try {
+        val (l, _) = bucketedPair(s, d)
+        val k = Tables.lineitem(s, d)
+          .agg(org.apache.spark.sql.functions.min(col("l_orderkey"))).head()
+          .getLong(0)
+        // bucket pruning is a PHYSICAL planning decision taken when the
+        // caller executes — a lazily returned frame would plan AFTER the
+        // finally restored the flag. localCheckpoint(true) executes the
+        // pruned scan here, inside the override (rows: single order key,
+        // a handful), and hands the caller the materialized result.
+        l.filter(col("l_orderkey") === lit(k))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .orderBy("l_linenumber")
+          .localCheckpoint(true)
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
+      }
     },
     Some(
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -269,4 +269,46 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(BenchSentinel.parsePrevQueries("{\"no_queries\":1}") === Map.empty)
     assert(BenchSentinel.parsePrevQueries("{\"queries\":{broken") === Map.empty)
   }
+
+  test("parseStringArray reads flagged/regressed; tolerant of absence") {
+    val json = """{"flagged":["q12_x","q185_y"],"regressed":[],"sf":"s"}"""
+    assert(BenchSentinel.parseStringArray(json, "flagged") ===
+      Set("q12_x", "q185_y"))
+    assert(BenchSentinel.parseStringArray(json, "regressed") === Set.empty)
+    assert(BenchSentinel.parseStringArray(json, "absent") === Set.empty)
+    assert(BenchSentinel.parseStringArray("", "flagged") === Set.empty)
+  }
+
+  test("parseLastRound: min(median, min-of-3), drops flagged/regressed") {
+    // q01 clean: min(0.426, 0.40) = 0.40. q98 was FLAGGED in that
+    // artifact — a distrusted reading is no clearance reference, drop it.
+    // q99 was REGRESSED there — drop too. q50 has only a median.
+    val json =
+      """{"queries":{"q01":0.426,"q98":1.48,"q99":2.0,"q50":0.7},
+        |"queries_min":{"q01":0.40,"q98":0.39,"q99":0.5},
+        |"flagged":["q98"],"regressed":["q99"],"sf":"s"}"""
+        .stripMargin.replace("\n", "")
+    val m = BenchSentinel.parseLastRound(json)
+    assert(m === Map("q01" -> 0.40, "q50" -> 0.7))
+  }
+
+  test("parseLastRound: a contention-inflated cleared level cannot clear " +
+      "a genuine regression (the r20-advice scenario)") {
+    // Last round's artifact carried a drifted 2.0 s median for q7 and
+    // flagged it; this round q7 confirms at 1.8 s vs a 0.5 s ratchet.
+    // Against the drifted level 1.8 <= 1.25*2.0 would have cleared the
+    // regression; with the flagged reading dropped, lastRound has no q7
+    // entry and adjudicate's forall keeps the flag.
+    val lastArtifact =
+      """{"queries":{"q7":2.0},"queries_min":{"q7":1.9},"flagged":["q7"],"regressed":[],"sf":"s"}"""
+    val lastRound = BenchSentinel.parseLastRound(lastArtifact)
+    assert(lastRound.get("q7") === None)
+    val (_, regressed) = BenchSentinel.adjudicate(
+      flagged = Nil, regressed = Seq("q7"),
+      retimed = Map("q7" -> BenchSentinel.Retime(1.8, 1.8)),
+      sweepMin = Map("q7" -> 1.85),
+      baseline = Map("q7" -> 0.5),
+      lastRound = lastRound)
+    assert(regressed === Seq("q7"))
+  }
 }
