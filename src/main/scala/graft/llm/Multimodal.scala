@@ -10,12 +10,23 @@ import org.apache.spark.sql.functions._
  * `mapInPandas`: one iterator per partition, constant memory, no
  * per-row JVM<->native round trips).
  *
- * The decode step itself is STUBBED — the container has no image/audio
- * libraries — with [[StubDecoder]], a deterministic fake that derives
- * features from the raw bytes. The Spark-side plumbing (schema, binary
- * column handling, partition-wise batch iteration, feature schema) is
- * real and tested; swapping [[StubDecoder]] for a JNI/FFI decoder changes
- * nothing structurally.
+ * Decode (round 20): payloads that ARE a real public image format —
+ * binary Netpbm P6 (portable pixmap; format spec is public knowledge,
+ * the parser below is ~50 lines with zero dependencies) — decode for
+ * real: [[P6Decoder]] validates the header (magic, `#` comments,
+ * arbitrary header whitespace, maxval, exact raster length) and every
+ * downstream op ([[extractFeatures]], [[sampleFrames]], [[resize]], and
+ * therefore [[aHash]]/[[aHashPairs]]) runs over the DECODED PIXEL
+ * CHANNELS, so two different encodings of the same image (re-ordered
+ * header whitespace, added comments) produce IDENTICAL features and
+ * hashes — the property a perceptual near-dup pipeline exists for, and
+ * one no byte-level stub can have.
+ *
+ * Payloads in any OTHER format still route to [[StubDecoder]], a
+ * deterministic fake that derives features from the raw bytes — the
+ * container has no JPEG/audio codecs, and the fallback keeps the
+ * plumbing testable on arbitrary binaries. Swapping the stub for a
+ * JNI/FFI codec changes nothing structurally.
  */
 object Multimodal {
 
@@ -58,6 +69,77 @@ object Multimodal {
     }
   }
 
+  /**
+   * Binary Netpbm P6 parser (portable pixmap, the `P6` rawbits variant):
+   * `P6 <ws> width <ws> height <ws> maxval <one ws byte> raster`, where
+   * `<ws>` is any run of whitespace and `#`-to-newline comments, and the
+   * raster is exactly width·height·3 single-byte RGB samples (maxval ≤
+   * 255). Validation is STRUCTURAL and total — magic, positive dims,
+   * maxval ∈ [1,255], exactly one whitespace byte after maxval, raster
+   * length exact — so routing on `parse(...).isDefined` cannot
+   * misclassify a non-P6 binary (a text payload would need the full
+   * header grammar AND a byte-exact raster length to false-positive).
+   */
+  object P6Decoder {
+    /** width, height, maxval, byte offset where the raster starts. */
+    final case class Header(width: Int, height: Int, maxval: Int, pixelOffset: Int)
+
+    def parse(p: Array[Byte]): Option[Header] = {
+      if (p == null || p.length < 4 || p(0) != 'P' || p(1) != '6') return None
+      var i = 2
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+      // header whitespace: ≥1 whitespace byte or #-comment (to newline)
+      def skipWs(): Boolean = {
+        var seen = false
+        var go = true
+        while (go && i < p.length) {
+          if (isWs(p(i))) { seen = true; i += 1 }
+          else if (p(i) == '#') {
+            seen = true
+            while (i < p.length && p(i) != '\n') i += 1
+          } else go = false
+        }
+        seen
+      }
+      // unsigned decimal, ≤ 9 digits (a 10th digit means a dimension no
+      // real image has and a value that could overflow — parse failure)
+      def int(): Int = {
+        var v = 0
+        var digits = 0
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          if (digits == 9) return -1
+          v = v * 10 + (p(i) - '0')
+          digits += 1
+          i += 1
+        }
+        if (digits == 0) -1 else v
+      }
+      if (!skipWs()) return None
+      val w = int(); if (w < 1) return None
+      if (!skipWs()) return None
+      val h = int(); if (h < 1) return None
+      if (!skipWs()) return None
+      val mv = int(); if (mv < 1 || mv > 255) return None
+      // the spec's raster delimiter: EXACTLY one whitespace byte (a
+      // comment here would eat raster bytes on images starting with '#')
+      if (i >= p.length || !isWs(p(i))) return None
+      i += 1
+      if (p.length.toLong - i != w.toLong * h * 3) return None
+      Some(Header(w, h, mv, i))
+    }
+
+    /** The plane every downstream op consumes: decoded RGB channel bytes
+      * for a valid P6 payload, the raw payload bytes otherwise (stub
+      * semantics, unchanged for non-P6 binaries). */
+    def pixelPlane(payload: Array[Byte]): Array[Byte] =
+      parse(payload) match {
+        case Some(hd) =>
+          java.util.Arrays.copyOfRange(payload, hd.pixelOffset, payload.length)
+        case None => if (payload == null) Array.emptyByteArray else payload
+      }
+  }
+
   /** Build a media table from `documents`: the UTF-8 text bytes stand in
     * for an encoded image payload (deterministic, so oracle-checkable). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
@@ -67,16 +149,75 @@ object Multimodal {
       lit("application/octet-stream").as("mime"))
 
   /**
+   * Deterministic REAL P6 image fixtures from the documents table — the
+   * decode-path test corpus. Image d is `(4 + d%5) × (3 + d%4)` pixels
+   * with channel sample j = `(d·31 + j·7) mod 251` — pure integer
+   * arithmetic on doc_id, so a DuckDB oracle rebuilds the exact pixels
+   * WITHOUT parsing any bytes, and a hash match proves the Spark side
+   * really decoded the raster out of the encoded payload.
+   *
+   * `reencoded = true` emits the SAME image in a different valid P6
+   * encoding (comment lines, re-ordered header whitespace, space instead
+   * of newline as the raster delimiter): byte-distinct payloads, pixel-
+   * identical content — the clone pair every perceptual-hash test needs.
+   */
+  def p6FromDocuments(docs: DataFrame, reencoded: Boolean = false)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val variant = reencoded
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val w = (4 + d % 5).toInt
+        val h = (3 + d % 4).toInt
+        val header =
+          if (!variant) s"P6\n$w $h\n255\n"
+          else s"P6\n# graft re-encode of $d\n  $w\t$h\n# maxval next\n255 "
+        val hb = header.getBytes("US-ASCII")
+        val out = new Array[Byte](hb.length + w * h * 3)
+        System.arraycopy(hb, 0, out, 0, hb.length)
+        var j = 0
+        val n = w * h * 3
+        while (j < n) {
+          out(hb.length + j) = ((d * 31 + j * 7) % 251).toByte
+          j += 1
+        }
+        (d, out)
+      })
+      .toDF("doc_id", "payload")
+      .withColumn("mime", lit("image/x-portable-pixmap"))
+  }
+
+  /** Decode one payload: REAL decode for P6 (width/height from the
+    * header, n_bytes/mean over the decoded channel samples), stub
+    * statistics for everything else. */
+  def decode(docId: Long, payload: Array[Byte]): MediaFeatures =
+    P6Decoder.parse(payload) match {
+      case Some(hd) =>
+        val n = payload.length - hd.pixelOffset
+        var sum = 0L
+        var i = hd.pixelOffset
+        while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+        MediaFeatures(
+          doc_id = docId,
+          n_bytes = n.toLong,
+          mean_byte = if (n == 0) 0.0 else sum.toDouble / n,
+          width = hd.width,
+          height = hd.height)
+      case None =>
+        StubDecoder.decode(docId, if (payload == null) Array.emptyByteArray else payload)
+    }
+
+  /**
    * Partition-wise feature extraction — the `mapInPandas` analog. Each
-   * task iterates its partition once through the (stub) decoder; the
-   * output is a typed Dataset whose schema downstream SQL composes with.
+   * task iterates its partition once through the decoder ([[P6Decoder]]
+   * for real P6 images, [[StubDecoder]] otherwise); the output is a
+   * typed Dataset whose schema downstream SQL composes with.
    */
   def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        StubDecoder.decode(id, if (bytes == null) Array.emptyByteArray else bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decode(id, bytes) })
   }
 
   /** One sampled "frame": the payload byte at an evenly-spaced offset —
@@ -97,7 +238,9 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, raw) =>
-        val bytes = if (raw == null) Array.emptyByteArray else raw
+        // frames sample the DECODED plane: pixel channels for P6, raw
+        // bytes otherwise — re-encoding a P6 image must not move frames
+        val bytes = P6Decoder.pixelPlane(raw)
         val n = bytes.length
         if (n == 0) Iterator.empty
         else (0 until k).iterator.map { i =>
@@ -124,7 +267,10 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, raw) =>
-        val bytes = if (raw == null) Array.emptyByteArray else raw
+        // spans cover the DECODED plane (see sampleFrames) — so aHash,
+        // which is built from these spans, is an invariant of the IMAGE,
+        // not of its header formatting
+        val bytes = P6Decoder.pixelPlane(raw)
         val n = bytes.length
         if (n == 0) Iterator.empty
         else (0 until k).iterator.map { b =>

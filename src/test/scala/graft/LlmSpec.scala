@@ -365,6 +365,78 @@ class LlmSpec extends SparkSpec {
     assert(empty === Multimodal.MediaFeatures(1L, 0L, 0.0, 0, 0))
   }
 
+  test("P6Decoder: header grammar accepted, anything structurally off rejected") {
+    import Multimodal.P6Decoder
+    def img(header: String, w: Int, h: Int): Array[Byte] =
+      header.getBytes("US-ASCII") ++ Array.fill[Byte](w * h * 3)(42)
+    // canonical
+    assert(P6Decoder.parse(img("P6\n2 3\n255\n", 2, 3))
+      === Some(P6Decoder.Header(2, 3, 255, 11)))
+    // comments + exotic whitespace anywhere in the header
+    assert(P6Decoder.parse(
+      img("P6\n# a comment\n  2\t3\n# another\n255 ", 2, 3)).nonEmpty)
+    // space (not newline) as the raster delimiter
+    assert(P6Decoder.parse(img("P6 2 3 255 ", 2, 3)).nonEmpty)
+    // maxval < 255 is legal as long as it fits one byte
+    assert(P6Decoder.parse(img("P6\n2 3\n17\n", 2, 3))
+      .exists(_.maxval === 17))
+    // rejections: wrong magic, maxval out of range, zero dims,
+    // truncated raster, surplus raster, missing post-maxval whitespace
+    assert(P6Decoder.parse(img("P5\n2 3\n255\n", 2, 3)).isEmpty)
+    assert(P6Decoder.parse(img("P6\n2 3\n256\n", 2, 3)).isEmpty)
+    assert(P6Decoder.parse(img("P6\n0 3\n255\n", 0, 3)).isEmpty)
+    assert(P6Decoder.parse(img("P6\n2 3\n255\n", 2, 3).dropRight(1)).isEmpty)
+    assert(P6Decoder.parse(img("P6\n2 3\n255\n", 2, 3) :+ 0.toByte).isEmpty)
+    assert(P6Decoder.parse("P6\n2 3\n255".getBytes("US-ASCII")).isEmpty)
+    assert(P6Decoder.parse(null).isEmpty)
+    // a text payload can never false-positive: plain prose fails at magic
+    assert(P6Decoder.parse("P6 looked like a good size".getBytes).isEmpty)
+    // pixelPlane: raster for P6, identity for everything else
+    assert(P6Decoder.pixelPlane(img("P6\n2 3\n255\n", 2, 3)).toSeq
+      === Seq.fill(18)(42.toByte))
+    assert(P6Decoder.pixelPlane("hello".getBytes).toSeq === "hello".getBytes.toSeq)
+  }
+
+  test("P6 decode: features come from the raster, not the encoded bytes") {
+    implicit val s = spark
+    val few = docs.filter(col("doc_id") < 20)
+    val feats = Multimodal.extractFeatures(Multimodal.p6FromDocuments(few))
+      .toDF().collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(3), r.getInt(4))).toMap
+    assert(feats.size === 20)
+    feats.foreach { case (d, (nBytes, w, h)) =>
+      assert(w === (4 + d % 5).toInt && h === (3 + d % 4).toInt, s"doc $d")
+      assert(nBytes === w.toLong * h * 3, s"doc $d raster size")
+    }
+  }
+
+  test("P6 clone pair: two re-encodings of one image land hamming 0 " +
+      "under the q120-style banded LSH (aHashPairs)") {
+    implicit val s = spark
+    import s.implicits._
+    val few = docs.filter(col("doc_id") < 10)
+    // same image twice, byte-DISTINCT payloads: canonical encoding keeps
+    // doc_id, the re-encode gets doc_id+1000 so the pair generator (which
+    // joins on id_a < id_b) can surface the clone pair
+    val a = Multimodal.p6FromDocuments(few)
+    val b = Multimodal.p6FromDocuments(few, reencoded = true)
+      .withColumn("doc_id", col("doc_id") + lit(1000L))
+    // the payload byte streams really differ (different headers)
+    val byteEq = a.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().toMap
+    val byteEq2 = b.select(col("doc_id") - 1000L, col("payload"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert((0L until 10L).forall(d =>
+      !java.util.Arrays.equals(byteEq(d), byteEq2(d))))
+    val pairs = Multimodal.aHashPairs(a.unionByName(b), k = 48, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every clone pair surfaces, at hamming exactly 0 (identical rasters)
+    (0L until 10L).foreach { d =>
+      assert(pairs.contains((d, d + 1000L, 0L)),
+        s"clone pair for doc $d missing from ${pairs.toSeq}")
+    }
+  }
+
   test("multimodal extractFeatures runs partition-wise over binary payloads") {
     implicit val s = spark
     val feats = Multimodal.extractFeatures(
