@@ -1358,6 +1358,82 @@ object LlmQueries {
       docs.repartition(4).write.mode("append").parquet(dir)
     }
 
+  /**
+   * The DISORDERED event-time feed q242 replays — the late-data contract
+   * fixture. One parquet file per micro-batch, strictly increasing
+   * modification times, so a `maxFilesPerTrigger=1` file stream replays
+   * the batches in a deterministic order (FileStreamSource processes
+   * files in mod-time order) and the watermark trajectory — and with it
+   * the exact keep/drop set — is derivable by integer arithmetic.
+   *
+   * Windows are 600 s tumbling from base epoch T; watermark delay 600 s;
+   * batch b's max event time is T+(b+1)·600-101 (on-time rows exist in
+   * every batch), so the operative watermark while processing batch c is
+   * T+(c-1)·600-101. Row categories per doc d (m = d%5, j = d%8,
+   * jitter s = d·7 % 500 keeps ≥100 s of margin to every boundary, so no
+   * row's fate depends on which of Spark's two multi-stateful-operator
+   * watermark regimes — late-record filtering one batch staler than
+   * eviction, SPARK-40925 — applies):
+   *  - m∈{0,1}: on-time (batch j, event time in window j) — KEPT;
+   *  - m=2: late-but-live (batch j+1, event time in window j — above
+   *    every operative watermark, window j not yet emitted) — KEPT;
+   *  - m=3, j≤3: too-late (batch j+4: behind even the stalest watermark
+   *    regime, window j already emitted) — DROPPED; j≥4 on-time — KEPT;
+   *  - m=4: replays of doc d-4's key: odd d/5 with (d-4)%8≤3 is a ZOMBIE
+   *    replay (same key, event time 4 windows later, arriving after the
+   *    dedup state's expiresAt passed every watermark regime) — KEPT
+   *    AGAIN, the documented dropDuplicatesWithinWatermark horizon
+   *    contract; otherwise a same-batch duplicate (same key, same event
+   *    time) — DEDUPED.
+   * Two sentinel batches (8, 9) carry far-future unique keys so the
+   * final watermark passes every real window's end and append mode
+   * emits all of windows 0..7; the sentinels' own windows stay in state.
+   */
+  private val lateFeedBase = 1767225600L // 2026-01-01 00:00:00 UTC, %600=0
+  private def lateFeedDir(s: SparkSession, d: String): String =
+    scratchDir("graft_late_feed", d, "b09.parquet") { dir =>
+      import s.implicits._
+      val T = lateFeedBase
+      val base = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("m", col("doc_id") % 5)
+        .withColumn("j", (col("doc_id") % 8).cast("int"))
+        .withColumn("j0", ((col("doc_id") - 4) % 8).cast("int"))
+        .withColumn("sj", col("doc_id") * 7 % 500)
+        .withColumn("s0", (col("doc_id") - 4) * 7 % 500)
+      val isD2 = col("m") === 4 &&
+        expr("CAST(doc_id / 5 AS BIGINT) % 2") === 1 && col("j0") <= 3
+      val w = when(isD2, col("j0") + 4)
+        .when(col("m") === 4, col("j0"))
+        .otherwise(col("j"))
+      val jit = when(col("m") === 4, col("s0")).otherwise(col("sj"))
+      val batch = when(isD2, col("j0") + 4)
+        .when(col("m") === 4, col("j0"))
+        .when(col("m") === 2, least(col("j") + 1, lit(7)))
+        .when(col("m") === 3 && col("j") <= 3, col("j") + 4)
+        .otherwise(col("j"))
+      val rows = base.select(
+        when(col("m") === 4, col("doc_id") - 4).otherwise(col("doc_id")).as("k"),
+        (lit(T) + w.cast("long") * 600 + jit).as("ets"),
+        batch.cast("int").as("batch"))
+      val sentinels = Seq(
+        (-1L, T + 6000L * 600, 8), (-2L, T + 6001L * 600, 9))
+        .toDF("k", "ets", "batch")
+      val all = rows.unionByName(sentinels)
+      (0 to 9).foreach { b =>
+        val tmp = s"$dir/stage_$b"
+        all.filter(col("batch") === b)
+          .select(col("k"), timestamp_seconds(col("ets")).as("et"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"late feed: no part file for batch $b"))
+        val dst = java.nio.file.Paths.get(dir, f"b$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+        deleteRecursively(tmp)
+      }
+    }
+
   private def ivfServeDir(s: SparkSession, d: String): String =
     scratchDir("graft_ivf_serve", d, "pq_codebooks") { dir =>
       graft.llm.IvfIndex.buildPq(Tables.embeddings(s, d), dir,
@@ -2708,6 +2784,52 @@ object LlmQueries {
          |  CAST(0 AS BIGINT) AS hamming
          |FROM rb JOIN tot t USING (doc_id)
          |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin))
+
+  // q242 — the EVENT-TIME WATERMARK DROP contract, hash-checked (round
+  // 20; the streaming family covered dedup/decon/gating/export but no
+  // query pinned lateness itself): the lateFeedDir fixture replays ten
+  // deterministic micro-batches of event-time DISORDER through a
+  // checkpointed chained-stateful stream — withWatermark(600 s) →
+  // dropDuplicatesWithinWatermark(key) → tumbling-window count → append
+  // parquet sink — and the landed table is the exact keep/drop set the
+  // oracle derives with integer arithmetic: on-time and late-but-live
+  // rows counted, too-late rows dropped, same-batch duplicate keys
+  // deduped, zombie replays beyond the dedup horizon counted AGAIN
+  // (the "WithinWatermark" in the operator's name, pinned as values).
+  val q242 = Q(
+    "q242_watermark_late_drop",
+    (s, d) => {
+      val stage = lateFeedDir(s, d)
+      val land = trackedTempDir("graft_q242_land")
+      val ckpt = trackedTempDir("graft_q242_ckpt")
+      val sch = s.read.parquet(stage).schema
+      val counted = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .withWatermark("et", "600 seconds")
+        .dropDuplicatesWithinWatermark("k")
+        .groupBy(window(col("et"), "600 seconds")).count()
+        .select(col("window.start").cast("long").as("window_start"),
+          col("count").as("n"))
+      val q = counted.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", land).start()
+      q.processAllAvailable(); q.stop()
+      reapAfter(s.read.parquet(land).orderBy("window_start"), land, ckpt)
+    },
+    Some(
+      s"""WITH base AS (
+         |  SELECT doc_id AS d, doc_id % 5 AS m, doc_id % 8 AS j
+         |  FROM documents),
+         |kept AS (
+         |  SELECT j AS w FROM base WHERE m <= 2
+         |  UNION ALL
+         |  SELECT j FROM base WHERE m = 3 AND j >= 4
+         |  UNION ALL
+         |  SELECT ((d - 4) % 8) + 4 FROM base
+         |  WHERE m = 4 AND (d // 5) % 2 = 1 AND (d - 4) % 8 <= 3)
+         |SELECT CAST($lateFeedBase + w * 600 AS BIGINT) AS window_start,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // q121 — the per-source corpus report card: docs/tokens/exact-dup/
   // language-spread/mean-quality per stratum in three map-side-combined
@@ -8897,5 +9019,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241)
+    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242)
 }

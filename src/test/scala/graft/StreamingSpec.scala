@@ -58,6 +58,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark state eviction: dedup+window state does NOT grow past " +
+      "the horizon (q242's pipeline shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val q = source.toDF().toDF("k", "et")
+      .withWatermark("et", "600 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .groupBy(window(col("et"), "600 seconds")).count()
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode("append").start()
+    try {
+      val T = 1767225600L
+      val batches = 12
+      val perBatch = 50
+      (0 until batches).foreach { b =>
+        source.addData((0 until perBatch).map(i =>
+          (b.toLong * perBatch + i, new Timestamp((T + b * 600 + i) * 1000L))): _*)
+        q.processAllAvailable()
+      }
+      val totals = q.recentProgress.toSeq.flatMap(_.stateOperators)
+        .map(op => op.operatorName -> op.numRowsTotal)
+      assert(totals.nonEmpty, "no state operators reported progress")
+      // 600 distinct keys flowed through; an eviction-free dedup would
+      // hold all of them. The 600 s horizon keeps ~2 batches of keys
+      // (and ~2 unemitted windows) live — state must stay FLAT, far
+      // below the key count, at every point in the run.
+      val maxState = totals.map(_._2).max
+      assert(maxState < 300,
+        s"state grew past the watermark horizon: max $maxState rows " +
+          s"across ${totals.size} operator readings (${totals.distinct})")
+      // and eviction actually ran (rows were removed, not just absent)
+      val removed = q.recentProgress.toSeq.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "no state rows were ever evicted")
+    } finally q.stop()
+  }
+
   test("B1 bounded source admission: maxFilesPerTrigger caps each micro-batch") {
     // the reference's bounded-buffer admission (client/async.go) maps to
     // source-side admission options; demonstrated on the file source —
