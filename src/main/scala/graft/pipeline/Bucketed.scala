@@ -75,6 +75,96 @@ object Bucketed {
   def read(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /**
+   * Append to an existing bucketed table WITH the bucket spec: every
+   * append lands one new file set per bucket (Spark groups a bucket's
+   * files by the `_NNNNN` name component at read time, so correctness
+   * is unaffected) — which is exactly how a bucketed fact table accretes
+   * small files and why [[compact]] exists. The spec passed here must
+   * match the table's (Spark refuses a mismatch — the
+   * bucket-count-must-match rule enforced at write time).
+   */
+  def append(df: DataFrame, tableName: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .mode("append")
+      .saveAsTable(tableName)
+
+  /** Spark's bucket-file name component: `part-…_00003.c000….parquet`
+    * ⇒ bucket 3. Every data file of a Spark-written bucketed layout
+    * carries it; a file without it cannot be assigned to a bucket. */
+  private val BucketFilePattern = ".*_\\d{5}(?:\\.c\\d+)?(?:\\..*)?\\.parquet$".r
+
+  /**
+   * BUCKET-AWARE compaction (round 20 — the maintenance path the plain
+   * refusal in [[Maintenance.compactDir]] lacked): collapse an
+   * append-accreted bucketed table back to ONE file per bucket while
+   * PRESERVING the bucket-file mapping the catalog promises.
+   *
+   * How the mapping survives: the rewrite re-reads the table and writes
+   * a fresh BUCKETED layout (same key, same bucket count) to a sibling
+   * tmp dir through a temporary external table — Spark itself emits the
+   * `_NNNNN` bucket-file names, so the new layout honors the hash
+   * placement by construction. `repartition(nBuckets, key)` first puts
+   * each bucket's rows on exactly one task (repartition's hash
+   * placement, `pmod(murmur3, n)`, IS the bucket placement), so each
+   * bucket lands as a single sorted file. The swap is
+   * [[Maintenance.compactDir]]'s double rename (readers see old or new,
+   * never a mix; [[Maintenance.recoverCompaction]] repairs a crash
+   * between the renames), and the catalog entry — which points at the
+   * same path with the same spec — needs only a refresh.
+   *
+   * The REFUSAL is retained for layouts this job cannot prove are
+   * Spark's: any data file without the `_NNNNN` bucket component (a
+   * Hive-bucketed import, a hand-assembled dir) throws before anything
+   * is written — compacting a mapping you can't parse is how wrong
+   * joins happen.
+   */
+  def compact(spark: SparkSession, tableName: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"compact: table '$tableName' has no bucket spec — use " +
+        "Maintenance.compactDir for unbucketed layouts"))
+    require(spec.bucketColumnNames.size == 1,
+      s"compact: single-column bucket keys only, got ${spec.bucketColumnNames}")
+    val key = spec.bucketColumnNames.head
+    val dir = new Path(meta.location).toUri.getPath
+    Maintenance.recoverCompaction(spark, dir)
+    val stray = Maintenance.dataFiles(spark, dir)
+      .filterNot(p => BucketFilePattern.matches(p.getName))
+    if (stray.nonEmpty)
+      throw new IllegalStateException(
+        s"compact: '$dir' contains data files without Spark's _NNNNN " +
+          s"bucket-name component (${stray.take(3).map(_.getName).mkString(", ")}) " +
+          "— a non-Spark bucket layout; refusing to rewrite a " +
+          "bucket-file mapping that cannot be parsed")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__graft_tmp")
+    val old = new Path(dir + "__graft_old")
+    val tmpTable = tableName + "__graft_compact"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    spark.table(tableName)
+      .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, key).sortBy(key)
+      .option("path", tmp.toString)
+      .mode("overwrite")
+      .saveAsTable(tmpTable)
+    // external table: dropping the catalog entry leaves the files
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    val mk = fs.create(new Path(tmp, Marker), true)
+    try mk.write(s"key=$key\nbuckets=${spec.numBuckets}\n".getBytes("UTF-8"))
+    finally mk.close()
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    fs.delete(old, true)
+    spark.catalog.refreshTable(tableName)
+  }
+
   /** True iff `dir` is the data root of a bucketed table ([[Marker]]
     * present) — the predicate the maintenance jobs refuse on. */
   def isBucketedDir(spark: SparkSession, dir: String): Boolean = {

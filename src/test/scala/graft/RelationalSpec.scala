@@ -182,6 +182,62 @@ class RelationalSpec extends SparkSpec {
     assert(q.count() === expected && expected > 0)
   }
 
+  test("Bucketed.compact: appends collapse to one file per bucket; " +
+      "pruning + zero-exchange pins survive; non-Spark layouts refused") {
+    import graft.pipeline.{Bucketed, Maintenance}
+    val wh = Files.createTempDirectory("graft_wh_compact").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val li = graft.model.Tables.lineitem(s2, sfDir)
+    val od = graft.model.Tables.orders(s2, sfDir)
+    Bucketed.write(li, "lineitem_bc", s"$wh/lineitem_bc", "l_orderkey", 8)
+    Bucketed.write(od, "orders_bc", s"$wh/orders_bc", "o_orderkey", 8)
+    // two appends: the table now holds 3x the rows across 3 file sets
+    Bucketed.append(li, "lineitem_bc", "l_orderkey", 8)
+    Bucketed.append(li, "lineitem_bc", "l_orderkey", 8)
+    val before = Maintenance.dataFiles(s2, s"$wh/lineitem_bc").size
+    assert(before > 8, s"appends should accrete files, saw $before")
+    val rowsBefore = Bucketed.read(s2, "lineitem_bc").count()
+    val sumBefore = Bucketed.read(s2, "lineitem_bc")
+      .agg(sum(col("l_quantity"))).head().getDouble(0)
+    Bucketed.compact(s2, "lineitem_bc")
+    // file count collapses to exactly one per bucket
+    val after = Maintenance.dataFiles(s2, s"$wh/lineitem_bc")
+    assert(after.size === 8, s"expected 8 bucket files, got ${after.map(_.getName)}")
+    // row content unchanged (count + checksum)
+    assert(Bucketed.read(s2, "lineitem_bc").count() === rowsBefore)
+    assert(Bucketed.read(s2, "lineitem_bc")
+      .agg(sum(col("l_quantity"))).head().getDouble(0) === sumBefore)
+    // q219's pin: the fact-fact join still needs NO exchange on either side
+    val j = Bucketed.read(s2, "lineitem_bc")
+      .join(Bucketed.read(s2, "orders_bc"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderpriority"))
+    j.count()
+    val jp = j.queryExecution.executedPlan.toString
+    assert(jp.contains("SortMergeJoin") && !jp.contains("Exchange hashpartitioning"),
+      s"compacted bucketed join shuffles: ${jp.take(2000)}")
+    // q234's pin: point lookup still prunes to ONE bucket file
+    val k = li.agg(min(col("l_orderkey"))).head().getLong(0)
+    val q = Bucketed.read(s2, "lineitem_bc").filter(col("l_orderkey") === lit(k))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount: 1 out of 8"))
+    assert(q.count() === li.filter(col("l_orderkey") === lit(k)).count() * 3)
+    // the plain compaction jobs STILL refuse the bucketed dir
+    intercept[IllegalStateException](
+      Maintenance.compactDir(s2, s"$wh/lineitem_bc"))
+    // and compact() refuses a layout whose bucket mapping it cannot
+    // parse (a file without the _NNNNN component = non-Spark layout)
+    val f = Maintenance.dataFiles(s2, s"$wh/orders_bc").head
+    val renamed = new java.io.File(f.toUri.getPath)
+    assert(renamed.renameTo(new java.io.File(renamed.getParent, "import-0.parquet")))
+    val e = intercept[IllegalStateException](Bucketed.compact(s2, "orders_bc"))
+    assert(e.getMessage.contains("non-Spark bucket layout"))
+  }
+
   test("Maintenance refuses to compact a bucketed table directory") {
     import graft.pipeline.{Bucketed, Maintenance}
     val wh = Files.createTempDirectory("graft_wh_guard").toString
