@@ -204,6 +204,124 @@ object UnigramLm {
   def chunkCount(text: Column, chunkLen: Int): Column =
     size(Bpe.chunkWords(coalesce(text, lit("")), chunkLen)).cast("long")
 
+  // ------------------------------------------------- n-best sampling
+
+  /**
+   * The top-`n` segmentations of one chunk under `cost` (+`unk` for
+   * out-of-vocabulary single code points), ordered by (cost bits ASC,
+   * piece count ASC, segmentation UTF-8 ASC) — Kudo (2018) §4's n-best
+   * lattice, run as the Viterbi DP with a per-position TOP-N state list
+   * instead of a single winner. Pruning to n per position is LOSSLESS
+   * for the final top-n: any completion adds the same (cost, pieces,
+   * suffix string) to every state at a position, and among same-position
+   * states no segmentation is a string-prefix of another (equal consumed
+   * code points, separator-free pieces), so the UTF-8 tie-break is
+   * preserved under common suffix extension and dominated states stay
+   * dominated.
+   */
+  private[graft] def nbestChunk(word: String, cost: Map[String, Long],
+      unk: Long, maxPieceLen: Int, n: Int): Vector[(Long, Int, String)] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    implicit val segOrd: Ordering[String] = Bpe.utf8Ordering
+    val ord = implicitly[Ordering[(Long, Int, String)]]
+    // code-point boundaries (chunks may be shorter than chunkLen)
+    val off = new Array[Int](word.codePointCount(0, word.length) + 1)
+    var cp = 0
+    var k = 0
+    while (cp < word.length) {
+      off(k) = cp
+      cp += Character.charCount(word.codePointAt(cp))
+      k += 1
+    }
+    off(k) = word.length
+    val states = new Array[Vector[(Long, Int, String)]](k + 1)
+    states(0) = Vector((0L, 0, ""))
+    var j = 1
+    while (j <= k) {
+      val cands = Vector.newBuilder[(Long, Int, String)]
+      var l = 1
+      val lMax = math.min(j, maxPieceLen)
+      while (l <= lMax) {
+        val piece = word.substring(off(j - l), off(j))
+        var pc = cost.getOrElse(piece, Long.MaxValue)
+        if (pc == Long.MaxValue && l == 1) pc = unk
+        if (pc != Long.MaxValue)
+          states(j - l).foreach { case (c0, np0, s0) =>
+            cands += ((c0 + pc, np0 + 1,
+              if (s0.isEmpty) piece else s0 + Sep + piece))
+          }
+        l += 1
+      }
+      states(j) = cands.result().sorted(ord).take(n)
+      j += 1
+    }
+    states(k)
+  }
+
+  /**
+   * N-BEST SAMPLED corpus readout — Kudo (2018) §4 subword
+   * regularization, made DETERMINISTIC: for each chunk TYPE the top-N
+   * segmentations ([[nbestChunk]]); for each requested `n`, a
+   * salted-hash pick among the first min(n, |lattice|) of them
+   * (pick = polyHash(salt ~ word) mod m — the same integer fold the
+   * oracle replays); re-weighted by the per-source chunk histogram into
+   * one readout row per (n, source): chunk/token mass, fertility,
+   * total segmentation cost in bits, and an exact mod-P hash of the
+   * sampled segmentations (pins the exact strings, not just their
+   * sizes). n = 1 IS the Viterbi encode; growing n trades bits for
+   * segmentation diversity — the fertility-vs-n curve.
+   *
+   * Scale shape: the DP runs per chunk TYPE (a bounded population, not
+   * corpus volume) with the model riding the closure — scan-stage over
+   * the type frame; the only shuffles are the type-bounded histogram
+   * and the (word)-keyed join back to per-source counts.
+   */
+  def nbestSampledReport(docs: DataFrame, pieces: Seq[Piece],
+      chunkLen: Int = 6, maxPieceLen: Int = 3, salt: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n list: $ns")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tot = pieces.map(_.freq).sum
+    require(pieces.forall(p => p.cost == bitlen(tot) - bitlen(p.freq)),
+      "nbestSampledReport: piece costs were not priced against sum(freq)")
+    val unk = bitlen(tot) - 1L
+    val costMap = pieces.map(p => p.piece -> p.cost).toMap
+    val chs = docs.select(col("source"),
+        explode(Bpe.chunkWords(coalesce(col("text"), lit("")), chunkLen))
+          .as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // one corpus pass feeds types AND the join
+    requireNoSep(chs)
+    val nMax = ns.max
+    val nsList = ns.toVector
+    val mpl = maxPieceLen
+    val picked = chs.select("word").distinct().as[String]
+      .mapPartitions(_.flatMap { w =>
+        val nb = nbestChunk(w, costMap, unk, mpl, nMax)
+        nsList.iterator.map { n =>
+          val m = math.min(n, nb.size)
+          val (c, np, seg) =
+            nb((graft.functions.LlmExprs.hashChars(salt + Sep + w) % m).toInt)
+          (n, w, c, np, seg)
+        }
+      }).toDF("n", "word", "cost_bits", "np", "seg")
+    val P = graft.functions.LlmExprs.P
+    chs.join(picked, "word")
+      .groupBy(col("n"), col("source"))
+      .agg(
+        sum(col("cnt")).as("n_chunks"),
+        sum(col("cnt") * col("np")).as("n_tokens"),
+        sum(col("cnt") * col("cost_bits")).as("total_bits"),
+        sum(col("cnt") % P * TextFunctions.polyHash(col("seg")) % P)
+          .as("seg_hash"))
+      .select(col("n").cast("long").as("n"), col("source"),
+        col("n_chunks"), col("n_tokens"),
+        expr("n_tokens * 1000 div greatest(n_chunks, 1)")
+          .as("fertility_permille"),
+        col("total_bits"), col("seg_hash"))
+  }
+
   /**
    * ONE hard-EM round: Viterbi-segment the chunk-type histogram under
    * `pieces`' costs, count weighted piece usage, and re-cost the SAME

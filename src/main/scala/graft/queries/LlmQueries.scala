@@ -9006,6 +9006,83 @@ object LlmQueries {
          |    - tok_plain * 1000 // greatest(n_chunks, 1) AS delta_permille
          |FROM rp ORDER BY source""".stripMargin))
 
+  /** The N-BEST unrolled DP — [[ugDpCtes]] with a per-position TOP-`n`
+    * state list (row_number over the packed key) instead of min(). The
+    * same lossless-pruning argument as UnigramLm.nbestChunk: completions
+    * add identically to every same-position state, so top-n per position
+    * suffices for the final top-n. `p`e carries ALL surviving final
+    * states per chunk type. */
+  private def ugNbestDpCtes(p: String, vc: String, unkCte: String,
+      src: String, n: Int): String = {
+    val init = s"${p}0 AS MATERIALIZED (SELECT word, cnt, '000000' AS key FROM $src)"
+    val steps = (1 to ugChunkLen).map { j =>
+      val branches = (1 to math.min(j, ugPieceLen)).map { l =>
+        val prev = s"$p${j - l}"
+        if (l == 1)
+          s"""SELECT b.word, b.cnt, ${ugStep(s"substring(b.word, $j, 1)",
+               "coalesce(v.cost, u.c)")} AS k
+             |FROM $prev b
+             |LEFT JOIN $vc v ON v.plen = 1 AND v.piece = substring(b.word, $j, 1)
+             |CROSS JOIN $unkCte u
+             |WHERE length(b.word) >= $j""".stripMargin
+        else
+          s"""SELECT b.word, b.cnt, ${ugStep("v.piece", "v.cost")} AS k
+             |FROM $prev b
+             |JOIN $vc v ON v.plen = $l AND v.piece = substring(b.word, ${j - l + 1}, $l)
+             |WHERE length(b.word) >= $j""".stripMargin
+      }
+      s"""$p$j AS MATERIALIZED (SELECT word, cnt, key FROM (
+         |  SELECT word, cnt, k AS key,
+         |    row_number() OVER (PARTITION BY word ORDER BY k) AS r
+         |  FROM (
+         |${branches.mkString("\nUNION ALL\n")})) WHERE r <= $n)""".stripMargin
+    }
+    val enc = s"${p}e AS MATERIALIZED (" + (1 to ugChunkLen)
+      .map(j => s"SELECT word, cnt, key FROM $p$j WHERE length(word) = $j")
+      .mkString(" UNION ALL ") + ")"
+    (init +: steps :+ enc).mkString(",\n")
+  }
+
+  // q243 — n-best SUBWORD REGULARIZATION (Kudo 2018 §4, the half of the
+  // SentencePiece learn q232 still lacked): per chunk type the top-4
+  // segmentations from the n-best DP, a deterministic salted-hash pick
+  // among the first min(n, |lattice|) for n ∈ {1, 2, 4}, re-weighted by
+  // the per-source chunk histogram — the fertility-vs-n readout (n = 1
+  // IS the Viterbi encode; more bits bought more diversity). seg_hash
+  // pins the exact sampled segmentation STRINGS mod P, so a pick-index
+  // or tie-break divergence cannot hide inside equal token counts.
+  private val ugNbestNs = Seq(1, 2, 4)
+  private val ugNbestSalt = "r20"
+  val q243 = Q(
+    "q243_unigram_nbest_sample",
+    (s, d) => graft.llm.UnigramLm.nbestSampledReport(Tables.documents(s, d),
+      ugVocabFor(s, d), ugChunkLen, ugPieceLen, ugNbestSalt, ugNbestNs)
+      .orderBy("n", "source"),
+    Some {
+      val P = graft.functions.LlmExprs.P
+      s"""WITH $ugLearnCtes,
+         |${ugNbestDpCtes("nb", "uvc", "uunk", "uch", ugNbestNs.max)},
+         |nbc AS MATERIALIZED (
+         |  SELECT word, key,
+         |    row_number() OVER (PARTITION BY word ORDER BY key) AS r,
+         |    count(*) OVER (PARTITION BY word) AS m
+         |  FROM nbe),
+         |npick AS MATERIALIZED (
+         |  SELECT ns.n, c.word, c.key FROM nbc c,
+         |    (SELECT unnest([${ugNbestNs.mkString(", ")}]) AS n) ns
+         |  WHERE c.r = ${polyHashSql(s"'$ugNbestSalt~' || c.word")}
+         |    % least(ns.n, c.m) + 1)
+         |SELECT CAST(p.n AS BIGINT) AS n, s.source,
+         |  CAST(sum(s.cnt) AS BIGINT) AS n_chunks,
+         |  CAST(sum(s.cnt * CAST(substring(p.key, 5, 2) AS INTEGER)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s.cnt * CAST(substring(p.key, 5, 2) AS INTEGER)) AS BIGINT) * 1000
+         |    // greatest(CAST(sum(s.cnt) AS BIGINT), 1) AS fertility_permille,
+         |  CAST(sum(s.cnt * CAST(substring(p.key, 1, 4) AS INTEGER)) AS BIGINT) AS total_bits,
+         |  CAST(sum(((s.cnt % $P) * ${polyHashSql("substring(p.key, 7)")}) % $P) AS BIGINT) AS seg_hash
+         |FROM uchs s JOIN npick p USING (word)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
+
   val all: Vector[Q] = Vector(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q58, q62, q63, q66, q68, q69,
     q70, q71, q72, q73, q76, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
@@ -9019,5 +9096,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242)
+    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243)
 }

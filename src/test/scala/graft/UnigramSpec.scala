@@ -189,6 +189,89 @@ class UnigramSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** ALL segmentations of one chunk (exhaustive enumeration — the
+    * independent reference for the n-best DP), ordered by
+    * (cost, pieces, utf8 seg). */
+  private def refNbestAll(chunk: Vector[String], vocab: Map[String, Long],
+      unk: Long, maxL: Int): Seq[(Long, Int, String)] = {
+    def go(j: Int): Seq[(Long, Int, String)] =
+      if (j == 0) Seq((0L, 0, ""))
+      else (1 to math.min(j, maxL)).flatMap { l =>
+        val piece = chunk.slice(j - l, j).mkString
+        val pc = vocab.get(piece).orElse(if (l == 1) Some(unk) else None)
+        pc.toSeq.flatMap(c => go(j - l).map { case (c0, np0, s0) =>
+          (c0 + c, np0 + 1, if (s0.isEmpty) piece else s0 + "~" + piece)
+        })
+      }
+    go(chunk.length).sortWith((a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && (a._2 < b._2 ||
+        (a._2 == b._2 && utf8Lt(a._3, b._3)))))
+  }
+
+  test("nbestSampledReport ≡ exhaustive sequential reference across seeds; " +
+      "n = 1 is the Viterbi encode") {
+    val rows = Seq(
+      ("banana band banana", "a"), ("ababab cabbage", "a"),
+      ("a cab can nab", "b"), ("bandana ban", "b"), ("nan ban anna", "c"))
+    val docs = rows.zipWithIndex.map { case ((t, src), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+    val vocab = refLearn(rows.map(_._1), 6, 3, 2L, 8)
+    val costMap = vocab.map(p => p.piece -> p.cost).toMap
+    val tot = vocab.map(_.freq).sum
+    def bl2(n: Long) =
+      if (n <= 0) 1L else (64 - java.lang.Long.numberOfLeadingZeros(n)).toLong
+    val unk = bl2(tot) - 1
+    val P = 1000000007L
+    def hash(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % P)
+    val ns = Seq(1, 2, 3)
+    for (salt <- Seq("s1", "s2", "s3")) {
+      val got = UnigramLm.nbestSampledReport(docs, vocab, 6, 3, salt, ns)
+        .orderBy("n", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      val chunksBySrc: Seq[(String, String)] = rows.flatMap { case (t, src) =>
+        refChunks(t, 6).map(c => (src, c.mkString)) }
+      val want = for {
+        n <- ns
+        src <- chunksBySrc.map(_._1).distinct.sorted
+      } yield {
+        val counts = chunksBySrc.filter(_._1 == src).groupBy(_._2)
+          .map { case (w, g) => w -> g.size.toLong }
+        var nc = 0L; var nt = 0L; var tb = 0L; var sh = 0L
+        counts.foreach { case (w, cnt) =>
+          val all = refNbestAll(cps(w), costMap, unk, 3)
+          val m = math.min(n, all.size)
+          val (c, np, seg) = all((hash(salt + "~" + w) % m).toInt)
+          nc += cnt; nt += cnt * np; tb += cnt * c
+          sh += ((cnt % P) * hash(seg)) % P
+        }
+        (n.toLong, src, nc, nt, nt * 1000 / math.max(nc, 1), tb, sh)
+      }
+      assert(got == want, s"salt=$salt")
+      // n = 1's pick is hash % 1 = the lattice top — the Viterbi encode
+      val codec = UnigramLm.codecOf(vocab, 6, 3)
+      val vit = docs.groupBy("source")
+        .agg(org.apache.spark.sql.functions.sum(
+          UnigramLm.tokenCount(col("text"), codec)).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got.filter(_._1 == 1L).foreach { case (_, src, _, nTok, _, _, _) =>
+        assert(nTok === vit(src), s"n=1 diverged from Viterbi for $src")
+      }
+    }
+  }
+
+  test("nbestChunk prunes losslessly: DP top-n == exhaustive top-n") {
+    val vocab = Map[String, Long]("a" -> 1, "b" -> 2, "ab" -> 2, "ba" -> 3,
+      "ban" -> 4, "an" -> 2, "na" -> 2, "n" -> 3, "ana" -> 5)
+    val unk = 7L
+    for (w <- Seq("banana", "abcab", "xxyy", "a", "nanaba");
+         n <- Seq(1, 2, 3, 5, 8)) {
+      val got = UnigramLm.nbestChunk(w, vocab, unk, 3, n)
+      val want = refNbestAll(cps(w), vocab, unk, 3).take(n).toVector
+      assert(got === want, s"word=$w n=$n")
+    }
+  }
+
   test("reestimate counts usage exactly and re-costs the same piece set") {
     val texts = Seq("banana band banana", "ababab cabbage", "a cab can nab")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
