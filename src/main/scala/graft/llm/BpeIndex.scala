@@ -70,7 +70,8 @@ object BpeIndex {
     * every word, so [[loadWithPreTok]] derives the encode surface from
     * the INDEX (the [[DsirIndex]] stored-tokenizer invariant). */
   def build(docs: DataFrame, dir: String, k: Int,
-      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit = {
+      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit =
+    WriterLease.withLease(docs.sparkSession, dir, "bpe build") {
     writeTables(docs, dir, k, pretok, suffix = "")
     // version stamps + manifest LAST ([[SwapManifest]], [[IvfIndex]]
     // parity): the load paths refuse a table set whose stamps disagree,
@@ -81,7 +82,7 @@ object BpeIndex {
     val v = SwapManifest.newVersion()
     SwapManifest.stampTables(fs, dir, tableNames, v)
     SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
-  }
+    }
 
   private val tableNames = Seq("merges", "params")
 
@@ -210,7 +211,8 @@ object BpeIndex {
    * and a phase-1 failure rolls back onto the previous version. The old
    * copies are deleted only after both tables are live. */
   def rebuild(docs: DataFrame, dir: String, k: Int,
-      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit = {
+      pretok: Bpe.PreTok = Bpe.PreTok.Whitespace): Unit =
+    WriterLease.withLease(docs.sparkSession, dir, "bpe rebuild") {
     import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     requireIndex(spark, dir) // rebuild replaces an index; build creates one
@@ -233,7 +235,7 @@ object BpeIndex {
     } finally {
       if (!staged) StagedSwap.cleanupTmp(fs, dir, tables)
     }
-  }
+    }
 
   /** The stored vocabulary table (rank, lhs, rhs, merged, cnt) — the
     * registry-facing roundtrip read; errors if the index is absent. */

@@ -50,7 +50,8 @@ object ClassifierIndex {
   /** Train the centroid model on `docs` under the quality teacher at
     * `thresholdPermille` (q37's blend ≥ threshold) and persist it. */
   def build(docs: DataFrame, dir: String,
-      thresholdPermille: Long = 500L): Unit = {
+      thresholdPermille: Long = 500L): Unit =
+    WriterLease.withLease(docs.sparkSession, dir, "classifier build") {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats = Classifier.withFeatures(docs).withColumn("label",
@@ -68,7 +69,7 @@ object ClassifierIndex {
     val v = SwapManifest.newVersion()
     SwapManifest.stampTables(fs, dir, tableNames, v)
     SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
-  }
+    }
 
   private val tableNames = Seq("model", "params")
 

@@ -58,7 +58,8 @@ object DeconIndex {
 
   def build(benchmark: DataFrame, dir: String, n: Int = 5, wn: Int = 3,
       ww: Int = 4,
-      wtok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): Unit = {
+      wtok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): Unit =
+    WriterLease.withLease(benchmark.sparkSession, dir, "decon build") {
     val spark = benchmark.sparkSession
     import spark.implicits._
     benchFps(benchmark).write.mode("overwrite").parquet(s"$dir/fingerprints")
@@ -76,7 +77,7 @@ object DeconIndex {
     val v = SwapManifest.newVersion()
     SwapManifest.stampTables(fs, dir, tableNames, v)
     SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
-  }
+    }
 
   private val tableNames = Seq("fingerprints", "grams", "prints", "params")
 
@@ -139,7 +140,8 @@ object DeconIndex {
     * [[overlap]]'s left join (inflated n_grams/n_hit). Benchmark suites
     * change rarely and through one curation process; serialize appends
     * there (the same contract as [[IvfIndex.append]]). */
-  def append(benchmark: DataFrame, dir: String): Unit = {
+  def append(benchmark: DataFrame, dir: String): Unit =
+    WriterLease.withLease(benchmark.sparkSession, dir, "decon append") {
     val spark = benchmark.sparkSession
     SwapManifest.verify(spark, dir, "decon index")
     val n = gramN(spark, dir)
@@ -162,7 +164,7 @@ object DeconIndex {
       .localCheckpoint(true)
     if (!newPrints.isEmpty)
       newPrints.write.mode("append").parquet(s"$dir/prints")
-  }
+    }
 
   /** Exact decontamination against the stored fingerprints — row-identical
     * to [[TextAnalysis.decontaminated]] over the indexed benchmark (null
@@ -262,7 +264,8 @@ object DeconIndex {
    * mix; row content — and therefore every probe answer — is
    * unchanged. Scheduled-job maintenance, never the append path.
    */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
+    WriterLease.withLease(spark, dir, "decon compact") {
     val fs = SwapManifest.fsOf(spark, dir)
     val man = SwapManifest.readManifest(fs, dir).getOrElse(Map.empty[String, String])
     tableNames.foreach { t =>
@@ -272,7 +275,7 @@ object DeconIndex {
       // unchanged; only the file layout is). IvfIndex.compact's rule.
       man.get(t).foreach(v => SwapManifest.stampTables(fs, dir, Seq(t), v))
     }
-  }
+    }
 
   /**
    * Operational health report — [[DedupIndex.healthCheck]]'s parity for

@@ -47,7 +47,8 @@ object DedupIndex {
   val BuildSrc = -1L
 
   def build(corpus: DataFrame, dir: String, n: Int = 3, perms: Int = 32,
-      bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+      bands: Int = 8, rowsPerBand: Int = 4): Unit =
+    WriterLease.withLease(corpus.sparkSession, dir, "dedup build") {
     require(bands * rowsPerBand == perms, "bands*rowsPerBand must equal perms")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -65,7 +66,7 @@ object DedupIndex {
     val v = SwapManifest.newVersion()
     SwapManifest.stampTables(fs, dir, tables :+ "params", v)
     SwapManifest.writeManifest(fs, dir, (tables :+ "params").map(_ -> v).toMap)
-  }
+    }
 
   /**
    * The five derived tables of one doc frame. One shared tokenize+hash
@@ -175,7 +176,11 @@ object DedupIndex {
    * double-indexes (a commit torn MID-write still degrades conservative,
    * never lossy — see [[writeTables]]'s ordering contract).
    */
-  def commit(kept: DataFrame, dir: String, src: Long = BuildSrc): Unit = {
+  def commit(kept: DataFrame, dir: String, src: Long = BuildSrc): Unit =
+    // the lease rides on COMMIT (not append/ingestBatch, which call it):
+    // every mutating path funnels here, and wrapping the funnel keeps
+    // the lease non-reentrant callers deadlock-free
+    WriterLease.withLease(kept.sparkSession, dir, "dedup commit") {
     val spark = kept.sparkSession
     val (n, perms, bands, rowsPerBand) = params(spark, dir)
     // localCheckpoint CUTS the lineage before the writes: a lazy frame
@@ -185,7 +190,7 @@ object DedupIndex {
     if (!fresh.isEmpty)
       writeTables(fresh, dir, n, perms, bands, rowsPerBand,
         overwrite = false, src = src)
-  }
+    }
 
   /** The five index tables, in [[writeTables]]'s crash-contract order. */
   private val tables =
@@ -231,7 +236,8 @@ object DedupIndex {
    * like any table maintenance job: on a schedule, not in the append
    * path.
    */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit =
+    WriterLease.withLease(spark, dir, "dedup compact") {
     val fs = SwapManifest.fsOf(spark, dir)
     val man = SwapManifest.readManifest(fs, dir).getOrElse(Map.empty[String, String])
     tables.foreach { t =>
@@ -241,7 +247,7 @@ object DedupIndex {
       // therefore VERSION are unchanged, only the file layout is)
       man.get(t).foreach(v => SwapManifest.stampTables(fs, dir, Seq(t), v))
     }
-  }
+    }
 
   /**
    * Index health — the dedup analog of [[IvfIndex.rebalanceCheck]]: one

@@ -63,7 +63,8 @@ object DsirIndex {
     * histograms is silent mis-weighting, never a caller choice. */
   def build(pool: DataFrame, target: DataFrame, dir: String,
       buckets: Int = 1024,
-      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): Unit = {
+      tok: DedupOps.Tokenizer = DedupOps.Tokenizer.Ascii): Unit =
+    WriterLease.withLease(pool.sparkSession, dir, "dsir build") {
     val spark = pool.sparkSession
     import spark.implicits._
     val ct = Retrieval.dsirBinCounts(target, buckets, "c_t", tok)
@@ -84,7 +85,7 @@ object DsirIndex {
     val v = SwapManifest.newVersion()
     SwapManifest.stampTables(fs, dir, tableNames, v)
     SwapManifest.writeManifest(fs, dir, tableNames.map(_ -> v).toMap)
-  }
+    }
 
   private val tableNames = Seq("target_counts", "raw_counts", "params")
 

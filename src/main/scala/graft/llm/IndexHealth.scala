@@ -51,6 +51,15 @@ object IndexHealth {
     Check("stale", r.getAs[String]("stale_tables").isEmpty, Some(nStale(r)))
   private def manifestCheck(r: Row): Check =
     Check("manifest", r.getAs[Boolean]("has_manifest"), None)
+  /** Writer-lease row (round 20): ok = no LIVE lease (quiescent index or
+    * a stale/crashed holder — either way a new maintenance job could
+    * acquire); detail = holder age in seconds when a lease file exists.
+    * A false here means a writer is active RIGHT NOW — schedule-collision
+    * visibility the after-the-fact stale/sig checks cannot give. */
+  private def leaseCheck(spark: SparkSession, dir: String): Check = {
+    val st = WriterLease.status(spark, dir)
+    Check("lease", !st.live, st.ageMs.map(_ / 1000))
+  }
 
   private def melt(spark: SparkSession, kind: Kind,
       dir: String): Seq[Check] = kind match {
@@ -62,7 +71,7 @@ object IndexHealth {
         Check("sig", r.getAs[Boolean]("sig_ok"), None),
         Check("unique", r.getAs[Boolean]("unique_ok"), None),
         Check("cost", r.getAs[Boolean]("cost_ok"), None),
-        manifestCheck(r), staleCheck(r),
+        manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("healthy", r.getAs[Boolean]("healthy"),
           Some(r.getAs[Long]("n_pieces"))))
     case BpeK =>
@@ -73,12 +82,12 @@ object IndexHealth {
         Check("sig", r.getAs[Boolean]("sig_ok"), None),
         Check("ranks", r.getAs[Boolean]("ranks_ok"), None),
         Check("pretok", r.getAs[Boolean]("pretok_ok"), None),
-        manifestCheck(r), staleCheck(r),
+        manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("healthy", r.getAs[Boolean]("healthy"),
           Some(r.getAs[Long]("n_merges"))))
     case Ivf =>
       val r = IvfIndex.healthCheck(spark, dir).head()
-      Seq(manifestCheck(r), staleCheck(r),
+      Seq(manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("healthy", r.getAs[Boolean]("healthy"),
           Some(r.getAs[Long]("n_tables"))))
     case Dedup =>
@@ -88,7 +97,7 @@ object IndexHealth {
       val docs = r.getAs[Long]("docs_indexed")
       val manifest = r.getAs[Boolean]("has_manifest")
       val staleOk = r.getAs[String]("stale_tables").isEmpty
-      Seq(manifestCheck(r), staleCheck(r),
+      Seq(manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("docs_indexed", docs > 0, Some(docs)),
         Check("bands", rows.length > 0, Some(rows.length.toLong)),
         Check("healthy", manifest && staleOk && docs > 0, Some(docs)))
@@ -96,7 +105,7 @@ object IndexHealth {
       val r = DeconIndex.healthCheck(spark, dir).head()
       val manifest = r.getAs[Boolean]("has_manifest")
       val staleOk = r.getAs[String]("stale_tables").isEmpty
-      Seq(manifestCheck(r), staleCheck(r),
+      Seq(manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("healthy", manifest && staleOk, None))
     case Dsir =>
       val r = DsirIndex.healthCheck(spark, dir).head()
@@ -105,7 +114,7 @@ object IndexHealth {
         Check("range", r.getAs[Boolean]("range_ok"), None),
         Check("sig", r.getAs[Boolean]("sig_ok"), None),
         Check("tok", r.getAs[Boolean]("tok_ok"), None),
-        manifestCheck(r), staleCheck(r),
+        manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("healthy", r.getAs[Boolean]("healthy"),
           Some(r.getAs[Int]("buckets").toLong)))
     case Classifier =>
@@ -114,7 +123,7 @@ object IndexHealth {
         Check("one_row", r.getAs[Boolean]("one_row"),
           Some(r.getAs[Long]("model_rows"))),
         Check("sig", r.getAs[Boolean]("sig_ok"), None),
-        manifestCheck(r), staleCheck(r),
+        manifestCheck(r), staleCheck(r), leaseCheck(spark, dir),
         Check("healthy", r.getAs[Boolean]("healthy"),
           Some(r.getAs[Long]("threshold_permille"))))
   }

@@ -76,7 +76,15 @@ object IvfIndex {
     * assignments unstamped (overwrite clears the version file), which
     * every serving path refuses. */
   def build(corpus: DataFrame, dir: String, nCells: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit =
+    WriterLease.withLease(corpus.sparkSession, dir, "ivf build") {
+      buildImpl(corpus, dir, nCells, iters)
+    }
+
+  /** [[build]] without the writer lease — [[buildPq]] holds one lease
+    * across its build + PQ phases (a lease is not reentrant). */
+  private def buildImpl(corpus: DataFrame, dir: String, nCells: Int,
+      iters: Int): Unit = {
     val spark = corpus.sparkSession
     SimilaritySearch.kmeansCentroids(corpus, nCells, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -125,7 +133,8 @@ object IvfIndex {
     * cannot repair, only bound (at most one row per id is ever stored).
     * To CHANGE a vector, delete-and-rebuild or use a new id. Pinned in
     * CorpusOpsSpec. */
-  def append(vectors: DataFrame, dir: String): Unit = {
+  def append(vectors: DataFrame, dir: String): Unit =
+    WriterLease.withLease(vectors.sparkSession, dir, "ivf append") {
     val spark = vectors.sparkSession
     // dropDuplicates: an at-least-once FEED can deliver the same vector
     // twice WITHIN one batch (two replayed files landing in the same
@@ -139,7 +148,7 @@ object IvfIndex {
     if (!unseen.isEmpty)
       SimilaritySearch.assignCells(unseen, centroids(spark, dir))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
-  }
+    }
 
   /** Small-file compaction for the cell-partitioned tables ([[append]]
     * lands one file set per touched cell per batch): rewrites
@@ -149,7 +158,8 @@ object IvfIndex {
     * content, and therefore every search answer, is unchanged.
     * `centroids`/`pq_codebooks` are single-write tables and never need
     * it. Run on a schedule, not in the append path. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    WriterLease.withLease(spark, dir, "ivf compact") {
     val fs = fsOf(spark, dir)
     val man = readManifest(fs, dir).getOrElse(Map.empty)
     Seq("assignments", "pq_codes").foreach { t =>
@@ -162,7 +172,7 @@ object IvfIndex {
         man.get(t).foreach(v => stampTables(fs, dir, Seq(t), v))
       }
     }
-  }
+    }
 
   /**
    * Rebuild-from-drift: re-learn centroids from the STORED vectors and
@@ -191,7 +201,8 @@ object IvfIndex {
    * which is the point.
    */
   def rebuild(spark: SparkSession, dir: String, nCells: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit =
+    WriterLease.withLease(spark, dir, "ivf rebuild") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
@@ -243,7 +254,7 @@ object IvfIndex {
       // them so distinct failures don't accumulate *__graft_tmp debris
       if (!staged) StagedSwap.cleanupTmp(fs, dir, allTables)
     }
-  }
+    }
 
   /**
    * Cell-balance report for the rebuild-cadence decision [[append]]
@@ -312,9 +323,10 @@ object IvfIndex {
    */
   def buildPq(corpus: DataFrame, dir: String, nCells: Int = 16,
       iters: Int = 2, dim: Int = 64, subspaces: Int = 8,
-      nCodes: Int = 16): Unit = {
+      nCodes: Int = 16): Unit =
+    WriterLease.withLease(corpus.sparkSession, dir, "ivf buildPq") {
     val spark = corpus.sparkSession
-    build(corpus, dir, nCells, iters)
+    buildImpl(corpus, dir, nCells, iters)
     SimilaritySearch.pqCodebooks(corpus, dim, subspaces, nCodes)
       .write.mode("overwrite").parquet(s"$dir/pq_codebooks")
     SimilaritySearch.pqPacked(corpus, dim, subspaces, nCodes)
@@ -326,7 +338,7 @@ object IvfIndex {
     stampTables(fs, dir, Seq("pq_codebooks", "pq_codes"), v)
     writeManifest(fs, dir, readManifest(fs, dir).getOrElse(Map.empty) ++
       Map("pq_codebooks" -> v, "pq_codes" -> v))
-  }
+    }
 
   /** Top-`k` by asymmetric distance over the persisted PQ codes of the
     * probed cells — embeddings are never read. The PQ geometry

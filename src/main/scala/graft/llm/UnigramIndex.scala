@@ -56,13 +56,14 @@ object UnigramIndex {
   /** Learn the vocabulary from `docs` and persist it under `dir`
     * (version-stamped, manifest LAST — the [[BpeIndex.build]] protocol). */
   def build(docs: DataFrame, dir: String, chunkLen: Int = 6,
-      maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit = {
-    val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
-      vocabSize)
-    writeTables(docs, dir, ps, ps.map(_.freq).sum, chunkLen, maxPieceLen,
-      suffix = "")
-    stampAll(docs.sparkSession, dir)
-  }
+      maxPieceLen: Int = 3, minCount: Long = 3L, vocabSize: Int = 40): Unit =
+    WriterLease.withLease(docs.sparkSession, dir, "unigram build") {
+      val ps = UnigramLm.learnVocab(docs, chunkLen, maxPieceLen, minCount,
+        vocabSize)
+      writeTables(docs, dir, ps, ps.map(_.freq).sum, chunkLen, maxPieceLen,
+        suffix = "")
+      stampAll(docs.sparkSession, dir)
+    }
 
   /**
    * Persist an EM-PRUNED vocabulary ([[UnigramLm.learnEm]] — the real
@@ -77,13 +78,14 @@ object UnigramIndex {
    */
   def buildEm(docs: DataFrame, dir: String, chunkLen: Int = 6,
       maxPieceLen: Int = 3, minCount: Long = 3L, seedSize: Int = 40,
-      targetSize: Int = 10, keepPermille: Int = 625): Unit = {
-    val em = UnigramLm.learnEm(docs, chunkLen, maxPieceLen, minCount,
-      seedSize, targetSize, keepPermille).last
-    writeTables(docs, dir, em.vocab, em.usageTotal, chunkLen, maxPieceLen,
-      suffix = "")
-    stampAll(docs.sparkSession, dir)
-  }
+      targetSize: Int = 10, keepPermille: Int = 625): Unit =
+    WriterLease.withLease(docs.sparkSession, dir, "unigram buildEm") {
+      val em = UnigramLm.learnEm(docs, chunkLen, maxPieceLen, minCount,
+        seedSize, targetSize, keepPermille).last
+      writeTables(docs, dir, em.vocab, em.usageTotal, chunkLen, maxPieceLen,
+        suffix = "")
+      stampAll(docs.sparkSession, dir)
+    }
 
   private def stampAll(spark: SparkSession, dir: String): Unit = {
     val fs = SwapManifest.fsOf(spark, dir)
@@ -230,7 +232,8 @@ object UnigramIndex {
     * `writeStaged`, stamp the NEW version, swap both tables, manifest
     * LAST; phase-1 failure rolls back, any tear refuses at load. */
   private def rebuildWith(docs: DataFrame, dir: String)(
-      writeStaged: String => Unit): Unit = {
+      writeStaged: String => Unit): Unit =
+    WriterLease.withLease(docs.sparkSession, dir, "unigram rebuild") {
     import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     requireIndex(spark, dir)
@@ -248,7 +251,7 @@ object UnigramIndex {
     } finally {
       if (!staged) StagedSwap.cleanupTmp(fs, dir, tableNames)
     }
-  }
+    }
 
   /** The stored vocabulary table (piece, freq, cost), piece-ordered —
     * the registry-facing roundtrip read. */

@@ -8817,7 +8817,15 @@ object LlmQueries {
          |  ('unigram', 'unique', true, CAST(NULL AS BIGINT)),
          |  ('unigram', 'cost', true, CAST(NULL AS BIGINT)),
          |  ('unigram', 'manifest', true, CAST(NULL AS BIGINT)),
-         |  ('unigram', 'stale', true, CAST(0 AS BIGINT)))
+         |  ('unigram', 'stale', true, CAST(0 AS BIGINT)),
+         |  ('bpe', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('classifier', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('classifier_torn', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('decon', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('dedup', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('dsir', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('ivf', 'lease', true, CAST(NULL AS BIGINT)),
+         |  ('unigram', 'lease', true, CAST(NULL AS BIGINT)))
          |SELECT lifecycle, chk, ok, detail FROM (
          |  SELECT * FROM st
          |  UNION ALL SELECT 'unigram', 'n_stored', true, u_n FROM sv
