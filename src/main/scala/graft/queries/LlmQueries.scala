@@ -2803,18 +2803,34 @@ object LlmQueries {
       val land = trackedTempDir("graft_q242_land")
       val ckpt = trackedTempDir("graft_q242_ckpt")
       val sch = s.read.parquet(stage).schema
-      val counted = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1").parquet(stage)
-        .withWatermark("et", "600 seconds")
-        .dropDuplicatesWithinWatermark("k")
-        .groupBy(window(col("et"), "600 seconds")).count()
-        .select(col("window.start").cast("long").as("window_start"),
-          col("count").as("n"))
-      val q = counted.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .format("parquet").option("path", land).start()
-      q.processAllAvailable(); q.stop()
-      reapAfter(s.read.parquet(land).orderBy("window_start"), land, ckpt)
+      // scoped low shuffle parallelism (restored in finally): ten
+      // micro-batches × two stateful operators commit a state store per
+      // shuffle partition per batch — at 32 partitions that is 640
+      // commits for a handful of state rows, pure fixed overhead. The
+      // keep/drop RESULT is partition-count invariant (hash aggregate);
+      // a real deployment sizes this by state volume.
+      val pKey = "spark.sql.shuffle.partitions"
+      val prior = s.conf.getOption(pKey)
+      s.conf.set(pKey, "4")
+      try {
+        val counted = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withWatermark("et", "600 seconds")
+          .dropDuplicatesWithinWatermark("k")
+          .groupBy(window(col("et"), "600 seconds")).count()
+          .select(col("window.start").cast("long").as("window_start"),
+            col("count").as("n"))
+        val q = counted.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", land).start()
+        q.processAllAvailable(); q.stop()
+        reapAfter(s.read.parquet(land).orderBy("window_start"), land, ckpt)
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(pKey, v)
+          case None    => s.conf.unset(pKey)
+        }
+      }
     },
     Some(
       s"""WITH base AS (
