@@ -130,12 +130,81 @@ object Multimodal {
     }
 
     /** The plane every downstream op consumes: decoded RGB channel bytes
-      * for a valid P6 payload, the raw payload bytes otherwise (stub
-      * semantics, unchanged for non-P6 binaries). */
+      * for a valid P6 or 24-bit BMP payload, the raw payload bytes
+      * otherwise (stub semantics, unchanged for other binaries). Both
+      * decoders normalize to the SAME canonical plane — row-major
+      * top-down RGB — so two encodings of one image hash identically
+      * even ACROSS formats (a P6 and a BMP of the same pixels are
+      * perceptual clones, which is the property an image-dedup pipeline
+      * actually needs). */
     def pixelPlane(payload: Array[Byte]): Array[Byte] =
       parse(payload) match {
         case Some(hd) =>
           java.util.Arrays.copyOfRange(payload, hd.pixelOffset, payload.length)
+        case None => BmpDecoder.pixelPlane(payload)
+      }
+  }
+
+  /**
+   * Uncompressed 24-bit Windows BMP parser (BITMAPFILEHEADER +
+   * 40-byte BITMAPINFOHEADER — the classic public format; all fields
+   * little-endian). Structural validation is total, as for
+   * [[P6Decoder]]: `BM` magic, header sizes, planes = 1, bpp = 24,
+   * compression = 0, and the payload length must EXACTLY equal
+   * dataOffset + rowStride·|height| (rows padded to 4 bytes), so a
+   * non-BMP binary cannot false-positive. Decoding normalizes the
+   * storage quirks away: bottom-up (positive height) or top-down
+   * (negative) row order, per-row padding, and BGR channel order all
+   * collapse to the canonical row-major top-down RGB plane.
+   */
+  object BmpDecoder {
+    final case class Header(width: Int, height: Int, topDown: Boolean,
+        dataOffset: Int)
+
+    private def u16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def i32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+    def parse(p: Array[Byte]): Option[Header] = {
+      if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+      val dataOffset = i32(p, 10)
+      if (i32(p, 14) != 40) return None // BITMAPINFOHEADER only
+      val w = i32(p, 18)
+      val hRaw = i32(p, 22)
+      if (w < 1 || hRaw == 0 || hRaw == Int.MinValue) return None
+      if (u16(p, 26) != 1 || u16(p, 28) != 24) return None
+      if (i32(p, 30) != 0) return None // BI_RGB (uncompressed)
+      val h = math.abs(hRaw)
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (dataOffset < 54 || stride.toLong * h > Int.MaxValue) return None
+      if (p.length.toLong != dataOffset.toLong + stride.toLong * h) return None
+      Some(Header(w, h, topDown = hRaw < 0, dataOffset))
+    }
+
+    /** Canonical plane (top-down row-major RGB) for a valid 24-bit BMP;
+      * the raw payload otherwise. */
+    def pixelPlane(payload: Array[Byte]): Array[Byte] =
+      parse(payload) match {
+        case Some(hd) =>
+          val stride = ((hd.width * 3 + 3) / 4) * 4
+          val out = new Array[Byte](hd.width * hd.height * 3)
+          var row = 0
+          while (row < hd.height) {
+            val srcRow = if (hd.topDown) row else hd.height - 1 - row
+            val base = hd.dataOffset + srcRow * stride
+            var x = 0
+            while (x < hd.width) {
+              // BGR on disk → RGB in the plane
+              out((row * hd.width + x) * 3) = payload(base + x * 3 + 2)
+              out((row * hd.width + x) * 3 + 1) = payload(base + x * 3 + 1)
+              out((row * hd.width + x) * 3 + 2) = payload(base + x * 3)
+              x += 1
+            }
+            row += 1
+          }
+          out
         case None => if (payload == null) Array.emptyByteArray else payload
       }
   }
@@ -203,9 +272,76 @@ object Multimodal {
           mean_byte = if (n == 0) 0.0 else sum.toDouble / n,
           width = hd.width,
           height = hd.height)
-      case None =>
-        StubDecoder.decode(docId, if (payload == null) Array.emptyByteArray else payload)
+      case None => BmpDecoder.parse(payload) match {
+        case Some(hd) =>
+          val plane = BmpDecoder.pixelPlane(payload)
+          var sum = 0L
+          var i = 0
+          while (i < plane.length) { sum += plane(i) & 0xff; i += 1 }
+          MediaFeatures(
+            doc_id = docId,
+            n_bytes = plane.length.toLong,
+            mean_byte = if (plane.length == 0) 0.0
+              else sum.toDouble / plane.length,
+            width = hd.width,
+            height = hd.height)
+        case None =>
+          StubDecoder.decode(docId,
+            if (payload == null) Array.emptyByteArray else payload)
+      }
     }
+
+  /**
+   * The SAME images as [[p6FromDocuments]], encoded as uncompressed
+   * 24-bit BMPs (bottom-up rows, per-row 4-byte padding, BGR channel
+   * order — every storage quirk the decoder must normalize away).
+   * Channel sample j of the canonical row-major top-down RGB stream is
+   * the same `(d·31 + j·7) mod 251`, so a P6 and a BMP of one doc_id
+   * are byte-DISTINCT payloads of pixel-IDENTICAL images: the
+   * cross-format clone pair.
+   */
+  def bmpFromDocuments(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val w = (4 + d % 5).toInt
+        val h = (3 + d % 4).toInt
+        val stride = ((w * 3 + 3) / 4) * 4
+        val dataOffset = 54
+        val size = dataOffset + stride * h
+        val out = new Array[Byte](size)
+        def put16(i: Int, v: Int): Unit = {
+          out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+        }
+        def put32(i: Int, v: Int): Unit = {
+          out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+          out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+        }
+        out(0) = 'B'; out(1) = 'M'
+        put32(2, size); put32(6, 0); put32(10, dataOffset)
+        put32(14, 40); put32(18, w); put32(22, h) // positive = bottom-up
+        put16(26, 1); put16(28, 24); put32(30, 0); put32(34, stride * h)
+        put32(38, 2835); put32(42, 2835); put32(46, 0); put32(50, 0)
+        def v(j: Int): Byte = ((d * 31 + j * 7) % 251).toByte
+        var row = 0
+        while (row < h) {
+          var x = 0
+          while (x < w) {
+            val base = dataOffset + (h - 1 - row) * stride + x * 3
+            val j = (row * w + x) * 3
+            out(base) = v(j + 2)     // B
+            out(base + 1) = v(j + 1) // G
+            out(base + 2) = v(j)     // R
+            x += 1
+          }
+          row += 1
+        }
+        (d, out)
+      })
+      .toDF("doc_id", "payload")
+      .withColumn("mime", lit("image/bmp"))
+  }
 
   /**
    * Partition-wise feature extraction — the `mapInPandas` analog. Each

@@ -2785,6 +2785,53 @@ object LlmQueries {
          |FROM rb JOIN tot t USING (doc_id)
          |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin))
 
+  // q244 — CROSS-FORMAT perceptual identity (the second real decoder):
+  // the same image encoded as binary-Netpbm P6 AND as uncompressed
+  // 24-bit BMP (bottom-up rows, 4-byte row padding, BGR order — every
+  // storage quirk normalized by the decoder, not the hash). aHash over
+  // the decoded plane is identical across the two byte-distinct
+  // formats — hamming 0 per document, the hash pinned to the oracle's
+  // formula-rebuilt pixels. A raw-byte stub cannot pass this: the BMP's
+  // padded bottom-up BGR bytes share nothing with the P6 raster.
+  val q244 = Q(
+    "q244_bmp_cross_format",
+    (s, d) => {
+      implicit val spark = s
+      val docs = Tables.documents(s, d)
+      val k = 32
+      val a = Multimodal.aHash(Multimodal.p6FromDocuments(docs), k)
+      val b = Multimodal.aHash(Multimodal.bmpFromDocuments(docs), k)
+        .withColumnRenamed("ahash", "ahash_bmp")
+      a.join(b, "doc_id")
+        .select(col("doc_id"), col("ahash"),
+          expr("CAST(bit_count(ahash ^ ahash_bmp) AS BIGINT)").as("hamming"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS BIGINT) AS n
+         |  FROM documents),
+         |rb AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      range((b * n) // 32, ((b + 1) * n) // 32),
+         |      j -> CAST((doc_id * 31 + j * 7) % 251 AS BIGINT))),
+         |      (a, x) -> a + x) AS sum_bytes,
+         |    CAST(((b + 1) * n) // 32 - (b * n) // 32 AS BIGINT) AS n_in
+         |  FROM dims, (SELECT unnest(range(32)) AS b) bs),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(sum_bytes) AS BIGINT) AS total,
+         |         CAST(sum(n_in) AS BIGINT) AS n_total
+         |  FROM rb GROUP BY 1)
+         |SELECT rb.doc_id,
+         |  CAST(sum(CASE WHEN rb.sum_bytes * t.n_total > t.total * rb.n_in
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+         |    AS BIGINT) AS ahash,
+         |  CAST(0 AS BIGINT) AS hamming
+         |FROM rb JOIN tot t USING (doc_id)
+         |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin))
+
   // q242 — the EVENT-TIME WATERMARK DROP contract, hash-checked (round
   // 20; the streaming family covered dedup/decon/gating/export but no
   // query pinned lateness itself): the lateFeedDir fixture replays ten
@@ -9120,5 +9167,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243)
+    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
 }

@@ -397,6 +397,57 @@ class LlmSpec extends SparkSpec {
     assert(P6Decoder.pixelPlane("hello".getBytes).toSeq === "hello".getBytes.toSeq)
   }
 
+  test("BmpDecoder: 24-bit BMPs normalize (padding, bottom-up, BGR) to " +
+      "the P6 plane; anything structurally off is rejected") {
+    implicit val s = spark
+    import s.implicits._
+    // the generated BMP of doc d decodes to EXACTLY the generated P6's
+    // raster — padding stripped, rows re-ordered, BGR swapped to RGB
+    val few = docs.filter(col("doc_id") < 12)
+    val p6 = Multimodal.p6FromDocuments(few)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().toMap
+    val bmp = Multimodal.bmpFromDocuments(few)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().toMap
+    (0L until 12L).foreach { d =>
+      assert(!java.util.Arrays.equals(p6(d), bmp(d)))
+      assert(Multimodal.P6Decoder.pixelPlane(p6(d)).toSeq
+        === Multimodal.BmpDecoder.pixelPlane(bmp(d)).toSeq, s"doc $d plane")
+      // w=5/7 rows have real padding bytes (stride 16/24 vs 15/21)
+    }
+    // rejections: magic, wrong bpp, wrong info-header size, compressed,
+    // truncated, surplus bytes
+    val good = bmp(0L)
+    def mut(i: Int, v: Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = v; c
+    }
+    assert(Multimodal.BmpDecoder.parse(good).nonEmpty)
+    assert(Multimodal.BmpDecoder.parse(mut(0, 'X')).isEmpty)
+    assert(Multimodal.BmpDecoder.parse(mut(28, 8)).isEmpty)  // bpp 8
+    assert(Multimodal.BmpDecoder.parse(mut(14, 12)).isEmpty) // CORE header
+    assert(Multimodal.BmpDecoder.parse(mut(30, 1)).isEmpty)  // RLE8
+    assert(Multimodal.BmpDecoder.parse(good.dropRight(1)).isEmpty)
+    assert(Multimodal.BmpDecoder.parse(good :+ 0.toByte).isEmpty)
+    assert(Multimodal.BmpDecoder.parse(null).isEmpty)
+    assert(Multimodal.BmpDecoder.parse("BMocked text payload".getBytes).isEmpty)
+    // top-down (negative height) variant decodes to the same plane
+    val hdr = good.clone()
+    val h = (4 + 0 % 5, 3 + 0 % 4)._2
+    val neg = -h
+    hdr(22) = neg.toByte; hdr(23) = (neg >> 8).toByte
+    hdr(24) = (neg >> 16).toByte; hdr(25) = (neg >> 24).toByte
+    // rows must be re-ordered on disk for the planes to agree: build the
+    // top-down payload by reversing the bottom-up row blocks
+    val w0 = 4; val stride = ((w0 * 3 + 3) / 4) * 4
+    val rows = (0 until h).map(r =>
+      good.slice(54 + r * stride, 54 + (r + 1) * stride)).reverse
+    val td = hdr.slice(0, 54) ++ rows.flatten
+    assert(Multimodal.BmpDecoder.parse(td).exists(_.topDown))
+    assert(Multimodal.BmpDecoder.pixelPlane(td).toSeq
+      === Multimodal.BmpDecoder.pixelPlane(good).toSeq)
+  }
+
   test("P6 decode: features come from the raster, not the encoded bytes") {
     implicit val s = spark
     val few = docs.filter(col("doc_id") < 20)
