@@ -205,6 +205,88 @@ object Multimodal {
             row += 1
           }
           out
+        case None => WavDecoder.pixelPlane(payload)
+      }
+  }
+
+  /**
+   * RIFF/WAVE PCM parser — the AUDIO modality's real decoder (the format
+   * is public knowledge: `RIFF <size> WAVE` then even-padded chunks;
+   * `fmt ` must declare PCM (audioFormat 1) at 8 or 16 bits; `data`
+   * carries the samples). Structural validation is total, as for the
+   * image decoders: chunk sizes must walk the payload EXACTLY (no
+   * trailing bytes), `fmt ` must precede `data`, and the data size must
+   * be a multiple of the sample frame size — a non-WAV binary cannot
+   * false-positive.
+   *
+   * The decoded plane is one UNSIGNED byte per sample per channel —
+   * 8-bit PCM verbatim (it is already unsigned), 16-bit PCM reduced to
+   * its high byte rebased to unsigned ((s >> 8) + 128): deterministic,
+   * order-preserving, and the same 0..255 domain the image planes use,
+   * so every downstream op (frame sampling = audio sampling, resize =
+   * downsample, aHash = acoustic fingerprint shape) composes unchanged.
+   */
+  object WavDecoder {
+    final case class Header(channels: Int, sampleRate: Int, bits: Int,
+        dataOffset: Int, dataLen: Int)
+
+    private def u16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def i32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    private def tag(p: Array[Byte], i: Int, t: String): Boolean =
+      p(i) == t(0).toByte && p(i + 1) == t(1).toByte &&
+        p(i + 2) == t(2).toByte && p(i + 3) == t(3).toByte
+
+    def parse(p: Array[Byte]): Option[Header] = {
+      if (p == null || p.length < 44) return None
+      if (!tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
+      if (i32(p, 4) != p.length - 8) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var data: Option[(Int, Int)] = None // offset, len
+      while (i + 8 <= p.length) {
+        val size = i32(p, i + 4)
+        if (size < 0 || i + 8 + size > p.length) return None
+        if (tag(p, i, "fmt ")) {
+          if (size < 16 || data.nonEmpty) return None // fmt before data
+          if (u16(p, i + 8) != 1) return None // PCM only
+          val ch = u16(p, i + 10)
+          val rate = i32(p, i + 12)
+          val bits = u16(p, i + 22)
+          if (ch < 1 || rate < 1 || (bits != 8 && bits != 16)) return None
+          fmt = Some((ch, rate, bits))
+        } else if (tag(p, i, "data")) {
+          if (fmt.isEmpty || data.nonEmpty) return None
+          data = Some((i + 8, size))
+        }
+        i += 8 + size + (size & 1) // chunks are even-padded
+      }
+      if (i != p.length) return None // chunk walk must land exactly
+      for {
+        (ch, rate, bits) <- fmt
+        (off, len) <- data
+        if len % (ch * bits / 8) == 0
+      } yield Header(ch, rate, bits, off, len)
+    }
+
+    /** Canonical plane (one unsigned byte per sample per channel) for a
+      * valid PCM WAV; the raw payload otherwise. */
+    def pixelPlane(payload: Array[Byte]): Array[Byte] =
+      parse(payload) match {
+        case Some(hd) if hd.bits == 8 =>
+          java.util.Arrays.copyOfRange(payload, hd.dataOffset,
+            hd.dataOffset + hd.dataLen)
+        case Some(hd) => // 16-bit LE: high byte, rebased to unsigned
+          val n = hd.dataLen / 2
+          val out = new Array[Byte](n)
+          var j = 0
+          while (j < n) {
+            out(j) = ((payload(hd.dataOffset + j * 2 + 1) + 128) & 0xff).toByte
+            j += 1
+          }
+          out
         case None => if (payload == null) Array.emptyByteArray else payload
       }
   }
@@ -285,9 +367,25 @@ object Multimodal {
               else sum.toDouble / plane.length,
             width = hd.width,
             height = hd.height)
-        case None =>
-          StubDecoder.decode(docId,
-            if (payload == null) Array.emptyByteArray else payload)
+        case None => WavDecoder.parse(payload) match {
+          case Some(hd) =>
+            val plane = WavDecoder.pixelPlane(payload)
+            var sum = 0L
+            var i = 0
+            while (i < plane.length) { sum += plane(i) & 0xff; i += 1 }
+            // audio has no width/height: report the two decode-relevant
+            // geometry facts instead — channels and bits per sample
+            MediaFeatures(
+              doc_id = docId,
+              n_bytes = plane.length.toLong,
+              mean_byte = if (plane.length == 0) 0.0
+                else sum.toDouble / plane.length,
+              width = hd.channels,
+              height = hd.bits)
+          case None =>
+            StubDecoder.decode(docId,
+              if (payload == null) Array.emptyByteArray else payload)
+        }
       }
     }
 
@@ -341,6 +439,51 @@ object Multimodal {
       })
       .toDF("doc_id", "payload")
       .withColumn("mime", lit("image/bmp"))
+  }
+
+  /**
+   * The SAME sample stream as the image fixtures, encoded as an 8-bit
+   * PCM mono RIFF/WAVE payload: sample j = `(d·31 + j·7) mod 251` over
+   * n = w·h·3 samples — so a WAV, a P6 and a BMP of one doc_id decode
+   * to the IDENTICAL canonical plane (byte-distinct payloads in three
+   * different public formats). Odd sample counts exercise RIFF's
+   * even-chunk padding rule.
+   */
+  def wavFromDocuments(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val n = ((4 + d % 5) * (3 + d % 4) * 3).toInt
+        val pad = n & 1
+        val out = new Array[Byte](44 + n + pad)
+        def tag(i: Int, t: String): Unit =
+          (0 until 4).foreach(k => out(i + k) = t(k).toByte)
+        def put16(i: Int, v: Int): Unit = {
+          out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+        }
+        def put32(i: Int, v: Int): Unit = {
+          out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+          out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+        }
+        tag(0, "RIFF"); put32(4, 36 + n + pad); tag(8, "WAVE")
+        tag(12, "fmt "); put32(16, 16)
+        put16(20, 1)      // PCM
+        put16(22, 1)      // mono
+        put32(24, 8000)   // sample rate
+        put32(28, 8000)   // byte rate
+        put16(32, 1)      // block align
+        put16(34, 8)      // bits per sample
+        tag(36, "data"); put32(40, n)
+        var j = 0
+        while (j < n) {
+          out(44 + j) = ((d * 31 + j * 7) % 251).toByte
+          j += 1
+        }
+        (d, out)
+      })
+      .toDF("doc_id", "payload")
+      .withColumn("mime", lit("audio/wav"))
   }
 
   /**

@@ -2832,6 +2832,60 @@ object LlmQueries {
          |FROM rb JOIN tot t USING (doc_id)
          |GROUP BY rb.doc_id ORDER BY rb.doc_id""".stripMargin))
 
+  // q245 — the AUDIO modality decoded for real (RIFF/WAVE PCM) and the
+  // TRI-FORMAT identity: the same deterministic sample stream encoded
+  // as 8-bit PCM mono WAV decodes to the identical canonical plane as
+  // its P6/BMP siblings, so the acoustic fingerprint (aHash over the
+  // plane) matches the image hash bit-for-bit and the decode geometry
+  // (channels/bits, sample count) is pinned alongside. Odd sample
+  // counts exercise RIFF's even-chunk padding rule in the parser.
+  val q245 = Q(
+    "q245_wav_cross_modal",
+    (s, d) => {
+      implicit val spark = s
+      val docs = Tables.documents(s, d)
+      val k = 32
+      val wav = Multimodal.wavFromDocuments(docs)
+      val feats = Multimodal.extractFeatures(wav).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").as("channels"), col("height").as("bits"))
+      val a = Multimodal.aHash(Multimodal.p6FromDocuments(docs), k)
+      val b = Multimodal.aHash(wav, k).withColumnRenamed("ahash", "ahash_wav")
+      a.join(b, "doc_id").join(feats, "doc_id")
+        .select(col("doc_id"), col("ahash"),
+          expr("CAST(bit_count(ahash ^ ahash_wav) AS BIGINT)").as("hamming"),
+          col("n_bytes"), col("channels"), col("bits"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS BIGINT) AS n
+         |  FROM documents),
+         |rb AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      range((b * n) // 32, ((b + 1) * n) // 32),
+         |      j -> CAST((doc_id * 31 + j * 7) % 251 AS BIGINT))),
+         |      (a, x) -> a + x) AS sum_bytes,
+         |    CAST(((b + 1) * n) // 32 - (b * n) // 32 AS BIGINT) AS n_in
+         |  FROM dims, (SELECT unnest(range(32)) AS b) bs),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(sum_bytes) AS BIGINT) AS total,
+         |         CAST(sum(n_in) AS BIGINT) AS n_total
+         |  FROM rb GROUP BY 1),
+         |ah AS (
+         |  SELECT rb.doc_id,
+         |    CAST(sum(CASE WHEN rb.sum_bytes * t.n_total > t.total * rb.n_in
+         |             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+         |      AS BIGINT) AS ahash
+         |  FROM rb JOIN tot t USING (doc_id) GROUP BY 1)
+         |SELECT a.doc_id, a.ahash, CAST(0 AS BIGINT) AS hamming,
+         |  d.n AS n_bytes, CAST(1 AS INTEGER) AS channels,
+         |  CAST(8 AS INTEGER) AS bits
+         |FROM ah a JOIN dims d USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin))
+
   // q242 — the EVENT-TIME WATERMARK DROP contract, hash-checked (round
   // 20; the streaming family covered dedup/decon/gating/export but no
   // query pinned lateness itself): the lateFeedDir fixture replays ten
@@ -9167,5 +9221,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
+    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
 }

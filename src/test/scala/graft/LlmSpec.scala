@@ -448,6 +448,53 @@ class LlmSpec extends SparkSpec {
       === Multimodal.BmpDecoder.pixelPlane(good).toSeq)
   }
 
+  test("WavDecoder: PCM samples decode to the canonical plane (8-bit " +
+      "verbatim, 16-bit high-byte rebased); structural rejections hold") {
+    implicit val s = spark
+    import s.implicits._
+    import Multimodal.WavDecoder
+    // the generated WAV of doc d decodes to EXACTLY the P6 raster
+    val few = docs.filter(col("doc_id") < 12)
+    val p6 = Multimodal.p6FromDocuments(few)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().toMap
+    val wav = Multimodal.wavFromDocuments(few)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().toMap
+    (0L until 12L).foreach { d =>
+      assert(Multimodal.P6Decoder.pixelPlane(wav(d)).toSeq
+        === Multimodal.P6Decoder.pixelPlane(p6(d)).toSeq, s"doc $d plane")
+    }
+    // hand-built 16-bit stereo WAV: plane = high bytes + 128, interleaved
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val samples = Seq(0x1234, 0xFF80, 0x7FFF, 0x8000) // L,R,L,R
+    val data = samples.flatMap(le16).toArray
+    val w16 = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val hd = WavDecoder.parse(w16)
+    assert(hd.exists(h => h.channels == 2 && h.bits == 16))
+    assert(WavDecoder.pixelPlane(w16).toSeq ===
+      Seq(0x12 + 128, 0xFF - 256 + 128, 0x7F + 128, 0x80 - 256 + 128)
+        .map(v => ((v + 256) % 256).toByte))
+    // rejections: magic, size mismatch, non-PCM, 24-bit, data-before-fmt,
+    // truncated chunk walk, trailing junk, misaligned data size
+    val good = wav(1L)
+    def mut(i: Int, v: Byte) = { val c = good.clone(); c(i) = v; c }
+    assert(WavDecoder.parse(good).nonEmpty)
+    assert(WavDecoder.parse(mut(0, 'X')).isEmpty)
+    assert(WavDecoder.parse(mut(4, (good(4) + 1).toByte)).isEmpty)
+    assert(WavDecoder.parse(mut(20, 3)).isEmpty)  // IEEE float fmt
+    assert(WavDecoder.parse(mut(34, 24)).isEmpty) // 24-bit
+    assert(WavDecoder.parse(good.dropRight(1)).isEmpty)
+    assert(WavDecoder.parse(good :+ 0.toByte).isEmpty)
+    assert(WavDecoder.parse(null).isEmpty)
+    assert(WavDecoder.parse("RIFFraff in a WAVEform".getBytes).isEmpty)
+  }
+
   test("P6 decode: features come from the raster, not the encoded bytes") {
     implicit val s = spark
     val few = docs.filter(col("doc_id") < 20)
