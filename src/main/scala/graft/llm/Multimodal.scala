@@ -291,6 +291,163 @@ object Multimodal {
       }
   }
 
+  /**
+   * Uncompressed AVI parser — the VIDEO modality's real decoder. The
+   * container is public RIFF structure: `RIFF('AVI ' LIST('hdrl' avih
+   * LIST('strl' strh strf)) LIST('movi' '00db'…))`, one 'vids' stream
+   * whose strf is the same 40-byte BITMAPINFOHEADER BMP uses and whose
+   * '00db' chunks carry raw DIB frame bits (bottom-up BGR rows, 4-byte
+   * padding — decoded with the same normalization as [[BmpDecoder]]).
+   * Validation is total: the chunk walk must land exactly at the payload
+   * end, avih's stream count must be 1, strf geometry must match avih,
+   * every frame chunk must be exactly stride·height bytes, and the
+   * frame count must equal avih's dwTotalFrames.
+   */
+  object AviDecoder {
+    final case class Avi(width: Int, height: Int, frameOffsets: Vector[Int])
+
+    private def i32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+    private def u16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def tag(p: Array[Byte], i: Int, t: String): Boolean =
+      i + 4 <= p.length && p(i) == t(0).toByte && p(i + 1) == t(1).toByte &&
+        p(i + 2) == t(2).toByte && p(i + 3) == t(3).toByte
+
+    def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+    def parse(p: Array[Byte]): Option[Avi] = {
+      if (p == null || p.length < 12) return None
+      if (!tag(p, 0, "RIFF") || i32(p, 4) != p.length - 8 ||
+        !tag(p, 8, "AVI ")) return None
+      var i = 12
+      var dims: Option[(Int, Int, Int)] = None // w, h, totalFrames
+      var strfOk = false
+      var frames = Vector.newBuilder[Int]
+      var nFrames = 0
+      var sawMovi = false
+      while (i + 8 <= p.length) {
+        val size = i32(p, i + 4)
+        if (size < 0 || i + 8 + size > p.length) return None
+        if (tag(p, i, "LIST") && size >= 4) {
+          if (tag(p, i + 8, "hdrl")) {
+            // walk hdrl's children for avih and the strl list
+            var j = i + 12
+            val end = i + 8 + size
+            while (j + 8 <= end) {
+              val sz = i32(p, j + 4)
+              if (sz < 0 || j + 8 + sz > end) return None
+              if (tag(p, j, "avih")) {
+                if (sz < 56 || dims.nonEmpty) return None
+                if (i32(p, j + 8 + 24) != 1) return None // one stream
+                val w = i32(p, j + 8 + 32)
+                val h = i32(p, j + 8 + 36)
+                val tf = i32(p, j + 8 + 16)
+                if (w < 1 || h < 1 || tf < 1) return None
+                dims = Some((w, h, tf))
+              } else if (tag(p, j, "LIST") && sz >= 4 &&
+                  tag(p, j + 8, "strl")) {
+                var k = j + 12
+                val e2 = j + 8 + sz
+                while (k + 8 <= e2) {
+                  val s2 = i32(p, k + 4)
+                  if (s2 < 0 || k + 8 + s2 > e2) return None
+                  if (tag(p, k, "strh")) {
+                    if (!tag(p, k + 8, "vids")) return None
+                  } else if (tag(p, k, "strf")) {
+                    // BITMAPINFOHEADER matching avih's geometry
+                    val d = dims.getOrElse(return None)
+                    if (s2 < 40 || i32(p, k + 8) != 40) return None
+                    if (i32(p, k + 12) != d._1 ||
+                      i32(p, k + 16) != d._2) return None
+                    if (u16(p, k + 20) != 1 || u16(p, k + 22) != 24)
+                      return None
+                    if (i32(p, k + 24) != 0) return None
+                    strfOk = true
+                  }
+                  k += 8 + s2 + (s2 & 1)
+                }
+              }
+              j += 8 + sz + (sz & 1)
+            }
+          } else if (tag(p, i + 8, "movi")) {
+            if (sawMovi) return None
+            sawMovi = true
+            val d = dims.getOrElse(return None)
+            if (!strfOk) return None
+            val frameBytes = stride(d._1) * d._2
+            var j = i + 12
+            val end = i + 8 + size
+            while (j + 8 <= end) {
+              val sz = i32(p, j + 4)
+              if (!tag(p, j, "00db") || sz != frameBytes ||
+                j + 8 + sz > end) return None
+              frames += (j + 8)
+              nFrames += 1
+              j += 8 + sz + (sz & 1)
+            }
+            if (j != end) return None
+          }
+        }
+        i += 8 + size + (size & 1)
+      }
+      if (i != p.length) return None
+      dims match {
+        case Some((w, h, tf)) if strfOk && sawMovi && nFrames == tf =>
+          Some(Avi(w, h, frames.result()))
+        case _ => None
+      }
+    }
+
+    /** One frame's canonical plane (top-down row-major RGB) from its
+      * raw DIB bits (bottom-up BGR, padded rows). */
+    def framePlane(p: Array[Byte], avi: Avi, frame: Int): Array[Byte] = {
+      val st = stride(avi.width)
+      val out = new Array[Byte](avi.width * avi.height * 3)
+      val off = avi.frameOffsets(frame)
+      var row = 0
+      while (row < avi.height) {
+        val base = off + (avi.height - 1 - row) * st
+        var x = 0
+        while (x < avi.width) {
+          out((row * avi.width + x) * 3) = p(base + x * 3 + 2)
+          out((row * avi.width + x) * 3 + 1) = p(base + x * 3 + 1)
+          out((row * avi.width + x) * 3 + 2) = p(base + x * 3)
+          x += 1
+        }
+        row += 1
+      }
+      out
+    }
+
+    /** Mod-997 byte-sum fingerprint of one decoded frame — the exact
+      * integer a DuckDB oracle can rebuild from the fixture formula. */
+    def frameFingerprint(p: Array[Byte], avi: Avi, frame: Int): Int = {
+      val plane = framePlane(p, avi, frame)
+      var s = 0L
+      var i = 0
+      while (i < plane.length) { s += plane(i) & 0xff; i += 1 }
+      (s % 997).toInt
+    }
+
+    /** The whole clip's canonical plane: frames concatenated in temporal
+      * order — so resize/aHash over a video payload fingerprint the CLIP. */
+    def pixelPlane(payload: Array[Byte]): Array[Byte] =
+      parse(payload) match {
+        case Some(avi) =>
+          val fp = avi.width * avi.height * 3
+          val out = new Array[Byte](fp * avi.frameOffsets.length)
+          var f = 0
+          while (f < avi.frameOffsets.length) {
+            System.arraycopy(framePlane(payload, avi, f), 0, out, f * fp, fp)
+            f += 1
+          }
+          out
+        case None => AviDecoder.pixelPlane(payload)
+      }
+  }
+
   /** Build a media table from `documents`: the UTF-8 text bytes stand in
     * for an encoded image payload (deterministic, so oracle-checkable). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
@@ -382,9 +539,23 @@ object Multimodal {
                 else sum.toDouble / plane.length,
               width = hd.channels,
               height = hd.bits)
-          case None =>
-            StubDecoder.decode(docId,
-              if (payload == null) Array.emptyByteArray else payload)
+          case None => AviDecoder.parse(payload) match {
+            case Some(avi) =>
+              val plane = AviDecoder.pixelPlane(payload)
+              var sum = 0L
+              var i = 0
+              while (i < plane.length) { sum += plane(i) & 0xff; i += 1 }
+              MediaFeatures(
+                doc_id = docId,
+                n_bytes = plane.length.toLong,
+                mean_byte = if (plane.length == 0) 0.0
+                  else sum.toDouble / plane.length,
+                width = avi.width,
+                height = avi.height)
+            case None =>
+              StubDecoder.decode(docId,
+                if (payload == null) Array.emptyByteArray else payload)
+          }
         }
       }
     }
@@ -487,6 +658,85 @@ object Multimodal {
   }
 
   /**
+   * Deterministic uncompressed-AVI fixtures: doc d is a clip of
+   * `2 + d%3` frames at the image fixtures' `w × h` geometry; channel
+   * sample j of frame f's canonical RGB stream is
+   * `(d·31 + f·101 + j·7) mod 251` — integer arithmetic a DuckDB oracle
+   * rebuilds without parsing a container. Frames are stored as real DIB
+   * bits (bottom-up BGR, padded rows) inside the full RIFF structure
+   * ([[AviDecoder]]'s layout), so the parser exercises the whole walk.
+   */
+  def aviFromDocuments(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val w = (4 + d % 5).toInt
+        val h = (3 + d % 4).toInt
+        val nF = (2 + d % 3).toInt
+        val st = AviDecoder.stride(w)
+        val frameBytes = st * h
+        // sizes: every chunk here is even (stride is a multiple of 4)
+        val strlSize = 4 + 8 + 56 + 8 + 40
+        val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+        val moviSize = 4 + nF * (8 + frameBytes)
+        val total = 12 + 8 + hdrlSize + 8 + moviSize
+        val out = new Array[Byte](total)
+        var o = 0
+        def tag(t: String): Unit = {
+          (0 until 4).foreach(i => out(o + i) = t(i).toByte); o += 4
+        }
+        def p16(v: Int): Unit = {
+          out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte; o += 2
+        }
+        def p32(v: Int): Unit = {
+          out(o) = v.toByte; out(o + 1) = (v >>> 8).toByte
+          out(o + 2) = (v >>> 16).toByte; out(o + 3) = (v >>> 24).toByte
+          o += 4
+        }
+        tag("RIFF"); p32(total - 8); tag("AVI ")
+        tag("LIST"); p32(hdrlSize); tag("hdrl")
+        tag("avih"); p32(56)
+        p32(40000); p32(frameBytes * 25); p32(0); p32(0) // usec/frame…
+        p32(nF); p32(0); p32(1); p32(frameBytes)         // totalFrames, streams=1
+        p32(w); p32(h); p32(0); p32(0); p32(0); p32(0)
+        tag("LIST"); p32(strlSize); tag("strl")
+        tag("strh"); p32(56)
+        tag("vids"); tag("DIB ")
+        p32(0); p16(0); p16(0); p32(0); p32(1); p32(25)  // scale/rate
+        p32(0); p32(nF); p32(frameBytes); p32(-1); p32(0)
+        p16(0); p16(0); p16(0); p16(0)
+        tag("strf"); p32(40)
+        p32(40); p32(w); p32(h); p16(1); p16(24); p32(0)
+        p32(frameBytes); p32(2835); p32(2835); p32(0); p32(0)
+        tag("LIST"); p32(moviSize); tag("movi")
+        def v(f: Int, j: Int): Byte = ((d * 31 + f * 101 + j * 7) % 251).toByte
+        var f = 0
+        while (f < nF) {
+          tag("00db"); p32(frameBytes)
+          var row = 0
+          while (row < h) {
+            var x = 0
+            while (x < w) {
+              val base = o + (h - 1 - row) * st + x * 3
+              val j = (row * w + x) * 3
+              out(base) = v(f, j + 2)
+              out(base + 1) = v(f, j + 1)
+              out(base + 2) = v(f, j)
+              x += 1
+            }
+            row += 1
+          }
+          o += frameBytes
+          f += 1
+        }
+        (d, out)
+      })
+      .toDF("doc_id", "payload")
+      .withColumn("mime", lit("video/avi"))
+  }
+
+  /**
    * Partition-wise feature extraction — the `mapInPandas` analog. Each
    * task iterates its partition once through the decoder ([[P6Decoder]]
    * for real P6 images, [[StubDecoder]] otherwise); the output is a
@@ -517,13 +767,26 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, raw) =>
-        // frames sample the DECODED plane: pixel channels for P6, raw
-        // bytes otherwise — re-encoding a P6 image must not move frames
-        val bytes = P6Decoder.pixelPlane(raw)
-        val n = bytes.length
-        if (n == 0) Iterator.empty
-        else (0 until k).iterator.map { i =>
-          FrameSample(id, i, bytes((i * n) / k) & 0xff)
+        AviDecoder.parse(raw) match {
+          case Some(avi) if avi.frameOffsets.nonEmpty =>
+            // a REAL video container samples REAL frames: k evenly-
+            // spaced frames decoded from their DIB bits, each reported
+            // as its exact mod-997 plane fingerprint
+            (0 until k).iterator.map { i =>
+              val f = (i * avi.frameOffsets.length) / k
+              FrameSample(id, i, AviDecoder.frameFingerprint(raw, avi, f))
+            }
+          case _ =>
+            // flat media: k evenly-spaced samples of the DECODED plane
+            // (pixel channels for images, PCM bytes for audio, raw
+            // bytes for unknown formats) — re-encoding must not move
+            // frames
+            val bytes = P6Decoder.pixelPlane(raw)
+            val n = bytes.length
+            if (n == 0) Iterator.empty
+            else (0 until k).iterator.map { i =>
+              FrameSample(id, i, bytes((i * n) / k) & 0xff)
+            }
         }
       })
   }

@@ -2886,6 +2886,41 @@ object LlmQueries {
          |FROM ah a JOIN dims d USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin))
 
+  // q246 — the VIDEO modality decoded for real: deterministic
+  // uncompressed-AVI clips (full RIFF hdrl/strl/movi structure, frames
+  // as raw DIB bits) frame-sampled through the real container parser —
+  // k evenly-spaced frames per clip regardless of length, each decoded
+  // (bottom-up BGR, padded rows → canonical RGB) and reported as its
+  // exact mod-997 plane fingerprint. The oracle rebuilds every sampled
+  // frame from the pixel formula; a parser that mis-walked the chunk
+  // tree, mis-ordered rows, or sampled bytes instead of FRAMES cannot
+  // match.
+  val q246 = Q(
+    "q246_avi_frame_sample",
+    (s, d) => {
+      implicit val spark = s
+      Multimodal.sampleFrames(
+        Multimodal.aviFromDocuments(Tables.documents(s, d)), 3)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some(
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+         |    CAST(2 + doc_id % 3 AS BIGINT) AS nf
+         |  FROM documents),
+         |fs AS (
+         |  SELECT doc_id, w, h, CAST(i AS INT) AS frame_idx,
+         |    (i * nf) // 3 AS f
+         |  FROM dims, (SELECT unnest(range(3)) AS i) ii)
+         |SELECT doc_id, frame_idx,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |    range(w * h * 3),
+         |    j -> CAST((doc_id * 31 + f * 101 + j * 7) % 251 AS BIGINT))),
+         |    (a, x) -> a + x) % 997 AS INTEGER) AS frame_val
+         |FROM fs ORDER BY doc_id, frame_idx""".stripMargin))
+
   // q242 — the EVENT-TIME WATERMARK DROP contract, hash-checked (round
   // 20; the streaming family covered dedup/decon/gating/export but no
   // query pinned lateness itself): the lateFeedDir fixture replays ten
@@ -9221,5 +9256,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
+    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246)
 }

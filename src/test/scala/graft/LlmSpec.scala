@@ -495,6 +495,57 @@ class LlmSpec extends SparkSpec {
     assert(WavDecoder.parse("RIFFraff in a WAVEform".getBytes).isEmpty)
   }
 
+  test("AviDecoder: real frame decode through the RIFF walk; structural " +
+      "rejections hold; sampleFrames samples FRAMES for video payloads") {
+    implicit val s = spark
+    import s.implicits._
+    import Multimodal.AviDecoder
+    val few = docs.filter(col("doc_id") < 9)
+    val avis = Multimodal.aviFromDocuments(few)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().toMap
+    (0L until 9L).foreach { d =>
+      val avi = AviDecoder.parse(avis(d)).getOrElse(fail(s"doc $d: no parse"))
+      assert(avi.width === (4 + d % 5).toInt &&
+        avi.height === (3 + d % 4).toInt &&
+        avi.frameOffsets.length === (2 + d % 3).toInt, s"doc $d geometry")
+      // frame f's decoded plane is EXACTLY the generator formula
+      val w = avi.width; val h = avi.height
+      (0 until avi.frameOffsets.length).foreach { f =>
+        val want = Array.tabulate(w * h * 3)(j =>
+          ((d * 31 + f * 101 + j * 7) % 251).toByte)
+        assert(AviDecoder.framePlane(avis(d), avi, f).toSeq === want.toSeq,
+          s"doc $d frame $f")
+      }
+    }
+    // sampleFrames on a video payload = per-FRAME fingerprints
+    val fs = Multimodal.sampleFrames(Multimodal.aviFromDocuments(few), 2)
+      .collect().map(r => (r.doc_id, r.frame_idx) -> r.frame_val).toMap
+    (0L until 9L).foreach { d =>
+      val avi = AviDecoder.parse(avis(d)).get
+      (0 until 2).foreach { i =>
+        val f = (i * avi.frameOffsets.length) / 2
+        assert(fs((d, i)) === AviDecoder.frameFingerprint(avis(d), avi, f))
+      }
+    }
+    // pixelPlane concatenates frames temporally (clip fingerprint input)
+    val a0 = AviDecoder.parse(avis(0L)).get
+    val plane = AviDecoder.pixelPlane(avis(0L))
+    assert(plane.length === a0.width * a0.height * 3 * a0.frameOffsets.length)
+    assert(plane.take(a0.width * a0.height * 3).toSeq
+      === AviDecoder.framePlane(avis(0L), a0, 0).toSeq)
+    // rejections: magic, two streams, frame-size mismatch, truncation,
+    // trailing junk, frame-count disagreement
+    val good = avis(0L)
+    def mut(i: Int, v: Byte) = { val c = good.clone(); c(i) = v; c }
+    assert(AviDecoder.parse(mut(8, 'X')).isEmpty)
+    assert(AviDecoder.parse(mut(56, 2)).isEmpty)  // dwStreams = 2
+    assert(AviDecoder.parse(mut(48, 9)).isEmpty)  // dwTotalFrames wrong
+    assert(AviDecoder.parse(good.dropRight(1)).isEmpty)
+    assert(AviDecoder.parse(good :+ 0.toByte).isEmpty)
+    assert(AviDecoder.parse(null).isEmpty)
+  }
+
   test("P6 decode: features come from the raster, not the encoded bytes") {
     implicit val s = spark
     val few = docs.filter(col("doc_id") < 20)
