@@ -737,6 +737,46 @@ object Multimodal {
   }
 
   /**
+   * FORMAT NORMALIZATION — the ETL step a heterogeneous multimodal
+   * corpus needs before storage dedup: every payload whose decoder
+   * yields 2D pixel geometry (P6 or 24-bit BMP) is re-encoded as the
+   * CANONICAL P6 byte stream (`P6\n<w> <h>\n255\n` + top-down RGB
+   * raster — one byte stream per image, whatever it arrived as), so
+   * byte-level exact dedup downstream collapses cross-format and
+   * re-encoded copies without any perceptual hashing. Non-image
+   * payloads (audio, video containers, unknown binaries) pass through
+   * unchanged with `transcoded = false` — normalizing them to a still
+   * image would destroy information, and the caller can route on the
+   * flag. Deterministic: the canonical encoding of an image is unique,
+   * so `transcode ∘ transcode = transcode` (idempotent, spec-pinned).
+   */
+  def transcodeToP6(media: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val geom: Option[(Int, Int)] = P6Decoder.parse(raw)
+          .map(h => (h.width, h.height))
+          .orElse(BmpDecoder.parse(raw).map(h => (h.width, h.height)))
+        geom match {
+          case Some((w, h)) =>
+            val plane = P6Decoder.pixelPlane(raw) // P6 raster or BMP plane
+            val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+            val out = new Array[Byte](hdr.length + plane.length)
+            System.arraycopy(hdr, 0, out, 0, hdr.length)
+            System.arraycopy(plane, 0, out, hdr.length, plane.length)
+            (id, out, true)
+          case None => (id, raw, false)
+        }
+      })
+      .toDF("doc_id", "payload", "transcoded")
+      .withColumn("mime",
+        when(col("transcoded"), lit("image/x-portable-pixmap"))
+          .otherwise(lit("application/octet-stream")))
+  }
+
+  /**
    * Partition-wise feature extraction — the `mapInPandas` analog. Each
    * task iterates its partition once through the decoder ([[P6Decoder]]
    * for real P6 images, [[StubDecoder]] otherwise); the output is a

@@ -2921,6 +2921,37 @@ object LlmQueries {
          |    (a, x) -> a + x) % 997 AS INTEGER) AS frame_val
          |FROM fs ORDER BY doc_id, frame_idx""".stripMargin))
 
+  // q247 — format NORMALIZATION as the dedup front: the same images
+  // arrive as P6 AND as BMP (byte-distinct), are transcoded to the
+  // canonical P6 stream, and byte-level EXACT dedup (fingerprint
+  // groupBy — no perceptual hashing anywhere) collapses every
+  // cross-format pair. Output = per-doc canonical payload size and the
+  // distinct-payload count across both arrivals (always 1), which the
+  // oracle derives from the dims formula: single-digit dims here make
+  // the canonical header exactly 11 bytes.
+  val q247 = Q(
+    "q247_transcode_dedup",
+    (s, d) => {
+      implicit val spark = s
+      val docs = Tables.documents(s, d)
+      val both = Multimodal.p6FromDocuments(docs)
+        .unionByName(Multimodal.bmpFromDocuments(docs))
+      Multimodal.transcodeToP6(both)
+        .groupBy("doc_id")
+        .agg(
+          max(length(col("payload"))).cast("long").as("canon_bytes"),
+          countDistinct(sha2(col("payload"), 256)).as("n_distinct"),
+          sum(when(col("transcoded"), 1L).otherwise(0L)).as("n_transcoded"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""SELECT doc_id,
+         |  CAST(11 + (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS BIGINT)
+         |    AS canon_bytes,
+         |  CAST(1 AS BIGINT) AS n_distinct,
+         |  CAST(2 AS BIGINT) AS n_transcoded
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
   // q242 — the EVENT-TIME WATERMARK DROP contract, hash-checked (round
   // 20; the streaming family covered dedup/decon/gating/export but no
   // query pinned lateness itself): the lateFeedDir fixture replays ten
@@ -9256,5 +9287,5 @@ object LlmQueries {
     q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230,
-    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246)
+    q231, q232, q233, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247)
 }

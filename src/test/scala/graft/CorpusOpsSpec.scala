@@ -1008,10 +1008,10 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("registry: 246 uniquely-named queries, 242 oracle-checked, qNN prefixes unique") {
+  test("registry: 247 uniquely-named queries, 243 oracle-checked, qNN prefixes unique") {
     val all = graft.queries.Registry.all
-    assert(all.size === 246)
-    assert(all.count(_.oracle.isDefined) === 242)
+    assert(all.size === 247)
+    assert(all.count(_.oracle.isDefined) === 243)
     assert(all.map(_.name).distinct.size === all.size, "duplicate query names")
     // Bench's stdout artifact abbreviates to the qNN prefix — collisions
     // would silently merge two queries' timings

@@ -546,6 +546,34 @@ class LlmSpec extends SparkSpec {
     assert(AviDecoder.parse(null).isEmpty)
   }
 
+  test("transcodeToP6: BMP arrivals become byte-IDENTICAL to their P6 " +
+      "siblings; idempotent; non-images pass through untouched") {
+    implicit val s = spark
+    import s.implicits._
+    val few = docs.filter(col("doc_id") < 10)
+    def payloads(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .collect().toMap
+    val p6 = payloads(Multimodal.p6FromDocuments(few))
+    val fromBmp = payloads(
+      Multimodal.transcodeToP6(Multimodal.bmpFromDocuments(few)))
+    (0L until 10L).foreach { d =>
+      assert(java.util.Arrays.equals(fromBmp(d), p6(d)),
+        s"doc $d: BMP transcode != canonical P6")
+    }
+    // idempotent: transcoding the canonical form reproduces it exactly
+    val twice = payloads(Multimodal.transcodeToP6(
+      Multimodal.transcodeToP6(Multimodal.p6FromDocuments(few))))
+    (0L until 10L).foreach(d => assert(java.util.Arrays.equals(twice(d), p6(d))))
+    // non-image payloads (audio, plain text) pass through with the flag off
+    val wav = Multimodal.wavFromDocuments(few)
+    val out = Multimodal.transcodeToP6(wav)
+    assert(out.filter(col("transcoded")).count() === 0)
+    val wavBytes = payloads(wav)
+    payloads(out).foreach { case (d, b) =>
+      assert(java.util.Arrays.equals(b, wavBytes(d))) }
+  }
+
   test("P6 decode: features come from the raster, not the encoded bytes") {
     implicit val s = spark
     val few = docs.filter(col("doc_id") < 20)
