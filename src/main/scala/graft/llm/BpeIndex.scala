@@ -167,10 +167,20 @@ object BpeIndex {
    * k-row merge list bakes into scan-stage expression literals per
    * micro-batch (a few-KB parquet read per trigger, no join). */
   def driftScoreStream(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame = driftScorer(spark, dir)(batch)
+
+  /** LOAD-ONCE form of [[driftScoreStream]] (round-20 optimization,
+    * guide §4.5): the stored merge list loads (parquet read + driver
+    * collect) and the scoring expressions build EXACTLY once; every
+    * micro-batch then applies the frozen scan-stage projection. The
+    * vocabulary is frozen for the stream's lifetime (writer lease +
+    * single-writer foreachBatch). Per-batch output is row-identical to
+    * [[driftScoreStream]] (spec-pinned). */
+  def driftScorer(spark: SparkSession,
+      dir: String): DataFrame => DataFrame = {
     val (ms, pt) = loadWithPreTok(spark, dir)
     val prepped = pt.prep(col("text"))
-    batch.select(col("doc_id"),
+    batch => batch.select(col("doc_id"),
       coalesce(Bpe.tokenCount(prepped, ms), lit(0L)).as("n_toks"),
       coalesce(size(Bpe.wordsNonEmpty(coalesce(prepped, lit(""))))
         .cast("long"), lit(0L)).as("n_words"))

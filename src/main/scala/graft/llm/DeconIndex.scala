@@ -239,13 +239,25 @@ object DeconIndex {
     * 1-row aggregate) — cache the session's static frame if the trigger
     * rate ever makes that visible. */
   def probeWinnowStream(corpus: DataFrame, dir: String,
-      minShared: Long = 2L): DataFrame = {
-    val spark = corpus.sparkSession
+      minShared: Long = 2L): DataFrame =
+    winnowProber(corpus.sparkSession, dir, minShared)(corpus)
+
+  /** LOAD-ONCE form of [[probeWinnowStream]] (round-20 optimization,
+    * guide §4.5): verify the manifest, read the params and fold the
+    * stored print set into its 1-row broadcast frame EXACTLY once,
+    * materialized via localCheckpoint — every micro-batch then pays one
+    * tiny re-broadcast instead of a manifest verify + params read + a
+    * prints scan-and-aggregate. The index is frozen for the stream's
+    * lifetime (writer lease + single-writer foreachBatch). Per-batch
+    * output is row-identical to [[probeWinnowStream]] (spec-pinned). */
+  def winnowProber(spark: SparkSession, dir: String,
+      minShared: Long = 2L): DataFrame => DataFrame = {
     SwapManifest.verify(spark, dir, "decon index")
     val (wn, ww, wtok) = winnowParams(spark, dir)
     val bset = spark.read.parquet(s"$dir/prints")
       .agg(collect_set(col("fp")).as("bench_fps"))
-    corpus.crossJoin(broadcast(bset))
+      .localCheckpoint(true)
+    corpus => corpus.crossJoin(broadcast(bset))
       .withColumn("n_shared",
         size(array_intersect(
           DedupOps.winnowPrintValues(col("text"), wn, ww, wtok),

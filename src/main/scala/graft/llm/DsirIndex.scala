@@ -132,12 +132,24 @@ object DsirIndex {
     * append-mode legal in front of any landing sink, so selection-by-
     * target-likeness can run AT INGEST, not only as a batch pass.
     * Row-identical to [[score]] on the same corpus (spec-pinned).
-    * Output: the corpus row + (n_feats, lr_bits, lr_scaled). The static
-    * side re-reads per micro-batch (two few-KB parquet tables + 1-row
-    * aggregates) — cache the session's static frame if the trigger rate
-    * ever makes that visible. */
+    * Output: the corpus row + (n_feats, lr_bits, lr_scaled). Re-reads
+    * the static side per call — a long-lived stream should load once
+    * via [[scorer]]. */
   def scoreStream(spark: SparkSession, dir: String,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame): DataFrame = scorer(spark, dir)(docs)
+
+  /** LOAD-ONCE form of [[scoreStream]] (round-20 optimization, guide
+    * §4.5 "initialise heavyweight state once per task, not per batch"):
+    * validates the artifact, reads the two count tables and folds them
+    * into the 1-row map model EXACTLY once, materialized via
+    * localCheckpoint — every micro-batch then pays one tiny re-broadcast
+    * of the frozen row instead of two parquet scans + aggregates + a
+    * manifest verify. The model is frozen for the stream's lifetime
+    * (the writer lease makes a racing rebuild refuse, and foreachBatch
+    * is single-writer). Per-batch output is row-identical to
+    * [[scoreStream]] (spec-pinned). */
+  def scorer(spark: SparkSession,
+      dir: String): DataFrame => DataFrame = {
     val (buckets, _, _, _) = requireValid(spark, dir)
     val tok = storedTok(spark, dir)
     val model = spark.read.parquet(s"$dir/target_counts")
@@ -146,7 +158,8 @@ object DsirIndex {
       .crossJoin(spark.read.parquet(s"$dir/raw_counts")
         .agg(map_from_entries(collect_list(struct(col("b"), col("c_r"))))
           .as("cr_map")))
-    docs.crossJoin(broadcast(model))
+      .localCheckpoint(true)
+    docs => docs.crossJoin(broadcast(model))
       .withColumn("graft_bs",
         Retrieval.bigramBinValues(col("text"), buckets, tok))
       .withColumn("n_feats", size(col("graft_bs")).cast("long"))

@@ -149,10 +149,17 @@ object UnigramIndex {
    * vocabulary bakes into the scan-stage codec per micro-batch (a
    * few-KB parquet read per trigger, no join). */
   def driftScoreStream(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame = driftScorer(spark, dir)(batch)
+
+  /** LOAD-ONCE form of [[driftScoreStream]] (round-20 optimization,
+    * guide §4.5): the stored vocabulary loads and the priced codec
+    * builds EXACTLY once; every micro-batch then applies the frozen
+    * scan-stage projection. Row-identical per batch (spec-pinned). */
+  def driftScorer(spark: SparkSession,
+      dir: String): DataFrame => DataFrame = {
     val (ps, chunkLen, maxPieceLen, tot) = loadModel(spark, dir)
     val codec = UnigramLm.codecPriced(ps, chunkLen, maxPieceLen, tot)
-    batch.select(col("doc_id"),
+    batch => batch.select(col("doc_id"),
       coalesce(UnigramLm.tokenCount(col("text"), codec), lit(0L))
         .as("n_toks"),
       coalesce(UnigramLm.chunkCount(col("text"), chunkLen), lit(0L))
@@ -176,10 +183,17 @@ object UnigramIndex {
    * codec per call — a few-KB parquet read, no shuffle.
    */
   def tokenStream(spark: SparkSession, dir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame = tokenStreamer(spark, dir)(batch)
+
+  /** LOAD-ONCE form of [[tokenStream]] (round-20 optimization, guide
+    * §4.5): the stored vocabulary loads and the priced codec builds
+    * EXACTLY once; every micro-batch then applies the frozen scan-stage
+    * posexplode projection. Row-identical per batch (spec-pinned). */
+  def tokenStreamer(spark: SparkSession,
+      dir: String): DataFrame => DataFrame = {
     val (ps, chunkLen, maxPieceLen, tot) = loadModel(spark, dir)
     val codec = UnigramLm.codecPriced(ps, chunkLen, maxPieceLen, tot)
-    batch.select(col("doc_id"),
+    batch => batch.select(col("doc_id"),
       posexplode(UnigramLm.tokens(col("text"), codec)).as(Seq("pos", "token")))
   }
 

@@ -64,7 +64,15 @@ object Tables {
    * `client/client.go:238` UnixNano()/1e6).
    */
   def eventsAsEnvelope(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+    envelopeOf(events(spark, dir))
+
+  /** Envelope projection over an already-loaded events frame — split out
+    * (round 20) so callers can widen the raw scan first
+    * ([[graft.ops.Widen]]): the `from_json` props decode is the
+    * envelope's dominant per-row cost and must sit ABOVE any widening
+    * exchange to parallelize. */
+  def envelopeOf(ev: DataFrame): DataFrame =
+    ev.select(
       col("event_id").cast(StringType).as("id"),
       col("event_type").as("name"),
       from_json(col("props"), MapType(StringType, StringType)).as("props"),

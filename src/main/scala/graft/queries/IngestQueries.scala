@@ -20,7 +20,11 @@ object IngestQueries {
    * validation split is non-trivial and hash-checkable.
    */
   def incoming(spark: SparkSession, dir: String): DataFrame =
-    Tables.eventsAsEnvelope(spark, dir).withColumn(
+    // round-20: widen the raw single-split scan BELOW the envelope
+    // projection so the per-row from_json decode parallelizes
+    // (graft.ops.Widen — a no-op on any multi-split table)
+    Tables.envelopeOf(graft.ops.Widen.scan(Tables.events(spark, dir)))
+      .withColumn(
       "topic",
       when(col("user_id") % 50 === 0, lit(""))
         .otherwise(concat(lit("games-"), (col("user_id") % 4).cast("string"))))

@@ -350,8 +350,12 @@ object RelationalQueries {
   val q57 = Q(
     "q57_salted_join",
     (s, d) => {
-      val l = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "okey")
-      val o = Tables.orders(s, d).withColumnRenamed("o_orderkey", "okey")
+      // round-20: widen the single-split scans — the 16× salt explode
+      // and the salted shuffle's map side are CPU-dense (graft.ops.Widen)
+      val l = graft.ops.Widen.scan(Tables.lineitem(s, d))
+        .withColumnRenamed("l_orderkey", "okey")
+      val o = graft.ops.Widen.scan(Tables.orders(s, d))
+        .withColumnRenamed("o_orderkey", "okey")
       // salt source must be roughly uniform with range >= nSalts —
       // l_partkey is; l_linenumber (1-7) would leave most salts unused
       graft.ops.Salted.saltedJoin(l, o, "okey", col("l_partkey"), nSalts = 16)
@@ -370,7 +374,10 @@ object RelationalQueries {
   private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   val q67 = Q(
     "q67_profile",
-    (s, d) => graft.ops.Profile.numeric(Tables.lineitem(s, d), profCols),
+    // round-20: widen — the exact multi-distinct Expand ×4 multiplies
+    // every scanned row, all rooted at a single-split scan
+    (s, d) => graft.ops.Profile.numeric(
+      graft.ops.Widen.scan(Tables.lineitem(s, d)), profCols),
     Some(profCols.map(c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_null,
@@ -389,7 +396,8 @@ object RelationalQueries {
   // row is rows-only; the Expand-free plan is pinned in PlanSpec.
   val q103 = Q(
     "q103_profile_approx",
-    (s, d) => graft.ops.Profile.numeric(Tables.lineitem(s, d), profCols,
+    (s, d) => graft.ops.Profile.numeric(
+      graft.ops.Widen.scan(Tables.lineitem(s, d)), profCols,
       approx = true),
     None)
 
