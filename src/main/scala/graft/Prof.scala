@@ -9,7 +9,7 @@ import scala.collection.mutable
   * driver-side gaps vs job execution, and reports per-job task counts and
   * task-time sums so the expensive stage is identifiable without the UI.
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.Prof <sfDir> q211,q204"
-  * Optional 3rd arg "explain" dumps .explain("formatted") to plans/r20/. */
+  * Optional 3rd arg "explain" dumps .explain("formatted") to plans/r21/. */
 object Prof {
   final case class JobRec(id: Int, desc: String, start: Long, var end: Long,
       var nTasks: Int, var taskTimeMs: Long, var stages: Int,
@@ -32,8 +32,12 @@ object Prof {
 
     val jobs = mutable.ArrayBuffer.empty[JobRec]
     val stageToJob = mutable.Map.empty[Int, JobRec]
+    // Listener callbacks and the main thread synchronize on ONE monitor
+    // (`jobs`) — the r20 version synchronized callbacks on the listener
+    // instance while the main thread locked `jobs`, so clear()/snapshot
+    // raced concurrent callback mutation (round-20 advice).
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
@@ -43,10 +47,10 @@ object Prof {
         jobs += r
         e.stageIds.foreach(sid => stageToJob(sid) = r)
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.find(_.id == e.jobId).foreach(_.end = e.time)
       }
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
         stageToJob.get(e.stageId).foreach { r =>
           r.nTasks += 1
           if (e.taskMetrics != null)
@@ -84,14 +88,14 @@ object Prof {
           println(f"[prof]    job ${j.id}%4d dur=$d%7.3f s tasks=${j.nTasks}%5d taskTime=${j.taskTimeMs / 1e3}%8.2f s stages=${j.stages}%2d site=${j.site.take(70)} desc=${j.desc.take(60)}")
       }
       if (doExplain) {
-        val dir = java.nio.file.Paths.get("plans/r20")
+        val dir = java.nio.file.Paths.get("plans/r21")
         java.nio.file.Files.createDirectories(dir)
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(
           dir.resolve(s"${name}_$planSuffix.txt"), txt)
-        println(s"[prof] wrote plans/r20/${name}_$planSuffix.txt")
+        println(s"[prof] wrote plans/r21/${name}_$planSuffix.txt")
       }
     }
     spark.stop()

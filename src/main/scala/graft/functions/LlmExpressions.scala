@@ -311,6 +311,93 @@ object LlmExprs {
     new GenericArrayData(out)
   }
 
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003) over a shingle-hash array as ONE O(n) pass — the
+   * native form of the `transform(sequence, i => slice + array_min +
+   * array_position(reverse(slice), mn))` HOF in
+   * [[graft.llm.DedupOps.winnowFingerprints]], which is O(n·w) with
+   * three array allocations per window and per-element interpreted
+   * lambda dispatch.
+   *
+   * Semantics (spec-pinned ≡ the HOF in WinnowExprSpec): windows of
+   * length wl = min(w, n) slide over the hash stream; each selects its
+   * minimum with ties to the RIGHTMOST copy; the (pos, min) pair packs
+   * as `pos·packMod + min`; repeated selections collapse to one. The
+   * monotonic deque pops equal-or-greater tail values on push, so the
+   * front is always the window's rightmost minimum. Selected positions
+   * are nondecreasing as the window slides (the old rightmost min either
+   * stays selected or a position ≥ it takes over), so equal packed
+   * values are ADJACENT and the running last-emitted check reproduces
+   * `array_distinct`'s first-occurrence dedup exactly.
+   */
+  def winnowEnc(input: ArrayData, w: Int, packMod: Long): ArrayData = {
+    val hs = input.toLongArray()
+    val n = hs.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val wl = math.min(w, n)
+    val nw = n - wl + 1
+    val dq = new Array[Int](n) // deque of indices, values strictly increasing
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](nw)
+    var m = 0
+    var j = 0
+    var i = 0
+    while (i < nw) {
+      val end = i + wl - 1
+      while (j <= end) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
+        j += 1
+      }
+      while (dq(head) < i) head += 1
+      val p = dq(head)
+      val enc = p * packMod + hs(p)
+      if (m == 0 || out(m - 1) != enc) { out(m) = enc; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** The value-set form of [[winnowEnc]] (positions dropped): distinct
+    * selected hash VALUES in first-occurrence order — ≡
+    * `array_distinct(transform(sequence, i => array_min(slice)))` in
+    * [[graft.llm.DedupOps.winnowPrintValues]]. Values CAN repeat
+    * non-adjacently (a value re-selected at a later position after an
+    * intervening smaller value expired), so dedup needs real set
+    * membership, not the last-emitted check. */
+  def winnowValues(input: ArrayData, w: Int): ArrayData = {
+    val hs = input.toLongArray()
+    val n = hs.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val wl = math.min(w, n)
+    val nw = n - wl + 1
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](nw)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var m = 0
+    var j = 0
+    var i = 0
+    while (i < nw) {
+      val end = i + wl - 1
+      while (j <= end) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
+        j += 1
+      }
+      while (dq(head) < i) head += 1
+      val v = hs(dq(head))
+      if (seen.add(java.lang.Long.valueOf(v))) { out(m) = v; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** Static entry for MinHashSigExpr codegen/eval. Empty input yields an
     * all-null signature (array_min-over-empty semantics). */
   def minhashSig(input: ArrayData, perms: Int): ArrayData = {
@@ -621,6 +708,37 @@ case class ShingleHashList(child: Expression, n: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.LlmExprs.shingleHashesMod($c, $n, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing selection over a shingle-hash array column → array<long>
+  * of distinct packed `pos·packMod + fp` fingerprints (rightmost-min tie
+  * rule, first-occurrence dedup order) — one codegen'd O(n) deque pass;
+  * see [[LlmExprs.winnowEnc]]. */
+case class WinnowEncExpr(child: Expression, w: Int,
+    packMod: Long = LlmExprs.P) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.winnowEnc(input.asInstanceOf[ArrayData], w, packMod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LlmExprs.winnowEnc($c, $w, ${packMod}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[WinnowEncExpr]]'s value-set sibling → array<long> of distinct
+  * selected hash values (positions dropped); see
+  * [[LlmExprs.winnowValues]]. */
+case class WinnowValuesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    LlmExprs.winnowValues(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LlmExprs.winnowValues($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -240,7 +240,12 @@ object DeconIndex {
     * rate ever makes that visible. */
   def probeWinnowStream(corpus: DataFrame, dir: String,
       minShared: Long = 2L): DataFrame =
-    winnowProber(corpus.sparkSession, dir, minShared)(corpus)
+    // LAZY static side (round-21, from the round-20 advice): the
+    // per-call form must not localCheckpoint — a per-micro-batch caller
+    // would leak one persisted RDD per batch. Only [[winnowProber]]
+    // (hoisted once per stream) freezes the print set.
+    proberImpl(corpus.sparkSession, dir, minShared,
+      materialize = false)(corpus)
 
   /** LOAD-ONCE form of [[probeWinnowStream]] (round-20 optimization,
     * guide §4.5): verify the manifest, read the params and fold the
@@ -251,12 +256,16 @@ object DeconIndex {
     * lifetime (writer lease + single-writer foreachBatch). Per-batch
     * output is row-identical to [[probeWinnowStream]] (spec-pinned). */
   def winnowProber(spark: SparkSession, dir: String,
-      minShared: Long = 2L): DataFrame => DataFrame = {
+      minShared: Long = 2L): DataFrame => DataFrame =
+    proberImpl(spark, dir, minShared, materialize = true)
+
+  private def proberImpl(spark: SparkSession, dir: String,
+      minShared: Long, materialize: Boolean): DataFrame => DataFrame = {
     SwapManifest.verify(spark, dir, "decon index")
     val (wn, ww, wtok) = winnowParams(spark, dir)
-    val bset = spark.read.parquet(s"$dir/prints")
+    val folded = spark.read.parquet(s"$dir/prints")
       .agg(collect_set(col("fp")).as("bench_fps"))
-      .localCheckpoint(true)
+    val bset = if (materialize) folded.localCheckpoint(true) else folded
     corpus => corpus.crossJoin(broadcast(bset))
       .withColumn("n_shared",
         size(array_intersect(

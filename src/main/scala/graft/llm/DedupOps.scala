@@ -256,33 +256,46 @@ object DedupOps {
    * hash; Unicode is the multilingual on-ramp (q177).
    *
    * Implementation: the whole selection is ONE scan-stage array
-   * expression — the per-window rightmost-argmin is
-   * `i + wl − position(reverse(slice), min)`, the (pos, fp) pair packs
-   * into a single long `pos·P + fp` (exact: pos < 2⁴⁴/P rows per doc),
-   * and `array_distinct` collapses repeated selections before the
-   * explode. No shuffle, no join, no window function.
+   * expression — the native [[graft.functions.WinnowEncExpr]] monotonic
+   * deque selects every window's rightmost min in O(n) (the HOF
+   * formulation kept below as [[winnowEncHof]] was O(n·w): slice +
+   * array_min + reverse + array_position per window, each an interpreted
+   * lambda with fresh array copies), the (pos, fp) pair packs into a
+   * single long `pos·P + fp` (exact: pos < 2⁴⁴/P rows per doc), repeated
+   * selections collapse before the explode. No shuffle, no join, no
+   * window function. WinnowExprSpec pins native ≡ HOF.
    */
   def winnowFingerprints(docs: DataFrame, n: Int = 3,
       w: Int = 4, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(w >= 1, s"winnow window must be >= 1 (got $w)")
+    import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
     val P = graft.llm.TextFunctions.P
     val d = docs.select(col("doc_id"),
         TextFunctions.shingleHashList(tok.prep(col("text")), n).as("hs"))
       .filter(size(col("hs")) >= 1)
-      .withColumn("wl", least(lit(w), size(col("hs"))))
-    val sel = transform(
-      sequence(lit(0), size(col("hs")) - col("wl")),
-      i => {
-        val sl = slice(col("hs"), i + 1, col("wl"))
-        val mn = array_min(sl)
-        val pos = i.cast("long") + col("wl").cast("long") -
-          array_position(reverse(sl), mn)
-        pos * lit(P) + mn
-      })
-    d.select(col("doc_id"), explode(array_distinct(sel)).as("enc"))
+    d.select(col("doc_id"),
+        explode(ofExpr(graft.functions.WinnowEncExpr(
+          exprOf(col("hs")), w, P))).as("enc"))
       .select(col("doc_id"),
         expr(s"enc div ${P}L").as("pos"),
         pmod(col("enc"), lit(P)).as("fp"))
+  }
+
+  /** The HOF formulation of [[winnowFingerprints]]' packed selection
+    * over a shingle-hash array column — the reference the native
+    * [[graft.functions.WinnowEncExpr]] is spec-pinned against. */
+  private[graft] def winnowEncHof(hs: org.apache.spark.sql.Column, w: Int,
+      P: Long): org.apache.spark.sql.Column = {
+    val wl = least(lit(w), size(hs))
+    array_distinct(transform(
+      sequence(lit(0), size(hs) - wl),
+      i => {
+        val sl = slice(hs, i + 1, wl)
+        val mn = array_min(sl)
+        val pos = i.cast("long") + wl.cast("long") -
+          array_position(reverse(sl), mn)
+        pos * lit(P) + mn
+      }))
   }
 
   /** Per-row array of DISTINCT winnow print VALUES of a text column —
@@ -297,12 +310,21 @@ object DedupOps {
       n: Int, w: Int,
       tok: Tokenizer = Tokenizer.Ascii): org.apache.spark.sql.Column = {
     require(w >= 1, s"winnow window must be >= 1 (got $w)")
+    import org.apache.spark.sql.GraftColumnBridge.{exprOf, ofExpr}
     val hs = TextFunctions.shingleHashList(tok.prep(text), n)
-    val wl = least(lit(w), size(hs))
-    val sel = transform(sequence(lit(0), size(hs) - wl),
-      i => array_min(slice(hs, i + 1, wl)))
-    when(size(hs) >= 1, array_distinct(sel))
+    when(size(hs) >= 1,
+        ofExpr(graft.functions.WinnowValuesExpr(exprOf(hs), w)))
       .otherwise(array().cast("array<long>"))
+  }
+
+  /** The HOF formulation of [[winnowPrintValues]]' value selection over
+    * a shingle-hash array column — the reference the native
+    * [[graft.functions.WinnowValuesExpr]] is spec-pinned against. */
+  private[graft] def winnowValuesHof(hs: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column = {
+    val wl = least(lit(w), size(hs))
+    array_distinct(transform(sequence(lit(0), size(hs) - wl),
+      i => array_min(slice(hs, i + 1, wl))))
   }
 
   /**
@@ -1579,9 +1601,17 @@ object DedupOps {
     val ws = filter(words(col("text")), w => w =!= "")
     val base = docs.select(col("doc_id"),
       size(ws).cast("long").as("n_words"), ws.as("ws"))
+    // Width-word window hashes ARE width-gram shingle hashes of the
+    // non-empty word stream: re-join on single spaces and hand the whole
+    // row to the native ShingleHashList loop (polyHashMod(array_join(
+    // slice(ws, i+1, width), " "), mod) per window was an interpreted
+    // lambda allocating the slice AND the joined string — O(n·width)
+    // with two allocations per window). Hash-identical: the native loop
+    // folds the same chars with the same ' ' separator (LlmExprs
+    // .shingleHashesMod), and the empty-ws edge (array_join → "" splits
+    // to [""]) is excluded by the same size guard as before.
     def windowHashes(mod: Long) = when(size(col("ws")) >= width,
-      transform(sequence(lit(0), size(col("ws")) - width),
-        i => polyHashMod(array_join(slice(col("ws"), i + 1, lit(width)), " "), mod)))
+      TextFunctions.shingleHashList(array_join(col("ws"), " "), width, mod))
       .otherwise(array().cast("array<long>"))
     val spanned = base
       .select(col("doc_id"),

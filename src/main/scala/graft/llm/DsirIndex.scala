@@ -136,7 +136,14 @@ object DsirIndex {
     * the static side per call — a long-lived stream should load once
     * via [[scorer]]. */
   def scoreStream(spark: SparkSession, dir: String,
-      docs: DataFrame): DataFrame = scorer(spark, dir)(docs)
+      docs: DataFrame): DataFrame =
+    // LAZY static side (round-21, from the round-20 advice): the
+    // per-call form must not localCheckpoint — a long-lived stream
+    // calling it per micro-batch (the documented usage) would leak one
+    // persisted RDD per batch and pay an eager materialization job at
+    // plan-build time. Only [[scorer]] (hoisted once per stream)
+    // freezes the model.
+    scorerImpl(spark, dir, materialize = false)(docs)
 
   /** LOAD-ONCE form of [[scoreStream]] (round-20 optimization, guide
     * §4.5 "initialise heavyweight state once per task, not per batch"):
@@ -149,16 +156,20 @@ object DsirIndex {
     * is single-writer). Per-batch output is row-identical to
     * [[scoreStream]] (spec-pinned). */
   def scorer(spark: SparkSession,
-      dir: String): DataFrame => DataFrame = {
+      dir: String): DataFrame => DataFrame =
+    scorerImpl(spark, dir, materialize = true)
+
+  private def scorerImpl(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame => DataFrame = {
     val (buckets, _, _, _) = requireValid(spark, dir)
     val tok = storedTok(spark, dir)
-    val model = spark.read.parquet(s"$dir/target_counts")
+    val folded = spark.read.parquet(s"$dir/target_counts")
       .agg(map_from_entries(collect_list(struct(col("b"), col("c_t"))))
         .as("ct_map"))
       .crossJoin(spark.read.parquet(s"$dir/raw_counts")
         .agg(map_from_entries(collect_list(struct(col("b"), col("c_r"))))
           .as("cr_map")))
-      .localCheckpoint(true)
+    val model = if (materialize) folded.localCheckpoint(true) else folded
     docs => docs.crossJoin(broadcast(model))
       .withColumn("graft_bs",
         Retrieval.bigramBinValues(col("text"), buckets, tok))

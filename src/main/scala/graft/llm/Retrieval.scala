@@ -361,12 +361,21 @@ object Retrieval {
       tok: Tokenizer = Tokenizer.Ascii): Column = {
     val ws = filter(TextFunctions.words(tok.prep(coalesce(text, lit("")))),
       w => w =!= "")
-    val bins = transform(sequence(lit(0), size(ws) - 2), i =>
-      TextFunctions.polyHash(concat(
-        element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))) %
-        lit(buckets.toLong))
+    // A hashed bigram IS the 2-gram shingle hash of the non-empty word
+    // stream: polyHash("w1 w2") char-for-char (the native loop folds the
+    // same ' ' separator). Re-join the words and run the native
+    // ShingleHashList pass instead of an interpreted per-pair
+    // concat+hash lambda; only the trivial `% buckets` stays a lambda.
+    val bins = transform(
+      TextFunctions.shingleHashList(array_join(ws, " "), 2),
+      h => h % lit(buckets.toLong))
     when(size(ws) >= 2, bins).otherwise(array().cast("array<long>"))
   }
+
+  /** [[bigramBinValues]] for the equivalence spec (WinnowExprSpec lives
+    * outside this package). */
+  private[graft] def bigramBinValuesForSpec(text: Column,
+      buckets: Int): Column = bigramBinValues(text, buckets)
 
   /**
    * Bigram-LM surprisal scoring — the CCNet/KenLM quality-filter shape:
@@ -528,15 +537,13 @@ object Retrieval {
   private def hashedBigramBuckets(d: DataFrame, buckets: Int,
       withId: Boolean, tok: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val idCols = if (withId) Seq(col("doc_id")) else Seq.empty[Column]
-    val toks = d.select(idCols :+
-      filter(TextFunctions.words(tok.prep(coalesce(col("text"), lit("")))),
-        w => w =!= "").as("ws"): _*)
-    toks.filter(size(col("ws")) >= 2)
-      .select(idCols :+ adjacentPairs(col("ws")).as("bg"): _*)
-      .select(idCols :+
-        (TextFunctions.polyHash(
-          concat(col("bg.w1"), lit(" "), col("bg.w2"))) %
-          lit(buckets.toLong)).as("b"): _*)
+    // One native per-row pass ([[bigramBinValues]]) then explode —
+    // row-identical to the old explode-struct-pairs-then-hash shape
+    // (explode preserves array order and drops empty arrays, exactly as
+    // the size>=2 filter + pair explode did), without the interpreted
+    // per-pair concat+hash lambda.
+    d.select(idCols :+
+      explode(bigramBinValues(col("text"), buckets, tok)).as("b"): _*)
   }
 
   /**

@@ -20,10 +20,12 @@ object IngestQueries {
    * validation split is non-trivial and hash-checkable.
    */
   def incoming(spark: SparkSession, dir: String): DataFrame =
-    // round-20: widen the raw single-split scan BELOW the envelope
-    // projection so the per-row from_json decode parallelizes
-    // (graft.ops.Widen — a no-op on any multi-split table)
-    Tables.envelopeOf(graft.ops.Widen.scan(Tables.events(spark, dir)))
+    // round-21: round-20's widen below the envelope decode regressed
+    // every metrics consumer in the quiet-window sweep (q10 +0.22 s,
+    // q12/q14/q46 +0.1 s each) — the from_json decode is too cheap at
+    // this row size to repay the exchange. Narrow scan restored
+    // (measured, OPTIMIZATION_r21.md).
+    Tables.envelopeOf(Tables.events(spark, dir))
       .withColumn(
       "topic",
       when(col("user_id") % 50 === 0, lit(""))

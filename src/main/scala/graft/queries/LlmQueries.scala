@@ -22,19 +22,41 @@ object LlmQueries {
 
   private val P = "1000000007"
 
-  /** Round-20 optimization: the driver parquet tables are single files
-    * with ONE row group, so a raw scan is ONE partition and every
-    * scan-rooted per-row text pipeline (tokenize/shingle/winnow/regex
-    * gates — the dominant compute here) runs single-threaded while the
-    * other cores idle. Widen CPU-dense raw scans to the session default
-    * parallelism; provably a no-op at real scale (see graft.ops.Widen). */
+  /** Round-21 widen policy, MEASURED per family (quiet-window full-sweep
+    * pre/post pairs + scoped min-of-3 A/Bs, OPTIMIZATION_r21.md):
+    *
+    *  - [[docsWide]] (size-aware [[graft.ops.Widen.scan]]) stays ONLY on
+    *    the single-pass CPU-dense pair/fingerprint generators, where the
+    *    A/B shows the fan-out wins even after the round-21 native winnow
+    *    expressions (q117 1.42 s narrow → 0.68 s widened; q202 2.02 →
+    *    0.88; q39 1.35 → 0.60; q195 1.51 → 0.80).
+    *  - Every other documents/embeddings site reads the plain narrow scan
+    *    ([[docsOf]]/[[embOf]]): round 20 widened all 195 sites to a fixed
+    *    32 and regressed ~150 queries (+36 s sweep-wide, quiet-window
+    *    measured) — the multi-stage stacks, PrefixRank mixtures and
+    *    report aggregates pay the extra exchange + 32× task floor without
+    *    a compute win (q110 0.69 narrow vs 1.14 widened even at 10-way;
+    *    q89 0.31 vs 0.73; q152 3.33 vs 3.61).
+    *
+    * At real scale both forms are identical: a 100 TB table scans as
+    * tens of thousands of splits, where Widen.scan is a provable no-op. */
   private def docsWide(s: SparkSession, d: String) =
     graft.ops.Widen.scan(Tables.documents(s, d))
 
-  /** [[docsWide]] for the embeddings table — the ANN/embedding operators'
-    * per-row vector math is exactly as scan-rooted and CPU-dense. */
+  /** Plain narrow documents scan — the measured default (see
+    * [[docsWide]]). */
+  private def docsOf(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+
+  /** [[docsWide]] for the embeddings table — kept only where the A/B
+    * shows a win (q96's refined ADC re-rank); the other ANN sites
+    * regressed under the blanket widen and read [[embOf]]. */
   private def embWide(s: SparkSession, d: String) =
     graft.ops.Widen.scan(Tables.embeddings(s, d))
+
+  /** Plain narrow embeddings scan — the measured default. */
+  private def embOf(s: SparkSession, d: String) =
+    Tables.embeddings(s, d)
 
   /** DuckDB polynomial rolling hash of a string expression — mirrors
     * TextFunctions.polyHash (fold h = (h*31 + code) mod `mod`). */
@@ -131,7 +153,7 @@ object LlmQueries {
 
   val q35 = Q(
     "q35_token_stats",
-    (s, d) => TextAnalysis.tokenStats(docsWide(s, d)).orderBy("doc_id"),
+    (s, d) => TextAnalysis.tokenStats(docsOf(s, d)).orderBy("doc_id"),
     Some(
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -158,7 +180,7 @@ object LlmQueries {
 
   val q36 = Q(
     "q36_lang_id",
-    (s, d) => TextAnalysis.languageId(docsWide(s, d)).orderBy("doc_id"),
+    (s, d) => TextAnalysis.languageId(docsOf(s, d)).orderBy("doc_id"),
     Some(
       s"""WITH w AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS ws FROM documents),
          |scored AS (SELECT doc_id, labeled_lang,
@@ -185,7 +207,7 @@ object LlmQueries {
 
   val q37 = Q(
     "q37_quality_score",
-    (s, d) => TextAnalysis.qualityScore(docsWide(s, d)).orderBy("doc_id"),
+    (s, d) => TextAnalysis.qualityScore(docsOf(s, d)).orderBy("doc_id"),
     Some(
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |c AS (SELECT doc_id,
@@ -198,7 +220,7 @@ object LlmQueries {
 
   val q38 = Q(
     "q38_fingerprint",
-    (s, d) => TextAnalysis.fingerprint(docsWide(s, d)).orderBy("doc_id"),
+    (s, d) => TextAnalysis.fingerprint(docsOf(s, d)).orderBy("doc_id"),
     // The empty-text guard matches Spark: hash('') = 0 (DuckDB's
     // string_split('', '') yields [''] whose unicode() is -1).
     Some(
@@ -267,7 +289,7 @@ object LlmQueries {
   // checks before training.
   val q49 = Q(
     "q49_train_val_split",
-    (s, d) => TextAnalysis.withSplit(docsWide(s, d))
+    (s, d) => TextAnalysis.withSplit(docsOf(s, d))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("split", "lang"),
@@ -288,7 +310,7 @@ object LlmQueries {
   val q50 = Q(
     "q50_hash_sample_normalized",
     (s, d) => TextAnalysis.normalized(
-      TextAnalysis.hashSample(docsWide(s, d), permille = 100))
+      TextAnalysis.hashSample(docsOf(s, d), permille = 100))
       .select(col("doc_id"), length(col("text_norm")).cast("long").as("n_chars_norm"))
       .orderBy("doc_id"),
     Some(
@@ -342,7 +364,7 @@ object LlmQueries {
   private val redactPattern = "customer [a-z]+"
   val q55 = Q(
     "q55_redaction",
-    (s, d) => TextAnalysis.redacted(docsWide(s, d), redactPattern)
+    (s, d) => TextAnalysis.redacted(docsOf(s, d), redactPattern)
       .select(col("doc_id"), col("n_redacted"),
         length(col("text_redacted")).cast("long").as("n_chars_red"))
       .orderBy("doc_id"),
@@ -356,7 +378,7 @@ object LlmQueries {
   // filters): modal-word fraction + duplicate 3-shingle fraction.
   val q56 = Q(
     "q56_repetition_signals",
-    (s, d) => TextAnalysis.repetitionSignals(docsWide(s, d), n = 3)
+    (s, d) => TextAnalysis.repetitionSignals(docsOf(s, d), n = 3)
       .orderBy("doc_id"),
     Some(
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -384,7 +406,7 @@ object LlmQueries {
   val q58 = Q(
     "q58_decontaminate",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.decontaminated(docs, docs.filter(col("doc_id") % 50 === 0))
         .select(col("doc_id")).orderBy("doc_id")
     },
@@ -429,7 +451,7 @@ object LlmQueries {
   val q62 = Q(
     "q62_stratified_sample",
     (s, d) => TextAnalysis.stratifiedHashSample(
-      docsWide(s, d), "lang", mixRates.toMap)
+      docsOf(s, d), "lang", mixRates.toMap)
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang"),
     Some {
@@ -448,7 +470,7 @@ object LlmQueries {
   val q63 = Q(
     "q63_sequence_packing",
     (s, d) => TextAnalysis.packSequences(
-      docsWide(s, d), packBudget, packShards)
+      docsOf(s, d), packBudget, packShards)
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("shard", "bin"),
@@ -562,7 +584,7 @@ object LlmQueries {
   val q42 = Q(
     "q42_embed_neardup",
     (s, d) => SimilaritySearch.embeddingNearDupPairs(
-      embWide(s, d), dim, threshold = 0.4,
+      embOf(s, d), dim, threshold = 0.4,
       tables = lshTables, nbits = lshBits)
       .orderBy("id_a", "id_b"),
     Some(
@@ -582,7 +604,7 @@ object LlmQueries {
   val q43 = Q(
     "q43_cosine_topk",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
         .orderBy("query_id", "rank")
     },
@@ -603,7 +625,7 @@ object LlmQueries {
   val q44 = Q(
     "q44_ann_lsh_topk",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.lshCandidateTopK(e, e.filter(col("vec_id") < 8), dim,
         k = 3, tables = lshTables, nbits = lshBits)
         .orderBy("query_id", "rank")
@@ -638,7 +660,7 @@ object LlmQueries {
   val q54 = Q(
     "q54_ann_ivf_topk",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") < 8), k = 3,
         nCells = ivfCells, nprobe = ivfProbe)
         .orderBy("query_id", "rank")
@@ -682,7 +704,7 @@ object LlmQueries {
   val q70 = Q(
     "q70_semantic_dedup_clusters",
     (s, d) => SimilaritySearch.semanticDupClusters(
-      embWide(s, d), dim, threshold = 0.4,
+      embOf(s, d), dim, threshold = 0.4,
       tables = lshTables, nbits = lshBits)
       .orderBy("vec_id"),
     Some(
@@ -739,7 +761,7 @@ object LlmQueries {
   val q71 = Q(
     "q71_ann_ivf_kmeans",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.ivfTopKWith(e, e.filter(col("vec_id") < 8), k = 3,
         SimilaritySearch.kmeansCentroids(e, nCells = ivfCells, iters = 2,
           sampleMod = kmSampleMod.toLong),
@@ -790,7 +812,7 @@ object LlmQueries {
   val q72 = Q(
     "q72_ann_multiprobe_topk",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.lshMultiProbeTopK(e, e.filter(col("vec_id") < 8), dim,
         k = 3, tables = lshTables, nbits = lshBits)
         .orderBy("query_id", "rank")
@@ -828,7 +850,7 @@ object LlmQueries {
   val q73 = Q(
     "q73_deduped_corpus",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
           DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
@@ -857,7 +879,7 @@ object LlmQueries {
   val q97 = Q(
     "q97_deduped_corpus_minhash",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
           DedupOps.minhashLshPairs(docs, n = 3, perms = 32, bands = 8,
@@ -885,7 +907,7 @@ object LlmQueries {
   // for the q97 shape) but this stack 2.0 s with identical output.
   val q98 = Q(
     "q98_production_dedup_stack",
-    (s, d) => DedupOps.exactThenNearDedup(docsWide(s, d),
+    (s, d) => DedupOps.exactThenNearDedup(docsOf(s, d),
       n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id"),
     Some {
@@ -981,7 +1003,7 @@ object LlmQueries {
   val q104 = Q(
     "q104_incremental_dedup",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.incrementalDedup(
         docs.filter(col("doc_id") % 4 =!= 0),
         docs.filter(col("doc_id") % 4 === 0),
@@ -1003,13 +1025,13 @@ object LlmQueries {
   private def dedupIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_dedup_index", d, "ids") { dir =>
       graft.llm.DedupIndex.build(
-        docsWide(s, d).filter(col("doc_id") % 4 =!= 0), dir,
+        docsOf(s, d).filter(col("doc_id") % 4 =!= 0), dir,
         n = 3, perms = 32, bands = 8, rowsPerBand = 4)
     }
   val q106 = Q(
     "q106_dedup_index_probe",
     (s, d) => graft.llm.DedupIndex.probe(
-      docsWide(s, d).filter(col("doc_id") % 4 === 0),
+      docsOf(s, d).filter(col("doc_id") % 4 === 0),
       dedupIndexDir(s, d), threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id"),
     q104.oracle)
@@ -1024,7 +1046,7 @@ object LlmQueries {
   // what the hash compares, not just a single probe.
   private def dedupLifecycleDir(s: SparkSession, d: String): String =
     scratchDir("graft_dedup_lifecycle", d, "ids") { dir =>
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.DedupIndex.build(
         docs.filter(col("doc_id") % 4 >= 2), dir,
         n = 3, perms = 32, bands = 8, rowsPerBand = 4)
@@ -1038,7 +1060,7 @@ object LlmQueries {
   val q111 = Q(
     "q111_dedup_index_lifecycle",
     (s, d) => graft.llm.DedupIndex.probe(
-      docsWide(s, d).filter(col("doc_id") % 4 === 0),
+      docsOf(s, d).filter(col("doc_id") % 4 === 0),
       dedupLifecycleDir(s, d), threshold = 0.5)
       .select(col("doc_id")).orderBy("doc_id"),
     Some {
@@ -1073,7 +1095,7 @@ object LlmQueries {
   val q76 = Q(
     "q76_curation_pipeline",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val kept = DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
           DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
@@ -1155,7 +1177,7 @@ object LlmQueries {
 
   val q79 = Q(
     "q79_pq_encode",
-    (s, d) => SimilaritySearch.pqEncode(embWide(s, d),
+    (s, d) => SimilaritySearch.pqEncode(embOf(s, d),
       dim, subspaces = pqSubspaces, k = ivfCells)
       .orderBy("vec_id", "sub"),
     Some(
@@ -1226,7 +1248,7 @@ object LlmQueries {
   val q80 = Q(
     "q80_ann_adc_topk",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.adcTopK(e, e.filter(col("vec_id") < 8), k = 3,
         dim, subspaces = pqSubspaces, nCodes = ivfCells)
         .orderBy("query_id", "rank")
@@ -1367,7 +1389,7 @@ object LlmQueries {
     * checkpoint. */
   private def streamFeedDir(s: SparkSession, d: String): String =
     scratchDir("graft_stream_feed", d, "_SUCCESS") { dir =>
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       docs.repartition(4).write.mode("append").parquet(dir)
       docs.repartition(4).write.mode("append").parquet(dir)
     }
@@ -1408,7 +1430,7 @@ object LlmQueries {
     scratchDir("graft_late_feed", d, "b09.parquet") { dir =>
       import s.implicits._
       val T = lateFeedBase
-      val base = docsWide(s, d).select(col("doc_id"))
+      val base = docsOf(s, d).select(col("doc_id"))
         .withColumn("m", col("doc_id") % 5)
         .withColumn("j", (col("doc_id") % 8).cast("int"))
         .withColumn("j0", ((col("doc_id") - 4) % 8).cast("int"))
@@ -1457,7 +1479,7 @@ object LlmQueries {
   val q102 = Q(
     "q102_ivf_serve_refined",
     (s, d) => graft.llm.IvfIndex.searchPqRefined(
-      embWide(s, d).filter(col("vec_id") < 8),
+      embOf(s, d).filter(col("vec_id") < 8),
       ivfServeDir(s, d), k = 3, nprobe = ivfCells, refine = pqRefine)
       .orderBy("query_id", "rank"),
     Some(refinedOracleSql))
@@ -1469,7 +1491,7 @@ object LlmQueries {
     (s, d) => {
       implicit val spark = s
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(docsWide(s, d)))
+        Multimodal.mediaFromDocuments(docsOf(s, d)))
         .toDF()
         .withColumn("mean_byte", Det.fr(col("mean_byte"), 4))
         .orderBy("doc_id")
@@ -1498,7 +1520,7 @@ object LlmQueries {
     (s, d) => {
       implicit val spark = s
       Multimodal.sampleFrames(
-        Multimodal.mediaFromDocuments(docsWide(s, d)), nFrames)
+        Multimodal.mediaFromDocuments(docsOf(s, d)), nFrames)
         .toDF().orderBy("doc_id", "frame_idx")
     },
     Some(
@@ -1518,7 +1540,7 @@ object LlmQueries {
     (s, d) => {
       implicit val spark = s
       Multimodal.resize(
-        Multimodal.mediaFromDocuments(docsWide(s, d)), nBuckets)
+        Multimodal.mediaFromDocuments(docsOf(s, d)), nBuckets)
         .toDF().orderBy("doc_id", "bucket")
     },
     Some(
@@ -1540,7 +1562,7 @@ object LlmQueries {
   val q51 = Q(
     "q51_embed_quantize",
     (s, d) => {
-      val q = graft.llm.EmbeddingOps.quantized(embWide(s, d))
+      val q = graft.llm.EmbeddingOps.quantized(embOf(s, d))
       q.select(
         col("vec_id"),
         Det.fr(col("q_scale"), 6).as("q_scale"),
@@ -1574,7 +1596,7 @@ object LlmQueries {
   val q52 = Q(
     "q52_cap_per_source",
     (s, d) => graft.llm.EmbeddingOps.capPerGroup(
-      docsWide(s, d), "source", "doc_id", cap = 10)
+      docsOf(s, d), "source", "doc_id", cap = 10)
       .groupBy("source").agg(count(lit(1)).as("n"),
         max(col("doc_id")).as("max_kept_id"))
       .orderBy("source"),
@@ -1593,7 +1615,7 @@ object LlmQueries {
   val q81 = Q(
     "q81_contamination_overlap",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.contaminationOverlap(
         docs, docs.filter(col("doc_id") % 50 === 0), n = contamN)
         .orderBy("doc_id")
@@ -1625,7 +1647,7 @@ object LlmQueries {
   val q99 = Q(
     "q99_fuzzy_decontaminate",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.fuzzyDecontaminated(
         docs, docs.filter(col("doc_id") % 50 === 0), n = contamN,
         maxOverlap = 0.5)
@@ -1657,7 +1679,7 @@ object LlmQueries {
   // order).
   val q100 = Q(
     "q100_training_order",
-    (s, d) => TextAnalysis.trainingOrder(docsWide(s, d), salt = "epoch0")
+    (s, d) => TextAnalysis.trainingOrder(docsOf(s, d), salt = "epoch0")
       .orderBy("ord"),
     Some(
       s"""SELECT doc_id, ${polyHashSql("'epoch0#' || coalesce(text, '')")} AS order_key,
@@ -1676,7 +1698,7 @@ object LlmQueries {
   // the hash-checked path).
   val q82 = Q(
     "q82_tfidf_top_terms",
-    (s, d) => Retrieval.tfIdfTopTerms(docsWide(s, d), k = 3, logIdf = false)
+    (s, d) => Retrieval.tfIdfTopTerms(docsOf(s, d), k = 3, logIdf = false)
       .orderBy("doc_id", "rank"),
     Some(
       s"""WITH tc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
@@ -1725,7 +1747,7 @@ object LlmQueries {
        |ORDER BY rank""".stripMargin
   val q83 = Q(
     "q83_bm25_topk",
-    (s, d) => Retrieval.bm25TopK(docsWide(s, d), bmTerms, k = 20,
+    (s, d) => Retrieval.bm25TopK(docsOf(s, d), bmTerms, k = 20,
       k1 = 1.5, b = 0.75, logIdf = false).orderBy("rank"),
     Some(s"WITH ${bm25Ctes("documents")}\n${bm25TopSql(20)}"))
 
@@ -1739,7 +1761,7 @@ object LlmQueries {
   val q84 = Q(
     "q84_curated_search",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val kept = DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
           DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
@@ -1762,7 +1784,7 @@ object LlmQueries {
   // per-row array expressions exploded — scan-stage, no shuffle.
   val q85 = Q(
     "q85_chunked",
-    (s, d) => TextAnalysis.chunked(docsWide(s, d), width = 32, stride = 24)
+    (s, d) => TextAnalysis.chunked(docsOf(s, d), width = 32, stride = 24)
       .orderBy("doc_id", "chunk_id"),
     Some(
       s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -1782,7 +1804,7 @@ object LlmQueries {
   // MIN over one BIGINT is the keep-first selector on both engines.
   val q86 = Q(
     "q86_span_dedup",
-    (s, d) => graft.llm.DedupOps.spanDedupStats(docsWide(s, d), width = 8)
+    (s, d) => graft.llm.DedupOps.spanDedupStats(docsOf(s, d), width = 8)
       .orderBy("doc_id"),
     Some(
       s"""WITH base AS (
@@ -1819,7 +1841,7 @@ object LlmQueries {
   // IEEE division + fround.
   val q87 = Q(
     "q87_unigram_rarity",
-    (s, d) => graft.llm.Retrieval.unigramRarity(docsWide(s, d))
+    (s, d) => graft.llm.Retrieval.unigramRarity(docsOf(s, d))
       .orderBy("doc_id"),
     Some(
       s"""WITH tc AS (
@@ -1852,7 +1874,7 @@ object LlmQueries {
   val q88 = Q(
     "q88_bloom_decontaminate",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.bloomDecontaminated(docs, docs.filter(col("doc_id") % 37 === 1),
         expectedItems = 1000L)
         .select(col("doc_id"), col("source")).orderBy("doc_id")
@@ -1877,7 +1899,7 @@ object LlmQueries {
   // hence bit-identical across engines — the one float op in the chain.
   val q89 = Q(
     "q89_mixture_sample",
-    (s, d) => TextAnalysis.mixtureSample(docsWide(s, d), "source",
+    (s, d) => TextAnalysis.mixtureSample(docsOf(s, d), "source",
       budget = 200L).orderBy("source", "rnk"),
     Some(
       s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grp
@@ -1906,7 +1928,7 @@ object LlmQueries {
   // (the crossing doc is kept — overshoot is at most one document).
   val q101 = Q(
     "q101_mixture_tokens",
-    (s, d) => TextAnalysis.mixtureSampleTokens(docsWide(s, d),
+    (s, d) => TextAnalysis.mixtureSampleTokens(docsOf(s, d),
       "source", tokenBudget = 5000L).orderBy("source", "rnk"),
     Some(
       s"""WITH toks AS (
@@ -1945,7 +1967,7 @@ object LlmQueries {
   // suppresses the unstable PMI tail; top-k then rank over k rows.
   val q105 = Q(
     "q105_collocations",
-    (s, d) => Retrieval.collocationsTopK(docsWide(s, d),
+    (s, d) => Retrieval.collocationsTopK(docsOf(s, d),
       k = 20, minCount = 5L).orderBy("rank"),
     Some(
       s"""WITH toks AS (
@@ -1985,7 +2007,7 @@ object LlmQueries {
   // cut, full-vocab shuffle (fine while the vocabulary fits a shuffle).
   val q91 = Q(
     "q91_heavy_hitters",
-    (s, d) => graft.llm.Retrieval.heavyHitterTerms(docsWide(s, d), k = 20)
+    (s, d) => graft.llm.Retrieval.heavyHitterTerms(docsOf(s, d), k = 20)
       .orderBy("rank"),
     Some(heavyHitterSql(20)))
 
@@ -1997,7 +2019,7 @@ object LlmQueries {
   // is a valid oracle here; the approx regime is spec-pinned instead.
   val q92 = Q(
     "q92_heavy_hitters_sketch",
-    (s, d) => graft.llm.Retrieval.heavyHitterTermsSketch(docsWide(s, d),
+    (s, d) => graft.llm.Retrieval.heavyHitterTermsSketch(docsOf(s, d),
       k = 20, maxTracked = 4096).orderBy("rank"),
     Some(heavyHitterSql(20)))
 
@@ -2007,7 +2029,7 @@ object LlmQueries {
   // lambda index is 0-based, DuckDB's is 1-based, hence the (i - 1).
   val q93 = Q(
     "q93_span_dedup_apply",
-    (s, d) => graft.llm.DedupOps.spanDedupApply(docsWide(s, d), width = 8)
+    (s, d) => graft.llm.DedupOps.spanDedupApply(docsOf(s, d), width = 8)
       .orderBy("doc_id"),
     Some(
       s"""WITH base AS (
@@ -2043,7 +2065,7 @@ object LlmQueries {
   // score/argmax SQL so the two cannot drift.
   val q95 = Q(
     "q95_lang_confidence",
-    (s, d) => TextAnalysis.languageIdConfidence(docsWide(s, d))
+    (s, d) => TextAnalysis.languageIdConfidence(docsOf(s, d))
       .select(col("doc_id"), col("pred_lang"), col("margin"), col("is_confident"))
       .orderBy("doc_id"),
     Some {
@@ -2066,7 +2088,7 @@ object LlmQueries {
   // determinism, CodegenSpec pins the codegen path.
   val q94 = Q(
     "q94_compression_ratio",
-    (s, d) => TextAnalysis.compressionRatio(docsWide(s, d))
+    (s, d) => TextAnalysis.compressionRatio(docsOf(s, d))
       .orderBy("doc_id"),
     None)
 
@@ -2207,7 +2229,7 @@ object LlmQueries {
   // weighted pair counts, hash-checked against the CTE replay.
   val q107 = Q(
     "q107_bpe_vocab",
-    (s, d) => Bpe.learnBpe(docsWide(s, d), bpeK).orderBy("rank"),
+    (s, d) => Bpe.learnBpe(docsOf(s, d), bpeK).orderBy("rank"),
     Some(bpeVocabOracle))
 
   // q108 — the encoder: per-document REAL token counts under the learned
@@ -2224,7 +2246,7 @@ object LlmQueries {
     * so their hash checks cover learn→store→load→encode end-to-end. */
   private def bpeIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_bpe_vocab", d, "params") { dir =>
-      graft.llm.BpeIndex.build(docsWide(s, d), dir, bpeK)
+      graft.llm.BpeIndex.build(docsOf(s, d), dir, bpeK)
     }
   private def bpeMergesFor(s: SparkSession, d: String): Seq[Bpe.Merge] =
     graft.llm.BpeIndex.load(s, bpeIndexDir(s, d))
@@ -2232,7 +2254,7 @@ object LlmQueries {
   val q108 = Q(
     "q108_bpe_token_counts",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val merges = bpeMergesFor(s, d)
       docs.select(col("doc_id"),
         size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
@@ -2254,7 +2276,7 @@ object LlmQueries {
   val q109 = Q(
     "q109_pack_bpe_tokens",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val merges = bpeMergesFor(s, d)
       TextAnalysis.packSequencesBy(docs, Bpe.tokenCount(col("text"), merges),
         packBudget, packShards)
@@ -2285,7 +2307,7 @@ object LlmQueries {
   val q110 = Q(
     "q110_mixture_bpe_tokens",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val merges = bpeMergesFor(s, d)
       TextAnalysis.mixtureSampleTokensBy(docs,
         Bpe.tokenCount(col("text"), merges), "source", tokenBudget = 5000L)
@@ -2331,7 +2353,7 @@ object LlmQueries {
   val q112 = Q(
     "q112_classifier_gate",
     (s, d) => graft.llm.Classifier.qualityTeacherGate(
-      docsWide(s, d)).orderBy("doc_id"),
+      docsOf(s, d)).orderBy("doc_id"),
     Some {
       val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
       val absDist = (pfx: String, cnt: String) => (1 to 5).map(i =>
@@ -2394,7 +2416,7 @@ object LlmQueries {
   val q113 = Q(
     "q113_bigram_surprisal",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.Retrieval.bigramSurprisal(docs,
         docs.filter(col("doc_id") % 4 === 0)).orderBy("doc_id")
     },
@@ -2437,7 +2459,7 @@ object LlmQueries {
   // so full epochs AND the repetition cap both bind.
   val q114 = Q(
     "q114_epoch_mixture",
-    (s, d) => TextAnalysis.epochMixtureTokens(docsWide(s, d), "source",
+    (s, d) => TextAnalysis.epochMixtureTokens(docsOf(s, d), "source",
       tokenBudget = 70000L, maxEpochs = 3).orderBy("source", "rnk", "epoch"),
     Some(
       s"""WITH toks AS (
@@ -2519,8 +2541,8 @@ object LlmQueries {
   val q115 = Q(
     "q115_hybrid_rrf",
     (s, d) => {
-      val docs = docsWide(s, d)
-      val emb = embWide(s, d)
+      val docs = docsOf(s, d)
+      val emb = embOf(s, d)
       graft.llm.Retrieval.hybridTopK(docs, emb, bmTerms,
         emb.filter(col("vec_id") === 300), k = 10, kCand = 20)
         .orderBy("rank")
@@ -2535,7 +2557,7 @@ object LlmQueries {
   // A dropped (or double-indexed) appended vector changes the result.
   private def ivfAppendDir(s: SparkSession, d: String): String =
     scratchDir("graft_ivf_append", d, "centroids") { dir =>
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       graft.llm.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir,
         nCells = ivfCells, iters = 2)
       graft.llm.IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
@@ -2543,7 +2565,7 @@ object LlmQueries {
   val q116 = Q(
     "q116_ivf_append_search",
     (s, d) => graft.llm.IvfIndex.search(
-      embWide(s, d).filter(col("vec_id") % 250 === 7),
+      embOf(s, d).filter(col("vec_id") % 250 === 7),
       ivfAppendDir(s, d), k = 5, nprobe = ivfCells)
       .orderBy("query_id", "rank"),
     Some(
@@ -2586,7 +2608,7 @@ object LlmQueries {
   // stratum preserves the mixture while cutting each domain's own tail.
   val q118 = Q(
     "q118_quality_prune",
-    (s, d) => TextAnalysis.qualityPrune(docsWide(s, d), "source",
+    (s, d) => TextAnalysis.qualityPrune(docsOf(s, d), "source",
       keepPermille = 300L).orderBy("source", "rnk"),
     Some(
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
@@ -2668,7 +2690,7 @@ object LlmQueries {
 
   val q119 = Q(
     "q119_epoch_training_order",
-    (s, d) => TextAnalysis.epochTrainingOrder(docsWide(s, d), "source",
+    (s, d) => TextAnalysis.epochTrainingOrder(docsOf(s, d), "source",
       tokenBudget = 70000L, maxEpochs = 3).orderBy("ord"),
     Some(
       s"""WITH $epochOrderCtes
@@ -2686,7 +2708,7 @@ object LlmQueries {
     (s, d) => {
       implicit val spark = s
       Multimodal.aHashPairs(
-        Multimodal.mediaFromDocuments(docsWide(s, d)),
+        Multimodal.mediaFromDocuments(docsOf(s, d)),
         k = 48, maxHamming = 6)
         .orderBy("id_a", "id_b")
     },
@@ -2731,7 +2753,7 @@ object LlmQueries {
     (s, d) => {
       implicit val spark = s
       Multimodal.extractFeatures(
-        Multimodal.p6FromDocuments(docsWide(s, d)))
+        Multimodal.p6FromDocuments(docsOf(s, d)))
         .toDF()
         .withColumn("mean_byte", Det.fr(col("mean_byte"), 4))
         .orderBy("doc_id")
@@ -2764,7 +2786,7 @@ object LlmQueries {
     "q241_p6_ahash_invariance",
     (s, d) => {
       implicit val spark = s
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val k = 32
       val a = Multimodal.aHash(Multimodal.p6FromDocuments(docs), k)
       val b = Multimodal.aHash(Multimodal.p6FromDocuments(docs, reencoded = true), k)
@@ -2811,7 +2833,7 @@ object LlmQueries {
     "q244_bmp_cross_format",
     (s, d) => {
       implicit val spark = s
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val k = 32
       val a = Multimodal.aHash(Multimodal.p6FromDocuments(docs), k)
       val b = Multimodal.aHash(Multimodal.bmpFromDocuments(docs), k)
@@ -2857,7 +2879,7 @@ object LlmQueries {
     "q245_wav_cross_modal",
     (s, d) => {
       implicit val spark = s
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val k = 32
       val wav = Multimodal.wavFromDocuments(docs)
       val feats = Multimodal.extractFeatures(wav).toDF()
@@ -2914,7 +2936,7 @@ object LlmQueries {
     (s, d) => {
       implicit val spark = s
       Multimodal.sampleFrames(
-        Multimodal.aviFromDocuments(docsWide(s, d)), 3)
+        Multimodal.aviFromDocuments(docsOf(s, d)), 3)
         .toDF().orderBy("doc_id", "frame_idx")
     },
     Some(
@@ -2947,7 +2969,7 @@ object LlmQueries {
     "q247_transcode_dedup",
     (s, d) => {
       implicit val spark = s
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val both = Multimodal.p6FromDocuments(docs)
         .unionByName(Multimodal.bmpFromDocuments(docs))
       Multimodal.transcodeToP6(both)
@@ -3035,7 +3057,7 @@ object LlmQueries {
   // query an ingest pipeline runs every batch).
   val q121 = Q(
     "q121_corpus_report",
-    (s, d) => TextAnalysis.corpusReport(docsWide(s, d), "source")
+    (s, d) => TextAnalysis.corpusReport(docsOf(s, d), "source")
       .orderBy("source"),
     Some(
       s"""WITH w AS (SELECT doc_id, source, lang, text,
@@ -3076,7 +3098,7 @@ object LlmQueries {
   // item changes the result.
   private def deconIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_decon_idx", d, "params") { dir =>
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.DeconIndex.build(
         docs.filter(col("doc_id") % 82 === 3), dir, n = contamN)
       graft.llm.DeconIndex.append(
@@ -3085,7 +3107,7 @@ object LlmQueries {
   val q122 = Q(
     "q122_decon_index_probe",
     (s, d) => graft.llm.DeconIndex.probe(
-      docsWide(s, d), deconIndexDir(s, d))
+      docsOf(s, d), deconIndexDir(s, d))
       .select(col("doc_id")).orderBy("doc_id"),
     Some(
       s"""WITH fp AS (
@@ -3103,7 +3125,7 @@ object LlmQueries {
   val q123 = Q(
     "q123_decon_index_fuzzy",
     (s, d) => graft.llm.DeconIndex.probeFuzzy(
-      docsWide(s, d), deconIndexDir(s, d), maxOverlap = 0.5)
+      docsOf(s, d), deconIndexDir(s, d), maxOverlap = 0.5)
       .select(col("doc_id")).orderBy("doc_id"),
     Some(
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -3129,7 +3151,7 @@ object LlmQueries {
   val q124 = Q(
     "q124_corpus_diff",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val oldV = docs.filter(col("doc_id") % 10 =!= 7)
       val newV = docs.filter(col("doc_id") % 10 =!= 2)
         .withColumn("text",
@@ -3164,7 +3186,7 @@ object LlmQueries {
   val q125 = Q(
     "q125_vocab_drift",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.Retrieval.vocabDrift(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), k = 20, minCount = 5L)
@@ -3206,7 +3228,7 @@ object LlmQueries {
   val q126 = Q(
     "q126_hard_negatives",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5,
         skip = 2, dupCeiling = 0.45)
         .orderBy("query_id", "rank")
@@ -3246,7 +3268,7 @@ object LlmQueries {
 
   val q127 = Q(
     "q127_shard_manifest",
-    (s, d) => TextAnalysis.shardManifest(docsWide(s, d), "source",
+    (s, d) => TextAnalysis.shardManifest(docsOf(s, d), "source",
       tokenBudget = 70000L, maxEpochs = 3, shardSize = 100L)
       .orderBy("shard"),
     Some(shardManifestOracle))
@@ -3260,7 +3282,7 @@ object LlmQueries {
   val q128 = Q(
     "q128_curation_v2",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       // reused-intermediate checkpoints: the v7 lesson (SCALE.md)
       val kept = DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
@@ -3361,7 +3383,7 @@ object LlmQueries {
   // over the same span/grp CTEs as q86.
   val q130 = Q(
     "q130_span_dup_runs",
-    (s, d) => graft.llm.DedupOps.spanDupRuns(docsWide(s, d), width = 8)
+    (s, d) => graft.llm.DedupOps.spanDupRuns(docsOf(s, d), width = 8)
       .orderBy("doc_id", "start_word"),
     Some(
       s"""WITH base AS (
@@ -3404,8 +3426,8 @@ object LlmQueries {
   // cells) is CorpusOpsSpec-pinned on the same operator.
   private def hybridIvfDir(s: SparkSession, d: String): String =
     scratchDir("graft_hybrid_ivf", d, "pq_codebooks") { dir =>
-      val emb = embWide(s, d)
-      val corpus = emb.join(docsWide(s, d).select(col("doc_id")),
+      val emb = embOf(s, d)
+      val corpus = emb.join(docsOf(s, d).select(col("doc_id")),
         emb("vec_id") === col("doc_id"))
         .select(col("vec_id"), col("embedding"))
       graft.llm.IvfIndex.buildPq(corpus, dir, nCells = ivfCells, iters = 2,
@@ -3414,8 +3436,8 @@ object LlmQueries {
   val q131 = Q(
     "q131_hybrid_rrf_ivf",
     (s, d) => graft.llm.Retrieval.hybridTopKIvf(
-      docsWide(s, d), hybridIvfDir(s, d), bmTerms,
-      embWide(s, d).filter(col("vec_id") === 300),
+      docsOf(s, d), hybridIvfDir(s, d), bmTerms,
+      embOf(s, d).filter(col("vec_id") === 300),
       k = 10, kCand = 20, nprobe = ivfCells, refine = Int.MaxValue)
       .orderBy("rank"),
     Some(hybridRrfOracle))
@@ -3429,7 +3451,7 @@ object LlmQueries {
   // clone) is UnicodeTextSpec-pinned — the documented engine boundary.
   val q132 = Q(
     "q132_unicode_dedup",
-    (s, d) => graft.llm.TextAnalysis.unicodeDupGroups(docsWide(s, d))
+    (s, d) => graft.llm.TextAnalysis.unicodeDupGroups(docsOf(s, d))
       .orderBy("doc_id"),
     Some(
       s"""WITH nf AS (
@@ -3458,7 +3480,7 @@ object LlmQueries {
   val q133 = Q(
     "q133_curation_v3",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       // ONE shared inverted-index pass yields both edge families
       // (dupEdges ≡ jaccardPairs(0.5) ∪ containmentPairs(0.8))
       val edges = DedupOps.dupEdges(docs, n = 3, jaccThreshold = 0.5,
@@ -3575,7 +3597,7 @@ object LlmQueries {
   // cumsum + range() fan-out — all exact integer division.
   val q134 = Q(
     "q134_pack_spanning",
-    (s, d) => TextAnalysis.packSpanning(docsWide(s, d),
+    (s, d) => TextAnalysis.packSpanning(docsOf(s, d),
       size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
         w => w =!= "")).cast("long"),
       seqLen = 512L)
@@ -3613,7 +3635,7 @@ object LlmQueries {
   val q135 = Q(
     "q135_unicode_decontaminate",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.unicodeDecontaminated(docs,
         docs.filter(col("doc_id") % 59 === 7)
           .withColumn("text", upper(col("text"))))
@@ -3643,7 +3665,7 @@ object LlmQueries {
   // counts, and unnests each token list at its document offset.
   val q136 = Q(
     "q136_bpe_token_stream",
-    (s, d) => Bpe.encodeTokens(docsWide(s, d), bpeMergesFor(s, d))
+    (s, d) => Bpe.encodeTokens(docsOf(s, d), bpeMergesFor(s, d))
       .orderBy("doc_id", "pos"),
     Some(
       s"""WITH $bpeChainCtes,
@@ -3669,7 +3691,7 @@ object LlmQueries {
   // from the corpus's own function-word set.
   val q137 = Q(
     "q137_gopher_rules",
-    (s, d) => TextAnalysis.gopherRules(docsWide(s, d),
+    (s, d) => TextAnalysis.gopherRules(docsOf(s, d),
       minWords = 30L, maxWords = 100000L,
       requiredWords = Seq("the", "a", "and", "of", "to"),
       minRequiredHits = 2).orderBy("doc_id"),
@@ -3710,7 +3732,7 @@ object LlmQueries {
   val q138 = Q(
     "q138_surprisal_buckets",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.Retrieval.surprisalBuckets(docs,
         docs.filter(col("doc_id") % 4 === 0)).orderBy("rnk")
     },
@@ -3759,7 +3781,7 @@ object LlmQueries {
   // flags regardless of rule count.
   val q139 = Q(
     "q139_filter_funnel",
-    (s, d) => TextAnalysis.filterFunnel(docsWide(s, d),
+    (s, d) => TextAnalysis.filterFunnel(docsOf(s, d),
       minWords = 30L, maxWords = 100000L,
       requiredWords = Seq("the", "a", "and", "of", "to"),
       minRequiredHits = 2).orderBy("rule_no"),
@@ -3813,7 +3835,7 @@ object LlmQueries {
   val q140 = Q(
     "q140_curation_v4",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       // pure scan-stage filter — no semi-join, the same gate a stream
       // runs (gopherFilter ≡ keep semi-join, spec-pinned)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
@@ -3959,7 +3981,7 @@ object LlmQueries {
     "q141_cluster_sizes",
     (s, d) => DedupOps.clusterSizeHistogram(
       DedupOps.duplicateClusters(
-        DedupOps.ngramJaccardPairs(docsWide(s, d), n = 3,
+        DedupOps.ngramJaccardPairs(docsOf(s, d), n = 3,
           threshold = 0.5, maxDf = Some(DedupDfCap))))
       .orderBy("cluster_size"),
     Some(
@@ -3987,7 +4009,7 @@ object LlmQueries {
   val q142 = Q(
     "q142_multilingual_minhash",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.dedupedCorpus(docs,
         DedupOps.duplicateClusters(
           DedupOps.minhashLshPairs(docs, n = 3, perms = 32, bands = 8,
@@ -4029,7 +4051,7 @@ object LlmQueries {
   val q143 = Q(
     "q143_curation_v5",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -4175,7 +4197,7 @@ object LlmQueries {
   val q144 = Q(
     "q144_bpe_decode_roundtrip",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val merges = bpeMergesFor(s, d)
       val orig = array_join(
         filter(TextFunctions.words(coalesce(col("text"), lit(""))),
@@ -4219,7 +4241,7 @@ object LlmQueries {
   val q145 = Q(
     "q145_ann_recall",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       val qs = e.filter(col("vec_id") < 8)
       val truth = SimilaritySearch.bruteForceTopK(e, qs, k = 10)
         .select(col("query_id"), col("neighbor_id"))
@@ -4302,7 +4324,7 @@ object LlmQueries {
   // exactly as unicodeDupGroups groups them).
   val q146 = Q(
     "q146_multilingual_dedup_stack",
-    (s, d) => DedupOps.exactThenNearDedup(docsWide(s, d),
+    (s, d) => DedupOps.exactThenNearDedup(docsOf(s, d),
       n = 3, perms = 32, bands = 8, rowsPerBand = 4, threshold = 0.5,
       tok = DedupOps.Tokenizer.Unicode)
       .select(col("doc_id")).orderBy("doc_id"),
@@ -4403,7 +4425,7 @@ object LlmQueries {
   val q147 = Q(
     "q147_dsir_selection",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.Retrieval.dsirSelect(docs,
         docs.filter(col("doc_id") % 4 === 0),
         buckets = 1024, keepPermille = 500L)
@@ -4426,7 +4448,7 @@ object LlmQueries {
   val q148 = Q(
     "q148_embed_covariance",
     (s, d) => graft.llm.EmbeddingOps.covarianceStats(
-      embWide(s, d), d = 64, scale = 10000L)
+      embOf(s, d), d = 64, scale = 10000L)
       .orderBy("i", "j"),
     Some(
       s"""WITH q AS (
@@ -4465,7 +4487,7 @@ object LlmQueries {
   val q149 = Q(
     "q149_curation_v6",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val selIds = graft.llm.Retrieval.dsirSelect(docs,
         docs.filter(col("doc_id") % 4 === 0),
         buckets = 1024, keepPermille = 500L).select("doc_id")
@@ -4548,7 +4570,7 @@ object LlmQueries {
   // per run, which is the exploration tool, not the serving path.
   private def dsirIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_dsir_model", d, "params") { dir =>
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.DsirIndex.build(docs,
         docs.filter(col("doc_id") % 4 === 0), dir, buckets = 1024)
     }
@@ -4556,7 +4578,7 @@ object LlmQueries {
   val q150 = Q(
     "q150_dsir_index_score",
     (s, d) => graft.llm.DsirIndex.score(s, dsirIndexDir(s, d),
-      docsWide(s, d)).orderBy("doc_id"),
+      docsOf(s, d)).orderBy("doc_id"),
     Some(
       s"""WITH $dsirCtes
          |SELECT doc_id, n_feats, lr_bits, lr_scaled FROM ss
@@ -4573,8 +4595,8 @@ object LlmQueries {
   val q151 = Q(
     "q151_doremi_mixture",
     (s, d) => graft.llm.Retrieval.doremiMixture(
-      docsWide(s, d),
-      docsWide(s, d).filter(col("doc_id") % 4 === 0))
+      docsOf(s, d),
+      docsOf(s, d).filter(col("doc_id") % 4 === 0))
       .orderBy("domain"),
     Some(
       s"""WITH dw AS (
@@ -4636,8 +4658,8 @@ object LlmQueries {
   val q152 = Q(
     "q152_doremi_select",
     (s, d) => TextAnalysis.doremiSelect(
-      docsWide(s, d),
-      docsWide(s, d).filter(col("doc_id") % 4 === 0),
+      docsOf(s, d),
+      docsOf(s, d).filter(col("doc_id") % 4 === 0),
       massBudget = 5000L)
       .orderBy("source", "rnk"),
     Some(
@@ -4715,7 +4737,7 @@ object LlmQueries {
   val q153 = Q(
     "q153_threshold_sweep",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val sc = graft.llm.Retrieval.bigramSurprisal(docs,
         docs.filter(col("doc_id") % 4 === 0))
         .select(col("doc_id"),
@@ -4824,7 +4846,7 @@ object LlmQueries {
   // classes contribute cum_mass; the boundary class (k − terms_below)·c.
   val q155 = Q(
     "q155_vocab_coverage",
-    (s, d) => graft.llm.Retrieval.vocabCoverage(docsWide(s, d))
+    (s, d) => graft.llm.Retrieval.vocabCoverage(docsOf(s, d))
       .orderBy("k"),
     Some(
       s"""WITH tw AS (
@@ -4863,7 +4885,7 @@ object LlmQueries {
     "q156_bpe_fertility",
     (s, d) => {
       val merges = bpeMergesFor(s, d)
-      docsWide(s, d).select(col("lang"),
+      docsOf(s, d).select(col("lang"),
           coalesce(size(filter(
             TextFunctions.words(coalesce(col("text"), lit(""))),
             w => w =!= "")).cast("long"), lit(0L)).as("w_doc"),
@@ -4905,7 +4927,7 @@ object LlmQueries {
   val q157 = Q(
     "q157_curation_v7",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -5079,7 +5101,7 @@ object LlmQueries {
   val q158 = Q(
     "q158_pack_efficiency",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val merges = bpeMergesFor(s, d)
       TextAnalysis.packEfficiency(
         TextAnalysis.packSequencesBy(docs,
@@ -5182,7 +5204,7 @@ object LlmQueries {
   // df ≤ 64 hot-key cap (a print selected corpus-wide is boilerplate).
   val q160 = Q(
     "q160_winnow_pairs",
-    (s, d) => DedupOps.winnowPairs(docsWide(s, d), n = 3, w = 4,
+    (s, d) => DedupOps.winnowPairs(docsOf(s, d), n = 3, w = 4,
       minShared = 2L, maxDf = Some(DedupDfCap))
       .orderBy("id_a", "id_b"),
     Some(
@@ -5197,7 +5219,7 @@ object LlmQueries {
   // permille; the DP cost is a bounded 256² per candidate pair.
   val q161 = Q(
     "q161_edit_verified_pairs",
-    (s, d) => DedupOps.editVerifiedPairs(docsWide(s, d),
+    (s, d) => DedupOps.editVerifiedPairs(docsOf(s, d),
       n = 3, perms = 32, bands = 8, rowsPerBand = 4, prefixLen = 256,
       maxDistPermille = 200L).orderBy("id_a", "id_b"),
     Some(
@@ -5221,7 +5243,7 @@ object LlmQueries {
   // signal (no pair term): ~0‰ = template/memorization risk.
   val q162 = Q(
     "q162_novelty_scores",
-    (s, d) => DedupOps.noveltyScores(docsWide(s, d), n = 3)
+    (s, d) => DedupOps.noveltyScores(docsOf(s, d), n = 3)
       .orderBy("doc_id"),
     Some(
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -5248,7 +5270,7 @@ object LlmQueries {
   // pairwise arithmetic runs entirely on the tiny mask-count table.
   val q163 = Q(
     "q163_source_overlap",
-    (s, d) => DedupOps.sourceOverlap(docsWide(s, d), n = 3)
+    (s, d) => DedupOps.sourceOverlap(docsOf(s, d), n = 3)
       .orderBy("src_a", "src_b"),
     Some(
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -5297,7 +5319,7 @@ object LlmQueries {
   val q164 = Q(
     "q164_winnow_decontaminate",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.winnowDecontaminate(docs,
         docs.filter(col("doc_id") % 50 === 0), n = 3, w = 4,
         minShared = 2L).orderBy("doc_id")
@@ -5331,7 +5353,7 @@ object LlmQueries {
   // between padded batching and the spanning pack (q134).
   val q165 = Q(
     "q165_padding_waste",
-    (s, d) => TextAnalysis.paddingWaste(docsWide(s, d),
+    (s, d) => TextAnalysis.paddingWaste(docsOf(s, d),
       bucketWidth = 16L, batchSize = 16L).orderBy("bucket"),
     Some(
       s"""WITH t AS (
@@ -5368,7 +5390,7 @@ object LlmQueries {
   val q166 = Q(
     "q166_rank_auc",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val sc = graft.llm.Retrieval.bigramSurprisal(docs,
         docs.filter(col("doc_id") % 4 === 0))
         .select(col("doc_id"),
@@ -5453,7 +5475,7 @@ object LlmQueries {
   val q167 = Q(
     "q167_ivf_margins",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.ivfAssignmentMargins(e,
         e.filter(col("vec_id") < ivfCells)
           .select(col("vec_id").as("cell_id"), col("embedding").as("cvec")),
@@ -5498,8 +5520,8 @@ object LlmQueries {
   // tf would label every cluster with stopwords).
   val q168 = Q(
     "q168_cluster_terms",
-    (s, d) => Retrieval.clusterTopTerms(docsWide(s, d),
-      embWide(s, d), nCells = ivfCells, k = 5, minTf = 2L)
+    (s, d) => Retrieval.clusterTopTerms(docsOf(s, d),
+      embOf(s, d), nCells = ivfCells, k = 5, minTf = 2L)
       .orderBy("cell_id", "rank"),
     Some(
       s"""WITH cents AS (
@@ -5542,7 +5564,7 @@ object LlmQueries {
   val q169 = Q(
     "q169_dsir_ess",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       Retrieval.essReport(docs, docs.filter(col("doc_id") % 4 === 0),
         buckets = 1024, groupCol = "lang").orderBy("lang")
     },
@@ -5652,7 +5674,7 @@ object LlmQueries {
   val q170 = Q(
     "q170_curation_v8",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -5738,7 +5760,7 @@ object LlmQueries {
   val q172 = Q(
     "q172_cell_shift",
     (s, d) => {
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       SimilaritySearch.cellDistributionShift(e,
         e.filter(col("vec_id") % 5 === 0),
         e.filter(col("vec_id") < ivfCells)
@@ -5790,7 +5812,7 @@ object LlmQueries {
   // mass worth gating before any pair-emitting dedup looks at it.
   val q173 = Q(
     "q173_ngram_diversity",
-    (s, d) => TextAnalysis.ngramDiversity(docsWide(s, d), maxN = 3)
+    (s, d) => TextAnalysis.ngramDiversity(docsOf(s, d), maxN = 3)
       .orderBy("source", "n"),
     Some {
       val per = (1 to 3).map { n =>
@@ -5820,7 +5842,7 @@ object LlmQueries {
   val q174 = Q(
     "q174_curation_funnel",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -5894,7 +5916,7 @@ object LlmQueries {
   val q176 = Q(
     "q176_contamination_sources",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.winnowContaminationSources(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 3, w = 4,
@@ -5921,7 +5943,7 @@ object LlmQueries {
   val q177 = Q(
     "q177_multilingual_winnow_decon",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.winnowDecontaminate(docs,
         docs.filter(col("doc_id") % 50 === 0), n = 3, w = 4,
         minShared = 2L, tok = DedupOps.Tokenizer.Unicode)
@@ -5953,7 +5975,7 @@ object LlmQueries {
   val q178 = Q(
     "q178_detector_scorecard",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val ref = DedupOps.editVerifiedPairs(docs, n = 3, perms = 32,
         bands = 8, rowsPerBand = 4, prefixLen = 256,
         maxDistPermille = 200L)
@@ -6023,7 +6045,7 @@ object LlmQueries {
   val q179 = Q(
     "q179_curation_v9",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val kept = DedupOps.exactThenNearDedup(docs, n = 3, perms = 32,
         bands = 8, rowsPerBand = 4, threshold = 0.5,
         tok = DedupOps.Tokenizer.Unicode).localCheckpoint(true)
@@ -6113,7 +6135,7 @@ object LlmQueries {
   // (q156); counted over the word-TYPE histogram, never the stream.
   val q180 = Q(
     "q180_bpe_merge_use",
-    (s, d) => Bpe.mergeUtilization(docsWide(s, d),
+    (s, d) => Bpe.mergeUtilization(docsOf(s, d),
       bpeMergesFor(s, d)).orderBy("rank"),
     Some {
       val mv = (1 to bpeK).map(r =>
@@ -6145,7 +6167,7 @@ object LlmQueries {
   val q181 = Q(
     "q181_decon_index_winnow",
     (s, d) => graft.llm.DeconIndex.probeWinnow(
-      docsWide(s, d), deconIndexDir(s, d), minShared = 2L)
+      docsOf(s, d), deconIndexDir(s, d), minShared = 2L)
       .orderBy("doc_id"),
     Some(
       s"""WITH $winnowPairCtes,
@@ -6167,7 +6189,7 @@ object LlmQueries {
   val q182 = Q(
     "q182_winnow_scrub",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.winnowScrub(docs.filter(col("doc_id") % 41 =!= 3),
         docs.filter(col("doc_id") % 41 === 3), n = 3, w = 4,
         minShared = 2L).orderBy("doc_id")
@@ -6217,7 +6239,7 @@ object LlmQueries {
   val q183 = Q(
     "q183_curation_v10",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -6297,7 +6319,7 @@ object LlmQueries {
   val q184 = Q(
     "q184_shuffle_quality",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.shuffleQuality(
         TextAnalysis.trainingOrder(docs, salt = "epoch0")
           .select(col("doc_id"), col("ord")),
@@ -6334,7 +6356,7 @@ object LlmQueries {
   val q185 = Q(
     "q185_order_run_lengths",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       TextAnalysis.orderRunLengths(
         TextAnalysis.trainingOrder(docs, salt = "epoch0")
           .select(col("doc_id"), col("ord")),
@@ -6364,7 +6386,7 @@ object LlmQueries {
   val q186 = Q(
     "q186_gate_agreement",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val bench = docs.filter(col("doc_id") % 41 === 3)
       def flaggedOf(kept: org.apache.spark.sql.DataFrame) =
         docs.select(col("doc_id"))
@@ -6443,7 +6465,7 @@ object LlmQueries {
   // which is exactly why the COUNT must surface somewhere.
   val q187 = Q(
     "q187_embedding_hygiene",
-    (s, d) => SimilaritySearch.embeddingHygiene(embWide(s, d),
+    (s, d) => SimilaritySearch.embeddingHygiene(embOf(s, d),
       dim = dim),
     Some(
       s"""SELECT CAST(count(*) AS BIGINT) AS n_vecs,
@@ -6473,7 +6495,7 @@ object LlmQueries {
   // 4-dp Jaccard, no float literal in any predicate.
   val q188 = Q(
     "q188_dedup_threshold_sweep",
-    (s, d) => DedupOps.dedupThresholdSweep(docsWide(s, d), n = 3)
+    (s, d) => DedupOps.dedupThresholdSweep(docsOf(s, d), n = 3)
       .orderBy("threshold_permille"),
     Some(
       s"""WITH $shingleCtes,
@@ -6495,7 +6517,7 @@ object LlmQueries {
   // quietly routes 10% of a crawl around itself.
   val q189 = Q(
     "q189_text_hygiene",
-    (s, d) => TextAnalysis.textHygiene(docsWide(s, d),
+    (s, d) => TextAnalysis.textHygiene(docsOf(s, d),
       maxChars = 1000000L),
     Some(
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -6533,7 +6555,7 @@ object LlmQueries {
   // stale or torn stored table hash-mismatches instead of passing.
   private def v8CleanDir(s: SparkSession, d: String): String =
     scratchDir("graft_v8_clean", d, "clean") { dir =>
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -6553,7 +6575,7 @@ object LlmQueries {
     }
   val q190 = Q(
     "q190_mixture_drift",
-    (s, d) => TextAnalysis.mixtureDrift(docsWide(s, d),
+    (s, d) => TextAnalysis.mixtureDrift(docsOf(s, d),
       s.read.parquet(s"${v8CleanDir(s, d)}/clean")).orderBy("source"),
     Some(
       s"""WITH RECURSIVE $curationV8StageCtes,
@@ -6588,7 +6610,7 @@ object LlmQueries {
   // stale stored model changes the result.
   private def classifierIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_clf_idx", d, "params") { dir =>
-      graft.llm.ClassifierIndex.build(docsWide(s, d), dir,
+      graft.llm.ClassifierIndex.build(docsOf(s, d), dir,
         thresholdPermille = 500L)
     }
   // Shared by q191 (batch serve) and q215 (streaming gate): the oracle
@@ -6647,7 +6669,7 @@ object LlmQueries {
   val q191 = Q(
     "q191_classifier_index",
     (s, d) => graft.llm.ClassifierIndex.score(s,
-      classifierIndexDir(s, d), docsWide(s, d))
+      classifierIndexDir(s, d), docsOf(s, d))
       .orderBy("doc_id"),
     Some(classifierGateOracleSql))
 
@@ -6663,7 +6685,7 @@ object LlmQueries {
   val q192 = Q(
     "q192_unicode_surprisal",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       Retrieval.bigramSurprisal(docs,
         docs.filter(col("doc_id") % 4 === 0),
         tok = DedupOps.Tokenizer.Unicode).orderBy("doc_id")
@@ -6712,7 +6734,7 @@ object LlmQueries {
   // always read 0).
   val q193 = Q(
     "q193_multilingual_gopher",
-    (s, d) => TextAnalysis.gopherRules(docsWide(s, d),
+    (s, d) => TextAnalysis.gopherRules(docsOf(s, d),
       minWords = 30L, maxWords = 100000L,
       requiredWords = Seq("the", "a", "and", "of", "to"),
       minRequiredHits = 2,
@@ -6815,7 +6837,7 @@ object LlmQueries {
   val q194 = Q(
     "q194_winnow_scrub_verified",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       DedupOps.winnowScrubVerified(docs.filter(col("doc_id") % 41 =!= 3),
         docs.filter(col("doc_id") % 41 === 3), n = 3, w = 4,
         minShared = 2L).orderBy("doc_id")
@@ -6891,7 +6913,7 @@ object LlmQueries {
   // intact to the word).
   val q196 = Q(
     "q196_span_extent_apply",
-    (s, d) => DedupOps.spanExtentDedupApply(docsWide(s, d), width = 8)
+    (s, d) => DedupOps.spanExtentDedupApply(docsOf(s, d), width = 8)
       .orderBy("doc_id"),
     Some(
       s"""WITH $extentFlagCtes,
@@ -6924,7 +6946,7 @@ object LlmQueries {
   val q197 = Q(
     "q197_stream_ingest_dedup",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val outCols = docs.columns.map(col).toSeq
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q197_land")
@@ -6972,7 +6994,7 @@ object LlmQueries {
   val q198 = Q(
     "q198_unicode_dsir",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       Retrieval.dsirSelect(docs,
         docs.filter(col("doc_id") % 4 === 0),
         buckets = 1024, keepPermille = 500L,
@@ -6999,7 +7021,7 @@ object LlmQueries {
   val q199 = Q(
     "q199_curation_v11",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       // checkpoint the gated slice: every downstream consumer would
       // otherwise re-evaluate the gate's normalization regex chain over
       // the full corpus (the v7 checkpoint lesson; measured in SCALE.md)
@@ -7123,7 +7145,7 @@ object LlmQueries {
   val q200 = Q(
     "q200_classifier_calibration",
     (s, d) => graft.llm.Classifier.calibrationReport(
-      docsWide(s, d)).orderBy("bucket"),
+      docsOf(s, d)).orderBy("bucket"),
     Some {
       val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
       val absDist = (pfx: String, cnt: String) => (1 to 5).map(i =>
@@ -7185,7 +7207,7 @@ object LlmQueries {
   // this says HOW MUCH and WHERE in ≤ |langs|² rows.
   val q201 = Q(
     "q201_lang_agreement",
-    (s, d) => TextAnalysis.languageIdAgreement(docsWide(s, d))
+    (s, d) => TextAnalysis.languageIdAgreement(docsOf(s, d))
       .orderBy("labeled_lang", "pred_lang"),
     Some(
       s"""WITH w AS (SELECT doc_id, lang AS labeled_lang,
@@ -7249,7 +7271,7 @@ object LlmQueries {
   val q203 = Q(
     "q203_stream_winnow_land",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val outCols = docs.columns.map(col).toSeq
       val idxDir = deconIndexDir(s, d)
       val stage = streamFeedDir(s, d)
@@ -7375,7 +7397,7 @@ object LlmQueries {
   // result, and so does any rebuild that corrupts an embedding.
   private def ivfRebuildDir(s: SparkSession, d: String): String =
     scratchDir("graft_ivf_rebuild", d, "centroids") { dir =>
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       graft.llm.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir,
         nCells = ivfCells, iters = 2)
       graft.llm.IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
@@ -7384,7 +7406,7 @@ object LlmQueries {
   val q205 = Q(
     "q205_ivf_rebuild_search",
     (s, d) => graft.llm.IvfIndex.search(
-      embWide(s, d).filter(col("vec_id") % 250 === 7),
+      embOf(s, d).filter(col("vec_id") % 250 === 7),
       ivfRebuildDir(s, d), k = 5, nprobe = ivfCells)
       .orderBy("query_id", "rank"),
     Some(
@@ -7409,7 +7431,7 @@ object LlmQueries {
   // this is the per-rung bundle the paper actually thresholds.
   val q206 = Q(
     "q206_repetition_coverage",
-    (s, d) => TextAnalysis.repetitionCoverage(docsWide(s, d))
+    (s, d) => TextAnalysis.repetitionCoverage(docsOf(s, d))
       .orderBy("doc_id", "n"),
     Some(
       s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
@@ -7448,7 +7470,7 @@ object LlmQueries {
   // same parameterized DSIR CTEs, score table, no rank cut).
   private def dsirUniIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_dsir_uni_model", d, "params") { dir =>
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       graft.llm.DsirIndex.build(docs,
         docs.filter(col("doc_id") % 4 === 0), dir, buckets = 1024,
         tok = DedupOps.Tokenizer.Unicode)
@@ -7456,7 +7478,7 @@ object LlmQueries {
   val q207 = Q(
     "q207_dsir_index_unicode",
     (s, d) => graft.llm.DsirIndex.score(s, dsirUniIndexDir(s, d),
-      docsWide(s, d)).orderBy("doc_id"),
+      docsOf(s, d)).orderBy("doc_id"),
     Some(
       s"""WITH ${dsirCtesOver(
            "trim(regexp_replace(regexp_replace(lower(coalesce(text, ''))," +
@@ -7476,7 +7498,7 @@ object LlmQueries {
   val q208 = Q(
     "q208_stream_dsir_score",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val idxDir = dsirIndexDir(s, d)
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q208_land")
@@ -7525,13 +7547,13 @@ object LlmQueries {
        |  AS word FROM documents""".stripMargin
   private def bpeChunkedIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_bpe_chunked", d, "params") { dir =>
-      graft.llm.BpeIndex.build(docsWide(s, d), dir, bpeK,
+      graft.llm.BpeIndex.build(docsOf(s, d), dir, bpeK,
         pretok = Bpe.PreTok.chunked(bpeChunkLen))
     }
   val q209 = Q(
     "q209_bpe_chunked_counts",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val (merges, pt) =
         graft.llm.BpeIndex.loadWithPreTok(s, bpeChunkedIndexDir(s, d))
       docs.select(col("doc_id"),
@@ -7562,7 +7584,7 @@ object LlmQueries {
   // replayed vector landing twice surfaces as a duplicated neighbor row.
   private def ivfStreamAppendDir(s: SparkSession, d: String): String =
     scratchDir("graft_ivf_stream", d, "centroids") { dir =>
-      val e = embWide(s, d)
+      val e = embOf(s, d)
       graft.llm.IvfIndex.build(e.filter(col("vec_id") % 2 === 0), dir,
         nCells = ivfCells, iters = 2)
       val odd = e.filter(col("vec_id") % 2 === 1)
@@ -7585,7 +7607,7 @@ object LlmQueries {
   val q210 = Q(
     "q210_stream_ivf_append",
     (s, d) => graft.llm.IvfIndex.search(
-      embWide(s, d).filter(col("vec_id") % 250 === 7),
+      embOf(s, d).filter(col("vec_id") % 250 === 7),
       ivfStreamAppendDir(s, d), k = 5, nprobe = ivfCells)
       .orderBy("query_id", "rank"),
     Some(
@@ -7776,7 +7798,7 @@ object LlmQueries {
   val q213 = Q(
     "q213_curriculum_phases",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val p1 = TextAnalysis.mixtureSampleTokens(docs, "source",
         tokenBudget = 4000L).localCheckpoint(true)
       val hq = docs.join(TextAnalysis.qualityScore(docs)
@@ -7853,7 +7875,7 @@ object LlmQueries {
   val q214 = Q(
     "q214_vocab_size_ladder",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val merges = bpeMergesFor(s, d)
       val rungs = Seq(2, 5, 10)
       val nw = size(filter(TextFunctions.words(coalesce(col("text"), lit(""))),
@@ -7902,7 +7924,7 @@ object LlmQueries {
   val q215 = Q(
     "q215_stream_quality_gate",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val idxDir = classifierIndexDir(s, d)
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q215_land")
@@ -7945,7 +7967,7 @@ object LlmQueries {
   private val deepK = 80
   private def bpeDeepIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_bpe_deep", d, "params") { dir =>
-      graft.llm.BpeIndex.build(docsWide(s, d), dir, deepK)
+      graft.llm.BpeIndex.build(docsOf(s, d), dir, deepK)
     }
   val q217 = Q(
     "q217_production_ladder",
@@ -8061,12 +8083,12 @@ object LlmQueries {
   private def bpeDriftMonDir(s: SparkSession, d: String): String =
     scratchDir("graft_bpe_driftmon", d, "params") { dir =>
       graft.llm.BpeIndex.build(
-        docsWide(s, d).filter(col("doc_id") % 2 === 0), dir, bpeK)
+        docsOf(s, d).filter(col("doc_id") % 2 === 0), dir, bpeK)
     }
   val q218 = Q(
     "q218_stream_drift_monitor",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val idxDir = bpeDriftMonDir(s, d)
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q218_land")
@@ -8116,13 +8138,13 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.UnigramLm.Piece]]()
   private def ugVocabFor(s: SparkSession, d: String): Seq[graft.llm.UnigramLm.Piece] =
     ugVocabCache.computeIfAbsent(d, _ =>
-      graft.llm.UnigramLm.learnVocab(docsWide(s, d), ugChunkLen,
+      graft.llm.UnigramLm.learnVocab(docsOf(s, d), ugChunkLen,
         ugPieceLen, ugMinCount, ugVocabSize))
   private val ugVocab2Cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.llm.UnigramLm.Piece]]()
   private def ugVocab2For(s: SparkSession, d: String): Seq[graft.llm.UnigramLm.Piece] =
     ugVocab2Cache.computeIfAbsent(d, _ =>
-      graft.llm.UnigramLm.reestimate(docsWide(s, d), ugVocabFor(s, d),
+      graft.llm.UnigramLm.reestimate(docsOf(s, d), ugVocabFor(s, d),
         ugChunkLen, ugPieceLen))
 
   /** Chunk histograms + vocabulary + cost CTEs — the learn replay.
@@ -8252,7 +8274,7 @@ object LlmQueries {
   // distributed TakeOrderedAndProject — no single-partition window.
   val q220 = Q(
     "q220_unigram_vocab",
-    (s, d) => graft.llm.UnigramLm.learnVocabDf(docsWide(s, d),
+    (s, d) => graft.llm.UnigramLm.learnVocabDf(docsOf(s, d),
       ugChunkLen, ugPieceLen, ugMinCount, ugVocabSize).orderBy("piece"),
     Some(
       s"""WITH $ugLearnCtes
@@ -8267,7 +8289,7 @@ object LlmQueries {
   val q221 = Q(
     "q221_unigram_encode",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
         ugPieceLen)
       docs.groupBy("source")
@@ -8311,7 +8333,7 @@ object LlmQueries {
   val q223 = Q(
     "q223_unigram_em_encode",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val codec2 = graft.llm.UnigramLm.codecOf(ugVocab2For(s, d), ugChunkLen,
         ugPieceLen)
       docs.groupBy("source")
@@ -8342,7 +8364,7 @@ object LlmQueries {
   // artifact discipline for the fifth index lifecycle).
   private def unigramIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_ug_idx", d, "params") { dir =>
-      graft.llm.UnigramIndex.build(docsWide(s, d), dir, ugChunkLen,
+      graft.llm.UnigramIndex.build(docsOf(s, d), dir, ugChunkLen,
         ugPieceLen, ugMinCount, ugVocabSize)
     }
   val q224 = Q(
@@ -8351,7 +8373,7 @@ object LlmQueries {
       val (ps, cl, mpl) = graft.llm.UnigramIndex.loadWithGeometry(s,
         unigramIndexDir(s, d))
       val codec = graft.llm.UnigramLm.codecOf(ps, cl, mpl)
-      docsWide(s, d).filter(col("doc_id") % 2 === 0)
+      docsOf(s, d).filter(col("doc_id") % 2 === 0)
         .groupBy("source")
         .agg(
           sum(graft.llm.UnigramLm.chunkCount(col("text"), cl)).as("n_chunks"),
@@ -8428,7 +8450,7 @@ object LlmQueries {
   val q226 = Q(
     "q226_stream_shard_land",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q226_land")
       val ckpt = trackedTempDir("graft_q226_ckpt")
@@ -8459,7 +8481,7 @@ object LlmQueries {
   val q227 = Q(
     "q227_pack_unigram_tokens",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
         ugPieceLen)
       TextAnalysis.packSequencesBy(docs,
@@ -8525,13 +8547,13 @@ object LlmQueries {
   private def unigramDriftIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_ug_drift_idx", d, "params") { dir =>
       graft.llm.UnigramIndex.build(
-        docsWide(s, d).filter(col("doc_id") % 2 === 0), dir,
+        docsOf(s, d).filter(col("doc_id") % 2 === 0), dir,
         ugChunkLen, ugPieceLen, ugMinCount, ugVocabSize)
     }
   val q228 = Q(
     "q228_stream_unigram_drift",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val idxDir = unigramDriftIndexDir(s, d)
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q228_land")
@@ -8636,7 +8658,7 @@ object LlmQueries {
   val q230 = Q(
     "q230_mixture_unigram_tokens",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val codec = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
         ugPieceLen)
       TextAnalysis.mixtureSampleTokensBy(docs,
@@ -8691,7 +8713,7 @@ object LlmQueries {
   val q231 = Q(
     "q231_curation_v14",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val gated = TextAnalysis.gopherFilter(docs, minWords = 30L,
         maxWords = 100000L,
         requiredWords = Seq("the", "a", "and", "of", "to"),
@@ -8819,7 +8841,7 @@ object LlmQueries {
   private def ugEmFor(s: SparkSession,
       d: String): Seq[graft.llm.UnigramLm.EmRound] =
     ugEmCache.computeIfAbsent(d, _ =>
-      graft.llm.UnigramLm.learnEm(docsWide(s, d), ugChunkLen,
+      graft.llm.UnigramLm.learnEm(docsOf(s, d), ugChunkLen,
         ugPieceLen, ugMinCount, ugVocabSize, ugEmTarget, ugEmKeepPermille))
 
   /** ≥2-part compositions of `n` with parts ≤ ugPieceLen — the
@@ -8932,7 +8954,7 @@ object LlmQueries {
       val em = ugEmFor(s, d).last
       val codec = graft.llm.UnigramLm.codecPriced(em.vocab, ugChunkLen,
         ugPieceLen, em.usageTotal)
-      docsWide(s, d).groupBy("source")
+      docsOf(s, d).groupBy("source")
         .agg(
           sum(graft.llm.UnigramLm.chunkCount(col("text"), ugChunkLen))
             .as("n_chunks"),
@@ -8961,7 +8983,7 @@ object LlmQueries {
   // dup-row counts) stay in the per-index healthChecks by design.
   private def tornClassifierDir(s: SparkSession, d: String): String =
     scratchDir("graft_clf_torn", d, "params") { dir =>
-      graft.llm.ClassifierIndex.build(docsWide(s, d), dir,
+      graft.llm.ClassifierIndex.build(docsOf(s, d), dir,
         thresholdPermille = 500L)
       // tamper ONE stamp: content intact, swap torn — the exact state
       // SwapManifest.verify exists to catch
@@ -9061,7 +9083,7 @@ object LlmQueries {
   val q236 = Q(
     "q236_stream_token_export",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val idxDir = unigramIndexDir(s, d)
       val stage = streamFeedDir(s, d)
       val land = trackedTempDir("graft_q236_land")
@@ -9120,7 +9142,7 @@ object LlmQueries {
   // serving under the wrong geometry all change the hash.
   private def unigramEmIndexDir(s: SparkSession, d: String): String =
     scratchDir("graft_ug_em_idx", d, "params") { dir =>
-      graft.llm.UnigramIndex.buildEm(docsWide(s, d), dir,
+      graft.llm.UnigramIndex.buildEm(docsOf(s, d), dir,
         ugChunkLen, ugPieceLen, ugMinCount, ugVocabSize, ugEmTarget,
         ugEmKeepPermille)
     }
@@ -9130,7 +9152,7 @@ object LlmQueries {
       val (ps, cl, mpl, tot) = graft.llm.UnigramIndex.loadModel(s,
         unigramEmIndexDir(s, d))
       val codec = graft.llm.UnigramLm.codecPriced(ps, cl, mpl, tot)
-      docsWide(s, d).filter(col("doc_id") % 2 === 1)
+      docsOf(s, d).filter(col("doc_id") % 2 === 1)
         .groupBy("source")
         .agg(
           sum(graft.llm.UnigramLm.chunkCount(col("text"), cl)).as("n_chunks"),
@@ -9184,7 +9206,7 @@ object LlmQueries {
   val q239 = Q(
     "q239_unigram_em_bakeoff",
     (s, d) => {
-      val docs = docsWide(s, d)
+      val docs = docsOf(s, d)
       val plain = graft.llm.UnigramLm.codecOf(ugVocabFor(s, d), ugChunkLen,
         ugPieceLen)
       val em = ugEmFor(s, d).last
@@ -9278,7 +9300,7 @@ object LlmQueries {
   private val ugNbestSalt = "r20"
   val q243 = Q(
     "q243_unigram_nbest_sample",
-    (s, d) => graft.llm.UnigramLm.nbestSampledReport(docsWide(s, d),
+    (s, d) => graft.llm.UnigramLm.nbestSampledReport(docsOf(s, d),
       ugVocabFor(s, d), ugChunkLen, ugPieceLen, ugNbestSalt, ugNbestNs)
       .orderBy("n", "source"),
     Some {

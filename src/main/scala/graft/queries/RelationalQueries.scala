@@ -350,11 +350,13 @@ object RelationalQueries {
   val q57 = Q(
     "q57_salted_join",
     (s, d) => {
-      // round-20: widen the single-split scans — the 16× salt explode
-      // and the salted shuffle's map side are CPU-dense (graft.ops.Widen)
-      val l = graft.ops.Widen.scan(Tables.lineitem(s, d))
+      // round-21: the round-20 widen REGRESSED this query in the
+      // quiet-window sweep (2.27 → 2.51 s): the salt explode feeds a
+      // shuffle anyway, so the extra exchange only added task floor.
+      // Narrow scans restored (measured, OPTIMIZATION_r21.md).
+      val l = Tables.lineitem(s, d)
         .withColumnRenamed("l_orderkey", "okey")
-      val o = graft.ops.Widen.scan(Tables.orders(s, d))
+      val o = Tables.orders(s, d)
         .withColumnRenamed("o_orderkey", "okey")
       // salt source must be roughly uniform with range >= nSalts —
       // l_partkey is; l_linenumber (1-7) would leave most salts unused
@@ -374,10 +376,11 @@ object RelationalQueries {
   private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   val q67 = Q(
     "q67_profile",
-    // round-20: widen — the exact multi-distinct Expand ×4 multiplies
-    // every scanned row, all rooted at a single-split scan
+    // round-21: round-20's widen regressed this 1.63 → 1.93 s quiet
+    // (the Expand feeds a shuffle; the exchange bought nothing) —
+    // narrow scan restored (measured, OPTIMIZATION_r21.md).
     (s, d) => graft.ops.Profile.numeric(
-      graft.ops.Widen.scan(Tables.lineitem(s, d)), profCols),
+      Tables.lineitem(s, d), profCols),
     Some(profCols.map(c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
          |  COUNT(*) - COUNT($c) AS n_null,
@@ -397,7 +400,7 @@ object RelationalQueries {
   val q103 = Q(
     "q103_profile_approx",
     (s, d) => graft.ops.Profile.numeric(
-      graft.ops.Widen.scan(Tables.lineitem(s, d)), profCols,
+      Tables.lineitem(s, d), profCols,
       approx = true),
     None)
 

@@ -31,6 +31,12 @@ class CodegenSpec extends SparkSpec {
       shingleHashes(col("text")).as("sh"),
       minhashSig(shingleHashes(col("text")), 32).as("mh"),
       simhashOfHashes(shingleHashList(col("text"), 3, P), 32).as("simh"),
+      org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.WinnowEncExpr(
+        org.apache.spark.sql.GraftColumnBridge.exprOf(shingleHashList(col("text"), 3, P)),
+        4, P)).as("wenc"),
+      org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.WinnowValuesExpr(
+        org.apache.spark.sql.GraftColumnBridge.exprOf(shingleHashList(col("text"), 3, P)),
+        4)).as("wvals"),
       org.apache.spark.sql.GraftColumnBridge.ofExpr(graft.functions.BpeCountExpr(
         org.apache.spark.sql.GraftColumnBridge.exprOf(coalesce(col("text"), lit(""))),
         Seq(("a", "b"), ("ab", "c")))).as("bpec"),
